@@ -1,0 +1,523 @@
+"""The event store: multi-tenant, append-only CloudEvents streams.
+
+Reproduces the reference's storage semantics (reference db.rs /
+server.rs — see SURVEY.md §2 A) on a Spark-native layout:
+
+* one logical ``events`` table, hive-partitioned on disk as
+  ``user_id=<u>/stream_id=<s>/`` with parquet files sorted by
+  ``revision`` — positional access is a partition-pruned scan with
+  row-group min/max skipping, replacing the reference's 8-byte
+  offset index (db.rs:140-161) with structures Spark already has;
+* appends are micro-batches: each append writes ONE parquet file
+  into the stream's partition and assigns gapless 0-based revisions
+  from a per-stream high-water mark (the reference's
+  ``revision = len(index)/8`` counter, db.rs:103-113);
+* optimistic concurrency: the ``ExpectedRevision`` gate
+  (Any | NoStream | StreamExists | Exact) is checked under a
+  per-stream lock, mirroring the reference's per-stream
+  ``tokio::sync::Mutex`` (server.rs:58,184; db.rs:20-26,189-198);
+* ``(source, id)`` uniqueness per stream is ENFORCED (the reference
+  declares ``SourceIdConflict`` → HTTP 409 but never raises it —
+  db.rs:15-16, api.rs:524-537; SURVEY.md A10 closes the gap).
+
+Write path is deliberately driver-side (pyarrow parquet writer):
+a single-event append is an OLTP operation where a Spark job launch
+would dominate latency; the files it writes are plain parquet in the
+table's partition layout, so every Spark read path (batch or
+streaming file source) consumes them natively with pruning intact.
+At cluster scale the same design holds: appends land as small
+parquet files per micro-batch (e.g. via Structured Streaming
+``foreachBatch`` → this API, see streaming/append.py), commit
+serialization stays per-stream (a lock service or Delta-style
+transaction log replaces the in-process mutex), and compaction
+(``compact_stream``) folds small files into sorted large ones so
+scans stay efficient.
+
+Scale notes (100 TB design point): tenant/stream partitioning keeps
+point and range reads pruned to one directory regardless of table
+size. For millions of tiny streams the layout would switch to
+``user_bucket=<hash(user)%N>/date=<d>/`` partitions with
+``(user_id, stream_id, revision)`` sort order within files —
+min/max stats still prune to a handful of row groups; the API here
+is unchanged. Stream enumeration/metadata is a metadata-only
+aggregate over parquet footers, not a data scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import threading
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hematite_spark.schema import REQUIRED_ATTRS
+
+
+# ---------------------------------------------------------------- errors
+
+
+class StoreError(Exception):
+    """Base class for store errors."""
+
+
+class RevisionMismatch(StoreError):
+    """Expected-revision gate failed (reference db.rs:13-14 → HTTP 409)."""
+
+
+class StreamNotFound(StoreError):
+    """Read from an unknown stream (reference server.rs:20-24 → HTTP 404)."""
+
+
+class EmptyAppend(StoreError):
+    """Empty batch rejected (reference db.rs:185 ``ensure!``)."""
+
+
+class SourceIdConflict(StoreError):
+    """(source, id) already present in stream (CloudEvents uniqueness,
+    reference api.rs:524-537 → HTTP 409; enforced here, unlike there)."""
+
+
+class InvalidEvent(StoreError):
+    """Body is not a CloudEvents v1.0 object (reference → HTTP 422)."""
+
+
+# ------------------------------------------------------- expected revision
+
+
+@dataclass(frozen=True)
+class ExpectedRevision:
+    """OCC gate for appends (reference db.rs:20-26).
+
+    kind: "any" | "no-stream" | "stream-exists" | "exact"
+    """
+
+    kind: str
+    exact: int | None = None
+
+    ANY: "ExpectedRevision" = None  # type: ignore[assignment]
+    NO_STREAM: "ExpectedRevision" = None  # type: ignore[assignment]
+    STREAM_EXISTS: "ExpectedRevision" = None  # type: ignore[assignment]
+
+    @staticmethod
+    def exact_at(n: int) -> "ExpectedRevision":
+        return ExpectedRevision("exact", n)
+
+    @staticmethod
+    def parse(raw: str) -> "ExpectedRevision":
+        """Parse the ``?expected_revision=`` query value (reference
+        api.rs:558-571)."""
+        if raw == "any":
+            return ExpectedRevision.ANY
+        if raw == "no-stream":
+            return ExpectedRevision.NO_STREAM
+        if raw == "stream-exists":
+            return ExpectedRevision.STREAM_EXISTS
+        if re.fullmatch(r"\d+", raw):
+            return ExpectedRevision.exact_at(int(raw))
+        raise ValueError(f"invalid expected_revision: {raw!r}")
+
+    def check(self, current_revision: int) -> None:
+        """current_revision = number of events already in the stream
+        (0 = no stream). Raises RevisionMismatch exactly where the
+        reference does (db.rs:189-198)."""
+        if self.kind == "any":
+            return
+        if self.kind == "no-stream":
+            if current_revision != 0:
+                raise RevisionMismatch(f"expected no stream, found revision {current_revision}")
+        elif self.kind == "stream-exists":
+            if current_revision == 0:
+                raise RevisionMismatch("expected existing stream, found none")
+        elif self.kind == "exact":
+            if current_revision != self.exact:
+                raise RevisionMismatch(f"expected revision {self.exact}, found {current_revision}")
+        else:  # pragma: no cover
+            raise ValueError(f"unknown kind {self.kind}")
+
+
+ExpectedRevision.ANY = ExpectedRevision("any")
+ExpectedRevision.NO_STREAM = ExpectedRevision("no-stream")
+ExpectedRevision.STREAM_EXISTS = ExpectedRevision("stream-exists")
+
+
+# ---------------------------------------------------------------- helpers
+
+_KNOWN_ATTRS = {
+    "specversion",
+    "id",
+    "source",
+    "type",
+    "subject",
+    "datacontenttype",
+    "dataschema",
+    "time",
+    "data",
+    "data_base64",
+}
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("revision", pa.int64(), nullable=False),
+        pa.field("specversion", pa.string(), nullable=False),
+        pa.field("id", pa.string(), nullable=False),
+        pa.field("source", pa.string(), nullable=False),
+        pa.field("type", pa.string(), nullable=False),
+        pa.field("subject", pa.string()),
+        pa.field("datacontenttype", pa.string()),
+        pa.field("dataschema", pa.string()),
+        pa.field("time", pa.timestamp("us", tz="UTC")),
+        pa.field("data", pa.string()),
+        pa.field("extensions", pa.map_(pa.string(), pa.string())),
+        pa.field("ingest_time", pa.timestamp("us", tz="UTC")),
+    ]
+)
+
+
+def _parse_time(value: Any) -> datetime | None:
+    if value is None:
+        return None
+    if isinstance(value, datetime):
+        return value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+    # RFC3339; CloudEvents `time` is a string on the wire
+    s = str(value).replace("Z", "+00:00")
+    dt = datetime.fromisoformat(s)
+    return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+
+def _validate(event: dict[str, Any]) -> None:
+    for attr in REQUIRED_ATTRS:
+        if attr not in event or event[attr] is None:
+            raise InvalidEvent(f"missing required CloudEvents attribute {attr!r}")
+    if str(event["specversion"]) != "1.0":
+        raise InvalidEvent(f"unsupported specversion {event['specversion']!r}")
+
+
+def _encode_stream_dir(stream_id: str) -> str:
+    """Filesystem-safe partition value. The reference base32-encodes
+    stream names for the same reason (server.rs:134-148); we
+    percent-encode only what the filesystem/hive layout can't take."""
+    import urllib.parse
+
+    return urllib.parse.quote(stream_id, safe="")
+
+
+def _decode_stream_dir(name: str) -> str:
+    import urllib.parse
+
+    return urllib.parse.unquote(name)
+
+
+# ------------------------------------------------------------------ store
+
+
+class EventStore:
+    """Multi-tenant append-only CloudEvents store over a partitioned
+    parquet table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._locks: dict[tuple[str, str], threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+        # per-stream high-water mark (event count); lazily hydrated
+        self._hwm: dict[tuple[str, str], int] = {}
+        self._seq = 0  # monotonic file sequence within this process
+
+    # -- catalog / paths
+
+    def _stream_dir(self, user_id: str, stream_id: str) -> str:
+        return os.path.join(
+            self.root,
+            f"user_id={_encode_stream_dir(user_id)}",
+            f"stream_id={_encode_stream_dir(stream_id)}",
+        )
+
+    def _lock(self, user_id: str, stream_id: str) -> threading.Lock:
+        key = (user_id, stream_id)
+        with self._locks_guard:
+            if key not in self._locks:
+                self._locks[key] = threading.Lock()
+            return self._locks[key]
+
+    def _stream_exists(self, user_id: str, stream_id: str) -> bool:
+        d = self._stream_dir(user_id, stream_id)
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def _parquet_files(self, user_id: str, stream_id: str) -> list[str]:
+        d = self._stream_dir(user_id, stream_id)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    def revision(self, user_id: str, stream_id: str) -> int:
+        """Event count of the stream (reference db.rs:103-113). Reads
+        parquet FOOTER metadata only — no data scan."""
+        key = (user_id, stream_id)
+        if key in self._hwm:
+            return self._hwm[key]
+        total = 0
+        for path in self._parquet_files(*key):
+            total += pq.ParquetFile(path).metadata.num_rows
+        self._hwm[key] = total
+        return total
+
+    # -- append (A1/A4) -----------------------------------------------
+
+    def append(
+        self,
+        user_id: str,
+        stream_id: str,
+        events: Iterable[dict[str, Any]] | dict[str, Any],
+        expected: ExpectedRevision = ExpectedRevision.ANY,
+    ) -> int:
+        """Append a batch atomically; returns the new revision
+        (= event count, reference db.rs:239). Single events accepted
+        like the reference's untagged Single|Batch payload
+        (api.rs:449-454)."""
+        if isinstance(events, dict):
+            events = [events]
+        batch = list(events)
+        if not batch:
+            raise EmptyAppend("append batch must be non-empty")
+        for ev in batch:
+            _validate(ev)
+
+        with self._lock(user_id, stream_id):
+            current = self.revision(user_id, stream_id)
+            expected.check(current)
+            self._check_source_id_unique(user_id, stream_id, batch)
+
+            now = datetime.now(timezone.utc)
+            rows = self._to_arrow_rows(batch, start_revision=current, ingest_time=now)
+            table = pa.Table.from_pydict(rows, schema=_ARROW_SCHEMA)
+
+            d = self._stream_dir(user_id, stream_id)
+            os.makedirs(d, exist_ok=True)
+            self._seq += 1
+            # sortable filename: revision range + sequence → readers and
+            # compaction see files in append order
+            fname = f"part-{current:012d}-{self._seq:06d}.parquet"
+            tmp = os.path.join(d, f".{fname}.tmp")
+            pq.write_table(table, tmp, compression="zstd")
+            os.rename(tmp, os.path.join(d, fname))  # atomic publish
+            new_rev = current + len(batch)
+            self._hwm[(user_id, stream_id)] = new_rev
+            return new_rev
+
+    def _check_source_id_unique(
+        self, user_id: str, stream_id: str, batch: list[dict[str, Any]]
+    ) -> None:
+        incoming = [(str(e["source"]), str(e["id"])) for e in batch]
+        if len(set(incoming)) != len(incoming):
+            raise SourceIdConflict("duplicate (source, id) within batch")
+        files = self._parquet_files(user_id, stream_id)
+        if not files:
+            return
+        incoming_set = set(incoming)
+        # columnar read of just (source, id) — column pruning at the file level
+        for path in files:
+            t = pq.read_table(path, columns=["source", "id"])
+            for src, eid in zip(t.column("source").to_pylist(), t.column("id").to_pylist()):
+                if (src, eid) in incoming_set:
+                    raise SourceIdConflict(f"event ({src!r}, {eid!r}) already in stream")
+
+    @staticmethod
+    def _to_arrow_rows(
+        batch: list[dict[str, Any]], start_revision: int, ingest_time: datetime
+    ) -> dict[str, list]:
+        cols: dict[str, list] = {name: [] for name in _ARROW_SCHEMA.names}
+        for i, ev in enumerate(batch):
+            data = ev.get("data")
+            if data is None and "data_base64" in ev:
+                data_str = str(ev["data_base64"])
+                dct = ev.get("datacontenttype")
+            else:
+                data_str = None if data is None else json.dumps(data, sort_keys=True)
+                dct = ev.get("datacontenttype")
+            ext = {
+                k: json.dumps(v) if not isinstance(v, str) else v
+                for k, v in ev.items()
+                if k not in _KNOWN_ATTRS
+            }
+            cols["revision"].append(start_revision + i)
+            cols["specversion"].append(str(ev["specversion"]))
+            cols["id"].append(str(ev["id"]))
+            cols["source"].append(str(ev["source"]))
+            cols["type"].append(str(ev["type"]))
+            cols["subject"].append(ev.get("subject"))
+            cols["datacontenttype"].append(dct)
+            cols["dataschema"].append(ev.get("dataschema"))
+            cols["time"].append(_parse_time(ev.get("time")))
+            cols["data"].append(data_str)
+            cols["extensions"].append(list(ext.items()) if ext else None)
+            cols["ingest_time"].append(ingest_time)
+        return cols
+
+    # -- reads (A2/A3) ------------------------------------------------
+
+    def _require_stream(self, user_id: str, stream_id: str) -> None:
+        if not self._stream_exists(user_id, stream_id):
+            raise StreamNotFound(f"{user_id}/{stream_id}")
+
+    def read_df(self, user_id: str, stream_id: str) -> DataFrame:
+        """The stream as a Spark DataFrame (partition-pruned scan)."""
+        self._require_stream(user_id, stream_id)
+        return self.spark.read.parquet(self._stream_dir(user_id, stream_id))
+
+    def query(
+        self, user_id: str, stream_id: str, start: int = 0, limit: int = 50
+    ) -> list[dict[str, Any]]:
+        """Range scan with offset/limit (reference db.rs:132-177,
+        api.rs:268-308). Default limit 50, capped at 1000
+        (api.rs:271-272). Missing stream → empty (db.rs:136-138).
+
+        Positional access = revision-range predicate: parquet row-group
+        min/max stats on the sorted `revision` column give the same
+        O(1)-seek behavior the reference gets from index.dat."""
+        limit = min(int(limit), 1000)
+        if not self._stream_exists(user_id, stream_id):
+            return []
+        # pyarrow dataset fast path: small interactive read, predicate
+        # pushed to row-group pruning; Spark path available via read_df()
+        ds = pa_ds.dataset(self._parquet_files(user_id, stream_id), format="parquet")
+        filt = (pa_ds.field("revision") >= start) & (pa_ds.field("revision") < start + limit)
+        t = ds.to_table(filter=filt).sort_by("revision")
+        return self._rows_to_events(t)
+
+    def get_event(self, user_id: str, stream_id: str, rownum: int) -> dict[str, Any] | None:
+        """Point read by 0-based position (reference db.rs:132-177 via
+        server.rs:154-166). Unknown stream raises StreamNotFound (404);
+        past-the-end returns None (deliberate deviation from the
+        reference's 500 quirk — SURVEY.md §2 error table)."""
+        self._require_stream(user_id, stream_id)
+        rows = self.query(user_id, stream_id, start=rownum, limit=1)
+        return rows[0] if rows else None
+
+    @staticmethod
+    def _rows_to_events(t: pa.Table) -> list[dict[str, Any]]:
+        out = []
+        for row in t.to_pylist():
+            ev: dict[str, Any] = {
+                "specversion": row["specversion"],
+                "id": row["id"],
+                "source": row["source"],
+                "type": row["type"],
+            }
+            for k in ("subject", "datacontenttype", "dataschema"):
+                if row[k] is not None:
+                    ev[k] = row[k]
+            if row["time"] is not None:
+                ev["time"] = row["time"].isoformat().replace("+00:00", "Z")
+            if row["data"] is not None:
+                ev["data"] = json.loads(row["data"])
+            if row["extensions"]:
+                ev.update(dict(row["extensions"]))
+            ev["_revision"] = row["revision"]
+            out.append(ev)
+        return out
+
+    # -- catalog (A5/A6/A7) -------------------------------------------
+
+    def streams(self, user_id: str, sort: str | None = None) -> list[dict[str, Any]]:
+        """Enumerate a user's streams with metadata
+        ``(id, revision, last_modified, usage)`` (reference
+        server.rs:199-248). Metadata-only: parquet footers + file
+        stats, no data scan. Sort keys as whitelisted by the
+        reference (api.rs:320-335): id, [-]usage, [-]revision,
+        [-]last_modified; unknown → ValueError (HTTP 400)."""
+        user_dir = os.path.join(self.root, f"user_id={_encode_stream_dir(user_id)}")
+        result = []
+        if os.path.isdir(user_dir):
+            for entry in sorted(os.listdir(user_dir)):
+                if not entry.startswith("stream_id="):
+                    continue
+                sid = _decode_stream_dir(entry[len("stream_id=") :])
+                files = self._parquet_files(user_id, sid)
+                if not files:
+                    continue
+                revision = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+                usage = sum(os.path.getsize(p) for p in files)
+                last_modified = int(max(os.path.getmtime(p) for p in files))
+                result.append(
+                    {
+                        "id": sid,
+                        "revision": revision,
+                        "last_modified": last_modified,
+                        "usage": usage,
+                    }
+                )
+        if sort:
+            desc = sort.startswith("-")
+            key = sort[1:] if desc else sort
+            if key not in ("id", "usage", "revision", "last_modified"):
+                raise ValueError(f"invalid sort key: {sort!r}")
+            result.sort(key=lambda s: s[key], reverse=desc)
+        return result
+
+    def get_stream(self, user_id: str, stream_id: str) -> dict[str, Any]:
+        """Single-stream metadata (reference server.rs:232-248)."""
+        self._require_stream(user_id, stream_id)
+        files = self._parquet_files(user_id, stream_id)
+        return {
+            "id": stream_id,
+            "revision": sum(pq.ParquetFile(p).metadata.num_rows for p in files),
+            "last_modified": int(max(os.path.getmtime(p) for p in files)),
+            "usage": sum(os.path.getsize(p) for p in files),
+        }
+
+    def delete_stream(self, user_id: str, stream_id: str) -> bool:
+        """Drop the stream's partition (reference server.rs:250-261).
+        Returns False for unknown streams, like the reference."""
+        with self._lock(user_id, stream_id):
+            d = self._stream_dir(user_id, stream_id)
+            if not os.path.isdir(d):
+                return False
+            shutil.rmtree(d)
+            self._hwm.pop((user_id, stream_id), None)
+            return True
+
+    # -- whole-table access -------------------------------------------
+
+    def events_df(self) -> DataFrame:
+        """The whole store as one DataFrame with partition columns
+        (user_id, stream_id) recovered from the hive layout — the
+        engine's analytical entry point."""
+        return self.spark.read.option("basePath", self.root).parquet(self.root)
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact_stream(self, user_id: str, stream_id: str) -> int:
+        """Fold a stream's micro-batch files into one sorted parquet
+        file. At scale this is the periodic compaction job that keeps
+        file counts bounded; revision order is preserved so row-group
+        stats stay tight. Returns the file count before compaction."""
+        with self._lock(user_id, stream_id):
+            files = self._parquet_files(user_id, stream_id)
+            if len(files) <= 1:
+                return len(files)
+            ds = pa_ds.dataset(files, format="parquet")
+            t = ds.to_table().sort_by("revision")
+            d = self._stream_dir(user_id, stream_id)
+            self._seq += 1
+            fname = f"part-{0:012d}-{self._seq:06d}.parquet"
+            tmp = os.path.join(d, f".{fname}.tmp")
+            pq.write_table(t, tmp, compression="zstd")
+            for f in files:
+                os.remove(f)
+            os.rename(tmp, os.path.join(d, fname))
+            return len(files)

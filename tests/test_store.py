@@ -1,0 +1,210 @@
+"""Storage-engine tests — ports of the reference's inline db.rs tests
+(reference db.rs:269-396) plus the error-semantics table from
+SURVEY.md §2, plus enforcement of (source,id) uniqueness (A10).
+"""
+
+import pytest
+
+from hematite_spark.store import (
+    EmptyAppend,
+    EventStore,
+    ExpectedRevision,
+    RevisionMismatch,
+    SourceIdConflict,
+    StreamNotFound,
+)
+from tests.conftest import minimal_event
+
+U = "user-1"
+S = "stream-1"
+
+
+# -- reference db.rs test ports ---------------------------------------
+
+
+def test_write_and_read_roundtrip(store):
+    # db.rs:280-298 can_write_and_read
+    ev = minimal_event("abc-123")
+    rev = store.append(U, S, ev)
+    assert rev == 1
+    got = store.get_event(U, S, 0)
+    assert got is not None
+    assert got["id"] == "abc-123"
+    assert got["specversion"] == "1.0"
+
+
+def test_read_from_empty_store_is_empty(store):
+    # db.rs:301-309 — missing stream → empty result, not an error
+    assert store.query(U, "nope", 0, 50) == []
+
+
+def test_occ_no_stream_ok_on_empty(store):
+    # db.rs:312-321
+    assert store.append(U, S, minimal_event(), ExpectedRevision.NO_STREAM) == 1
+
+
+def test_occ_no_stream_errors_on_nonempty(store):
+    # db.rs:324-334
+    store.append(U, S, minimal_event("a"))
+    with pytest.raises(RevisionMismatch):
+        store.append(U, S, minimal_event("b"), ExpectedRevision.NO_STREAM)
+
+
+def test_occ_stream_exists_errors_on_empty(store):
+    # db.rs:337-345
+    with pytest.raises(RevisionMismatch):
+        store.append(U, S, minimal_event(), ExpectedRevision.STREAM_EXISTS)
+
+
+def test_occ_exact_match_ok(store):
+    # db.rs:348-359
+    store.append(U, S, minimal_event("a"))
+    rev = store.append(U, S, minimal_event("b"), ExpectedRevision.exact_at(1))
+    assert rev == 2
+    with pytest.raises(RevisionMismatch):
+        store.append(U, S, minimal_event("c"), ExpectedRevision.exact_at(1))
+
+
+def test_positional_addressing_199_events(store):
+    # db.rs:361-395 can_write_and_read_many: 99 + marker + 99, read pos 99
+    batch1 = [minimal_event(f"pre-{i}") for i in range(99)]
+    marker = minimal_event("marker")
+    batch2 = [minimal_event(f"post-{i}") for i in range(99)]
+    assert store.append(U, S, batch1) == 99
+    assert store.append(U, S, marker) == 100
+    assert store.append(U, S, batch2) == 199
+    got = store.get_event(U, S, 99)
+    assert got["id"] == "marker"
+    assert store.revision(U, S) == 199
+
+
+# -- error-semantics table --------------------------------------------
+
+
+def test_empty_append_rejected(store):
+    # db.rs:185 ensure!
+    with pytest.raises(EmptyAppend):
+        store.append(U, S, [])
+
+
+def test_point_read_unknown_stream_raises_404(store):
+    with pytest.raises(StreamNotFound):
+        store.get_event(U, "nope", 0)
+
+
+def test_point_read_past_end_returns_none(store):
+    # deliberate deviation from reference 500 quirk (SURVEY.md §2)
+    store.append(U, S, minimal_event())
+    assert store.get_event(U, S, 5) is None
+
+
+def test_invalid_expected_revision_string(store):
+    with pytest.raises(ValueError):
+        ExpectedRevision.parse("bogus")
+    assert ExpectedRevision.parse("any").kind == "any"
+    assert ExpectedRevision.parse("no-stream").kind == "no-stream"
+    assert ExpectedRevision.parse("7") == ExpectedRevision.exact_at(7)
+
+
+def test_limit_clamped_to_1000(store):
+    # api.rs:271-272
+    store.append(U, S, [minimal_event(f"e{i}") for i in range(1100)])
+    assert len(store.query(U, S, 0, 5000)) == 1000
+
+
+def test_pagination_defaults_and_offsets(store):
+    store.append(U, S, [minimal_event(f"e{i}") for i in range(120)])
+    page = store.query(U, S)  # defaults offset 0 limit 50
+    assert len(page) == 50
+    assert page[0]["id"] == "e0"
+    page2 = store.query(U, S, start=50, limit=50)
+    assert page2[0]["id"] == "e50"
+    tail = store.query(U, S, start=100, limit=50)
+    assert len(tail) == 20
+
+
+def test_source_id_uniqueness_enforced(store):
+    # A10 — declared by reference (api.rs:524-537) but unenforced there
+    store.append(U, S, {"specversion": "1.0", "id": "x", "source": "svc", "type": "t"})
+    with pytest.raises(SourceIdConflict):
+        store.append(U, S, {"specversion": "1.0", "id": "x", "source": "svc", "type": "t"})
+    # same id from a different source is fine (uniqueness is (source,id))
+    store.append(U, S, {"specversion": "1.0", "id": "x", "source": "other", "type": "t"})
+
+
+def test_stream_metadata_and_sort(store):
+    # server.rs:199-248 + api.rs:320-335 whitelist sort
+    store.append(U, "aaa", [minimal_event(f"a{i}") for i in range(3)])
+    store.append(U, "bbb", minimal_event("b0"))
+    streams = store.streams(U, sort="-revision")
+    assert [s["id"] for s in streams] == ["aaa", "bbb"]
+    assert streams[0]["revision"] == 3
+    assert streams[0]["usage"] > 0
+    meta = store.get_stream(U, "aaa")
+    assert meta["revision"] == 3
+    with pytest.raises(ValueError):
+        store.streams(U, sort="bogus")
+
+
+def test_delete_stream(store):
+    # server.rs:250-261
+    store.append(U, S, minimal_event())
+    assert store.delete_stream(U, S) is True
+    assert store.delete_stream(U, S) is False
+    with pytest.raises(StreamNotFound):
+        store.get_event(U, S, 0)
+
+
+def test_tenant_isolation(store):
+    store.append("alice", S, minimal_event("a"))
+    store.append("bob", S, minimal_event("b"))
+    assert store.get_event("alice", S, 0)["id"] == "a"
+    assert store.get_event("bob", S, 0)["id"] == "b"
+    assert [s["id"] for s in store.streams("alice")] == [S]
+
+
+def test_full_event_roundtrip_with_data_time_extensions(store):
+    # F3 fixture + extension attributes (openapi.yaml:86)
+    ev = {
+        "specversion": "1.0",
+        "type": "com.example.someevent",
+        "source": "/mycontext",
+        "id": "full-1",
+        "time": "2018-04-05T17:31:00Z",
+        "subject": "sub",
+        "datacontenttype": "application/json",
+        "data": {"k": [1, 2, {"n": None}]},
+        "comexampleextension1": "value",
+    }
+    store.append(U, S, ev)
+    got = store.get_event(U, S, 0)
+    assert got["data"] == {"k": [1, 2, {"n": None}]}
+    assert got["time"] == "2018-04-05T17:31:00Z"
+    assert got["comexampleextension1"] == "value"
+    assert got["subject"] == "sub"
+
+
+def test_events_df_spark_read(store, spark):
+    store.append("u1", "s1", [minimal_event(f"e{i}") for i in range(10)])
+    store.append("u2", "s2", minimal_event("x"))
+    df = store.events_df()
+    assert df.count() == 11
+    assert set(df.columns) >= {"user_id", "stream_id", "revision", "id"}
+    # positional read through Spark with partition pruning
+    row = (
+        df.where((df.user_id == "u1") & (df.stream_id == "s1") & (df.revision == 7))
+        .select("id")
+        .collect()
+    )
+    assert row[0]["id"] == "e7"
+
+
+def test_compaction_preserves_order(store):
+    for i in range(5):
+        store.append(U, S, minimal_event(f"e{i}"))
+    assert store.compact_stream(U, S) == 5
+    assert [e["id"] for e in store.query(U, S, 0, 10)] == [f"e{i}" for i in range(5)]
+    assert store.revision(U, S) == 5
+    # append still works after compaction
+    store.append(U, S, minimal_event("e5"))
+    assert store.get_event(U, S, 5)["id"] == "e5"
