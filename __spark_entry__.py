@@ -3,36 +3,126 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Catalog layout mirrors SURVEY.md §2: ``es_*`` = reference operator
+analogues (A-series), plain names = relational surface (B-series),
+``dedup_*``/``ann_*``/``text`` names = north-star LLM-pipeline
+operators (C-series).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hematite_spark.queries import dedup, eventstore, relational, similarity, text
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # A-series: event-store operator analogues
+        "es_point_read": eventstore.es_point_read,
+        "es_range_scan": eventstore.es_range_scan,
+        "es_stream_metadata": eventstore.es_stream_metadata,
+        "es_metadata_sort": eventstore.es_metadata_sort,
+        "es_dedup_source_id": eventstore.es_dedup_source_id,
+        # B-series: relational surface
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "join_semi": relational.join_semi,
+        "join_anti": relational.join_anti,
+        "join_outer_coalesce": relational.join_outer_coalesce,
+        "agg_distinct": relational.agg_distinct,
+        "rollup_lineitem": relational.rollup_lineitem,
+        "cube_orders": relational.cube_orders,
+        "pivot_events": relational.pivot_events,
+        "window_running_total": relational.window_running_total,
+        "window_top_orders_per_customer": relational.window_top_orders_per_customer,
+        "window_lag_events": relational.window_lag_events,
+        "topk_global": relational.topk_global,
+        "setop_nations": relational.setop_nations,
+        "json_extract_events": relational.json_extract_events,
+        "date_functions_orders": relational.date_functions_orders,
+        "string_functions_part": relational.string_functions_part,
+        "tumbling_window_events": relational.tumbling_window_events,
+        "sessionize_events": relational.sessionize_events,
+        # C-series: text analysis
+        "text_token_count": text.token_count,
+        "text_quality_score": text.quality_score,
+        "text_language_id": text.language_id,
+        "text_fingerprint": text.fingerprint,
+        # C-series: dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
+        "dedup_simhash": dedup.dedup_simhash,
+        # C-series: vector similarity
+        "ann_brute_force": similarity.ann_brute_force,
+        "ann_knn_multi_query": similarity.knn_multi_query,
+        "ann_ivf_buckets": similarity.ann_ivf_buckets,
+        "similarity_join_block": similarity.similarity_join_block,
+        "embedding_stats": similarity.embedding_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names/rounding)."""
+    return {
+        "es_point_read": eventstore.ES_POINT_READ_SQL,
+        "es_range_scan": eventstore.ES_RANGE_SCAN_SQL,
+        "es_stream_metadata": eventstore.ES_STREAM_METADATA_SQL,
+        "es_metadata_sort": eventstore.ES_METADATA_SORT_SQL,
+        "es_dedup_source_id": eventstore.ES_DEDUP_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_local_supplier_volume": relational.Q5_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "q10_returned_items": relational.Q10_SQL,
+        "join_semi": relational.JOIN_SEMI_SQL,
+        "join_anti": relational.JOIN_ANTI_SQL,
+        "join_outer_coalesce": relational.JOIN_OUTER_SQL,
+        "agg_distinct": relational.AGG_DISTINCT_SQL,
+        "rollup_lineitem": relational.ROLLUP_SQL,
+        "cube_orders": relational.CUBE_SQL,
+        "pivot_events": relational.PIVOT_SQL,
+        "window_running_total": relational.WINDOW_RUNNING_SQL,
+        "window_top_orders_per_customer": relational.WINDOW_TOPK_SQL,
+        "window_lag_events": relational.WINDOW_LAG_SQL,
+        "topk_global": relational.TOPK_SQL,
+        "setop_nations": relational.SETOP_SQL,
+        "json_extract_events": relational.JSON_SQL,
+        "date_functions_orders": relational.DATE_SQL,
+        "string_functions_part": relational.STRING_SQL,
+        "tumbling_window_events": relational.TUMBLING_SQL,
+        "sessionize_events": relational.SESSIONIZE_SQL,
+        "text_token_count": text.TOKEN_COUNT_SQL,
+        "text_quality_score": text.QUALITY_SQL,
+        "text_language_id": text.LANGUAGE_ID_SQL,
+        "text_fingerprint": text.FINGERPRINT_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
+        "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
+        "dedup_lsh_candidates": dedup.LSH_CANDIDATES_SQL,
+        "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
+        "ann_brute_force": similarity.ANN_BRUTE_SQL,
+        "ann_knn_multi_query": similarity.KNN_MULTI_SQL,
+        "ann_ivf_buckets": similarity.ANN_IVF_SQL,
+        "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
+        "embedding_stats": similarity.EMBEDDING_STATS_SQL,
+    }

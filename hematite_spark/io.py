@@ -31,8 +31,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one testdata table. Scans stay columnar and pruned: callers
     select/filter on the returned DataFrame and Catalyst pushes both
-    into the parquet reader."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    into the parquet reader.
+
+    The `events` table is written with nanosecond timestamps, which
+    Spark's vectorized reader rejects; read them as raw nanos
+    (legacy.parquet.nanosAsLong) and truncate to microsecond
+    timestamps — the same truncation DuckDB applies, so both engines
+    see identical values."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,0 +1,304 @@
+"""Deduplication operators (SURVEY.md §2 C): exact, n-gram Jaccard,
+MinHash/LSH, SimHash — the LLM-corpus dedup toolkit.
+
+Scale design: every variant avoids the O(n²) all-pairs trap.
+* exact     — one hash-aggregate on md5(normalized text);
+* jaccard   — inverted-index join on shingles (pairs only materialize
+              for docs sharing ≥1 shingle), then per-pair counting;
+* minhash   — fixed-width signature per doc (one pass), LSH banding
+              turns candidate generation into an equi-join on band
+              keys — THE shuffle-friendly near-dup path at 100 TB;
+* simhash   — 64-bit sketch per doc; hamming-ball candidate pairs via
+              band equi-join on 16-bit chunks (pigeonhole: hamming≤3
+              ⇒ some chunk equal).
+
+Hash functions are md5-based so the DuckDB oracle computes the exact
+same signatures (both engines implement standard md5; min over hex
+strings is a total order both agree on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+N_MINHASH = 8  # permutations; LSH bands of 2 → 4 bands
+
+
+def _norm_text() -> Column:
+    return F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: groups of byte-identical
+    (whitespace-normalized) docs; keeper = min doc_id (first-wins).
+    One shuffle on the 128-bit hash; at 100 TB this is the cheapest
+    dedup pass and always runs first to shrink the near-dup input."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM (SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp FROM documents)
+GROUP BY fp
+HAVING count(*) > 1
+ORDER BY keeper_doc_id
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Distinct word-k-gram shingles per doc, via explode — the
+    inverted-index build. Shingling is pure column algebra
+    (split → transform over an index sequence → explode)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(_norm_text(), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("sh"))
+
+
+_SHINGLES_CTE = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.6, via the inverted
+    index: join docs on shared shingles, count common per pair, then
+    |A∪B| = |A|+|B|-common. Only co-shingled pairs ever materialize;
+    the join shuffles on the shingle key so hot shingles are the skew
+    risk — AQE skew-join splits those at runtime."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_JACCARD_SQL = (
+    _SHINGLES_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_MINHASH md5-derived min-hashes per doc. One explode + one
+    hash-aggregate; signature width is constant, so the shuffle rows
+    are O(docs), not O(shingles)."""
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"mh{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_AGGS = ",\n         ".join(
+    f"min(md5('{seed}|' || sh)) AS mh{seed}" for seed in range(N_MINHASH)
+)
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM shingles GROUP BY doc_id)
+"""
+)
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup groups: docs sharing the FULL 8-hash signature
+    (≈ Jaccard ~1 with high probability). Constant-width signatures →
+    the groupBy shuffles O(n) rows regardless of doc length."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    sig_cols = [f"mh{i}" for i in range(N_MINHASH)]
+    return (
+        sigs.groupBy(*sig_cols)
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select("keeper_doc_id", "n_members")
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_MINHASH_SQL = (
+    _MINHASH_CTE
+    + f"""
+SELECT keeper_doc_id, n_members
+FROM (
+  SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_members
+  FROM sigs GROUP BY {", ".join(f"mh{i}" for i in range(N_MINHASH))})
+WHERE n_members > 1
+ORDER BY keeper_doc_id
+"""
+)
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: 4 bands × 2 rows. A pair is a candidate if
+    any band matches — candidate generation is a union of equi-joins
+    on band keys (pure shuffle joins, no similarity math until the
+    verify step). Returns candidate pairs with their matching-band
+    count; downstream, dedup_ngram_jaccard-style verification prunes
+    false positives."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
+            for b in range(N_MINHASH // 2)
+        ],
+    )
+    pair_frames = []
+    for b in range(N_MINHASH // 2):
+        a, c = bands.alias("a"), bands.alias("c")
+        pair_frames.append(
+            a.join(c, (F.col(f"a.band{b}") == F.col(f"c.band{b}")) & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        )
+    allpairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        allpairs = allpairs.unionByName(pf)
+    return (
+        allpairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_LSH_BANDS = " UNION ALL ".join(
+    f"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       FROM bands a JOIN bands c ON a.band{b} = c.band{b} AND a.doc_id < c.doc_id"""
+    for b in range(N_MINHASH // 2)
+)
+LSH_CANDIDATES_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+SELECT doc_a, doc_b, count(*) AS n_bands
+FROM ({_LSH_BANDS})
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit content sketch from per-word md5 bits —
+    bit b of the sketch = sign of Σ_words (±1 per word's bit b).
+    Groups docs by identical sketch (hamming-0 buckets); banded
+    chunks of the sketch would give hamming-k candidates the same
+    LSH way. Bit extraction is arithmetic on conv(md5), no UDF."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.array_distinct(F.split(_norm_text(), " "))
+    exploded = docs.select("doc_id", F.explode(words).alias("word"))
+    # per-word 16-bit hash from the first 4 hex chars of md5
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
+    with_bits = exploded.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{b}")
+            for b in range(16)
+        ],
+    )
+    summed = with_bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(16)]
+    )
+    sketch = summed.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
+            for b in range(16)
+        ).cast("bigint").alias("simhash"),
+    )
+    return (
+        sketch.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_SIMHASH_SQL = """
+WITH exploded AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS word
+        FROM documents)
+), hashed AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', md5(word)[1]) - 1) * 4096
+       + (strpos('0123456789abcdef', md5(word)[2]) - 1) * 256
+       + (strpos('0123456789abcdef', md5(word)[3]) - 1) * 16
+       + (strpos('0123456789abcdef', md5(word)[4]) - 1) AS h
+  FROM exploded
+), bits AS (
+  SELECT doc_id,
+         """ + ",\n         ".join(
+    f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END AS b{b}" for b in range(16)
+) + """
+  FROM hashed
+), summed AS (
+  SELECT doc_id, """ + ", ".join(f"sum(b{b}) AS s{b}" for b in range(16)) + """
+  FROM bits GROUP BY doc_id
+), sketch AS (
+  SELECT doc_id,
+         CAST(""" + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)) + """ AS BIGINT) AS simhash
+  FROM summed)
+SELECT simhash, min(doc_id) AS keeper_doc_id, count(*) AS n_members
+FROM sketch
+GROUP BY simhash
+HAVING count(*) > 1
+ORDER BY keeper_doc_id
+"""

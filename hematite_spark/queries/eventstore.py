@@ -1,0 +1,160 @@
+"""Event-store operator analogues (SURVEY.md §2 A) expressed over the
+driver's `events` testdata table, treating `user_id` as the stream key
+and arrival order (`ts, event_id`) as the append order.
+
+These demonstrate the reference's entire positional query algebra —
+point read, range scan with offset/limit, metadata aggregate,
+whitelist sort, (source,id) dedup — as declarative Spark plans the
+DuckDB oracle can check. The live store (hematite_spark.store) runs
+the same shapes against its own partitioned table; tests/test_store.py
+covers that side.
+
+Reference citations: point read db.rs:132-177; range scan
+db.rs:132-177 + api.rs:268-308 (offset/limit clamp api.rs:271-272);
+metadata aggregate server.rs:199-248; whitelist sort api.rs:320-335;
+(source,id) uniqueness api.rs:524-537 (A10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+
+def _with_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign gapless 0-based revisions per stream (= user_id) in
+    arrival order — the same row_number construction the store's
+    append path uses (store/store.py). The tie-break on event_id makes
+    the ordering total, hence deterministic."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.withColumn("revision", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+_REV_CTE = """
+WITH revisioned AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS revision
+  FROM events
+)
+"""
+
+
+def es_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: point read by 0-based position — stream 13, revision 42.
+    In the live store this is a partition-pruned one-row-group scan;
+    here the revision is derived, so the plan is one window pass."""
+    return (
+        _with_revision(spark, sf_dir)
+        .where((F.col("user_id") == 13) & (F.col("revision") == 42))
+        .select("user_id", "revision", "event_id", "event_type", "value")
+    )
+
+
+ES_POINT_READ_SQL = (
+    _REV_CTE
+    + """
+SELECT user_id, revision, event_id, event_type, value
+FROM revisioned WHERE user_id = 13 AND revision = 42
+"""
+)
+
+
+def es_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: range scan with offset/limit — stream 7, offset 10,
+    limit 25 (reference defaults 0/50, cap 1000). Expressed as a
+    revision-range predicate, which beats orderBy+offset+limit because
+    it prunes instead of sorting."""
+    start, limit = 10, 25
+    return (
+        _with_revision(spark, sf_dir)
+        .where((F.col("user_id") == 7) & (F.col("revision") >= start) & (F.col("revision") < start + limit))
+        .select("user_id", "revision", "event_id", "event_type", "value")
+        .orderBy("revision")
+    )
+
+
+ES_RANGE_SCAN_SQL = (
+    _REV_CTE
+    + """
+SELECT user_id, revision, event_id, event_type, value
+FROM revisioned WHERE user_id = 7 AND revision >= 10 AND revision < 35
+ORDER BY revision
+"""
+)
+
+
+def es_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: stream enumeration + metadata aggregate — per-stream
+    (revision, last_modified, usage). One hash aggregate with map-side
+    partials; in the live store this is footer-metadata-only."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("revision"),
+            F.unix_micros(F.max("ts")).alias("last_modified_us"),
+            F.sum(F.length("props")).alias("usage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ES_STREAM_METADATA_SQL = """
+SELECT user_id,
+       count(*) AS revision,
+       epoch_us(max(ts)) AS last_modified_us,
+       sum(length(props)) AS usage
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def es_metadata_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: whitelist metadata sort — streams by usage descending
+    (the `?sort=-usage` surface), deterministic tie-break on id."""
+    return (
+        es_stream_metadata(spark, sf_dir)
+        .orderBy(F.col("usage").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+ES_METADATA_SORT_SQL = """
+SELECT user_id,
+       count(*) AS revision,
+       epoch_us(max(ts)) AS last_modified_us,
+       sum(length(props)) AS usage
+FROM events
+GROUP BY user_id
+ORDER BY usage DESC, user_id
+LIMIT 20
+"""
+
+
+def es_dedup_source_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: CloudEvents (source,id)-style dedup — keep the first
+    arrival per (user_id, event_type, value) key, mirroring
+    first-wins semantics of the enforced uniqueness gate. row_number
+    beats dropDuplicates here because "first" is order-defined."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("first_ts_us"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+ES_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS first_ts_us
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""

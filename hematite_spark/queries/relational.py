@@ -1,0 +1,706 @@
+"""Relational operator suite (SURVEY.md §2 B) over the TPC-H-ish
+testdata. The reference has none of these (its only query algebra is
+positional — SURVEY.md §2); they are the analytical surface the
+north-star requires, expressed as declarative DataFrame plans so
+Catalyst owns pushdown/pruning/join-selection and AQE owns skew.
+
+Conventions (driver contract):
+* every computed column is aliased, identically to the oracle SQL;
+* doubles are rounded at a precision where Spark-vs-DuckDB summation
+  order cannot flip the rounded value (inputs have <=4 decimals →
+  sums rounded to <=2-4 decimals are stable);
+* timestamps leave the engine as epoch micros or formatted strings —
+  never raw timestamp objects — to dodge tz/precision ambiguity.
+
+Scale notes are per-function; the common ones:
+* region/nation are O(10-100) rows at any SF → always broadcast;
+* orders/lineitem/customer scale with SF → shuffle joins on their
+  keys, which AQE re-plans at runtime (skew split, partition
+  coalescing);
+* aggregations are partial+final automatically (hash agg with
+  map-side combine) — no hand-rolled pre-aggregation needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. Single-table scan+agg:
+    predicate and the 7-column projection push into the parquet scan;
+    partial aggregation runs map-side, so the shuffle carries only
+    (flag,status) groups — at 100 TB this stays a 4-group exchange."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10. customer⋈orders
+    shuffles on custkey, then ⋈lineitem on orderkey; the top-10 is
+    TakeOrderedAndProject (no global sort materialization)."""
+    cust = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).where(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region→nation are broadcast
+    (O(10) rows at any SF); fact-side joins shuffle on their keys.
+    Catalyst reorders so the selective region filter prunes first."""
+    region = F.broadcast(load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == nation.n_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = n_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg; all four predicates push to parquet
+    row-group stats, projection is 2 columns — minimal I/O at scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------- join variants
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding at least one urgent
+    order. Semi-join only carries the left side through the shuffle —
+    at scale, strictly cheaper than inner-join+distinct."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of per-nation customer and supplier account
+    totals — exercises outer-join null handling + coalesce."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(cust.c_nationkey, supp.s_nationkey).alias("nationkey"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_OUTER_SQL = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(c.cust_bal, 0.0) AS cust_bal,
+       coalesce(s.supp_bal, 0.0) AS supp_bal
+FROM (SELECT c_nationkey, round(sum(c_acctbal), 2) AS cust_bal FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, round(sum(s_acctbal), 2) AS supp_bal FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+# ------------------------------------------------------------ aggregations
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct aggregation. countDistinct expands
+    to a two-phase aggregate; approx_count_distinct is HLL++ — the
+    scale path when exact cardinality isn't required (single pass,
+    constant memory)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (returnflag, linestatus)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (orderstatus, orderpriority)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns. Fixed pivot values
+    keep the plan a single pass (no distinct-values pre-query)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------- windows
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per supplier in shipdate order (deterministic
+    tie-break on orderkey+linenumber). One shuffle on l_suppkey, then
+    a sorted in-partition scan — the window never re-shuffles."""
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+WHERE l_suppkey <= 5
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price via row_number — the
+    partitioned-top-k idiom (beats global sort; each partition keeps
+    a 3-row heap)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+ORDER BY o_custkey, rnk
+"""
+
+
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: per-user inter-event value delta and gap seconds."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        )
+        .where(F.col("value_delta").isNotNull())
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT user_id, event_id, value_delta, gap_us
+FROM (
+  SELECT user_id, event_id,
+         round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+WHERE value_delta IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k = TakeOrderedAndProject: each task keeps k rows,
+    driver merges — no full sort at any scale."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+TOPK_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- set ops
+
+
+def setop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT/UNION in one result: per-nation presence of
+    customers vs suppliers, tagged by which set operation produced it."""
+    cust_nations = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("tag", F.lit("customer_only"))
+    supp_only = supp_nations.exceptAll(cust_nations).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("tag", "nationkey")
+
+
+SETOP_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+ORDER BY tag, nationkey
+"""
+
+
+# --------------------------------------------------------- scalar functions
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions on the `props` payload column — the
+    CloudEvents `data` access pattern (raw JSON string, parsed lazily;
+    SURVEY.md §1.3). get_json_object is JVM-side codegen — no UDF."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       count(k) AS n_with_k, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions: truncation, extraction, formatting."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "qtr")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("yr", "qtr")
+    )
+
+
+DATE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY yr, qtr
+ORDER BY yr, qtr
+"""
+
+
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: substring, upper, concat, length,
+    regexp — grouped to keep the result compact."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.select(
+            F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            (F.regexp_count(F.col("p_type"), F.lit(" ")) + F.lit(1)).cast("bigint").alias("type_words"),
+        )
+        .groupBy("brand_prefix")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("name_len").alias("total_name_len"),
+            F.round(F.avg("type_words"), 4).alias("avg_type_words"),
+        )
+        .orderBy("brand_prefix")
+    )
+
+
+STRING_SQL = """
+SELECT upper(substring(p_brand, 1, 5)) AS brand_prefix,
+       count(*) AS n_parts,
+       sum(CAST(length(p_name) AS BIGINT)) AS total_name_len,
+       round(avg(CAST(len(string_split(p_type, ' ')) AS BIGINT)), 4) AS avg_type_words
+FROM part
+GROUP BY brand_prefix
+ORDER BY brand_prefix
+"""
+
+
+# ------------------------------------------------- time windows / sessions
+
+
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    groupBy(window(...)) — same semantics, Structured Streaming adds
+    the watermark; see streaming/windows.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum of session-start flags — the batch equivalent of
+    F.session_window. Two window passes over one shuffle on user_id."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""

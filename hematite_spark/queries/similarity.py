@@ -1,0 +1,229 @@
+"""Vector similarity search (SURVEY.md §2 C) over the `embeddings`
+table (`embedding ARRAY<FLOAT>`, 64-dim).
+
+Paths:
+* brute-force cosine top-k — the correctness baseline; dot products
+  as built-in higher-order functions (zip_with + aggregate), JVM-side,
+  no UDF. At scale: broadcast the query vector(s), one scan, per-task
+  top-k heaps (TakeOrderedAndProject), no global sort.
+* sign-bucket IVF — coarse quantization on projection signs; probing
+  only the query's bucket prunes the scan ~2^bits×. The partition-
+  pruned ANN path for 100 TB: bucket becomes the table's partition
+  key, so a query touches one partition.
+* pairwise similarity join ≥ threshold within a label block.
+
+All arithmetic is done in float64 after an explicit cast (the column
+is float32 at rest) and left-folded so Spark and the DuckDB oracle
+compute bit-identical dot products; cosines are rounded to 6 decimals
+before ordering so ordering is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+
+def _dbl(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    """Left-fold Σ aᵢbᵢ in double — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+# DuckDB computes the same fold with list_reduce over the zipped
+# product list; both engines see float64 after ::DOUBLE[].
+_DUCK_DOT = "list_reduce(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+_DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec_id 0, brute force. The query
+    vector rides along via a broadcast cross join (1 row); candidates
+    never shuffle — only the 10 survivors reach the driver."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    e = emb.where(F.col("vec_id") != 0).select("vec_id", "label", _dbl("embedding").alias("ev"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, label,
+       round({_DUCK_DOT.format(a="ev", b="qv")}
+             / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}), 6) AS cosine
+FROM e CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN: top-3 neighbors for each of 5 query vectors in
+    one pass — queries broadcast, row_number per query prunes to k.
+    The per-query-partitioned top-k never globally sorts."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    )
+    e = emb.select("vec_id", _dbl("embedding").alias("ev"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+KNN_MULTI_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+     e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         round({_DUCK_DOT.format(a="ev", b="qv")}
+               / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}), 6) AS cosine
+  FROM e CROSS JOIN q
+  WHERE vec_id <> query_id)
+SELECT query_id, vec_id, cosine, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def ann_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket IVF: coarse-quantize every vector by the sign of
+    its first 4 components (16 buckets), then report bucket sizes and
+    per-bucket mean norm — the index-build step. A query then probes
+    only its own bucket (and hamming-1 neighbors for recall). At
+    100 TB the bucket id is the partition key ⇒ ANN probe = partition
+    prune, not a scan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    bucket = sum(
+        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
+    ).cast("bigint")
+    return (
+        emb.select("vec_id", bucket.alias("bucket"), _norm(ev).alias("norm"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT bucket, count(*) AS n_vectors, round(avg(norm), 6) AS avg_norm, min(vec_id) AS min_vec_id
+FROM (
+  SELECT vec_id,
+         CAST((CASE WHEN ev[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN ev[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN ev[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN ev[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+         {_DUCK_NORM.format(a="ev")} AS norm
+  FROM v)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: pairs with cosine ≥ 0.8 within the same
+    label block. Blocking on label bounds the pair space (the same
+    trick LSH banding generalizes); the join is an equi-join on label
+    followed by vectorized pair scoring."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", "label", _dbl("embedding").alias("ev"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.8)
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
+SIMILARITY_JOIN_SQL = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+             / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+             / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) >= 0.8
+ORDER BY label, vec_a, vec_b
+"""
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: count, mean L2 norm, mean of
+    the first component — the sanity profile run before any ANN
+    build."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    return (
+        emb.select("label", _norm(ev).alias("norm"), F.element_at(ev, 1).alias("c0"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.avg("c0"), 6).alias("avg_c0"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_STATS_SQL = f"""
+SELECT label, count(*) AS n_vectors,
+       round(avg(norm), 6) AS avg_norm, round(avg(c0), 6) AS avg_c0
+FROM (SELECT label, {_DUCK_NORM.format(a="embedding::DOUBLE[]")} AS norm,
+             CAST(embedding[1] AS DOUBLE) AS c0
+      FROM embeddings)
+GROUP BY label
+ORDER BY label
+"""

@@ -1,0 +1,203 @@
+"""Text-analysis operators (SURVEY.md §2 C) over the `documents`
+table — the building blocks of an LLM training-data pipeline:
+token counting, quality scoring, language ID, fingerprinting.
+
+Everything here is built-in column expressions (split / transform /
+aggregate / regexp) — JVM-side, whole-stage-codegen'd, no Python in
+the hot path. At 100 TB these are embarrassingly parallel single-pass
+scans; the only shuffles are the final small aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language-ID. Real pipelines use fastText/CLD3; the heuristic is the
+# deterministic, oracle-checkable stand-in (same scoring both sides).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex token
+    count (word pieces + non-space punctuation), aggregated per
+    source. chars_per_token is the compression-ratio proxy used for
+    quality filtering."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.size(_words()).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("re_tokens").alias("total_re_tokens"),
+            F.round(F.sum("n_chars") / F.sum("ws_tokens"), 4).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(ws_tokens) AS total_ws_tokens,
+       sum(re_tokens) AS total_re_tokens,
+       round(sum(n_chars) / sum(ws_tokens), 4) AS chars_per_token
+FROM (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: per-document length/word-length/stopword/
+    duplicate-word signals combined into a [0,1]-ish score — the
+    Gopher/C4-style rule filter shape. Pure column algebra; the
+    output keeps every per-doc signal so downstream filters can
+    re-threshold without recomputing."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = _words()
+    n_words = F.size(w).cast("bigint")
+    uniq_ratio = F.size(F.array_distinct(w)) / F.size(w)
+    stop_hits = F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in _STOPWORDS])))
+    avg_wlen = (F.length("text") - F.size(w) + 1) / F.size(w)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            F.round(avg_wlen, 4).alias("avg_word_len"),
+            F.round(uniq_ratio, 4).alias("uniq_ratio"),
+            stop_hits.cast("bigint").alias("stopword_kinds"),
+            F.round(
+                F.least(F.lit(1.0), n_words / F.lit(50.0)) * uniq_ratio
+                * F.when(stop_hits > 0, F.lit(1.0)).otherwise(F.lit(0.5)),
+                4,
+            ).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id, lang,
+       CAST(len(w) AS BIGINT) AS n_words,
+       round((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE), 4) AS avg_word_len,
+       round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS uniq_ratio,
+       CAST(len(list_intersect(list_distinct(w),
+            ['the','a','an','and','or','of','to','in','is','it'])) AS BIGINT) AS stopword_kinds,
+       round(least(1.0, len(w) / 50.0) * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+             * (CASE WHEN len(list_intersect(list_distinct(w),
+                 ['the','a','an','and','or','of','to','in','is','it'])) > 0
+                THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents)
+ORDER BY doc_id
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: marker-stopword voting — score each language by
+    distinct marker hits, predict the argmax (ties → 'und'), then
+    report the confusion against the labeled `lang` column. The
+    deterministic stand-in for a model-based classifier; at scale the
+    model version swaps in as a pandas UDF with identical plumbing."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.array_distinct(_words())
+    scores = [
+        F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in markers]))).alias(f"score_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    # first language (in fixed order) achieving the max, 'und' if max==0
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+LANGUAGE_ID_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(w, ['the','and','of','to','is'])) AS score_en,
+         len(list_intersect(w, ['el','la','de','que','y'])) AS score_es,
+         len(list_intersect(w, ['der','die','und','das','ist'])) AS score_de,
+         len(list_intersect(w, ['le','la','les','et','est'])) AS score_fr
+  FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents)
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+              WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+              ELSE 'fr' END AS predicted
+  FROM scored)
+SELECT lang, predicted, count(*) AS n_docs
+FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized text
+    (the exact-dedup key) + a content-defined sketch — the first 4
+    sorted distinct words — as a cheap locality probe. Reports
+    distinct fingerprints per source = the exact-dup rate."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (
+        docs.select(
+            "source",
+            F.md5(norm).alias("fp"),
+            F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(_words())), 1, 4)).alias("sketch"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.countDistinct("sketch").alias("n_unique_sketch"),
+        )
+        .orderBy("source")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_unique_fp,
+       count(DISTINCT array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:4], '|')) AS n_unique_sketch
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

@@ -1,0 +1,53 @@
+"""Local replica of the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compare row count, column names, and order-insensitive values.
+Exit non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from hematite_spark.oracle import compare, duck_connection
+from hematite_spark.session import get_spark
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main(names):
+    spark = get_spark("oracle-check")
+    con = duck_connection(SF_DIR)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    selected = names or list(qs)
+    failures = []
+    for name in selected:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF_DIR)
+            if name not in oracles:
+                print(f"· {name}: no oracle (rows-only) — {df.count()} rows [{time.time()-t0:.1f}s]")
+                continue
+            mismatch = compare(df, con, oracles[name])
+        except Exception as e:
+            failures.append((name, str(e)))
+            print(f"✗ {name}: error: {e}")
+            continue
+        if mismatch:
+            failures.append((name, mismatch))
+            print(f"✗ {name}: {mismatch}")
+        else:
+            print(f"✓ {name}: match [{time.time()-t0:.1f}s]")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
