@@ -19,9 +19,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python UDF workers inherit PYTHONPATH from the driver environment;
+# make the repo importable there so pandas-UDF closures referencing
+# package code resolve regardless of the caller's cwd.
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-from hematite_spark.queries import dedup, eventstore, relational, similarity, text
+from hematite_spark.queries import dedup, eventstore, multimodal, relational, similarity, text
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": relational.join_semi,
         "join_anti": relational.join_anti,
         "join_outer_coalesce": relational.join_outer_coalesce,
+        "join_asof": relational.join_asof,
+        "join_range": relational.join_range,
         "agg_distinct": relational.agg_distinct,
         "rollup_lineitem": relational.rollup_lineitem,
         "cube_orders": relational.cube_orders,
@@ -78,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_buckets": similarity.ann_ivf_buckets,
         "similarity_join_block": similarity.similarity_join_block,
         "embedding_stats": similarity.embedding_stats,
+        # C-series: multimodal binary columns
+        "multimodal_binary_stats": multimodal.multimodal_binary_stats,
+        "multimodal_features": multimodal.multimodal_features,
     }
 
 
@@ -97,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "join_semi": relational.JOIN_SEMI_SQL,
         "join_anti": relational.JOIN_ANTI_SQL,
         "join_outer_coalesce": relational.JOIN_OUTER_SQL,
+        "join_asof": relational.JOIN_ASOF_SQL,
+        "join_range": relational.JOIN_RANGE_SQL,
         "agg_distinct": relational.AGG_DISTINCT_SQL,
         "rollup_lineitem": relational.ROLLUP_SQL,
         "cube_orders": relational.CUBE_SQL,
@@ -125,4 +137,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
+        "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,
+        # multimodal_features: pandas-UDF stub features — rows-only check
     }

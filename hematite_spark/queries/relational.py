@@ -704,3 +704,97 @@ FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+
+# ------------------------------------------------- as-of / range joins
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the latest strictly-prior
+    click by the same user. Expressed as ONE window pass over the
+    unioned stream (partition by user, running last-click carry-
+    forward) instead of an inequality join — a single shuffle on
+    user_id, linear scan per partition, no pair explosion. This is
+    the scalable as-of pattern at 100 TB (the join formulation is
+    quadratic in hot keys; the window formulation never is)."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type").isin("click", "purchase"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    enriched = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(F.when(is_click, F.unix_micros("ts")), ignorenulls=True).over(w).alias("last_click_ts_us"),
+    )
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "ts_us",
+            "last_click_id",
+            (F.col("ts_us") - F.col("last_click_ts_us")).alias("click_to_purchase_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT user_id, event_id AS purchase_id, ts_us, last_click_id,
+       ts_us - last_click_ts_us AS click_to_purchase_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS last_click_ts_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_id
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (equi + interval predicate): lineitems shipped
+    within 60 days of their order's date. The equi key keeps the join
+    hash/sort-merge-able; the range predicate evaluates post-match —
+    the shape to prefer over pure-inequality joins, which explode.
+    Revenue per order priority over the matched window."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < F.date_add(orders.o_orderdate, 60))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lineitems,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

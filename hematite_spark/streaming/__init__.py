@@ -1,0 +1,17 @@
+from hematite_spark.streaming.append import stream_append_to_store
+from hematite_spark.streaming.windows import (
+    windowed_counts,
+    sliding_windowed_agg,
+    session_windowed_agg,
+    dedup_within_watermark,
+    stateful_running_counts,
+)
+
+__all__ = [
+    "stream_append_to_store",
+    "windowed_counts",
+    "sliding_windowed_agg",
+    "session_windowed_agg",
+    "dedup_within_watermark",
+    "stateful_running_counts",
+]

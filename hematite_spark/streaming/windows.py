@@ -1,0 +1,144 @@
+"""Streaming transformations (SURVEY.md §2 B streaming row): event-time
+windows with watermarks, streaming dedup, and custom stateful
+processing. The reference is request-driven and has none of these;
+they are the north-star stream-processing surface.
+
+Each builder takes an (already streaming) DataFrame with an
+event-time column and returns the transformed streaming DataFrame —
+callers attach the sink. Batch DataFrames are accepted too (Spark
+shares the operator semantics), which is how the oracle tests pin the
+window math itself.
+
+Scale: watermarks bound state; windowed aggregation state is
+per-(key,window) and expires when the watermark passes window end.
+State lives in the state store (RocksDB-backed on a real cluster) —
+nothing here accumulates unbounded driver state."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts with a late-data watermark.
+    Late rows beyond the watermark are dropped; within it, they update
+    their window's aggregate (update/append mode semantics)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_windowed_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in window_len/slide windows."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )
+
+
+def session_windowed_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with a gap timeout — the streaming-native form
+    of the batch sessionization in queries/relational.py (same 30-min
+    gap semantics; session_window merges as late events arrive)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id", "event_id"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate (keys) arrivals within
+    the watermark horizon — the streaming form of the store's
+    (source,id) uniqueness gate (A10). State = one entry per key,
+    expired at the watermark."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stateful_running_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running event count + max event-time, emitted per micro-batch.
+    The template for operators the built-ins can't express (custom
+    sketches, decaying counters); state is explicit and per-key, so
+    it shards with the key across executors."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    output_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("count", T.LongType()), T.StructField("max_ts", T.TimestampType())]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        count, max_ts = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            count += len(pdf)
+            batch_max = pdf[ts_col].max()
+            max_ts = batch_max if max_ts is None or batch_max > max_ts else max_ts
+        state.update((count, max_ts))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count], "max_ts": [max_ts]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,181 @@
+"""Structured Streaming tests: the foreachBatch append path into the
+store (exactly-once via (source,id) idempotency), watermarked
+windows, streaming dedup, and custom stateful processing — all driven
+through real streaming queries on file/memory sources."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hematite_spark.store import EventStore
+from hematite_spark.streaming import (
+    dedup_within_watermark,
+    session_windowed_agg,
+    sliding_windowed_agg,
+    stateful_running_counts,
+    stream_append_to_store,
+    windowed_counts,
+)
+
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("specversion", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("data", T.StringType()),
+        T.StructField("ingest_order", T.LongType()),
+    ]
+)
+
+
+def _write_wire_batch(path: str, n: int, stream: str = "s1", start: int = 0):
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"batch-{start}.json")
+    with open(fname, "w") as f:
+        for i in range(start, start + n):
+            f.write(
+                json.dumps(
+                    {
+                        "user_id": "u1",
+                        "stream_id": stream,
+                        "specversion": "1.0",
+                        "id": f"ev-{i}",
+                        "source": "stream-src",
+                        "type": "test.event",
+                        "data": json.dumps({"i": i}),
+                        "ingest_order": i,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_stream_append_to_store(spark, store, tmp_path):
+    src = str(tmp_path / "incoming")
+    _write_wire_batch(src, 25)
+    stream_df = spark.readStream.schema(WIRE_SCHEMA).json(src)
+    q = stream_append_to_store(stream_df, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert store.revision("u1", "s1") == 25
+    # arrival order preserved: revision i holds ev-i
+    assert store.get_event("u1", "s1", 7)["id"] == "ev-7"
+    assert store.get_event("u1", "s1", 24)["data"] == {"i": 24}
+
+
+def test_stream_append_idempotent_replay(spark, store, tmp_path):
+    """Replaying the same files through a FRESH checkpoint (worst-case
+    redelivery) must not duplicate events — the (source,id) gate
+    absorbs the replay."""
+    src = str(tmp_path / "incoming")
+    _write_wire_batch(src, 10)
+    s1 = spark.readStream.schema(WIRE_SCHEMA).json(src)
+    stream_append_to_store(s1, store, str(tmp_path / "ckpt1")).awaitTermination(60)
+    # second run, new checkpoint → re-reads everything; plus one new batch
+    _write_wire_batch(src, 5, start=10)
+    s2 = spark.readStream.schema(WIRE_SCHEMA).json(src)
+    stream_append_to_store(s2, store, str(tmp_path / "ckpt2")).awaitTermination(60)
+    assert store.revision("u1", "s1") == 15
+    assert [e["id"] for e in store.query("u1", "s1", 0, 20)] == [f"ev-{i}" for i in range(15)]
+
+
+def _events_stream(spark, tmp_path, rows):
+    """File-source streaming DataFrame with (ts, user_id, event_type, value, event_id)."""
+    src = str(tmp_path / "events_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("ts_s", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+
+
+ROWS = [
+    {"ts_s": "2024-01-01 10:05:00", "user_id": 1, "event_id": 1, "event_type": "click", "value": 1.0},
+    {"ts_s": "2024-01-01 10:20:00", "user_id": 1, "event_id": 2, "event_type": "click", "value": 2.0},
+    {"ts_s": "2024-01-01 11:40:00", "user_id": 1, "event_id": 3, "event_type": "view", "value": 3.0},
+    {"ts_s": "2024-01-01 10:30:00", "user_id": 2, "event_id": 4, "event_type": "click", "value": 4.0},
+    # duplicate arrival of event 2:
+    {"ts_s": "2024-01-01 10:20:00", "user_id": 1, "event_id": 2, "event_type": "click", "value": 2.0},
+]
+
+
+def _run_to_memory(spark, sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    return spark.table(name)
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    sdf = windowed_counts(_events_stream(spark, tmp_path, ROWS))
+    out = _run_to_memory(spark, sdf, "win_counts", mode="update").collect()
+    got = {(str(r.window_start), r.event_type): (r.n, r.sum_value) for r in out}
+    assert got[("2024-01-01 10:00:00", "click")] == (4, 9.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_sliding_windows_streaming(spark, tmp_path):
+    sdf = sliding_windowed_agg(_events_stream(spark, tmp_path, ROWS))
+    out = _run_to_memory(spark, sdf, "win_slide", mode="update").collect()
+    # event at 10:05 lands in the 09:30 and 10:00 one-hour windows
+    starts = {str(r.window_start) for r in out if r.event_type == "click"}
+    assert "2024-01-01 09:30:00" in starts and "2024-01-01 10:00:00" in starts
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    sdf = session_windowed_agg(_events_stream(spark, tmp_path, ROWS))
+    # session windows support append (after watermark) or complete —
+    # complete emits every session regardless of watermark progress
+    out = _run_to_memory(spark, sdf, "win_session", mode="complete").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: events at 10:05,10:20(+dup),11:40 → two sessions (75-min gap)
+    assert len(by_user[1]) == 2
+    sessions = sorted(by_user[1], key=lambda r: r.session_start)
+    assert sessions[0].n_events == 3  # includes the duplicate arrival
+    assert sessions[1].n_events == 1
+    assert len(by_user[2]) == 1
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    base = _events_stream(spark, tmp_path, ROWS)
+    sdf = dedup_within_watermark(base, keys=("user_id", "event_id"))
+    out = _run_to_memory(spark, sdf, "dedup_stream").collect()
+    assert len(out) == 4  # 5 arrivals, 1 duplicate dropped
+    assert sorted((r.user_id, r.event_id) for r in out) == [(1, 1), (1, 2), (1, 3), (2, 4)]
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    base = _events_stream(spark, tmp_path, ROWS)
+    sdf = stateful_running_counts(base)
+    out = _run_to_memory(spark, sdf, "stateful_counts", mode="update").collect()
+    got = {r.user_id: r.n_events for r in out}
+    assert got == {1: 4, 2: 1}
+    max_ts = {r.user_id: str(r.max_ts) for r in out}
+    assert max_ts[1] == "2024-01-01 11:40:00"
