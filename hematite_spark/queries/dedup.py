@@ -59,15 +59,24 @@ def _shingles_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Distinct word-k-gram shingles per doc, via explode — the
     inverted-index build. Shingling is pure column algebra
     (split → transform over an index sequence → explode)."""
-    docs = load_table(spark, "documents", sf_dir)
-    words = F.split(_norm_text(), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        )
+    # single-row-group inputs scan as one task; spread the (CPU-heavy)
+    # shingling across cores first. Explicit partition count — a
+    # keyed repartition of this tiny table gets coalesced back to one
+    # partition by AQE, defeating the point. At cluster scale the
+    # source is already multi-partition and this becomes unnecessary.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    docs = load_table(spark, "documents", sf_dir).repartition(n_parts)
+    # indexed get() beats slice+concat_ws ~4× (no subarray allocation);
+    # get() is null on out-of-range like the oracle's 1-based w[i],
+    # so <k-word docs yield a null shingle in both engines.
+    expr = "transform(sequence(0, greatest(size(w) - {km1} - 1, 0)), i -> {concat})".format(
+        km1=k - 1,
+        concat="concat(" + ", ' ', ".join(f"get(w, i + {j})" for j in range(k)) + ")",
     )
-    return docs.select("doc_id", F.explode(shingles).alias("sh"))
+    return (
+        docs.withColumn("w", F.split(_norm_text(), " "))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("sh"))
+    )
 
 
 _SHINGLES_CTE = """
@@ -131,19 +140,24 @@ ORDER BY doc_a, doc_b
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N_MINHASH md5-derived min-hashes per doc. One explode + one
-    hash-aggregate; signature width is constant, so the shuffle rows
-    are O(docs), not O(shingles)."""
-    sh = _shingles_df(spark, sf_dir)
+    """N_MINHASH min-hashes per doc from ONE md5 per shingle: the
+    128-bit digest is sliced into 8 independent 16-bit (4-hex-char)
+    hashes — 8× less hashing than hashing per permutation, same
+    minhash property (min over a uniform hash per band). Fixed-width
+    lowercase hex compares lexicographically = numerically, so
+    min(string) is min(hash). One explode + one hash-aggregate;
+    signature width is constant, so the shuffle carries O(docs) rows,
+    not O(shingles)."""
+    sh = _shingles_df(spark, sf_dir).withColumn("h", F.md5("sh"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"mh{seed}")
+        F.min(F.substring("h", 1 + 4 * seed, 4)).alias(f"mh{seed}")
         for seed in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 _MINHASH_AGGS = ",\n         ".join(
-    f"min(md5('{seed}|' || sh)) AS mh{seed}" for seed in range(N_MINHASH)
+    f"min(substring(md5(sh), {1 + 4 * seed}, 4)) AS mh{seed}" for seed in range(N_MINHASH)
 )
 _MINHASH_CTE = (
     _SHINGLES_CTE
