@@ -26,7 +26,7 @@ sys.path.insert(0, _REPO_DIR)
 # package code resolve regardless of the caller's cwd.
 os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-from hematite_spark.queries import dedup, eventstore, multimodal, relational, similarity, text
+from hematite_spark.queries import advanced, dedup, eventstore, multimodal, relational, similarity, text
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -68,6 +68,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions_part": relational.string_functions_part,
         "tumbling_window_events": relational.tumbling_window_events,
         "sessionize_events": relational.sessionize_events,
+        # B-series depth: subquery shapes, grouping sets, stats, frames
+        "q4_exists_late_orders": advanced.q4_exists_late_orders,
+        "q14_promo_revenue": advanced.q14_promo_revenue,
+        "q17_small_quantity_revenue": advanced.q17_small_quantity_revenue,
+        "q18_large_volume_customers": advanced.q18_large_volume_customers,
+        "q19_disjunctive_predicates": advanced.q19_disjunctive_predicates,
+        "q22_inactive_customers": advanced.q22_inactive_customers,
+        "grouping_sets_revenue": advanced.grouping_sets_revenue,
+        "agg_percentiles": advanced.agg_percentiles,
+        "agg_statistics": advanced.agg_statistics,
+        "window_range_moving_avg": advanced.window_range_moving_avg,
+        "window_rank_suite": advanced.window_rank_suite,
         # C-series: text analysis
         "text_token_count": text.token_count,
         "text_quality_score": text.quality_score,
@@ -79,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # C-series: vector similarity
         "ann_brute_force": similarity.ann_brute_force,
         "ann_knn_multi_query": similarity.knn_multi_query,
@@ -123,6 +136,17 @@ def oracle_sql() -> dict[str, str]:
         "string_functions_part": relational.STRING_SQL,
         "tumbling_window_events": relational.TUMBLING_SQL,
         "sessionize_events": relational.SESSIONIZE_SQL,
+        "q4_exists_late_orders": advanced.Q4_EXISTS_SQL,
+        "q14_promo_revenue": advanced.Q14_PROMO_SQL,
+        "q17_small_quantity_revenue": advanced.Q17_SCALAR_SQL,
+        "q18_large_volume_customers": advanced.Q18_IN_SQL,
+        "q19_disjunctive_predicates": advanced.Q19_DISJ_SQL,
+        "q22_inactive_customers": advanced.Q22_ANTI_SQL,
+        "grouping_sets_revenue": advanced.GROUPING_SETS_SQL,
+        "agg_percentiles": advanced.AGG_PERCENTILES_SQL,
+        "agg_statistics": advanced.AGG_STATISTICS_SQL,
+        "window_range_moving_avg": advanced.WINDOW_RANGE_SQL,
+        "window_rank_suite": advanced.WINDOW_RANK_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_quality_score": text.QUALITY_SQL,
         "text_language_id": text.LANGUAGE_ID_SQL,
@@ -132,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_lsh_candidates": dedup.LSH_CANDIDATES_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
+        "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
         "ann_brute_force": similarity.ANN_BRUTE_SQL,
         "ann_knn_multi_query": similarity.KNN_MULTI_SQL,
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,

@@ -1,0 +1,389 @@
+"""Advanced relational surface (SURVEY.md §2 B, depth pass):
+correlated subquery shapes (EXISTS / IN / scalar — the TPC-H Q4, Q17,
+Q18, Q22 patterns adapted to the testdata's columns), disjunctive
+predicate pushdown (Q19), conditional aggregation (Q14), GROUPING
+SETS, exact percentiles, statistical aggregates, and the window
+frames the base module doesn't cover (RANGE frames, ntile /
+percent_rank / cume_dist).
+
+The reference has none of these (its only query algebra is positional,
+SURVEY.md §2 A); they complete the B-series checklist. Spark side is
+written *decorrelated* — semi/anti joins and pre-aggregated join
+inputs — which is the plan Catalyst's subquery decorrelation produces
+anyway; the DuckDB oracle keeps the textbook correlated-subquery SQL,
+so the equivalence is checked, not assumed.
+
+Scale notes:
+* every scalar subquery (one-row aggregate) rides a broadcast cross
+  join — no shuffle, no driver round-trip;
+* EXISTS/IN become left-semi joins on the correlation key: one
+  shuffle each side, map-side-combined pre-aggregation where the
+  probe is an aggregate (Q18);
+* RANGE window frames bound state by the frame width, not the
+  partition length — the streaming-friendly formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+
+# ------------------------------------------------------- subquery shapes
+
+
+def q4_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS: count orders (by priority)
+    having at least one line item shipped >60 days after the order
+    date. Decorrelated to a left-semi join on (orderkey, date
+    predicate): the semi join dedups matches before the aggregate, so
+    the shuffle carries each qualifying order once."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a broadcast
+    join: % of one month's revenue from PROMO parts. part is O(SF·2k)
+    rows → broadcast; lineitem's month predicate pushes to the scan;
+    the answer is one row, so no final shuffle survives AQE."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev), 4
+        ).alias("promo_revenue")
+    )
+
+
+Q14_PROMO_SQL = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery: revenue from
+    Brand#13 line items whose quantity is below 20% of that part's
+    average. Decorrelated: the per-part average is a pre-aggregate
+    joined back on partkey (one extra shuffle of O(parts) rows —
+    vastly cheaper than re-scanning lineitem per part, and exactly
+    what Catalyst rewrites the correlated form into)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    thr = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thr.withColumnRenamed("l_partkey", "t_partkey"), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SCALAR_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over an aggregate (HAVING) subquery:
+    customers whose order exceeds 200 total units. The probe side is
+    pre-aggregated lineitem (map-side combine shrinks it before the
+    shuffle); the IN becomes a join against that aggregate, and the
+    final top-100 is TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_IN_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, round(sum(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs join predicate. The shared
+    conjunct (the partkey equality) stays the join key so the
+    disjunction is a post-join filter, not a nested-loop condition;
+    part broadcasts. Catalyst also derives the `p_size <= 35 AND
+    l_quantity >= 5` superset predicate and pushes it to both scans."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 15))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 35) & (F.col("l_quantity") >= 25))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(disj)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q19_DISJ_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 5)
+    OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity >= 15)
+    OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity >= 25))
+"""
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — anti join + uncorrelated scalar subquery:
+    per-nation count/balance of above-average-balance customers who
+    never ordered. The global average is a one-row aggregate broadcast
+    into a cross join (no driver collect); "never ordered" is a
+    left-anti join on custkey."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_ANTI_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ------------------------------------------------- grouping sets / stats
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize:
+    revenue by (flag,status), by (flag), and the grand total, in one
+    pass. Spark expands the sets with a single Expand operator (one
+    scan, one shuffle); `grouping_id` disambiguates the NULLs that
+    mark rolled-up dimensions."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of order value
+    per order status — `percentile` is Spark's exact sort-based
+    implementation, the same linear interpolation as SQL
+    percentile_cont / DuckDB quantile_cont. At 100 TB the approx_*
+    sketch variants replace these; the exact form is the oracle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev/variance
+    of price, quantity-price correlation. Single-pass co-moment
+    aggregation (partial+final); rounded to 4 decimals so the
+    merge-order difference between engines cannot surface."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATISTICS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------- window frames
+
+
+def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-1-hour moving
+    average of event value. RANGE frames bound window state by the
+    frame width (1 h of rows), not partition length — unlike an
+    unbounded running total, this survives unboundedly long user
+    histories, and is the batch twin of a sliding stream window."""
+    ev = load_table(spark, "events", sf_dir)
+    sec = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            sec.alias("sec"),
+            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+            F.count("*").over(w).alias("n_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       round(avg(value) OVER w, 4) AS avg_1h,
+       count(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist — of customer balance within market segment. The order
+    key includes custkey so ranks are total (no peer ambiguity between
+    engines)."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(4) OVER w AS balance_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""

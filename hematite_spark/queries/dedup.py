@@ -316,3 +316,71 @@ GROUP BY simhash
 HAVING count(*) > 1
 ORDER BY keeper_doc_id
 """
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pair docs whose embeddings' cosine
+    ≥ 0.42, blocked by a 4-bit sign bucket (signs of the first 4
+    components) so candidate generation is an equi-join, not an
+    all-pairs cross. Verdict per duplicate: keep the most-similar
+    lower doc_id (row_number over the candidate pairs). At 100 TB the
+    bucket is the shuffle/partition key — the same banding idea as
+    MinHash-LSH, applied to dense vectors (random-hyperplane LSH with
+    axis-aligned planes).
+
+    `embeddings.vec_id` aligns with `documents.doc_id`; arithmetic is
+    float64 left-folds (see similarity module) so Spark and DuckDB
+    agree bit-for-bit before rounding."""
+    from hematite_spark.queries.similarity import _dbl, _dot, _norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    bucket = sum(
+        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
+    ).cast("bigint")
+    v = emb.select(F.col("vec_id").alias("doc_id"), bucket.alias("bucket"), ev.alias("ev"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("keep_doc"),
+            F.col("b.doc_id").alias("drop_doc"),
+            F.round(
+                _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.42)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("drop_doc").orderBy(F.col("cosine").desc(), F.col("keep_doc"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("drop_doc", "keep_doc", "cosine")
+        .orderBy("drop_doc")
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH v AS (
+  SELECT vec_id AS doc_id,
+         CAST((CASE WHEN ev[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN ev[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN ev[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN ev[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+         ev
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+), pairs AS (
+  SELECT a.doc_id AS keep_doc, b.doc_id AS drop_doc,
+         round(list_reduce(list_transform(list_zip(a.ev, b.ev), p -> p[1] * p[2]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(a.ev, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(b.ev, x -> x * x), (acc, x) -> acc + x))), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT drop_doc, keep_doc, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY drop_doc ORDER BY cosine DESC, keep_doc) AS rn
+      FROM pairs WHERE cosine >= 0.42)
+WHERE rn = 1
+ORDER BY drop_doc
+"""
