@@ -26,7 +26,7 @@ sys.path.insert(0, _REPO_DIR)
 # package code resolve regardless of the caller's cwd.
 os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-from hematite_spark.queries import advanced, dedup, eventstore, multimodal, relational, similarity, text
+from hematite_spark.queries import advanced, dedup, eventstore, multimodal, relational, similarity, text, udf
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_statistics": advanced.agg_statistics,
         "window_range_moving_avg": advanced.window_range_moving_avg,
         "window_rank_suite": advanced.window_rank_suite,
+        # B-series: UDF extension points + sketch aggregates
+        "udaf_geometric_mean": udf.udaf_geometric_mean,
+        "udtf_bigrams": udf.udtf_bigrams,
+        "agg_approx_distinct": udf.agg_approx_distinct,
         # C-series: text analysis
         "text_token_count": text.token_count,
         "text_quality_score": text.quality_score,
@@ -147,6 +151,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_statistics": advanced.AGG_STATISTICS_SQL,
         "window_range_moving_avg": advanced.WINDOW_RANGE_SQL,
         "window_rank_suite": advanced.WINDOW_RANK_SQL,
+        "udaf_geometric_mean": udf.UDAF_GEOMEAN_SQL,
+        "udtf_bigrams": udf.UDTF_BIGRAMS_SQL,
+        # agg_approx_distinct: HLL sketch — engine-specific estimate, rows-only
+        # (exact twin agg_distinct is the oracle-checked anchor)
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_quality_score": text.QUALITY_SQL,
         "text_language_id": text.LANGUAGE_ID_SQL,

@@ -68,3 +68,45 @@ def read_cloudevents_ndjson(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import types as T
 
     return spark.read.schema(T.StructType(wire_fields)).json(path)
+
+
+def events_to_ndjson_lines(df: DataFrame) -> DataFrame:
+    """Render store events back to CloudEvents wire lines (the
+    reference's `events.ndjson` format, db.rs:205-210) — one
+    `line STRING` per event, computed entirely JVM-side.
+
+    `data` is stored as a raw JSON string so it must be spliced into
+    the envelope verbatim (as a JSON *value*, not a quoted string);
+    extension attributes are hoisted from the map to top level, per
+    the CloudEvents JSON format. `to_json` drops null optional
+    attributes, matching the wire form."""
+    from pyspark.sql import functions as F
+
+    envelope = F.to_json(
+        F.struct(
+            "specversion", "id", "source", "type", "subject", "datacontenttype", "dataschema", "time"
+        )
+    )
+    # "{...}" -> "{...,"data":<raw>}" splices; each is a no-op when null
+    line = F.substring(envelope, 1, F.length(envelope) - F.lit(1))
+    ext_json = F.to_json(F.col("extensions"))
+    line = F.concat(
+        line,
+        F.when(
+            F.col("extensions").isNotNull() & (F.size(F.col("extensions")) > 0),
+            F.concat(F.lit(","), F.substring(ext_json, 2, F.length(ext_json) - F.lit(2))),
+        ).otherwise(F.lit("")),
+        F.when(F.col("data").isNotNull(), F.concat(F.lit(',"data":'), F.col("data"))).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+    )
+    return df.select(line.alias("line"))
+
+
+def write_cloudevents_ndjson(df: DataFrame, path: str, order_by: str = "revision") -> None:
+    """Export events as CloudEvents NDJSON — the wire/export parity
+    sink. Distributed text write; within-file ordering follows
+    `order_by` so a single-stream export reproduces the reference's
+    append order."""
+    events_to_ndjson_lines(df.orderBy(order_by)).write.mode("overwrite").text(path)

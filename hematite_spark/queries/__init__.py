@@ -5,8 +5,13 @@ oracle SQL string where the semantics are ANSI-SQL-expressible.
 Modules:
   eventstore  — A-series analogues (positional reads, metadata, dedup)
   relational  — B-series (joins, aggs, windows, set ops, scalar fns)
+  advanced    — B-series depth (subquery shapes, grouping sets,
+                percentiles, statistical aggs, RANGE frames)
+  udf         — B-series extension points (pandas UDAF, Python UDTF,
+                HLL sketches)
   text        — C-series text analysis (quality, lang-id, tokens, fingerprints)
-  dedup       — C-series dedup (exact, n-gram Jaccard, MinHash, SimHash)
+  dedup       — C-series dedup (exact, n-gram Jaccard, MinHash, SimHash,
+                embedding-cosine)
   similarity  — C-series vector search (brute-force cosine, LSH buckets)
   multimodal  — C-series binary-column plumbing (pandas-UDF pipelines)
 """

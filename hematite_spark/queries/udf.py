@@ -1,0 +1,123 @@
+"""User-defined function surface (SURVEY.md §2 B, UDF/UDAF/UDTF row):
+the three extension points Spark gives for semantics the built-ins
+can't express, each demonstrated on testdata with a DuckDB oracle.
+
+* pandas UDAF (grouped-agg `pandas_udf`) — Arrow-batched vectorized
+  aggregation; executes once per group partition with map-side
+  partials unavailable (UDAFs don't partial-agg), so keep groups
+  coarse. Used only where no built-in algebraic rewrite exists — the
+  geometric mean here deliberately ALSO has an exp/ln rewrite, which
+  the oracle uses, proving the UDAF correct against the algebraic
+  form.
+* Python UDTF — table function emitting multiple rows per input row
+  (Spark 4 `@udtf`); the lateral-join operator for tokenize/expand
+  steps. The built-in explode covers most cases (and is preferred —
+  JVM-side); the UDTF exists for generators with per-row logic.
+* Row-scalar UDFs are deliberately absent from the hot path —
+  pandas UDFs (multimodal module) or built-ins everywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order value per status via a grouped-agg
+    pandas UDAF (Arrow transfer, one numpy reduction per group)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # pandas UDAFs can't mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a UDAF too
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price"), n_rows("o_totalprice").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+UDAF_GEOMEAN_SQL = """
+SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-bigrams across documents via a Python UDTF lateral
+    join — each doc row expands to its bigrams, then a plain
+    count/top-k. The UDTF is the per-row generator extension point;
+    the equivalent explode() pipeline (queries/dedup.py shingles) is
+    the JVM-side fast path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            words = " ".join((text or "").strip().split()).split(" ")
+            for i in range(len(words) - 1):
+                yield (words[i] + " " + words[i + 1],)
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents_udtf_src")
+    return spark.sql(
+        """
+        SELECT b.bigram, count(*) AS n_docs_with
+        FROM documents_udtf_src d, LATERAL bigrams_udtf(d.text) b
+        GROUP BY b.bigram
+        HAVING count(*) >= 5
+        ORDER BY n_docs_with DESC, bigram
+        LIMIT 20
+        """
+    )
+
+
+UDTF_BIGRAMS_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), bigrams AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+)
+SELECT bigram, count(*) AS n_docs_with
+FROM bigrams
+GROUP BY bigram
+HAVING count(*) >= 5
+ORDER BY n_docs_with DESC, bigram
+LIMIT 20
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per order status — the
+    100 TB path for distinct counting (constant memory, partial-
+    mergeable, vs the exact shuffle in agg_distinct). No oracle:
+    sketch estimates are engine-specific; the exact twin
+    (agg_distinct) is the correctness anchor, and the relative-error
+    contract (<5% default rsd) is asserted in unit tests."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

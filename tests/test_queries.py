@@ -38,3 +38,30 @@ def test_query_matches_oracle(spark, duck, name):
         return
     mismatch = compare(df, duck, ORACLES[name])
     assert mismatch is None, f"{name}: {mismatch}"
+
+
+def test_approx_distinct_error_bound(spark):
+    """agg_approx_distinct has no oracle (HLL estimates are
+    engine-specific); assert the sketch's documented error contract
+    against the exact counts instead."""
+    from pyspark.sql import functions as F
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.udf import agg_approx_distinct
+
+    approx = {r.l_returnflag: r for r in agg_approx_distinct(spark, SF_DIR).collect()}
+    li = load_table(spark, "lineitem", SF_DIR)
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        # rsd=0.02 sketch; allow 4 sigma
+        assert abs(a.approx_parts - e.parts) <= max(0.08 * e.parts, 2)
+        assert abs(a.approx_orders - e.orders) <= max(0.08 * e.orders, 2)
