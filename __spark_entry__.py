@@ -26,7 +26,17 @@ sys.path.insert(0, _REPO_DIR)
 # package code resolve regardless of the caller's cwd.
 os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-from hematite_spark.queries import advanced, dedup, eventstore, multimodal, relational, similarity, text, udf
+from hematite_spark.queries import (
+    advanced,
+    dedup,
+    eventstore,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+    udf,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -78,12 +88,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": advanced.grouping_sets_revenue,
         "agg_percentiles": advanced.agg_percentiles,
         "agg_statistics": advanced.agg_statistics,
+        "agg_salted_twophase": advanced.agg_salted_twophase,
         "window_range_moving_avg": advanced.window_range_moving_avg,
         "window_rank_suite": advanced.window_rank_suite,
         # B-series: UDF extension points + sketch aggregates
         "udaf_geometric_mean": udf.udaf_geometric_mean,
         "udtf_bigrams": udf.udtf_bigrams,
         "agg_approx_distinct": udf.agg_approx_distinct,
+        # C-series: deterministic sampling / dataset splits
+        "sample_systematic": sampling.sample_systematic,
+        "sample_stratified": sampling.sample_stratified,
+        "split_train_test": sampling.split_train_test,
         # C-series: text analysis
         "text_token_count": text.token_count,
         "text_quality_score": text.quality_score,
@@ -96,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_connected_components": dedup.dedup_connected_components,
         # C-series: vector similarity
         "ann_brute_force": similarity.ann_brute_force,
         "ann_knn_multi_query": similarity.knn_multi_query,
@@ -149,12 +165,16 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": advanced.GROUPING_SETS_SQL,
         "agg_percentiles": advanced.AGG_PERCENTILES_SQL,
         "agg_statistics": advanced.AGG_STATISTICS_SQL,
+        "agg_salted_twophase": advanced.AGG_SALTED_SQL,
         "window_range_moving_avg": advanced.WINDOW_RANGE_SQL,
         "window_rank_suite": advanced.WINDOW_RANK_SQL,
         "udaf_geometric_mean": udf.UDAF_GEOMEAN_SQL,
         "udtf_bigrams": udf.UDTF_BIGRAMS_SQL,
         # agg_approx_distinct: HLL sketch — engine-specific estimate, rows-only
         # (exact twin agg_distinct is the oracle-checked anchor)
+        "sample_systematic": sampling.SAMPLE_SYSTEMATIC_SQL,
+        "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
+        "split_train_test": sampling.SPLIT_TRAIN_TEST_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_quality_score": text.QUALITY_SQL,
         "text_language_id": text.LANGUAGE_ID_SQL,
@@ -165,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_candidates": dedup.LSH_CANDIDATES_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
+        "dedup_connected_components": dedup.DEDUP_CC_SQL,
         "ann_brute_force": similarity.ANN_BRUTE_SQL,
         "ann_knn_multi_query": similarity.KNN_MULTI_SQL,
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,

@@ -387,3 +387,42 @@ FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 ORDER BY c_custkey
 """
+
+
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating two-phase aggregation: l_returnflag has only 3
+    values, so a naive groupBy funnels the whole table through 3
+    reducers. Salting fans phase 1 out to key×16 partial groups, and
+    phase 2 merges the 48 partials — the manual form of what AQE's
+    skew handling does for joins, written out because skewed
+    AGGREGATION keys at 100 TB (one hot tenant, one hot event type)
+    need it as a deliberate pattern. The salt is internal; results
+    are identical to the plain aggregate, which is what the oracle
+    checks."""
+    li = load_table(spark, "lineitem", sf_dir)
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("p_rev"),
+        F.count("*").alias("p_n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+            F.round(F.sum("p_rev"), 2).alias("revenue"),
+            F.sum("p_n").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_SALTED_SQL = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -384,3 +384,87 @@ FROM (SELECT *, row_number() OVER (PARTITION BY drop_doc ORDER BY cosine DESC, k
 WHERE rn = 1
 ORDER BY drop_doc
 """
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    LSH candidate-pair graph — the step that turns pairwise candidates
+    into actual dedup decisions (one keeper per cluster, even when
+    A~B~C but A≁C directly).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each superstep takes the min of its neighbors' labels;
+    converges in graph-diameter supersteps. Each superstep is one
+    distributed join+aggregate — the Pregel pattern on DataFrames —
+    and lineage is cut per iteration (localCheckpoint) so plans don't
+    nest. Near-dup graphs are overwhelmingly tiny components, so this
+    converges in 2-4 supersteps regardless of corpus size.
+
+    The oracle computes the same fixpoint as a recursive CTE —
+    checking an iterative distributed algorithm against a declarative
+    one."""
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.doc_a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"), F.max("node").alias("max_doc_id"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("label").alias("cluster_keeper"), "n_members", "max_doc_id")
+        .orderBy("cluster_keeper")
+    )
+
+
+DEDUP_CC_SQL = (
+    _MINHASH_CTE.replace("WITH shingles", "WITH RECURSIVE shingles", 1)
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+, pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b)
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs)
+, reach(node, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s)
+, assign AS (
+  SELECT node, min(label) AS label FROM reach GROUP BY node)
+SELECT label AS cluster_keeper, count(*) AS n_members, max(node) AS max_doc_id
+FROM assign
+GROUP BY label
+HAVING count(*) > 1
+ORDER BY cluster_keeper
+"""
+)

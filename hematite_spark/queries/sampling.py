@@ -1,0 +1,119 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline
+surface): systematic hash sampling, per-stratum rates, and
+train/val/test splits. All decisions are pure functions of a stable
+content key (md5 of the doc id), so results are reproducible across
+runs, engines, and cluster sizes — the property `df.sample`'s
+RNG-based sampling can't give — and each is verified against the
+DuckDB oracle computing the identical hash arithmetic.
+
+Scale: sampling is a stateless per-row filter — no shuffle at all
+until the reporting aggregate; the filter pushes to the scan's
+projection (md5 of one column). A 100 TB sweep samples in one pass
+with no coordination, and re-running it (or sampling a later
+snapshot) keeps every previously-selected row selected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+
+def _hash_pct(key: Column) -> Column:
+    """Stable 0-99 hash of a key: first 4 hex chars of md5 → int %
+    100. JVM-side (conv), no UDF."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("bigint") % 100
+
+
+# DuckDB equivalent of _hash_pct (it has no conv(); hex digits via
+# strpos arithmetic, as elsewhere in the catalog).
+_DUCK_HASH_PCT = (
+    "(((strpos('0123456789abcdef', md5({k})[1]) - 1) * 4096"
+    " + (strpos('0123456789abcdef', md5({k})[2]) - 1) * 256"
+    " + (strpos('0123456789abcdef', md5({k})[3]) - 1) * 16"
+    " + (strpos('0123456789abcdef', md5({k})[4]) - 1)) % 100)"
+)
+
+
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% systematic sample of documents: rows whose key-hash falls
+    in [0, 10). Summarized per language (count + char sum) so the
+    sampled set itself is value-checked, compactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.where(_hash_pct(F.col("doc_id")) < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_SYSTEMATIC_SQL = f"""
+SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sampled_chars,
+       min(doc_id) AS first_doc
+FROM documents
+WHERE {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} < 10
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling — per-language rates (en 50%, else 20%):
+    the corpus-rebalancing step of an LLM data pipeline. The rate
+    lookup is a CASE on the stratum column; selection stays a
+    stateless hash filter."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(20))
+    return (
+        docs.where(_hash_pct(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sampled_chars"))
+        .orderBy("lang")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+FROM documents
+WHERE {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")}
+      < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by key hash —
+    membership is stable under corpus growth (a doc never migrates
+    between splits when new docs arrive), unlike randomSplit. Reports
+    per-split size and char statistics."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = _hash_pct(F.col("doc_id"))
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise(F.lit("test"))
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_TRAIN_TEST_SQL = f"""
+SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM (SELECT {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} AS h, n_chars FROM documents)
+GROUP BY split
+ORDER BY split
+"""
