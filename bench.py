@@ -22,18 +22,23 @@ from hematite_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline suite: one per operator family — scan+agg, multi-join,
-# window, event-store analogue, text, dedup (minhash), vector search.
+# subquery, window, event-store analogue, text, dedup (minhash + CC
+# clustering), vector search, sampling.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "grouping_sets_revenue",
     "window_top_orders_per_customer",
     "sessionize_events",
     "es_stream_metadata",
     "text_quality_score",
     "dedup_minhash",
+    "dedup_connected_components",
     "ann_brute_force",
+    "sample_stratified",
 ]
 
 
@@ -56,12 +61,36 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Reference-SLO micro-latencies (BASELINE.md: k6 p95 < 50 ms for
+    # single-event append and positional point read). Driver-side OLTP
+    # path — no Spark job launch, by design (store/store.py).
+    import statistics
+    import tempfile
+
+    from hematite_spark.store import EventStore
+
+    store = EventStore(spark, tempfile.mkdtemp(prefix="bench_store_"))
+    append_ms, read_ms = [], []
+    for i in range(100):
+        ev = {"specversion": "1.0", "id": f"b-{i}", "source": "bench", "type": "t", "data": {"i": i}}
+        t0 = time.perf_counter()
+        store.append("u", "s", ev)
+        append_ms.append((time.perf_counter() - t0) * 1000)
+    store.compact_stream("u", "s")
+    for i in range(100):
+        t0 = time.perf_counter()
+        store.get_event("u", "s", i)
+        read_ms.append((time.perf_counter() - t0) * 1000)
+    p95 = lambda xs: round(statistics.quantiles(xs, n=20)[18], 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "append_p95_ms": p95(append_ms),
+        "point_read_p95_ms": p95(read_ms),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

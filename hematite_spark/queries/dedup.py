@@ -404,35 +404,30 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     checking an iterative distributed algorithm against a declarative
     one."""
     pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
+    edges = (
+        pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .localCheckpoint()  # materialize ONCE — supersteps must not recompute LSH
+    )
     labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # min-label propagation: labels only ever decrease, so the label
+    # sum is strictly monotone until the fixpoint — convergence is one
+    # cheap sum per superstep instead of an old-vs-new join.
+    prev_sum = None
     while True:
-        neigh = (
+        labels = (
             edges.join(labels, edges.doc_b == labels.node)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.node == neigh.doc_a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-            )
+            .select(F.col("doc_a").alias("node"), "label")
+            .unionByName(labels)  # keep own label (and isolated nodes)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_doc_id"))

@@ -234,6 +234,12 @@ class EventStore:
         self._locks_guard = threading.Lock()
         # per-stream high-water mark (event count); lazily hydrated
         self._hwm: dict[tuple[str, str], int] = {}
+        # per-stream (source, id) set for the uniqueness gate; lazily
+        # hydrated once, then maintained incrementally — without it
+        # every append re-reads all prior files (O(n²) appends). At
+        # cluster scale this becomes a bloom filter / key index beside
+        # the stream rather than process memory.
+        self._ids: dict[tuple[str, str], set[tuple[str, str]]] = {}
         self._seq = 0  # monotonic file sequence within this process
 
     # -- catalog / paths
@@ -317,7 +323,23 @@ class EventStore:
             os.rename(tmp, os.path.join(d, fname))  # atomic publish
             new_rev = current + len(batch)
             self._hwm[(user_id, stream_id)] = new_rev
+            self._source_ids(user_id, stream_id).update(
+                (str(e["source"]), str(e["id"])) for e in batch
+            )
             return new_rev
+
+    def _source_ids(self, user_id: str, stream_id: str) -> set[tuple[str, str]]:
+        """The stream's (source, id) set — hydrated once from a
+        columnar (source, id)-only read, then maintained on append."""
+        key = (user_id, stream_id)
+        ids = self._ids.get(key)
+        if ids is None:
+            ids = set()
+            for path in self._parquet_files(user_id, stream_id):
+                t = pq.read_table(path, columns=["source", "id"])
+                ids.update(zip(t.column("source").to_pylist(), t.column("id").to_pylist()))
+            self._ids[key] = ids
+        return ids
 
     def _check_source_id_unique(
         self, user_id: str, stream_id: str, batch: list[dict[str, Any]]
@@ -325,16 +347,10 @@ class EventStore:
         incoming = [(str(e["source"]), str(e["id"])) for e in batch]
         if len(set(incoming)) != len(incoming):
             raise SourceIdConflict("duplicate (source, id) within batch")
-        files = self._parquet_files(user_id, stream_id)
-        if not files:
-            return
-        incoming_set = set(incoming)
-        # columnar read of just (source, id) — column pruning at the file level
-        for path in files:
-            t = pq.read_table(path, columns=["source", "id"])
-            for src, eid in zip(t.column("source").to_pylist(), t.column("id").to_pylist()):
-                if (src, eid) in incoming_set:
-                    raise SourceIdConflict(f"event ({src!r}, {eid!r}) already in stream")
+        existing = self._source_ids(user_id, stream_id)
+        for src, eid in incoming:
+            if (src, eid) in existing:
+                raise SourceIdConflict(f"event ({src!r}, {eid!r}) already in stream")
 
     @staticmethod
     def _to_arrow_rows(
@@ -489,6 +505,7 @@ class EventStore:
                 return False
             shutil.rmtree(d)
             self._hwm.pop((user_id, stream_id), None)
+            self._ids.pop((user_id, stream_id), None)
             return True
 
     # -- whole-table access -------------------------------------------
