@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": similarity.ann_brute_force,
         "ann_knn_multi_query": similarity.knn_multi_query,
         "ann_ivf_buckets": similarity.ann_ivf_buckets,
+        "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
         "similarity_join_block": similarity.similarity_join_block,
         "embedding_stats": similarity.embedding_stats,
         # C-series: multimodal binary columns
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": similarity.ANN_BRUTE_SQL,
         "ann_knn_multi_query": similarity.KNN_MULTI_SQL,
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,
+        "ann_ivf_kmeans_assign": similarity.ANN_IVF_KMEANS_SQL,
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,

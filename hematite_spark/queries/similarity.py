@@ -227,3 +227,65 @@ FROM (SELECT label, {_DUCK_NORM.format(a="embedding::DOUBLE[]")} AS norm,
 GROUP BY label
 ORDER BY label
 """
+
+
+def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer build step with LEARNED centroids (vs the
+    static sign buckets of ann_ivf_buckets): seed 8 centroids
+    deterministically (vec_id 0-7), assign every vector to its
+    nearest centroid by exact L2, report per-cell size and mean
+    distance — the statistics that drive nlist/nprobe tuning.
+
+    Shape: centroids are O(k) rows → broadcast; assignment is one
+    scan with a per-row min over k distances (no shuffle until the
+    final per-cell aggregate). At 100 TB the assignment output is
+    written back as the partition key, making every later ANN probe a
+    partition-pruned read. Ties broken by centroid id (row_number) so
+    the assignment is total and engine-independent."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    )
+    vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
+    diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("cell_size"),
+            F.round(F.avg("d"), 6).alias("mean_dist"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+ANN_IVF_KMEANS_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+     v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+     scored AS (
+       SELECT vec_id, centroid_id,
+              sqrt(list_reduce(list_transform(list_zip(ev, cv),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (acc, x) -> acc + x)) AS d
+       FROM v CROSS JOIN c),
+     assigned AS (
+       SELECT vec_id, centroid_id, d
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn
+             FROM scored)
+       WHERE rn = 1)
+SELECT centroid_id, count(*) AS cell_size, round(avg(d), 6) AS mean_dist,
+       min(vec_id) AS min_vec_id
+FROM assigned
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""

@@ -65,3 +65,24 @@ def test_approx_distinct_error_bound(spark):
         # rsd=0.02 sketch; allow 4 sigma
         assert abs(a.approx_parts - e.parts) <= max(0.08 * e.parts, 2)
         assert abs(a.approx_orders - e.orders) <= max(0.08 * e.orders, 2)
+
+
+def test_lsh_recall_against_ground_truth(spark):
+    """Approximate-operator quality gate: MinHash-LSH banding must
+    recover (nearly) all true near-dup pairs. Ground truth = the
+    exact n-gram Jaccard >= 0.6 pairs; candidates = LSH band matches.
+    With 4 bands x 2 rows, P(candidate | J) = 1-(1-J^2)^4 — ~0.97 at
+    J=0.8 — so high-Jaccard pairs must essentially all be found."""
+    from hematite_spark.queries.dedup import dedup_ngram_jaccard, lsh_candidate_pairs
+
+    true_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, SF_DIR).collect()}
+    high = {p for p, j in true_pairs.items() if j >= 0.8}
+    if high:
+        recall_high = len(high & cands) / len(high)
+        assert recall_high >= 0.9, f"high-J recall {recall_high}"
+    if true_pairs:
+        recall_all = len(set(true_pairs) & cands) / len(true_pairs)
+        assert recall_all >= 0.5, f"overall recall {recall_all}"
