@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C-series: multimodal binary columns
         "multimodal_binary_stats": multimodal.multimodal_binary_stats,
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     }
 
 
@@ -194,5 +195,6 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,
+        "multimodal_frame_sample": multimodal.MULTIMODAL_FRAMES_SQL,
         # multimodal_features: pandas-UDF stub features — rows-only check
     }

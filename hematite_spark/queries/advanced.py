@@ -305,7 +305,11 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+            # covar is O(1e-6) here; round in micro-units (stable digits)
+            # and add +0.0 so -0.0 and 0.0 normalize identically
+            (F.round(F.covar_samp("l_discount", "l_tax") * 1e6, 2) + F.lit(0.0)).alias(
+                "covar_micro"
+            ),
         )
         .orderBy("l_returnflag")
     )
@@ -316,7 +320,7 @@ SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 4) AS stddev_price,
        round(var_samp(l_quantity), 4) AS var_qty,
        round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-       round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar
+       round(covar_samp(l_discount, l_tax) * 1e6, 2) + 0.0 AS covar_micro
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

@@ -210,3 +210,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling as a catalog query: every 10th document
+    plays a video asset (duration_ms := n_chars, deterministic), the
+    mapInPandas sampler explodes it into frames at 200 ms intervals,
+    and the result reports frames per asset. The frame COUNTS follow
+    from arithmetic (ceil(duration/interval)), so the pandas-UDF
+    pipeline — batching, explode shape, schema — is value-checked by
+    the DuckDB oracle even though the frame bytes are stubbed."""
+    docs = load_table(spark, "documents", sf_dir)
+    assets = docs.where((F.col("doc_id") % 10 == 0) & (F.col("n_chars") > 0)).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("video/mp4").alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_chars").cast("bigint").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    frames = frame_sample_stub(assets, every_ms=200)
+    return (
+        frames.groupBy("asset_id")
+        .agg(F.count("*").alias("n_frames"), F.max("frame_ts_ms").alias("last_ts"))
+        .orderBy("asset_id")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(ceil(n_chars / 200.0) AS BIGINT) AS n_frames,
+       CAST((ceil(n_chars / 200.0) - 1) * 200 AS BIGINT) AS last_ts
+FROM documents
+WHERE doc_id % 10 = 0 AND n_chars > 0
+ORDER BY asset_id
+"""
