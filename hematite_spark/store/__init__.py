@@ -1,7 +1,9 @@
 from hematite_spark.store.store import (
     EventStore,
     ExpectedRevision,
+    InvalidEvent,
     RevisionMismatch,
+    StoreError,
     StreamNotFound,
     EmptyAppend,
     SourceIdConflict,
@@ -10,7 +12,9 @@ from hematite_spark.store.store import (
 __all__ = [
     "EventStore",
     "ExpectedRevision",
+    "InvalidEvent",
     "RevisionMismatch",
+    "StoreError",
     "StreamNotFound",
     "EmptyAppend",
     "SourceIdConflict",

@@ -1,0 +1,125 @@
+"""HTTP API-parity tests — the reference's Bruno collection
+(api/*.bru) and k6 status checks as pytest: create 201 + OCC
+threading, point/paged reads with cache-header semantics, stream
+metadata, delete 204, list + sort, health, and the error table
+(401/400/404/409/422)."""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from hematite_spark.api import HematiteServer
+from hematite_spark.store import EventStore
+
+
+def _token(sub: str) -> str:
+    """Unsigned JWS-shaped dev token (header.payload.sig)."""
+    enc = lambda d: base64.urlsafe_b64encode(json.dumps(d).encode()).rstrip(b"=").decode()
+    return f"{enc({'alg': 'none'})}.{enc({'sub': sub})}.x"
+
+
+@pytest.fixture()
+def api(tmp_path):
+    store = EventStore(None, str(tmp_path / "store"))
+    server = HematiteServer(store, port=0)
+    server.start_background()
+    yield server
+    server.shutdown()
+
+
+def _req(api, method, path, body=None, sub="user-1", auth=True):
+    req = urllib.request.Request(api.url + path, method=method)
+    if auth:
+        req.add_header("Authorization", f"Bearer {_token(sub)}")
+    data = None
+    if body is not None:
+        data = json.dumps(body).encode()
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, data=data) as resp:
+            raw = resp.read()
+            return resp.status, dict(resp.headers), json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        return e.code, dict(e.headers), json.loads(raw) if raw else None
+
+
+EV = lambda i: {"specversion": "1.0", "id": f"ev-{i}", "source": "bruno", "type": "t", "data": {"i": i}}
+
+
+def test_health_no_auth(api):
+    status, headers, body = _req(api, "GET", "/health", auth=False)
+    assert status == 200 and body == {"status": "pass"}
+    assert headers["Cache-Control"] == "max-age=60"
+
+
+def test_create_event_201_and_content_location(api):
+    status, headers, body = _req(api, "POST", "/streams/s1/events", EV(0))
+    assert status == 201 and body == {"revision": 1}
+    assert headers["Content-Location"] == "/streams/s1/events/0"
+
+
+def test_occ_threading_revision_between_requests(api):
+    # Bruno: "Create event expecting correct revision"
+    _, _, b1 = _req(api, "POST", "/streams/s1/events", EV(0))
+    status, _, b2 = _req(api, "POST", f"/streams/s1/events?expected_revision={b1['revision']}", EV(1))
+    assert status == 201 and b2 == {"revision": 2}
+    status, _, err = _req(api, "POST", "/streams/s1/events?expected_revision=0", EV(2))
+    assert status == 409
+    assert err["errors"][0]["status"] == "409"
+
+
+def test_batch_append_and_paged_read(api):
+    _req(api, "POST", "/streams/s1/events", [EV(i) for i in range(10)])
+    status, headers, page = _req(api, "GET", "/streams/s1/events?page[offset]=1&page[limit]=1")
+    assert status == 200 and len(page) == 1 and page[0]["id"] == "ev-1"
+    assert "immutable" in headers["Cache-Control"]  # full page
+    status, headers, page = _req(api, "GET", "/streams/s1/events?page[offset]=8&page[limit]=5")
+    assert len(page) == 2
+    assert headers["Cache-Control"] == "no-cache"  # partial page may grow
+
+
+def test_point_read_immutable_and_404s(api):
+    _req(api, "POST", "/streams/s1/events", EV(0))
+    status, headers, ev = _req(api, "GET", "/streams/s1/events/0")
+    assert status == 200 and ev["id"] == "ev-0" and ev["data"] == {"i": 0}
+    assert "immutable" in headers["Cache-Control"]
+    assert _req(api, "GET", "/streams/s1/events/99")[0] == 404  # deviation: not 500
+    assert _req(api, "GET", "/streams/nope/events/0")[0] == 404
+
+
+def test_stream_metadata_list_sort_delete(api):
+    _req(api, "POST", "/streams/b/events", [EV(i) for i in range(3)])
+    _req(api, "POST", "/streams/a/events", EV(9))
+    status, _, meta = _req(api, "GET", "/streams/b")
+    assert status == 200 and meta["revision"] == 3 and meta["usage"] > 0
+    _, _, listing = _req(api, "GET", "/streams?sort=-revision")
+    assert [s["id"] for s in listing] == ["b", "a"]
+    assert _req(api, "GET", "/streams?sort=bogus")[0] == 400
+    assert _req(api, "DELETE", "/streams/a")[0] == 204
+    assert _req(api, "DELETE", "/streams/a")[0] == 404
+    _, _, listing = _req(api, "GET", "/streams")
+    assert [s["id"] for s in listing] == ["b"]
+
+
+def test_tenant_isolation_via_sub_claim(api):
+    _req(api, "POST", "/streams/s1/events", EV(0), sub="alice")
+    assert _req(api, "GET", "/streams/s1/events/0", sub="alice")[0] == 200
+    assert _req(api, "GET", "/streams/s1/events/0", sub="bob")[0] == 404
+    assert [s["id"] for s in _req(api, "GET", "/streams", sub="bob")[2]] == []
+
+
+def test_error_table(api):
+    assert _req(api, "GET", "/streams", auth=False)[0] == 401
+    status, _, err = _req(api, "POST", "/streams/s/events", EV(0), auth=False)
+    assert status == 401 and err["errors"][0]["status"] == "401"
+    assert _req(api, "POST", "/streams/s/events?expected_revision=bogus", EV(0))[0] == 400
+    assert _req(api, "POST", "/streams/s/events", {"not": "cloudevents"})[0] == 422
+    assert _req(api, "POST", "/streams/s/events", [])[0] == 400  # empty batch
+    # duplicate (source, id) → 409 (A10, enforced)
+    _req(api, "POST", "/streams/s/events", EV(0))
+    assert _req(api, "POST", "/streams/s/events", EV(0))[0] == 409
+    assert _req(api, "GET", "/bogus/route")[0] == 404
