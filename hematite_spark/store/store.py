@@ -240,6 +240,13 @@ class EventStore:
         # cluster scale this becomes a bloom filter / key index beside
         # the stream rather than process memory.
         self._ids: dict[tuple[str, str], set[tuple[str, str]]] = {}
+        # per-stream [(path, start_revision, n_rows)] sorted by start —
+        # the file-level positional index: a point/range read opens
+        # only the files overlapping its revision window, independent
+        # of how many micro-batch files the stream has accumulated
+        # (the reference gets this from index.dat; parquet row-group
+        # stats then prune within the file)
+        self._ranges: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
         self._seq = 0  # monotonic file sequence within this process
 
     # -- catalog / paths
@@ -270,15 +277,28 @@ class EventStore:
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
 
+    def _file_ranges(self, user_id: str, stream_id: str) -> list[tuple[str, int, int]]:
+        """(path, start_revision, n_rows) per file, sorted by start.
+        Hydrated once from footers, then maintained on append/compact."""
+        key = (user_id, stream_id)
+        ranges = self._ranges.get(key)
+        if ranges is None:
+            ranges = []
+            start = 0
+            for path in self._parquet_files(*key):
+                n = pq.ParquetFile(path).metadata.num_rows
+                ranges.append((path, start, n))
+                start += n
+            self._ranges[key] = ranges
+        return ranges
+
     def revision(self, user_id: str, stream_id: str) -> int:
         """Event count of the stream (reference db.rs:103-113). Reads
         parquet FOOTER metadata only — no data scan."""
         key = (user_id, stream_id)
         if key in self._hwm:
             return self._hwm[key]
-        total = 0
-        for path in self._parquet_files(*key):
-            total += pq.ParquetFile(path).metadata.num_rows
+        total = sum(n for _, _, n in self._file_ranges(*key))
         self._hwm[key] = total
         return total
 
@@ -320,12 +340,14 @@ class EventStore:
             fname = f"part-{current:012d}-{self._seq:06d}.parquet"
             tmp = os.path.join(d, f".{fname}.tmp")
             pq.write_table(table, tmp, compression="zstd")
-            os.rename(tmp, os.path.join(d, fname))  # atomic publish
+            final = os.path.join(d, fname)
+            os.rename(tmp, final)  # atomic publish
             new_rev = current + len(batch)
             self._hwm[(user_id, stream_id)] = new_rev
             self._source_ids(user_id, stream_id).update(
                 (str(e["source"]), str(e["id"])) for e in batch
             )
+            self._file_ranges(user_id, stream_id).append((final, current, len(batch)))
             return new_rev
 
     def _source_ids(self, user_id: str, stream_id: str) -> set[tuple[str, str]]:
@@ -408,10 +430,21 @@ class EventStore:
         limit = min(int(limit), 1000)
         if not self._stream_exists(user_id, stream_id):
             return []
+        # file-level positional pruning: only files overlapping
+        # [start, start+limit) are opened — a point read touches ONE
+        # file no matter how many micro-batches the stream holds
+        end = start + limit
+        files = [
+            p
+            for p, file_start, n in self._file_ranges(user_id, stream_id)
+            if file_start < end and file_start + n > start
+        ]
+        if not files:
+            return []
         # pyarrow dataset fast path: small interactive read, predicate
         # pushed to row-group pruning; Spark path available via read_df()
-        ds = pa_ds.dataset(self._parquet_files(user_id, stream_id), format="parquet")
-        filt = (pa_ds.field("revision") >= start) & (pa_ds.field("revision") < start + limit)
+        ds = pa_ds.dataset(files, format="parquet")
+        filt = (pa_ds.field("revision") >= start) & (pa_ds.field("revision") < end)
         t = ds.to_table(filter=filt).sort_by("revision")
         return self._rows_to_events(t)
 
@@ -506,6 +539,7 @@ class EventStore:
             shutil.rmtree(d)
             self._hwm.pop((user_id, stream_id), None)
             self._ids.pop((user_id, stream_id), None)
+            self._ranges.pop((user_id, stream_id), None)
             return True
 
     # -- whole-table access -------------------------------------------
@@ -536,5 +570,7 @@ class EventStore:
             pq.write_table(t, tmp, compression="zstd")
             for f in files:
                 os.remove(f)
-            os.rename(tmp, os.path.join(d, fname))
+            final = os.path.join(d, fname)
+            os.rename(tmp, final)
+            self._ranges[(user_id, stream_id)] = [(final, 0, t.num_rows)]
             return len(files)
