@@ -230,7 +230,7 @@ class EventStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._locks: dict[tuple[str, str], threading.Lock] = {}
+        self._locks: dict[tuple[str, str], threading.RLock] = {}
         self._locks_guard = threading.Lock()
         # per-stream high-water mark (event count); lazily hydrated
         self._hwm: dict[tuple[str, str], int] = {}
@@ -258,11 +258,13 @@ class EventStore:
             f"stream_id={_encode_stream_dir(stream_id)}",
         )
 
-    def _lock(self, user_id: str, stream_id: str) -> threading.Lock:
+    def _lock(self, user_id: str, stream_id: str) -> threading.RLock:
+        # RLock: read paths take it briefly for cache snapshots, and
+        # append (already holding it) calls those same helpers
         key = (user_id, stream_id)
         with self._locks_guard:
             if key not in self._locks:
-                self._locks[key] = threading.Lock()
+                self._locks[key] = threading.RLock()
             return self._locks[key]
 
     def _stream_exists(self, user_id: str, stream_id: str) -> bool:
@@ -279,7 +281,12 @@ class EventStore:
 
     def _file_ranges(self, user_id: str, stream_id: str) -> list[tuple[str, int, int]]:
         """(path, start_revision, n_rows) per file, sorted by start.
-        Hydrated once from footers, then maintained on append/compact."""
+        Hydrated once from footers, then maintained on append/compact.
+
+        MUST be called with the stream lock held (append/compact
+        already hold it; readers take it briefly to snapshot) —
+        unsynchronized hydration raced with append could clobber or
+        double entries under the threaded API server."""
         key = (user_id, stream_id)
         ranges = self._ranges.get(key)
         if ranges is None:
@@ -292,15 +299,33 @@ class EventStore:
             self._ranges[key] = ranges
         return ranges
 
+    def _snapshot_ranges(self, user_id: str, stream_id: str) -> list[tuple[str, int, int]]:
+        """Thread-safe copy of the stream's file ranges (the read-path
+        entry; mirrors the reference's read-under-stream-mutex,
+        server.rs:168-175, without holding the lock during I/O)."""
+        with self._lock(user_id, stream_id):
+            return list(self._file_ranges(user_id, stream_id))
+
+    def _invalidate(self, user_id: str, stream_id: str) -> None:
+        """Drop caches so the next access re-reads the directory —
+        the self-heal path when files changed outside this instance
+        (external compaction, a second writer)."""
+        with self._lock(user_id, stream_id):
+            key = (user_id, stream_id)
+            self._ranges.pop(key, None)
+            self._hwm.pop(key, None)
+            self._ids.pop(key, None)
+
     def revision(self, user_id: str, stream_id: str) -> int:
         """Event count of the stream (reference db.rs:103-113). Reads
         parquet FOOTER metadata only — no data scan."""
         key = (user_id, stream_id)
         if key in self._hwm:
             return self._hwm[key]
-        total = sum(n for _, _, n in self._file_ranges(*key))
-        self._hwm[key] = total
-        return total
+        with self._lock(*key):
+            total = sum(n for _, _, n in self._file_ranges(*key))
+            self._hwm[key] = total
+            return total
 
     # -- append (A1/A4) -----------------------------------------------
 
@@ -434,19 +459,29 @@ class EventStore:
         # [start, start+limit) are opened — a point read touches ONE
         # file no matter how many micro-batches the stream holds
         end = start + limit
-        files = [
-            p
-            for p, file_start, n in self._file_ranges(user_id, stream_id)
-            if file_start < end and file_start + n > start
-        ]
-        if not files:
-            return []
-        # pyarrow dataset fast path: small interactive read, predicate
-        # pushed to row-group pruning; Spark path available via read_df()
-        ds = pa_ds.dataset(files, format="parquet")
-        filt = (pa_ds.field("revision") >= start) & (pa_ds.field("revision") < end)
-        t = ds.to_table(filter=filt).sort_by("revision")
-        return self._rows_to_events(t)
+        for attempt in (0, 1):
+            files = [
+                p
+                for p, file_start, n in self._snapshot_ranges(user_id, stream_id)
+                if file_start < end and file_start + n > start
+            ]
+            if not files:
+                return []
+            try:
+                # pyarrow dataset fast path: small interactive read,
+                # predicate pushed to row-group pruning; Spark path
+                # available via read_df()
+                ds = pa_ds.dataset(files, format="parquet")
+                filt = (pa_ds.field("revision") >= start) & (pa_ds.field("revision") < end)
+                t = ds.to_table(filter=filt).sort_by("revision")
+                return self._rows_to_events(t)
+            except FileNotFoundError:
+                if attempt:  # pragma: no cover — second pass re-read fresh state
+                    raise
+                # files changed under us (external compaction/writer):
+                # drop caches and retry once against the directory
+                self._invalidate(user_id, stream_id)
+        return []  # pragma: no cover
 
     def get_event(self, user_id: str, stream_id: str, rownum: int) -> dict[str, Any] | None:
         """Point read by 0-based position (reference db.rs:132-177 via
@@ -496,10 +531,11 @@ class EventStore:
                 if not entry.startswith("stream_id="):
                     continue
                 sid = _decode_stream_dir(entry[len("stream_id=") :])
-                files = self._parquet_files(user_id, sid)
-                if not files:
+                ranges = self._snapshot_ranges(user_id, sid)
+                if not ranges:
                     continue
-                revision = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+                files = [p for p, _, _ in ranges]
+                revision = sum(n for _, _, n in ranges)
                 usage = sum(os.path.getsize(p) for p in files)
                 last_modified = int(max(os.path.getmtime(p) for p in files))
                 result.append(
@@ -521,10 +557,11 @@ class EventStore:
     def get_stream(self, user_id: str, stream_id: str) -> dict[str, Any]:
         """Single-stream metadata (reference server.rs:232-248)."""
         self._require_stream(user_id, stream_id)
-        files = self._parquet_files(user_id, stream_id)
+        ranges = self._snapshot_ranges(user_id, stream_id)
+        files = [p for p, _, _ in ranges]
         return {
             "id": stream_id,
-            "revision": sum(pq.ParquetFile(p).metadata.num_rows for p in files),
+            "revision": sum(n for _, _, n in ranges),
             "last_modified": int(max(os.path.getmtime(p) for p in files)),
             "usage": sum(os.path.getsize(p) for p in files),
         }

@@ -208,3 +208,50 @@ def test_compaction_preserves_order(store):
     # append still works after compaction
     store.append(U, S, minimal_event("e5"))
     assert store.get_event(U, S, 5)["id"] == "e5"
+
+
+def test_external_compaction_self_heals(store, tmp_path):
+    """A second EventStore instance compacting the same stream must
+    not break this instance's cached read path — the query retries
+    against the directory after FileNotFoundError."""
+    from hematite_spark.store import EventStore
+
+    for i in range(10):
+        store.append("u", "s", minimal_event(f"e-{i}"))
+    assert store.get_event("u", "s", 5)["id"] == "e-5"  # caches hydrated
+    other = EventStore(None, store.root)
+    assert other.compact_stream("u", "s") == 10  # removes cached files
+    assert store.get_event("u", "s", 5)["id"] == "e-5"  # self-heal
+    assert len(store.query("u", "s", 0, 100)) == 10
+
+
+def test_concurrent_readers_and_writer_consistent(store):
+    """Hammer one stream with a writer thread and reader threads:
+    readers must never see duplicates or out-of-order revisions
+    (the cache-hydration race the threaded API server exposes)."""
+    import threading
+
+    errors = []
+
+    def writer():
+        try:
+            for i in range(40):
+                store.append("u", "hot", minimal_event(f"w-{i}"))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(60):
+                evs = store.query("u", "hot", 0, 1000)
+                revs = [e["_revision"] for e in evs]
+                assert revs == sorted(set(revs)), f"dup/out-of-order: {revs}"
+                assert revs == list(range(len(revs))), f"gap: {revs}"
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [threading.Thread(target=reader) for _ in range(3)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors, errors
+    assert store.revision("u", "hot") == 40
