@@ -211,7 +211,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("|", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
             for b in range(N_MINHASH // 2)
         ],
-    )
+    ).localCheckpoint()  # feeds 2×4 join branches — materialize the
+    # shingle→minhash pipeline ONCE instead of 8 recomputations
     pair_frames = []
     for b in range(N_MINHASH // 2):
         a, c = bands.alias("a"), bands.alias("c")
@@ -386,6 +387,44 @@ ORDER BY drop_doc
 """
 
 
+# above this many candidate edges, connected components runs as
+# distributed label propagation; below, driver-side union-find (the
+# graph is node-count-bounded by 2×edges, so this bounds driver memory)
+_CC_DRIVER_MAX = 2_000_000
+
+
+def _cc_driver_side(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Union-find over a driver-collected edge list; returns the same
+    (cluster_keeper, n_members, max_doc_id) frame as the distributed
+    path. Path-compressed, union-by-min so the root IS the keeper."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.collect():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # union by min → root = min doc_id
+    clusters: dict[int, list[int]] = {}
+    for node in parent:
+        clusters.setdefault(find(node), []).append(node)
+    rows = [
+        (root, len(members), max(members))
+        for root, members in clusters.items()
+        if len(members) > 1
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "cluster_keeper bigint, n_members bigint, max_doc_id bigint"
+    )
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     LSH candidate-pair graph — the step that turns pairwise candidates
@@ -400,6 +439,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nest. Near-dup graphs are overwhelmingly tiny components, so this
     converges in 2-4 supersteps regardless of corpus size.
 
+    Size-adaptive execution, the same policy Catalyst applies to join
+    sides: the candidate-pair graph is a tiny fraction of the corpus
+    (only near-dup docs appear), so when it fits comfortably on the
+    driver (< _CC_DRIVER_MAX edges) union-find solves it there in one
+    pass — supersteps' per-job latency would dominate otherwise. Above
+    the threshold, distributed min-label propagation runs; identical
+    output either way (both compute min-node-id per component).
+
     The oracle computes the same fixpoint as a recursive CTE —
     checking an iterative distributed algorithm against a declarative
     one."""
@@ -408,6 +455,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .localCheckpoint()  # materialize ONCE — supersteps must not recompute LSH
     )
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_MAX:
+        return _cc_driver_side(spark, edges)
     labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

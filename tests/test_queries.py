@@ -86,3 +86,16 @@ def test_lsh_recall_against_ground_truth(spark):
     if true_pairs:
         recall_all = len(set(true_pairs) & cands) / len(true_pairs)
         assert recall_all >= 0.5, f"overall recall {recall_all}"
+
+
+def test_cc_distributed_path_matches_driver_path(spark, monkeypatch):
+    """dedup_connected_components picks driver-side union-find for
+    small candidate graphs; force the distributed label-propagation
+    path and require identical clusters."""
+    from hematite_spark.queries import dedup
+
+    small = dedup.dedup_connected_components(spark, SF_DIR).collect()
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX", -1)
+    dist = dedup.dedup_connected_components(spark, SF_DIR).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, dist))
+    assert len(small) > 0  # non-trivial at sf0.001
