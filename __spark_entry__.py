@@ -31,6 +31,7 @@ from hematite_spark.queries import (
     dedup,
     eventstore,
     multimodal,
+    pipeline,
     relational,
     sampling,
     similarity,
@@ -123,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_stats": multimodal.multimodal_binary_stats,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        # C-series: the operators composed end-to-end
+        "corpus_pipeline": pipeline.corpus_pipeline,
     }
 
 
@@ -196,5 +199,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,
         "multimodal_frame_sample": multimodal.MULTIMODAL_FRAMES_SQL,
+        "corpus_pipeline": pipeline.PIPELINE_SQL,
         # multimodal_features: pandas-UDF stub features — rows-only check
     }
