@@ -437,10 +437,22 @@ class EventStore:
         if not self._stream_exists(user_id, stream_id):
             raise StreamNotFound(f"{user_id}/{stream_id}")
 
-    def read_df(self, user_id: str, stream_id: str) -> DataFrame:
-        """The stream as a Spark DataFrame (partition-pruned scan)."""
+    def read_df(
+        self, user_id: str, stream_id: str, until_revision: int | None = None
+    ) -> DataFrame:
+        """The stream as a Spark DataFrame (partition-pruned scan).
+
+        `until_revision` replays the stream to a point in history:
+        only events with revision < n are visible — the event-sourcing
+        time-travel read. Because the log is append-only, this is a
+        pure predicate (monotone data ⇒ every historical state is a
+        prefix), which parquet min/max stats prune to the first files;
+        no snapshot/undo machinery exists or is needed."""
         self._require_stream(user_id, stream_id)
-        return self.spark.read.parquet(self._stream_dir(user_id, stream_id))
+        df = self.spark.read.parquet(self._stream_dir(user_id, stream_id))
+        if until_revision is not None:
+            df = df.where(F.col("revision") < int(until_revision))
+        return df
 
     def query(
         self, user_id: str, stream_id: str, start: int = 0, limit: int = 50

@@ -255,3 +255,15 @@ def test_concurrent_readers_and_writer_consistent(store):
     [t.join() for t in threads]
     assert not errors, errors
     assert store.revision("u", "hot") == 40
+
+
+def test_replay_to_revision(store, spark):
+    """Time-travel read: until_revision=n shows exactly the first n
+    events (append-only log => every historical state is a prefix)."""
+    for i in range(8):
+        store.append("u", "s", minimal_event(f"e-{i}"))
+    df = store.read_df("u", "s", until_revision=5)
+    assert df.count() == 5
+    assert [r.id for r in df.orderBy("revision").collect()] == [f"e-{i}" for i in range(5)]
+    assert store.read_df("u", "s", until_revision=0).count() == 0
+    assert store.read_df("u", "s").count() == 8
