@@ -5,6 +5,7 @@ from hematite_spark.streaming.windows import (
     session_windowed_agg,
     dedup_within_watermark,
     stateful_running_counts,
+    decaying_rate_counts,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "session_windowed_agg",
     "dedup_within_watermark",
     "stateful_running_counts",
+    "decaying_rate_counts",
 ]

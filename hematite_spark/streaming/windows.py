@@ -142,3 +142,67 @@ def stateful_running_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decaying_rate_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_s: float = 3600.0,
+) -> DataFrame:
+    """Exponentially-decayed per-key event rate — a genuinely
+    non-windowed stateful operator (every event contributes forever,
+    discounted by age): the shape used for rate limiting and
+    trending-key detection at ingest.
+
+    State per key: (decayed_count, last_event_us). Each batch decays
+    the carried count to the batch's newest event, then adds the
+    batch's arrivals discounted by their own age against that anchor.
+
+    Built on applyInPandasWithState. Spark 4's successor API
+    (transformWithStateInPandas, typed value state + timers) is a
+    mechanical port of this processor but requires google.protobuf at
+    runtime, which this container lacks — the RocksDB-backed state
+    behavior is identical."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    output_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("decayed_count", T.DoubleType()),
+            T.StructField("last_event_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("decayed", T.DoubleType()), T.StructField("last_us", T.LongType())]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        decayed, last_us = state.get if state.exists else (0.0, None)
+        for pdf in pdfs:
+            us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            batch_max = int(us.max())
+            anchor = batch_max if last_us is None else max(batch_max, last_us)
+            if last_us is not None and anchor > last_us:
+                decayed *= math.pow(2.0, -(anchor - last_us) / 1e6 / half_life_s)
+            decayed += sum(math.pow(2.0, -(anchor - int(u)) / 1e6 / half_life_s) for u in us)
+            last_us = anchor
+        state.update((float(decayed), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "decayed_count": [round(float(decayed), 6)],
+                "last_event_us": [int(last_us)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -17,6 +17,7 @@ from hematite_spark.streaming import (
     session_windowed_agg,
     sliding_windowed_agg,
     stateful_running_counts,
+    decaying_rate_counts,
     stream_append_to_store,
     windowed_counts,
 )
@@ -179,3 +180,19 @@ def test_stateful_running_counts(spark, tmp_path):
     assert got == {1: 4, 2: 1}
     max_ts = {r.user_id: str(r.max_ts) for r in out}
     assert max_ts[1] == "2024-01-01 11:40:00"
+
+
+def test_decaying_rate_counts(spark, tmp_path):
+    """Decayed counter: with all of a key's events in one batch, the
+    count equals the sum of per-event decay factors against the
+    batch's newest event (half-life 1h)."""
+    import math
+
+    base = _events_stream(spark, tmp_path, ROWS)
+    sdf = decaying_rate_counts(base, half_life_s=3600.0)
+    out = {r.user_id: r for r in _run_to_memory(spark, sdf, "decay_counts", mode="update").collect()}
+    # user 1: events at 10:05, 10:20, 10:20(dup), 11:40; anchor 11:40
+    ages_s = [95 * 60, 80 * 60, 80 * 60, 0]
+    expected = sum(math.pow(2.0, -a / 3600.0) for a in ages_s)
+    assert abs(out[1].decayed_count - expected) < 1e-4
+    assert out[2].decayed_count == 1.0  # single event, zero age
