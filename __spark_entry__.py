@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": text.quality_score,
         "text_language_id": text.language_id,
         "text_fingerprint": text.fingerprint,
+        "text_char_entropy": text.char_bigram_entropy,
         # C-series: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": text.QUALITY_SQL,
         "text_language_id": text.LANGUAGE_ID_SQL,
         "text_fingerprint": text.FINGERPRINT_SQL,
+        "text_char_entropy": text.CHAR_ENTROPY_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,

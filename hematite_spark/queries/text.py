@@ -201,3 +201,69 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+def char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the
+    gibberish/boilerplate detector: natural prose sits in a band
+    (~3-4 bits), keyboard mash and repeated templates fall out of it.
+    Pure column algebra: explode positions → count bigrams → plug
+    counts into -Σ p·log2 p. One explode + two aggregates; entropy
+    math is identical in DuckDB so values match bit-for-bit after
+    rounding. Reported per language (avg/min/max) to keep the result
+    compact."""
+    docs = load_table(spark, "documents", sf_dir)
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 1)),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "lang", "bg").agg(F.count("*").alias("n"))
+    ent = (
+        counts.groupBy("doc_id", "lang")
+        .agg(
+            (
+                -F.sum(F.col("n") * F.log2(F.col("n")))
+                / F.sum("n")
+                + F.log2(F.sum("n"))
+            ).alias("h")
+        )
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, greatest(length(text) - 1, 1)),
+                               i -> substring(text, i, 2))) AS bg
+  FROM documents
+), counts AS (
+  SELECT doc_id, lang, bg, count(*) AS n
+  FROM bigrams GROUP BY doc_id, lang, bg
+), ent AS (
+  SELECT doc_id, lang,
+         -sum(n * log2(n)) / sum(n) + log2(sum(n)) AS h
+  FROM counts GROUP BY doc_id, lang)
+SELECT lang, count(*) AS n_docs,
+       round(avg(h), 4) AS avg_entropy,
+       round(min(h), 4) AS min_entropy,
+       round(max(h), 4) AS max_entropy
+FROM ent
+GROUP BY lang
+ORDER BY lang
+"""
