@@ -163,12 +163,19 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if m := self._R_EVENTS.match(url.path):
             stream_id = unquote(m.group(1))
-            offset = int(q.get("page[offset]", ["0"])[0])
-            limit = min(int(q.get("page[limit]", [str(DEFAULT_LIMIT)])[0]), MAX_LIMIT)
+            try:
+                offset = int(q.get("page[offset]", ["0"])[0])
+                limit = int(q.get("page[limit]", [str(DEFAULT_LIMIT)])[0])
+            except ValueError as exc:
+                self._error(400, "Bad Request", f"invalid pagination parameter: {exc}")
+                return
+            # clamp like the reference's usize parse + min() (api.rs:271-272)
+            offset = max(offset, 0)
+            limit = min(max(limit, 0), MAX_LIMIT)
             events = store.query(user, stream_id, start=offset, limit=limit)
-            # full page ⇒ immutable (it can never change); partial page
-            # may still grow ⇒ no-cache (api.rs:277-288)
-            cache = IMMUTABLE if len(events) == limit else NO_CACHE
+            # full NON-EMPTY page ⇒ immutable (it can never change);
+            # partial page may still grow ⇒ no-cache (api.rs:277-288)
+            cache = IMMUTABLE if limit > 0 and len(events) == limit else NO_CACHE
             self._send(200, events, {"Cache-Control": cache})
             return
         if m := self._R_STREAM.match(url.path):
@@ -185,6 +192,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
         q = parse_qs(url.query)
+        # drain the body BEFORE any early-exit response: on an
+        # HTTP/1.1 keep-alive connection an unread body would be
+        # parsed as the next request line (connection desync)
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        raw = self.rfile.read(length) if length > 0 else b""
         user = self._user()
         if user is None:
             return
@@ -200,9 +215,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(400, "Bad Request", str(exc))
             return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
-            body = json.loads(self.rfile.read(length))
-        except (ValueError, json.JSONDecodeError) as exc:
+            body = json.loads(raw)
+        except json.JSONDecodeError as exc:
             self._error(400, "Bad Request", f"invalid JSON body: {exc}")
             return
         try:

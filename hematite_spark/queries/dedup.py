@@ -96,7 +96,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∪B| = |A|+|B|-common. Only co-shingled pairs ever materialize;
     the join shuffles on the shingle key so hot shingles are the skew
     risk — AQE skew-join splits those at runtime."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    # localCheckpoint (not cache): materialized once for the self-join
+    # + sizes branches, and released with the plan — cache() would pin
+    # storage for the session lifetime across catalog runs
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -205,10 +208,14 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; downstream, dedup_ngram_jaccard-style verification prunes
     false positives."""
     sigs = _minhash_signatures(spark, sf_dir)
+    # concat (not concat_ws): null signatures — docs too short to
+    # shingle — must yield a NULL band that equi-joins with nothing,
+    # matching the oracle's `mh0 || '|' || mh1`. concat_ws would fold
+    # them all to md5('') and explode into an O(n²) short-doc clique.
     bands = sigs.select(
         "doc_id",
         *[
-            F.md5(F.concat_ws("|", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
             for b in range(N_MINHASH // 2)
         ],
     ).localCheckpoint()  # feeds 2×4 join branches — materialize the
@@ -425,7 +432,9 @@ def _cc_driver_side(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     LSH candidate-pair graph — the step that turns pairwise candidates
     into actual dedup decisions (one keeper per cluster, even when
@@ -449,8 +458,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the same fixpoint as a recursive CTE —
     checking an iterative distributed algorithm against a declarative
-    one."""
-    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    one.
+
+    `pairs` lets callers that already computed the candidate graph
+    (corpus_pipeline) pass it in, so the LSH build — the expensive
+    stage — runs once, not once per consumer."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .localCheckpoint()  # materialize ONCE — supersteps must not recompute LSH

@@ -8,9 +8,10 @@ treats content as bytes + metadata; only explicit feature-extraction
 steps look inside.
 
 The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic stub (`_fake_decode`) — the Spark-side
-plumbing (schema, Arrow batch shape, partitioning, UDF signatures) is
-real and tested; swapping in PIL/ffmpeg changes one function.
+clearly-marked deterministic stub (the `decode` closure in
+extract_features) — the Spark-side plumbing (schema, Arrow batch
+shape, partitioning, UDF signatures) is real and tested; swapping in
+PIL/ffmpeg changes one function.
 
 Scale: binary payloads stay columnar in parquet; mapInPandas streams
 Arrow record batches, so executor memory is bounded by batch size
@@ -51,26 +52,6 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(content: bytes, modality: str) -> dict:
-    """STUB decode: deterministic pseudo-features derived from the
-    payload hash. A real deployment replaces this with PIL / torchcodec
-    / ffmpeg; everything around it (Arrow batching, schema, partition
-    behavior) is production-shaped.
-
-    Raises NotImplementedError for modalities a real decoder would
-    need codecs for, unless the deterministic-fake path is acceptable
-    (it is for plumbing tests)."""
-    if content is None:
-        raise NotImplementedError(f"no decoder for empty {modality} payload")
-    digest = hashlib.sha256(content).digest()
-    return {
-        "feat_mean": digest[0] / 255.0,
-        "feat_std": digest[1] / 255.0,
-        "decoded_width": 16 + digest[2] % 64,
-        "decoded_height": 16 + digest[3] % 64,
-    }
-
-
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -99,8 +80,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def decode(content: bytes, modality: str) -> dict:
-            # STUB decode (see _fake_decode): deterministic features
-            # from the payload hash; real codecs drop in here
+            # STUB decode: deterministic pseudo-features from the payload
+            # hash; PIL/torchcodec/ffmpeg drop in here on a real deployment
             if content is None:
                 raise NotImplementedError(f"no decoder for empty {modality} payload")
             digest = _hl.sha256(content).digest()
@@ -188,12 +169,15 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_STATS_SQL = """
 SELECT source,
        count(*) AS n_assets,
-       sum(CAST(length(text) AS BIGINT)) AS total_bytes,
+       sum(CAST(strlen(text) AS BIGINT)) AS total_bytes,
        count(DISTINCT md5(text)) AS n_unique
 FROM documents
 GROUP BY source
 ORDER BY source
 """
+# strlen = BYTE length (UTF-8), matching Spark's length(encode(text,
+# 'UTF-8')); DuckDB's length() counts characters and diverges on any
+# non-ASCII text.
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,14 +50,14 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 4: near-dup dedup — drop every clustered doc except its
     # cluster keeper (CC over LSH candidates, computed on the full
     # corpus: candidates among already-dropped docs can still link
-    # survivors, so clustering precedes filtering by design)
-    clusters = dedup_connected_components(spark, sf_dir)
-    # members to drop = every doc in a cluster except the keeper;
-    # cluster membership: keeper..max ids are known only per cluster,
-    # so re-derive membership from the pair graph via the keeper join
+    # survivors, so clustering precedes filtering by design). The LSH
+    # candidate graph is built ONCE (localCheckpoint) and shared by
+    # the clustering and the membership derivation.
     from hematite_spark.queries.dedup import lsh_candidate_pairs
 
-    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    clusters = dedup_connected_components(spark, sf_dir, pairs=pairs)
+    # members to drop = every doc in a cluster except the keeper
     drop = (
         pairs.select(F.col("doc_b").alias("doc_id"))
         .union(pairs.select(F.col("doc_a").alias("doc_id")))

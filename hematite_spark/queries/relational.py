@@ -667,8 +667,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "value",
+        # compare in MICROS: cast('long') truncates to seconds while
+        # the oracle's epoch() keeps fractions — near the 1800 s
+        # boundary the truncated gap can disagree with the real one
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1800 * 1_000_000, 1
         )
         .otherwise(0)
         .alias("new_session"),
@@ -690,7 +693,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (

@@ -67,7 +67,7 @@ SELECT source,
 FROM (
   SELECT source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS re_tokens,
          CAST(length(text) AS BIGINT) AS n_chars
   FROM documents)
 GROUP BY source

@@ -115,9 +115,12 @@ def stateful_running_counts(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    # key column name/type follow key_col — hardcoding LongType
+    # "user_id" would crash (Arrow type error) for string keys
+    key_type = df.schema[key_col].dataType
     output_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(key_col, key_type),
             T.StructField("n_events", T.LongType()),
             T.StructField("max_ts", T.TimestampType()),
         ]
@@ -133,7 +136,7 @@ def stateful_running_counts(
             batch_max = pdf[ts_col].max()
             max_ts = batch_max if max_ts is None or batch_max > max_ts else max_ts
         state.update((count, max_ts))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count], "max_ts": [max_ts]})
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [count], "max_ts": [max_ts]})
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
@@ -169,9 +172,10 @@ def decaying_rate_counts(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    key_type = df.schema[key_col].dataType
     output_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(key_col, key_type),
             T.StructField("decayed_count", T.DoubleType()),
             T.StructField("last_event_us", T.LongType()),
         ]
@@ -193,7 +197,7 @@ def decaying_rate_counts(
         state.update((float(decayed), int(last_us)))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "decayed_count": [round(float(decayed), 6)],
                 "last_event_us": [int(last_us)],
             }

@@ -99,3 +99,26 @@ def test_cc_distributed_path_matches_driver_path(spark, monkeypatch):
     dist = dedup.dedup_connected_components(spark, SF_DIR).collect()
     assert sorted(map(tuple, small)) == sorted(map(tuple, dist))
     assert len(small) > 0  # non-trivial at sf0.001
+
+
+def test_lsh_no_spurious_pairs_for_short_docs(spark, tmp_path):
+    """Docs too short to shingle (<3 words) have all-NULL minhash
+    signatures; their band keys must be NULL (join with nothing), not
+    a shared md5('') clique. Regression for concat_ws vs concat."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hematite_spark.queries.dedup import lsh_candidate_pairs
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": ["hi", "yo", 
+                 "the quick brown fox jumps over the lazy dog today",
+                 "the quick brown fox jumps over the lazy dog today"],
+        "lang": ["en"] * 4,
+        "source": ["t"] * 4,
+        "n_chars": [2, 2, 49, 49],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) not in pairs  # short docs must NOT pair up
+    assert (3, 4) in pairs  # identical long docs must
