@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B-series depth: subquery shapes, grouping sets, stats, frames
         "q4_exists_late_orders": advanced.q4_exists_late_orders,
         "q7_nation_trade_volume": advanced.q7_nation_trade_volume,
+        "q8_market_share": advanced.q8_market_share,
         "q14_promo_revenue": advanced.q14_promo_revenue,
         "q17_small_quantity_revenue": advanced.q17_small_quantity_revenue,
         "q18_large_volume_customers": advanced.q18_large_volume_customers,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": relational.SESSIONIZE_SQL,
         "q4_exists_late_orders": advanced.Q4_EXISTS_SQL,
         "q7_nation_trade_volume": advanced.Q7_TRADE_SQL,
+        "q8_market_share": advanced.Q8_SHARE_SQL,
         "q14_promo_revenue": advanced.Q14_PROMO_SQL,
         "q17_small_quantity_revenue": advanced.Q17_SCALAR_SQL,
         "q18_large_volume_customers": advanced.Q18_IN_SQL,
