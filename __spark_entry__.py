@@ -205,6 +205,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,
         "multimodal_frame_sample": multimodal.MULTIMODAL_FRAMES_SQL,
+        "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "corpus_pipeline": pipeline.PIPELINE_SQL,
-        # multimodal_features: pandas-UDF stub features — rows-only check
     }

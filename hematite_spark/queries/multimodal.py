@@ -181,9 +181,11 @@ ORDER BY source
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pandas-UDF feature pipeline as a catalog query (rows-only
-    check: the stub features aren't SQL-expressible, but counts and
-    schema are pinned by tests)."""
+    """Full pandas-UDF feature pipeline as a catalog query. The stub
+    features are sha256-derived, and DuckDB implements sha256 — so
+    even the Python-side decode path is value-checked end-to-end: the
+    oracle recomputes feat_mean (first digest byte / 255) from the
+    hex digest with strpos arithmetic."""
     feats = extract_features(assets_from_documents(spark, sf_dir))
     return (
         feats.groupBy("modality")
@@ -194,6 +196,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT 'text' AS modality, count(*) AS n_assets,
+       round(avg(((strpos('0123456789abcdef', sha256(text)[1]) - 1) * 16
+                + (strpos('0123456789abcdef', sha256(text)[2]) - 1)) / 255.0), 6)
+         AS avg_feat_mean,
+       round(avg(strlen(text)), 4) AS avg_bytes
+FROM documents
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
