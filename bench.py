@@ -57,9 +57,12 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        # noop write materializes EVERY output column — count() would
+        # let Catalyst prune projection-only work (incl. pandas UDFs)
+        # and time a bare scan instead of the operator
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     # Reference-SLO micro-latencies (BASELINE.md: k6 p95 < 50 ms for
     # single-event append and positional point read). Driver-side OLTP

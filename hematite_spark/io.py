@@ -60,14 +60,39 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
 
 
+_ENVELOPE_ATTRS = (
+    "specversion",
+    "id",
+    "source",
+    "type",
+    "subject",
+    "datacontenttype",
+    "dataschema",
+    "time",
+    "data",
+    "data_base64",
+)
+
+
 def read_cloudevents_ndjson(spark: SparkSession, path: str) -> DataFrame:
-    """Ingest CloudEvents NDJSON (the reference's on-disk/wire format)."""
-    from hematite_spark.schema import CLOUDEVENTS_SCHEMA
+    """Ingest CloudEvents NDJSON (the reference's on-disk/wire format).
 
-    wire_fields = [f for f in CLOUDEVENTS_SCHEMA.fields if f.name not in ("user_id", "stream_id", "revision", "ingest_time")]
-    from pyspark.sql import types as T
+    Parses each line as a map so EXTENSION attributes — top-level on
+    the wire, per the CloudEvents JSON format — survive into the
+    `extensions` column (a fixed-schema read would silently drop
+    them). Values arrive as strings (JSON objects/arrays keep their
+    raw JSON text); `data` keeps its raw JSON form."""
+    from pyspark.sql import functions as F
 
-    return spark.read.schema(T.StructType(wire_fields)).json(path)
+    lines = spark.read.text(path).where(F.length("value") > 0)
+    m = F.from_json(F.col("value"), "map<string,string>")
+    return lines.select(
+        m.alias("m")
+    ).select(
+        *[F.col("m").getItem(k).alias(k) for k in _ENVELOPE_ATTRS if k != "time"],
+        F.to_timestamp(F.col("m").getItem("time")).alias("time"),
+        F.map_filter("m", lambda k, _: ~k.isin(*_ENVELOPE_ATTRS)).alias("extensions"),
+    )
 
 
 def events_to_ndjson_lines(df: DataFrame) -> DataFrame:
@@ -76,29 +101,44 @@ def events_to_ndjson_lines(df: DataFrame) -> DataFrame:
     `line STRING` per event, computed entirely JVM-side.
 
     `data` is stored as a raw JSON string so it must be spliced into
-    the envelope verbatim (as a JSON *value*, not a quoted string);
-    extension attributes are hoisted from the map to top level, per
+    the envelope verbatim (as a JSON *value*, not a quoted string),
+    and extension values are stored as JSON literals, so they splice
+    the same way — preserving scalar types on the wire (ext names are
+    spec-restricted to [a-z0-9]{1,20}, so keys need no escaping).
+    Extension attributes are hoisted from the map to top level, per
     the CloudEvents JSON format. `to_json` drops null optional
-    attributes, matching the wire form."""
+    attributes, matching the wire form; timestamps render at full
+    microsecond precision (to_json's default truncates to ms)."""
     from pyspark.sql import functions as F
 
     envelope = F.to_json(
         F.struct(
             "specversion", "id", "source", "type", "subject", "datacontenttype", "dataschema", "time"
-        )
+        ),
+        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
     )
     # "{...}" -> "{...,"data":<raw>}" splices; each is a no-op when null
     line = F.substring(envelope, 1, F.length(envelope) - F.lit(1))
-    ext_json = F.to_json(F.col("extensions"))
+    ext_pairs = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_entries(F.col("extensions")),
+            lambda e: F.concat(F.lit('"'), e["key"], F.lit('":'), e["value"]),
+        ),
+    )
     line = F.concat(
         line,
         F.when(
             F.col("extensions").isNotNull() & (F.size(F.col("extensions")) > 0),
-            F.concat(F.lit(","), F.substring(ext_json, 2, F.length(ext_json) - F.lit(2))),
+            F.concat(F.lit(","), ext_pairs),
         ).otherwise(F.lit("")),
         F.when(F.col("data").isNotNull(), F.concat(F.lit(',"data":'), F.col("data"))).otherwise(
             F.lit("")
         ),
+        F.when(
+            F.col("data_base64").isNotNull(),
+            F.concat(F.lit(',"data_base64":"'), F.col("data_base64"), F.lit('"')),
+        ).otherwise(F.lit("")),
         F.lit("}"),
     )
     return df.select(line.alias("line"))

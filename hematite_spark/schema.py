@@ -28,7 +28,8 @@ CLOUDEVENTS_SCHEMA = T.StructType(
         T.StructField("datacontenttype", T.StringType(), True),
         T.StructField("dataschema", T.StringType(), True),
         T.StructField("time", T.TimestampType(), True),
-        T.StructField("data", T.StringType(), True),  # raw JSON value / base64 payload
+        T.StructField("data", T.StringType(), True),  # raw JSON value
+        T.StructField("data_base64", T.StringType(), True),  # base64 binary payload
         T.StructField("extensions", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("ingest_time", T.TimestampType(), False),  # arrival-order authority
     ]

@@ -53,7 +53,7 @@ import threading
 import time
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import Any, Iterable
+from typing import Any, ClassVar, Iterable
 
 import pyarrow as pa
 import pyarrow.dataset as pa_ds
@@ -106,9 +106,11 @@ class ExpectedRevision:
     kind: str
     exact: int | None = None
 
-    ANY: "ExpectedRevision" = None  # type: ignore[assignment]
-    NO_STREAM: "ExpectedRevision" = None  # type: ignore[assignment]
-    STREAM_EXISTS: "ExpectedRevision" = None  # type: ignore[assignment]
+    # ClassVar: plain annotations would become dataclass instance
+    # fields (polluting __init__/eq and shadowing the sentinels)
+    ANY: ClassVar["ExpectedRevision"] = None  # type: ignore[assignment]
+    NO_STREAM: ClassVar["ExpectedRevision"] = None  # type: ignore[assignment]
+    STREAM_EXISTS: ClassVar["ExpectedRevision"] = None  # type: ignore[assignment]
 
     @staticmethod
     def exact_at(n: int) -> "ExpectedRevision":
@@ -179,6 +181,13 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("dataschema", pa.string()),
         pa.field("time", pa.timestamp("us", tz="UTC")),
         pa.field("data", pa.string()),
+        # binary payloads keep their CloudEvents identity: data and
+        # data_base64 are distinct attributes on the wire and in the
+        # store (conflating them made base64 events unreadable —
+        # json.loads of raw base64 text on every read)
+        pa.field("data_base64", pa.string()),
+        # extension VALUES are stored as JSON literals (json.dumps,
+        # strings included) so scalar types survive the round trip
         pa.field("extensions", pa.map_(pa.string(), pa.string())),
         pa.field("ingest_time", pa.timestamp("us", tz="UTC")),
     ]
@@ -290,12 +299,31 @@ class EventStore:
         key = (user_id, stream_id)
         ranges = self._ranges.get(key)
         if ranges is None:
-            ranges = []
-            start = 0
+            # start revision is authoritative from the filename
+            # (part-{start:012d}-{seq}); rows from the footer
+            entries = []
             for path in self._parquet_files(*key):
+                start = int(os.path.basename(path).split("-")[1])
                 n = pq.ParquetFile(path).metadata.num_rows
-                ranges.append((path, start, n))
-                start += n
+                entries.append((path, start, n))
+            # reconcile an interrupted compaction (crash between the
+            # compacted file's rename and the old files' removal):
+            # a file fully covered by a LARGER file is a stale
+            # pre-compaction leftover — finish the cleanup here
+            stale = {
+                e[0]
+                for e in entries
+                if any(
+                    o[0] != e[0] and o[1] <= e[1] and o[1] + o[2] >= e[1] + e[2] and o[2] > e[2]
+                    for o in entries
+                )
+            }
+            for path in stale:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            ranges = sorted((e for e in entries if e[0] not in stale), key=lambda e: e[1])
             self._ranges[key] = ranges
         return ranges
 
@@ -406,27 +434,22 @@ class EventStore:
         cols: dict[str, list] = {name: [] for name in _ARROW_SCHEMA.names}
         for i, ev in enumerate(batch):
             data = ev.get("data")
-            if data is None and "data_base64" in ev:
-                data_str = str(ev["data_base64"])
-                dct = ev.get("datacontenttype")
-            else:
-                data_str = None if data is None else json.dumps(data, sort_keys=True)
-                dct = ev.get("datacontenttype")
-            ext = {
-                k: json.dumps(v) if not isinstance(v, str) else v
-                for k, v in ev.items()
-                if k not in _KNOWN_ATTRS
-            }
+            data_str = None if data is None else json.dumps(data, sort_keys=True)
+            b64 = ev.get("data_base64")
+            # all extension values as JSON literals → scalar types
+            # (int/bool/float) survive storage and export verbatim
+            ext = {k: json.dumps(v) for k, v in ev.items() if k not in _KNOWN_ATTRS}
             cols["revision"].append(start_revision + i)
             cols["specversion"].append(str(ev["specversion"]))
             cols["id"].append(str(ev["id"]))
             cols["source"].append(str(ev["source"]))
             cols["type"].append(str(ev["type"]))
             cols["subject"].append(ev.get("subject"))
-            cols["datacontenttype"].append(dct)
+            cols["datacontenttype"].append(ev.get("datacontenttype"))
             cols["dataschema"].append(ev.get("dataschema"))
             cols["time"].append(_parse_time(ev.get("time")))
             cols["data"].append(data_str)
+            cols["data_base64"].append(None if b64 is None else str(b64))
             cols["extensions"].append(list(ext.items()) if ext else None)
             cols["ingest_time"].append(ingest_time)
         return cols
@@ -521,8 +544,10 @@ class EventStore:
                 ev["time"] = row["time"].isoformat().replace("+00:00", "Z")
             if row["data"] is not None:
                 ev["data"] = json.loads(row["data"])
+            if row["data_base64"] is not None:
+                ev["data_base64"] = row["data_base64"]
             if row["extensions"]:
-                ev.update(dict(row["extensions"]))
+                ev.update({k: json.loads(v) for k, v in dict(row["extensions"]).items()})
             ev["_revision"] = row["revision"]
             out.append(ev)
         return out
@@ -548,8 +573,14 @@ class EventStore:
                     continue
                 files = [p for p, _, _ in ranges]
                 revision = sum(n for _, _, n in ranges)
-                usage = sum(os.path.getsize(p) for p in files)
-                last_modified = int(max(os.path.getmtime(p) for p in files))
+                try:
+                    usage = sum(os.path.getsize(p) for p in files)
+                    last_modified = int(max(os.path.getmtime(p) for p in files))
+                except FileNotFoundError:
+                    # concurrent delete/compaction swapped the files
+                    # out from under the stat — skip this stream
+                    self._invalidate(user_id, sid)
+                    continue
                 result.append(
                     {
                         "id": sid,
@@ -571,12 +602,18 @@ class EventStore:
         self._require_stream(user_id, stream_id)
         ranges = self._snapshot_ranges(user_id, stream_id)
         files = [p for p, _, _ in ranges]
-        return {
-            "id": stream_id,
-            "revision": sum(n for _, _, n in ranges),
-            "last_modified": int(max(os.path.getmtime(p) for p in files)),
-            "usage": sum(os.path.getsize(p) for p in files),
-        }
+        try:
+            if not files:
+                raise FileNotFoundError(stream_id)
+            return {
+                "id": stream_id,
+                "revision": sum(n for _, _, n in ranges),
+                "last_modified": int(max(os.path.getmtime(p) for p in files)),
+                "usage": sum(os.path.getsize(p) for p in files),
+            }
+        except FileNotFoundError:
+            self._invalidate(user_id, stream_id)
+            raise StreamNotFound(f"{user_id}/{stream_id}") from None
 
     def delete_stream(self, user_id: str, stream_id: str) -> bool:
         """Drop the stream's partition (reference server.rs:250-261).
@@ -613,13 +650,24 @@ class EventStore:
             ds = pa_ds.dataset(files, format="parquet")
             t = ds.to_table().sort_by("revision")
             d = self._stream_dir(user_id, stream_id)
-            self._seq += 1
+            # the compacted name must not collide with ANY source file
+            # (a fresh instance's _seq can repeat an on-disk seq; the
+            # rename would overwrite a source and the removal loop
+            # would then delete the compacted file): derive the seq
+            # from the directory, past the largest existing one
+            max_seq = max(int(os.path.basename(f).rsplit("-", 1)[1].split(".")[0]) for f in files)
+            self._seq = max(self._seq, max_seq) + 1
             fname = f"part-{0:012d}-{self._seq:06d}.parquet"
             tmp = os.path.join(d, f".{fname}.tmp")
             pq.write_table(t, tmp, compression="zstd")
-            for f in files:
-                os.remove(f)
+            # crash-atomic ordering: publish the compacted file FIRST,
+            # then remove the sources. A crash in between leaves
+            # duplicates, which _file_ranges reconciles (covered-file
+            # cleanup); remove-first would lose the stream entirely.
             final = os.path.join(d, fname)
             os.rename(tmp, final)
+            for f in files:
+                if f != final:  # never remove the file just published
+                    os.remove(f)
             self._ranges[(user_id, stream_id)] = [(final, 0, t.num_rows)]
             return len(files)

@@ -50,3 +50,42 @@ def test_ndjson_export_reingest_roundtrip(store, spark, tmp_path):
     assert rows["ev-7"].source == "https://example.test/src"
     assert json.loads(rows["ev-7"].data) == {"i": 7, "nested": {"ok": True}, "arr": [1, 2, 3]}
     assert rows["ev-7"].subject == "sub-7"
+
+
+def test_ndjson_reingest_preserves_extensions(store, spark, tmp_path):
+    """Wire extensions are top-level attributes; re-ingest must fold
+    them back into the extensions map, not drop them."""
+    store.append("u1", "s1", [_full_event(i) for i in range(3)])
+    out = str(tmp_path / "export")
+    write_cloudevents_ndjson(store.read_df("u1", "s1"), out)
+    back = {r.id: r for r in read_cloudevents_ndjson(spark, out).collect()}
+    # from_json's map read decodes JSON string literals to their value
+    assert back["ev-1"].extensions["traceid"] == "trace-1"
+    # microsecond time precision survives the wire
+    assert back["ev-1"].time.isoformat().startswith("2024-06-01T12:00:00")
+
+
+def test_data_base64_roundtrip_and_export(store, spark, tmp_path):
+    """Binary payloads keep their data_base64 identity through store,
+    read, and wire export (regression: base64 used to be stored in
+    `data` and crashed every read with a JSON decode error)."""
+    ev = {"specversion": "1.0", "id": "bin-1", "source": "t", "type": "x",
+          "data_base64": "AAECAwQ=", "datacontenttype": "application/octet-stream"}
+    store.append("u1", "bin", ev)
+    got = store.get_event("u1", "bin", 0)
+    assert got["data_base64"] == "AAECAwQ=" and "data" not in got
+    out = str(tmp_path / "export")
+    write_cloudevents_ndjson(store.read_df("u1", "bin"), out)
+    (line,) = [r.line for r in spark.read.text(out).where("length(value)>0").selectExpr("value AS line").collect()]
+    parsed = json.loads(line)
+    assert parsed["data_base64"] == "AAECAwQ=" and "data" not in parsed
+
+
+def test_extension_scalar_types_roundtrip(store):
+    """Integer/bool extension values keep their types through the
+    store (JSON-literal encoding) instead of degrading to strings."""
+    ev = {"specversion": "1.0", "id": "x-1", "source": "t", "type": "x",
+          "count": 5, "flag": True, "label": "plain"}
+    store.append("u1", "s", ev)
+    got = store.get_event("u1", "s", 0)
+    assert got["count"] == 5 and got["flag"] is True and got["label"] == "plain"

@@ -267,3 +267,31 @@ def test_replay_to_revision(store, spark):
     assert [r.id for r in df.orderBy("revision").collect()] == [f"e-{i}" for i in range(5)]
     assert store.read_df("u", "s", until_revision=0).count() == 0
     assert store.read_df("u", "s").count() == 8
+
+
+def test_interrupted_compaction_recovers(store):
+    """Crash between the compacted file's rename and the source
+    removals leaves duplicates; hydration must reconcile (keep the
+    covering file, drop the covered ones) with no data loss or dup."""
+    import os
+
+    from hematite_spark.store import EventStore
+
+    for i in range(9):
+        store.append("u", "s", minimal_event(f"e-{i}"))
+    d = store._stream_dir("u", "s")
+    files_before = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    # simulate: compaction wrote+renamed its file but crashed before
+    # removing sources — write the compacted file alongside the originals
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+
+    t = pa_ds.dataset([os.path.join(d, f) for f in files_before], format="parquet").to_table().sort_by("revision")
+    pq.write_table(t, os.path.join(d, "part-000000000000-999999.parquet"), compression="zstd")
+    cold = EventStore(None, store.root)  # fresh hydration sees duplicates
+    evs = cold.query("u", "s", 0, 100)
+    assert [e["id"] for e in evs] == [f"e-{i}" for i in range(9)]
+    assert cold.revision("u", "s") == 9
+    # stale covered files were cleaned up
+    left = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert left == ["part-000000000000-999999.parquet"]
