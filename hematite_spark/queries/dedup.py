@@ -1,5 +1,6 @@
 """Deduplication operators (SURVEY.md §2 C): exact, n-gram Jaccard,
-MinHash/LSH, SimHash — the LLM-corpus dedup toolkit.
+MinHash/LSH, SimHash, embedding-cosine, and transitive clustering
+(connected components) — the LLM-corpus dedup toolkit.
 
 Scale design: every variant avoids the O(n²) all-pairs trap.
 * exact     — one hash-aggregate on md5(normalized text);
