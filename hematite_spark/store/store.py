@@ -235,9 +235,19 @@ class EventStore:
     """Multi-tenant append-only CloudEvents store over a partitioned
     parquet table."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, auto_compact_files: int | None = None
+    ):
+        """`auto_compact_files`: when set, an append that leaves a
+        stream with at least this many files triggers an inline
+        compaction under the same stream lock — appends stay O(batch)
+        amortized while reads stay bounded at O(threshold) files. At
+        cluster scale this becomes the async compaction job; inline
+        is the single-node policy (matching the reference's
+        single-node envelope)."""
         self.spark = spark
         self.root = root
+        self.auto_compact_files = auto_compact_files
         os.makedirs(root, exist_ok=True)
         self._locks: dict[tuple[str, str], threading.RLock] = {}
         self._locks_guard = threading.Lock()
@@ -401,6 +411,11 @@ class EventStore:
                 (str(e["source"]), str(e["id"])) for e in batch
             )
             self._file_ranges(user_id, stream_id).append((final, current, len(batch)))
+            if (
+                self.auto_compact_files is not None
+                and len(self._ranges[(user_id, stream_id)]) >= self.auto_compact_files
+            ):
+                self.compact_stream(user_id, stream_id)  # RLock: reentrant
             return new_rev
 
     def _source_ids(self, user_id: str, stream_id: str) -> set[tuple[str, str]]:

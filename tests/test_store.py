@@ -295,3 +295,21 @@ def test_interrupted_compaction_recovers(store):
     # stale covered files were cleaned up
     left = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
     assert left == ["part-000000000000-999999.parquet"]
+
+
+def test_auto_compaction_bounds_file_count(spark, tmp_path):
+    """auto_compact_files keeps per-stream file counts bounded while
+    appends continue; data stays intact across the compactions."""
+    import os
+
+    from hematite_spark.store import EventStore
+
+    store = EventStore(spark, str(tmp_path / "ac"), auto_compact_files=8)
+    for i in range(30):
+        store.append("u", "s", minimal_event(f"e-{i}"))
+    d = store._stream_dir("u", "s")
+    n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_files < 8
+    assert store.revision("u", "s") == 30
+    assert [e["id"] for e in store.query("u", "s", 0, 100)] == [f"e-{i}" for i in range(30)]
+    assert store.get_event("u", "s", 29)["id"] == "e-29"
