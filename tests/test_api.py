@@ -123,3 +123,43 @@ def test_error_table(api):
     _req(api, "POST", "/streams/s/events", EV(0))
     assert _req(api, "POST", "/streams/s/events", EV(0))[0] == 409
     assert _req(api, "GET", "/bogus/route")[0] == 404
+
+
+def test_keepalive_survives_error_paths(api):
+    """POST bodies are drained before early-exit responses, so an
+    HTTP/1.1 keep-alive connection stays usable after 401/400 —
+    undrained bytes would be parsed as the next request line."""
+    import http.client
+
+    host, port = api.server_address
+    conn = http.client.HTTPConnection(host, port)
+    try:
+        body = json.dumps(EV(0))
+        # 401 with a body, same socket must stay in sync
+        conn.request("POST", "/streams/s/events", body=body)
+        r = conn.getresponse(); r.read()
+        assert r.status == 401
+        conn.request("GET", "/health")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read()) == {"status": "pass"}
+        # 400 (bad expected_revision) with a body, same socket again
+        conn.request("POST", "/streams/s/events?expected_revision=zz", body=body,
+                     headers={"Authorization": f"Bearer {_token('user-1')}"})
+        r = conn.getresponse(); r.read()
+        assert r.status == 400
+        conn.request("GET", "/health")
+        r = conn.getresponse(); r.read()
+        assert r.status == 200
+    finally:
+        conn.close()
+
+
+def test_pagination_validation_and_clamps(api):
+    _req(api, "POST", "/streams/s/events", [EV(i) for i in range(3)])
+    assert _req(api, "GET", "/streams/s/events?page[offset]=abc")[0] == 400
+    assert _req(api, "GET", "/streams/s/events?page[limit]=x")[0] == 400
+    status, headers, page = _req(api, "GET", "/streams/s/events?page[limit]=0")
+    assert status == 200 and page == []
+    assert headers["Cache-Control"] == "no-cache"  # empty page is NOT immutable
+    status, _, page = _req(api, "GET", "/streams/s/events?page[offset]=-5&page[limit]=-1")
+    assert status == 200 and page == []
