@@ -144,6 +144,22 @@ def events_to_ndjson_lines(df: DataFrame) -> DataFrame:
     return df.select(line.alias("line"))
 
 
+def write_bucketed_table(
+    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 32, sort_col: str | None = None
+) -> None:
+    """Persist a DataFrame hash-bucketed (and optionally sorted) on a
+    join key. Two tables bucketed the same way join WITHOUT a shuffle
+    (Catalyst sees the co-partitioning from the catalog), which is the
+    100 TB strategy for repeated fact-fact joins: pay one shuffle at
+    write time, amortize it over every subsequent join. Spark's
+    bucketing requires saveAsTable (bucket metadata lives in the
+    catalog, not the files)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+
+
 def write_cloudevents_ndjson(df: DataFrame, path: str, order_by: str = "revision") -> None:
     """Export events as CloudEvents NDJSON — the wire/export parity
     sink. Distributed text write; within-file ordering follows

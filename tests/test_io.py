@@ -81,6 +81,30 @@ def test_data_base64_roundtrip_and_export(store, spark, tmp_path):
     assert parsed["data_base64"] == "AAECAwQ=" and "data" not in parsed
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """write_bucketed_table is the 100 TB fact-fact join strategy:
+    both sides bucketed on the key join with NO shuffle exchange —
+    Catalyst reads the co-partitioning from the catalog."""
+    from hematite_spark.io import write_bucketed_table
+
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed_table(a, "bt_a", "k", n_buckets=4, sort_col="k")
+    write_bucketed_table(b, "bt_b", "k", n_buckets=4, sort_col="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        rows = joined.selectExpr("sum(va + vb) AS s").collect()
+        assert rows[0].s == sum(2 * i + 3 * i for i in range(1000))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_extension_scalar_types_roundtrip(store):
     """Integer/bool extension values keep their types through the
     store (JSON-literal encoding) instead of degrading to strings."""
