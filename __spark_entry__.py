@@ -36,6 +36,7 @@ from hematite_spark.queries import (
     sampling,
     similarity,
     text,
+    tpch_shapes,
     udf,
 )
 
@@ -94,6 +95,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted_twophase": advanced.agg_salted_twophase,
         "window_range_moving_avg": advanced.window_range_moving_avg,
         "window_rank_suite": advanced.window_rank_suite,
+        # B-series: remaining TPC-H shapes (full 22-shape coverage)
+        "q2_min_cost_supplier": tpch_shapes.q2_min_cost_supplier,
+        "q9_product_profit": tpch_shapes.q9_product_profit,
+        "q11_important_parts": tpch_shapes.q11_important_parts,
+        "q12_late_shipment_priority": tpch_shapes.q12_late_shipment_priority,
+        "q13_customer_order_distribution": tpch_shapes.q13_customer_order_distribution,
+        "q15_top_supplier": tpch_shapes.q15_top_supplier,
+        "q16_supplier_part_count": tpch_shapes.q16_supplier_part_count,
+        "q20_part_promotion": tpch_shapes.q20_part_promotion,
+        "q21_waiting_suppliers": tpch_shapes.q21_waiting_suppliers,
         # B-series: UDF extension points + sketch aggregates
         "udaf_geometric_mean": udf.udaf_geometric_mean,
         "udtf_bigrams": udf.udtf_bigrams,
@@ -178,6 +189,15 @@ def oracle_sql() -> dict[str, str]:
         "agg_salted_twophase": advanced.AGG_SALTED_SQL,
         "window_range_moving_avg": advanced.WINDOW_RANGE_SQL,
         "window_rank_suite": advanced.WINDOW_RANK_SQL,
+        "q2_min_cost_supplier": tpch_shapes.Q2_MINCOST_SQL,
+        "q9_product_profit": tpch_shapes.Q9_PROFIT_SQL,
+        "q11_important_parts": tpch_shapes.Q11_IMPORTANT_SQL,
+        "q12_late_shipment_priority": tpch_shapes.Q12_LATE_SQL,
+        "q13_customer_order_distribution": tpch_shapes.Q13_DIST_SQL,
+        "q15_top_supplier": tpch_shapes.Q15_TOP_SQL,
+        "q16_supplier_part_count": tpch_shapes.Q16_COUNT_SQL,
+        "q20_part_promotion": tpch_shapes.Q20_PROMO_SQL,
+        "q21_waiting_suppliers": tpch_shapes.Q21_WAITING_SQL,
         "udaf_geometric_mean": udf.UDAF_GEOMEAN_SQL,
         "udtf_bigrams": udf.UDTF_BIGRAMS_SQL,
         # agg_approx_distinct: HLL sketch — engine-specific estimate, rows-only
