@@ -6,6 +6,7 @@ from hematite_spark.streaming.windows import (
     dedup_within_watermark,
     stateful_running_counts,
     decaying_rate_counts,
+    stream_stream_interval_join,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "dedup_within_watermark",
     "stateful_running_counts",
     "decaying_rate_counts",
+    "stream_stream_interval_join",
 ]

@@ -89,6 +89,51 @@ def session_windowed_agg(
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution
+    pattern: each purchase matched to the same user's clicks that
+    happened in the preceding `within` interval.
+
+    The time-bound condition is what makes this feasible at scale:
+    with watermarks on BOTH sides plus the interval constraint, each
+    side's join state is droppable once the watermark passes
+    (click rows expire after watermark + within; purchase rows after
+    watermark) — without the bound, both sides buffer forever. Outer
+    variants ('left_outer'/'right_outer') additionally need the time
+    bound to know when to emit unmatched rows; note their null-side
+    results only flush when a LATER batch advances the watermark, so
+    a single availableNow pass emits matches only."""
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("c_key"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias(key_col),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_key") == F.col(key_col))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, how).select(
+        key_col,
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     ts_col: str = "ts",

@@ -19,6 +19,7 @@ from hematite_spark.streaming import (
     stateful_running_counts,
     decaying_rate_counts,
     stream_append_to_store,
+    stream_stream_interval_join,
     windowed_counts,
 )
 
@@ -180,6 +181,35 @@ def test_stateful_running_counts(spark, tmp_path):
     assert got == {1: 4, 2: 1}
     max_ts = {r.user_id: str(r.max_ts) for r in out}
     assert max_ts[1] == "2024-01-01 11:40:00"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two real streams joined on user within a 1-hour interval:
+    each purchase picks up the same user's clicks in the preceding
+    hour, and only those."""
+    clicks = _events_stream(
+        spark,
+        tmp_path / "clicks",
+        [
+            {"ts_s": "2024-01-01 10:05:00", "user_id": 1, "event_id": 1, "event_type": "click", "value": 1.0},
+            {"ts_s": "2024-01-01 10:20:00", "user_id": 1, "event_id": 2, "event_type": "click", "value": 2.0},
+            # outside the 1h window of user 1's purchase:
+            {"ts_s": "2024-01-01 08:00:00", "user_id": 1, "event_id": 3, "event_type": "click", "value": 3.0},
+            # different user:
+            {"ts_s": "2024-01-01 10:30:00", "user_id": 2, "event_id": 4, "event_type": "click", "value": 4.0},
+        ],
+    )
+    purchases = _events_stream(
+        spark,
+        tmp_path / "purchases",
+        [
+            {"ts_s": "2024-01-01 10:50:00", "user_id": 1, "event_id": 10, "event_type": "purchase", "value": 9.0},
+        ],
+    )
+    sdf = stream_stream_interval_join(clicks, purchases)
+    out = _run_to_memory(spark, sdf, "ss_join").collect()
+    got = sorted((r.user_id, r.purchase_id, r.click_id, r.lag_us) for r in out)
+    assert got == [(1, 10, 1, 45 * 60 * 1_000_000), (1, 10, 2, 30 * 60 * 1_000_000)]
 
 
 def test_decaying_rate_counts(spark, tmp_path):
