@@ -30,6 +30,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "grouping_sets_revenue",
     "window_top_orders_per_customer",
     "sessionize_events",
