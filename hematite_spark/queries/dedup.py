@@ -20,16 +20,13 @@ strings is a total order both agree on).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.io import load_table
 
 N_MINHASH = 8  # permutations; LSH bands of 2 → 4 bands
-
-
-def _norm_text() -> Column:
-    return F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +337,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     `embeddings.vec_id` aligns with `documents.doc_id`; arithmetic is
     float64 left-folds (see similarity module) so Spark and DuckDB
     agree bit-for-bit before rounding."""
-    from hematite_spark.queries.similarity import _dbl, _dot, _norm
+    from hematite_spark.functions import dbl as _dbl, dot as _dot, l2_norm as _norm
 
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hematite_spark.io import load_table
-from hematite_spark.queries.dedup import _norm_text, dedup_connected_components
+from hematite_spark.functions import norm_text as _norm_text
+from hematite_spark.queries.dedup import dedup_connected_components
 from hematite_spark.queries.sampling import _DUCK_HASH_PCT, _hash_pct
 
 KEEP_LANGS = ("en", "de", "fr")

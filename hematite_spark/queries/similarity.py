@@ -26,23 +26,13 @@ from pyspark.sql import functions as F
 from hematite_spark.io import load_table
 
 
-def _dbl(col) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b) -> Column:
-    """Left-fold Σ aᵢbᵢ in double — deterministic summation order."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(a) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-# DuckDB computes the same fold with list_reduce over the zipped
-# product list; both engines see float64 after ::DOUBLE[].
-_DUCK_DOT = "list_reduce(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
-_DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+# vector primitives live in the shared expression library; the
+# private aliases keep this module's query bodies unchanged
+from hematite_spark.functions import DUCK_DOT as _DUCK_DOT
+from hematite_spark.functions import DUCK_NORM as _DUCK_NORM
+from hematite_spark.functions import dbl as _dbl
+from hematite_spark.functions import dot as _dot
+from hematite_spark.functions import l2_norm as _norm
 
 
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,9 +10,10 @@ scans; the only shuffles are the final small aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hematite_spark.functions import words as _words
 from hematite_spark.io import load_table
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic
@@ -26,10 +27,6 @@ _LANG_MARKERS = {
 }
 
 _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-
-
-def _words(col: str = "text") -> Column:
-    return F.split(F.col(col), " ")
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
