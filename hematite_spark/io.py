@@ -160,6 +160,62 @@ def write_bucketed_table(
     writer.saveAsTable(name)
 
 
+_EXT_MODALITY = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+    "txt": ("text", "text/plain"),
+}
+
+
+def read_binary_assets(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of media files via Spark's `binaryFile`
+    source into the engine's multimodal asset shape
+    (schema.MULTIMODAL_SCHEMA): modality/mime typed from the file
+    extension, content as raw bytes, provenance (path, mtime, size)
+    in `meta`. asset_id is a 64-bit hash of the path — stable across
+    re-ingest, no driver-side enumeration.
+
+    Scale: binaryFile is a normal file-based DataSource — listing and
+    reads distribute over executors, `pathGlobFilter` prunes at
+    listing time, and `spark.sql.files.maxPartitionBytes` bounds the
+    per-task byte budget, so a 100 TB media corpus ingests exactly
+    like a parquet lake. Decode/resize stay downstream in the
+    mapInPandas stages (queries/multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality = F.coalesce(
+        *[F.when(ext == e, F.lit(m)) for e, (m, _) in _EXT_MODALITY.items()],
+        F.lit("binary"),
+    )
+    mime = F.coalesce(
+        *[F.when(ext == e, F.lit(mt)) for e, (_, mt) in _EXT_MODALITY.items()],
+        F.lit("application/octet-stream"),
+    )
+    return raw.select(
+        F.xxhash64("path").alias("asset_id"),
+        modality.alias("modality"),
+        F.col("content"),
+        mime.alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("mtime"), F.col("modificationTime").cast("string"),
+            F.lit("size"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )
+
+
 def write_cloudevents_ndjson(df: DataFrame, path: str, order_by: str = "revision") -> None:
     """Export events as CloudEvents NDJSON — the wire/export parity
     sink. Distributed text write; within-file ordering follows

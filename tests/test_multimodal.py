@@ -45,6 +45,36 @@ def test_resize_stage_passthrough(spark):
     assert all(r.width <= 224 and r.height <= 224 for r in dims)
 
 
+def test_read_binary_assets_source(spark, tmp_path):
+    """binaryFile-source ingest: real files land in the multimodal
+    asset shape with extension-typed modality/mime, byte-exact
+    content, provenance meta, and glob pruning — then flow through
+    the pandas-UDF feature extractor unchanged."""
+    from hematite_spark.io import read_binary_assets
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake")
+    (tmp_path / "b.mp4").write_bytes(b"\x00\x00ftypmp42")
+    (tmp_path / "notes.txt").write_text("hello")
+    (tmp_path / "blob.bin").write_bytes(b"\x01\x02")
+
+    assets = read_binary_assets(spark, str(tmp_path))
+    assert [f.name for f in assets.schema.fields] == [f.name for f in MULTIMODAL_SCHEMA.fields]
+    by_path = {r.meta["path"].rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert by_path["a.png"].modality == "image" and by_path["a.png"].mime_type == "image/png"
+    assert by_path["b.mp4"].modality == "video"
+    assert by_path["notes.txt"].modality == "text"
+    assert by_path["blob.bin"].modality == "binary"
+    assert bytes(by_path["a.png"].content) == b"\x89PNG fake"
+    assert by_path["notes.txt"].meta["size"] == "5"
+    # stable ids, no collisions
+    assert assets.select("asset_id").distinct().count() == 4
+    # glob pruning happens at listing time
+    assert read_binary_assets(spark, str(tmp_path), glob="*.png").count() == 1
+    # downstream pandas-UDF stage accepts the ingested shape
+    feats = {r.sha256 for r in extract_features(assets).collect()}
+    assert hashlib.sha256(b"hello").hexdigest() in feats
+
+
 def test_frame_sampling(spark):
     videos = spark.createDataFrame(
         [(1, "video", b"\x00fake", "video/mp4", None, None, 3500, None)],
