@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text.language_id,
         "text_fingerprint": text.fingerprint,
         "text_char_entropy": text.char_bigram_entropy,
+        "text_tfidf": text.tfidf_top_terms,
         # C-series: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": text.LANGUAGE_ID_SQL,
         "text_fingerprint": text.FINGERPRINT_SQL,
         "text_char_entropy": text.CHAR_ENTROPY_SQL,
+        "text_tfidf": text.TFIDF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,

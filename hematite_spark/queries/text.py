@@ -264,3 +264,59 @@ FROM ent
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the classic retrieval/feature weight, computed with
+    pure relational algebra — explode terms, three aggregates
+    (term-per-doc, doc length, document frequency), one scalar (corpus
+    size) broadcast into the scoring join. Global top-50 terms by
+    weight. At 100 TB the term-count aggregate map-side combines and
+    the df/doc_len sides stay O(vocabulary)/O(docs); no Python, no ML
+    pipeline objects — the same shape HashingTF+IDF produces, kept
+    oracle-checkable (exact terms, no hash buckets)."""
+    from hematite_spark.functions import norm_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split(norm_text(), " ")).alias("term"))
+    # localCheckpoint: tc feeds three consumers (doc_len, df, scoring
+    # join); materialized once so the corpus is exploded exactly once
+    # instead of per-consumer (same pattern as the jaccard inverted
+    # index). Released with the plan, unlike cache().
+    tc = (
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt")).localCheckpoint()
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
+    dfc = tc.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tc.join(dl, "doc_id")
+        .join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf_cnt") / F.col("doc_len") * F.log(F.col("n_docs") / F.col("df_cnt")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(50)
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), tc AS (SELECT doc_id, term, count(*) AS tf_cnt FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf_cnt) AS doc_len FROM tc GROUP BY doc_id),
+dfc AS (SELECT term, count(*) AS df_cnt FROM tc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       round(tf_cnt / CAST(doc_len AS DOUBLE) * ln(n_docs / CAST(df_cnt AS DOUBLE)), 6) AS tfidf
+FROM tc JOIN dl USING (doc_id) JOIN dfc USING (term), n
+ORDER BY tfidf DESC, doc_id, term
+LIMIT 50
+"""
