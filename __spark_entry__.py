@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer_coalesce": relational.join_outer_coalesce,
         "join_asof": relational.join_asof,
         "join_range": relational.join_range,
+        "join_band_inequality": advanced.join_band_inequality,
         "agg_distinct": relational.agg_distinct,
         "rollup_lineitem": relational.rollup_lineitem,
         "cube_orders": relational.cube_orders,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "join_outer_coalesce": relational.JOIN_OUTER_SQL,
         "join_asof": relational.JOIN_ASOF_SQL,
         "join_range": relational.JOIN_RANGE_SQL,
+        "join_band_inequality": advanced.JOIN_BAND_SQL,
         "agg_distinct": relational.AGG_DISTINCT_SQL,
         "rollup_lineitem": relational.ROLLUP_SQL,
         "cube_orders": relational.CUBE_SQL,

@@ -539,3 +539,47 @@ WHERE l_suppkey = s_suppkey
 GROUP BY o_year
 ORDER BY o_year
 """
+
+
+def join_band_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join (pure inequality predicate, no equi key): count the
+    customers whose account balance lies within ±0.5 of each
+    supplier's. Written naively this is a nested-loop cross product —
+    O(suppliers × customers), the join shape that does NOT survive
+    scale-up. The engine rewrites it as an equi-join: bucket both
+    sides by floor(acctbal) (bucket width 1.0 ≥ band width), explode
+    the supplier side into its 3 admissible buckets, equi-join on the
+    bucket, then apply the exact band filter post-match. Each
+    (supplier, customer) pair meets in exactly one bucket (the
+    customer's), so no dedup is needed — and the join shuffles on a
+    dense numeric key instead of comparing every pair. The oracle
+    runs the textbook inequality join, so the rewrite is checked, not
+    assumed."""
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_acctbal")
+    cust = load_table(spark, "customer", sf_dir).select("c_acctbal")
+    s = supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                F.floor("s_acctbal") - 1, F.floor("s_acctbal"), F.floor("s_acctbal") + 1
+            )
+        ).alias("bucket"),
+    )
+    c = cust.select("c_acctbal", F.floor("c_acctbal").alias("bucket"))
+    return (
+        s.join(c, "bucket")
+        .where(F.abs(F.col("s_acctbal") - F.col("c_acctbal")) <= 0.5)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+JOIN_BAND_SQL = """
+SELECT s_suppkey, count(*) AS n_close_customers
+FROM supplier JOIN customer
+  ON abs(s_acctbal - c_acctbal) <= 0.5
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+"""
