@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_geometric_mean": udf.udaf_geometric_mean,
         "udtf_bigrams": udf.udtf_bigrams,
         "agg_approx_distinct": udf.agg_approx_distinct,
+        "agg_approx_percentiles": udf.agg_approx_percentiles,
         # C-series: deterministic sampling / dataset splits
         "sample_systematic": sampling.sample_systematic,
         "sample_stratified": sampling.sample_stratified,
@@ -203,8 +204,10 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": tpch_shapes.Q21_WAITING_SQL,
         "udaf_geometric_mean": udf.UDAF_GEOMEAN_SQL,
         "udtf_bigrams": udf.UDTF_BIGRAMS_SQL,
-        # agg_approx_distinct: HLL sketch — engine-specific estimate, rows-only
-        # (exact twin agg_distinct is the oracle-checked anchor)
+        # agg_approx_distinct / agg_approx_percentiles: sketches —
+        # engine-specific estimates, rows-only (exact twins
+        # agg_distinct / agg_percentiles are the oracle-checked
+        # anchors; error contracts asserted in unit tests)
         "sample_systematic": sampling.SAMPLE_SYSTEMATIC_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
         "split_train_test": sampling.SPLIT_TRAIN_TEST_SQL,

@@ -121,3 +121,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (Greenwald-Khanna) per order status —
+    the 100 TB path for quantiles: single pass, bounded memory,
+    mergeable partials, vs the exact sort-based percentile in
+    agg_percentiles (the correctness anchor). No oracle: sketch
+    estimates are engine-specific; the rank-error contract
+    (±1/accuracy) is asserted in unit tests against the exact
+    quantiles."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(1000)).alias("approx_p90"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -67,6 +67,38 @@ def test_approx_distinct_error_bound(spark):
         assert abs(a.approx_orders - e.orders) <= max(0.08 * e.orders, 2)
 
 
+def test_approx_percentile_rank_error_bound(spark):
+    """agg_approx_percentiles has no oracle (GK-sketch estimates are
+    engine-specific); assert the documented rank-error contract
+    (±1/accuracy) instead: each estimate must lie between the exact
+    quantiles at q∓eps, with eps covering the sketch's error plus
+    the discrete rank granularity of small groups."""
+    from pyspark.sql import functions as F
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.udf import agg_approx_percentiles
+
+    approx = {r.o_orderstatus: r for r in agg_approx_percentiles(spark, SF_DIR).collect()}
+    orders = load_table(spark, "orders", SF_DIR)
+    bounds = {}
+    for status, r in approx.items():
+        eps = max(1.0 / 1000, 2.0 / r.n_orders)
+        row = (
+            orders.where(F.col("o_orderstatus") == status)
+            .agg(
+                F.percentile("o_totalprice", F.lit(max(0.5 - eps, 0.0))).alias("med_lo"),
+                F.percentile("o_totalprice", F.lit(min(0.5 + eps, 1.0))).alias("med_hi"),
+                F.percentile("o_totalprice", F.lit(max(0.9 - eps, 0.0))).alias("p90_lo"),
+                F.percentile("o_totalprice", F.lit(min(0.9 + eps, 1.0))).alias("p90_hi"),
+            )
+            .first()
+        )
+        bounds[status] = row
+    for status, a in approx.items():
+        b = bounds[status]
+        assert b.med_lo <= a.approx_median <= b.med_hi, (status, a.approx_median, b)
+        assert b.p90_lo <= a.approx_p90 <= b.p90_hi, (status, a.approx_p90, b)
+
+
 def test_lsh_recall_against_ground_truth(spark):
     """Approximate-operator quality gate: MinHash-LSH banding must
     recover (nearly) all true near-dup pairs. Ground truth = the
