@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_stream_metadata": eventstore.es_stream_metadata,
         "es_metadata_sort": eventstore.es_metadata_sort,
         "es_dedup_source_id": eventstore.es_dedup_source_id,
+        "es_time_travel": eventstore.es_time_travel,
         # B-series: relational surface
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": relational.json_extract_events,
         "date_functions_orders": relational.date_functions_orders,
         "string_functions_part": relational.string_functions_part,
+        "array_functions_embeddings": relational.array_functions_embeddings,
         "tumbling_window_events": relational.tumbling_window_events,
         "sessionize_events": relational.sessionize_events,
         # B-series depth: subquery shapes, grouping sets, stats, frames
@@ -154,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "es_stream_metadata": eventstore.ES_STREAM_METADATA_SQL,
         "es_metadata_sort": eventstore.ES_METADATA_SORT_SQL,
         "es_dedup_source_id": eventstore.ES_DEDUP_SQL,
+        "es_time_travel": eventstore.ES_TIME_TRAVEL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_local_supplier_volume": relational.Q5_SQL,
@@ -177,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": relational.JSON_SQL,
         "date_functions_orders": relational.DATE_SQL,
         "string_functions_part": relational.STRING_SQL,
+        "array_functions_embeddings": relational.ARRAY_FUNCTIONS_SQL,
         "tumbling_window_events": relational.TUMBLING_SQL,
         "sessionize_events": relational.SESSIONIZE_SQL,
         "q4_exists_late_orders": advanced.Q4_EXISTS_SQL,

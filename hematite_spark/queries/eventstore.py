@@ -158,3 +158,33 @@ FROM (
 WHERE rn = 1
 ORDER BY user_id, event_type
 """
+
+
+def es_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel replay (A2/A3 extension; store read_df's
+    until_revision): stream 5's aggregate state as of revision 100 —
+    replaying the append-only log to a past position. Positional
+    replay is a revision predicate, so in the live store it prunes to
+    the files below the cut instead of scanning the full stream
+    (store/store.py file-range index)."""
+    return (
+        _with_revision(spark, sf_dir)
+        .where((F.col("user_id") == 5) & (F.col("revision") < 100))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("revision").alias("last_revision"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ES_TIME_TRAVEL_SQL = (
+    _REV_CTE
+    + """
+SELECT user_id, count(*) AS n_events, max(revision) AS last_revision,
+       round(sum(value), 2) AS total_value
+FROM revisioned WHERE user_id = 5 AND revision < 100
+GROUP BY user_id
+"""
+)

@@ -801,3 +801,45 @@ FROM lineitem JOIN orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (§2 B scalar functions row):
+    size / filter / transform / aggregate / slice / element-wise math
+    over the embedding vectors — all JVM-side lambda expressions, the
+    fast path for array-typed feature columns (no UDF, no explode).
+    Left-fold sums keep the evaluation order identical to the
+    oracle's list_reduce."""
+    from hematite_spark.functions import dbl
+
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 100)
+    ev = dbl("embedding")
+    abs_ev = F.transform(ev, lambda x: F.abs(x))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("bigint").alias("n_dims"),
+            F.size(F.filter(ev, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            F.round(F.aggregate(abs_ev, F.lit(0.0), lambda a, x: a + x), 4).alias("l1_norm"),
+            F.round(F.array_max(abs_ev), 4).alias("max_abs"),
+            F.round(
+                F.aggregate(F.slice(ev, 1, 3), F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("head3_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ARRAY_FUNCTIONS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos,
+       round(list_reduce(list_prepend(0.0, list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                         (a, x) -> a + x), 4) AS l1_norm,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS max_abs,
+       round(list_reduce(list_prepend(0.0, list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),
+                         (a, x) -> a + x), 4) AS head3_sum
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+"""
