@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": advanced.agg_percentiles,
         "agg_statistics": advanced.agg_statistics,
         "agg_salted_twophase": advanced.agg_salted_twophase,
+        "join_salted_hotkey": advanced.join_salted_hotkey,
         "window_range_moving_avg": advanced.window_range_moving_avg,
         "window_rank_suite": advanced.window_rank_suite,
         # B-series: remaining TPC-H shapes (full 22-shape coverage)
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_percentiles": advanced.AGG_PERCENTILES_SQL,
         "agg_statistics": advanced.AGG_STATISTICS_SQL,
         "agg_salted_twophase": advanced.AGG_SALTED_SQL,
+        "join_salted_hotkey": advanced.JOIN_SALTED_SQL,
         "window_range_moving_avg": advanced.WINDOW_RANGE_SQL,
         "window_rank_suite": advanced.WINDOW_RANK_SQL,
         "q2_min_cost_supplier": tpch_shapes.Q2_MINCOST_SQL,

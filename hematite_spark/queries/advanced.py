@@ -583,3 +583,46 @@ FROM supplier JOIN customer
 GROUP BY s_suppkey
 ORDER BY s_suppkey
 """
+
+
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted join — the join-side twin of
+    agg_salted_twophase: orders⋈customer revenue per market segment,
+    with the build side REPLICATED across 8 salt values and the probe
+    side salted deterministically, so a hot customer's rows spread
+    over 8 reducers instead of one. This is the manual form of AQE's
+    skew-join split, written out because (a) AQE only splits
+    post-shuffle partitions, not a single hot KEY's hash bucket, and
+    (b) at 100 TB one hot tenant routinely exceeds a whole executor.
+    The salt is internal (derived from the probe row's own key, so
+    it is deterministic); results are identical to the plain join,
+    which is what the oracle checks."""
+    n_salt = 8
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderkey", "o_totalprice")
+    salted_build = cust.crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    )
+    salted_probe = orders.withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    return (
+        salted_probe.join(
+            salted_build,
+            (F.col("o_custkey") == F.col("c_custkey")) & (salted_probe.salt == salted_build.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
