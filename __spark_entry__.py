@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_multi_query": similarity.knn_multi_query,
         "ann_ivf_buckets": similarity.ann_ivf_buckets,
         "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
+        "ann_ivf_search": similarity.ann_ivf_search,
         "similarity_join_block": similarity.similarity_join_block,
         "embedding_stats": similarity.embedding_stats,
         # C-series: multimodal binary columns
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_multi_query": similarity.KNN_MULTI_SQL,
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,
         "ann_ivf_kmeans_assign": similarity.ANN_IVF_KMEANS_SQL,
+        "ann_ivf_search": similarity.ANN_IVF_SEARCH_SQL,
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,

@@ -279,3 +279,91 @@ FROM assigned
 GROUP BY centroid_id
 ORDER BY centroid_id
 """
+
+
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF search — the piece ann_ivf_buckets /
+    ann_ivf_kmeans_assign build toward: (1) coarse-quantize every
+    vector to its nearest of 8 deterministic centroids (vec_id 0-7's
+    embeddings), (2) probe the nprobe=2 cells nearest the query
+    (vec_id 0), (3) exact cosine top-10 WITHIN the probed cells only.
+
+    Shape at scale: centroids and the probe list are O(k) broadcasts;
+    assignment is a scan (no shuffle); the probe is a semi-join that
+    — with cell id as partition key — becomes partition pruning, so
+    the search touches nprobe/nlist of the corpus. Everything is
+    deterministic (tie-breaks on centroid_id / vec_id), so the DuckDB
+    oracle replicates the whole pipeline value-for-value; the recall
+    gate vs ann_brute_force lives in the unit tests."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    sqdist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", sqdist(F.col("cv"), F.col("qv")).alias("dq"))
+        .orderBy("dq", "centroid_id")
+        .limit(2)
+        .select("centroid_id")
+    )
+    vecs = emb.where(F.col("vec_id") != 0).select("vec_id", "label", _dbl("embedding").alias("ev"))
+    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "ev", "centroid_id", sqdist(F.col("ev"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.col("centroid_id").alias("cell"),
+            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_DUCK_SQDIST = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+ANN_IVF_SEARCH_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM cents, q
+  ORDER BY {_DUCK_SQDIST.format(a="cv", b="qv")}, centroid_id
+  LIMIT 2),
+assigned AS (
+  SELECT vec_id, label, ev, centroid_id FROM (
+    SELECT e.vec_id, e.label, e.embedding AS ev, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a="e.embedding", b="c.cv")}, c.centroid_id) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id <> 0)
+  WHERE rn = 1)
+SELECT vec_id, label, centroid_id AS cell,
+       round({_DUCK_DOT.format(a="ev", b="qv")}
+             / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}), 6) AS cosine
+FROM assigned, q
+WHERE centroid_id IN (SELECT centroid_id FROM probe)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""

@@ -99,6 +99,22 @@ def test_approx_percentile_rank_error_bound(spark):
         assert b.p90_lo <= a.approx_p90 <= b.p90_hi, (status, a.approx_p90, b)
 
 
+def test_ivf_search_recall_vs_brute_force(spark):
+    """IVF quality gate: probing 2 of 8 cells must still recover a
+    meaningful share of the exact top-10 (the query's own cell holds
+    its nearest neighbors by construction), and every IVF result must
+    carry the same cosine the brute-force path computed for it."""
+    from hematite_spark.queries.similarity import ann_brute_force, ann_ivf_search
+
+    exact = {r.vec_id: r.cosine for r in ann_brute_force(spark, SF_DIR).collect()}
+    ivf = {r.vec_id: r.cosine for r in ann_ivf_search(spark, SF_DIR).collect()}
+    assert len(ivf) == 10
+    overlap = set(exact) & set(ivf)
+    assert len(overlap) >= 5, f"recall {len(overlap)}/10 too low: {sorted(ivf)}"
+    for vid in overlap:
+        assert abs(exact[vid] - ivf[vid]) < 1e-9  # same scoring, same values
+
+
 def test_lsh_recall_against_ground_truth(spark):
     """Approximate-operator quality gate: MinHash-LSH banding must
     recover (nearly) all true near-dup pairs. Ground truth = the
