@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B-series: UDF extension points + sketch aggregates
         "udaf_geometric_mean": udf.udaf_geometric_mean,
         "udtf_bigrams": udf.udtf_bigrams,
+        "pandas_grouped_decile": udf.pandas_grouped_decile,
         "agg_approx_distinct": udf.agg_approx_distinct,
         "agg_approx_percentiles": udf.agg_approx_percentiles,
         # C-series: deterministic sampling / dataset splits
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": tpch_shapes.Q21_WAITING_SQL,
         "udaf_geometric_mean": udf.UDAF_GEOMEAN_SQL,
         "udtf_bigrams": udf.UDTF_BIGRAMS_SQL,
+        "pandas_grouped_decile": udf.PANDAS_DECILE_SQL,
         # agg_approx_distinct / agg_approx_percentiles: sketches —
         # engine-specific estimates, rows-only (exact twins
         # agg_distinct / agg_percentiles are the oracle-checked

@@ -141,3 +141,51 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def pandas_grouped_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the §2 B UDF row's third member
+    beside the pandas UDAF and the UDTF): per-event-type decile
+    assignment of `value`, computed inside an Arrow-batched pandas
+    function — the extension point for per-group logic that needs the
+    whole group in memory (model scoring, per-tenant calibration).
+
+    Each group ships to ONE python worker as a pandas frame (state is
+    bounded by the largest group — at 100 TB that means salting giant
+    groups first); the output is integers from a total order
+    (value, event_id), so the oracle comparison is exact — no float
+    rounding anywhere."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("decile", T.LongType()),
+        ]
+    )
+
+    def deciles(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "decile": (10 * pdf.index // n).astype("int64"),
+            }
+        )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(deciles, schema=out_schema).orderBy("event_id")
+
+
+PANDAS_DECILE_SQL = """
+SELECT event_id, event_type,
+       CAST((10 * (row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1))
+            // count(*) OVER (PARTITION BY event_type) AS BIGINT) AS decile
+FROM events
+ORDER BY event_id
+"""
