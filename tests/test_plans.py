@@ -1,0 +1,132 @@
+"""Physical-plan invariants: the scale properties PLANS.md documents,
+asserted so regressions fail CI instead of silently shipping a bad
+plan. Each check reads the optimized physical plan (explain only —
+nothing executes) at sf0.001.
+
+These encode the 100 TB design rules:
+* selective predicates reach the parquet scan (PushedFilters);
+* projections prune the read schema;
+* dimension joins broadcast, never shuffle;
+* top-k is TakeOrderedAndProject, never a global sort;
+* no accidental cartesian products in the TPC-H shapes;
+* pandas stages ride a single group-key shuffle.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    assert "l_comment" not in plan  # schema pruned to used columns
+    # partial+final hash aggregation (map-side combine before shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_and_topk(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-10 without global sort
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter pushed
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2  # region+nation never shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_scan_minimal(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range pushed
+    # schema pruned: the unused string columns never leave the scan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema and "l_extendedprice" in read_schema
+    # only one table, no joins at all
+    assert "Join" not in plan
+
+
+def test_q9_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q9_product_profit")
+    # part, supplier, nation each broadcast (tree section lists each once)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "StringContains(p_name,gear)" in plan  # pushed to part scan
+
+
+def test_q21_single_window_shuffle(spark):
+    """The decorrelated NOT-EXISTS: both window passes must share one
+    orderkey exchange — the whole point of the rewrite."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+    # lineitem is never self-joined three times (the naive form)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 6
+
+
+def test_topk_global_is_take_ordered(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_band_join_is_hash_not_nlj(spark):
+    plan = plan_of(spark, "join_band_inequality")
+    assert "NestedLoop" not in plan.split("AdaptiveSparkPlan")[0]
+    assert "HashJoin" in plan
+
+
+def test_ann_brute_force_no_shuffle_before_topk(spark):
+    """Candidates must not shuffle: broadcast query vector + per-task
+    heaps, only survivors move."""
+    plan = plan_of(spark, "ann_brute_force")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_grouped_decile_single_group_shuffle(spark):
+    plan = plan_of(spark, "pandas_grouped_decile")
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly one hash shuffle (the group key); the only other
+    # exchange is the presentation-order range sort
+    assert plan.count("hashpartitioning(event_type") == 1
+    assert plan.split("\n\n")[0].count("Exchange") == 2
+
+
+def test_dedup_exact_one_shuffle(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # one hash shuffle for the fingerprint aggregate + the output sort
+    assert plan.count("hashpartitioning(fp") == 1
+    assert plan.split("\n\n")[0].count("Exchange") == 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_nation_trade_volume",
+        "q10_returned_items",
+        "q18_large_volume_customers",
+    ],
+)
+def test_no_cartesian_in_multijoins(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name)
