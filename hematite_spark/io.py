@@ -160,6 +160,40 @@ def write_bucketed_table(
     writer.saveAsTable(name)
 
 
+def write_events_lake(
+    df: DataFrame, path: str, n_user_buckets: int = 64, ts_col: str = "ts"
+) -> None:
+    """Write an events DataFrame in the 100 TB lake layout the README
+    documents: hive-partitioned by (event_date, user_bucket) with rows
+    sorted by (user_id, ts) inside each file.
+
+    Why this shape at scale:
+    * event_date partitions → time-range queries prune whole days at
+      the listing level (the dominant predicate in event analytics);
+    * user_bucket (hash of user_id mod N) → per-tenant queries prune
+      to 1/N of each day WITHOUT creating a partition per tenant
+      (millions of tenants would melt the metastore; N buckets keep
+      partition counts bounded);
+    * sortWithinPartitions(user_id, ts) → parquet row-group min/max
+      stats become tight per tenant, so within a bucket a tenant read
+      skips most row groups — the same effect the store's per-stream
+      revision sort gives positional reads.
+    The repartition matches the write partitioning so each task owns
+    whole output partitions (no small-file explosion: one file per
+    (day, bucket) per write)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .withColumn("user_bucket", F.pmod(F.hash("user_id"), F.lit(n_user_buckets)))
+        .repartition("event_date", "user_bucket")
+        .sortWithinPartitions("user_id", ts_col)
+        .write.partitionBy("event_date", "user_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 _EXT_MODALITY = {
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),

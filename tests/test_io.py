@@ -105,6 +105,31 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+def test_events_lake_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB lake layout: date+bucket hive partitioning must
+    (a) round-trip every row, (b) prune at the listing level for
+    date+tenant predicates — the plan carries PartitionFilters and
+    scans a subset of files."""
+    from pyspark.sql import functions as F
+
+    from hematite_spark.io import load_table, write_events_lake
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    out = str(tmp_path / "lake")
+    write_events_lake(ev, out, n_user_buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    one_user = back.where(
+        (F.col("user_id") == 7)
+        & (F.col("user_bucket") == F.pmod(F.hash(F.lit(7).cast("bigint")), F.lit(8)))
+    )
+    plan_buf = one_user._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_buf
+    assert one_user.count() == ev.where(F.col("user_id") == 7).count()
+
+
 def test_extension_scalar_types_roundtrip(store):
     """Integer/bool extension values keep their types through the
     store (JSON-literal encoding) instead of degrading to strings."""
