@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
         "ann_ivf_search": similarity.ann_ivf_search,
         "similarity_join_block": similarity.similarity_join_block,
+        "timeseries_corr_search": similarity.timeseries_corr_search,
         "embedding_stats": similarity.embedding_stats,
         # C-series: multimodal binary columns
         "multimodal_binary_stats": multimodal.multimodal_binary_stats,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_assign": similarity.ANN_IVF_KMEANS_SQL,
         "ann_ivf_search": similarity.ANN_IVF_SEARCH_SQL,
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
+        "timeseries_corr_search": similarity.TIMESERIES_CORR_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,
         "multimodal_frame_sample": multimodal.MULTIMODAL_FRAMES_SQL,

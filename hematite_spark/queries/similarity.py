@@ -367,3 +367,51 @@ WHERE centroid_id IN (SELECT centroid_id FROM probe)
 ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
+
+
+def timeseries_corr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT/SIGMOD streaming-
+    similarity shape): which users' daily activity series move with
+    user 0's? Align per-user daily value sums on date, score with
+    Pearson correlation (z-normalized similarity, so scale/offset
+    differences don't matter), keep users sharing ≥ 10 observed days,
+    return the top-10.
+
+    Shape at scale: the daily pre-aggregate shrinks events to
+    O(users × days) BEFORE any join; the target series is a broadcast
+    build side; corr is a single-pass co-moment aggregate. The full
+    pairwise variant (every user vs every user) is the same plan with
+    the target filter dropped and a self-join on day — still never
+    materializing raw-event pairs."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    base = daily.where(F.col("user_id") == 0).select("day", F.col("v").alias("v0"))
+    return (
+        daily.where(F.col("user_id") != 0)
+        .join(F.broadcast(base), "day")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.corr("v", "v0"), 6).alias("corr"),
+            F.count("*").alias("n_days"),
+        )
+        .where(F.col("n_days") >= 10)
+        .orderBy(F.col("corr").desc(), "user_id")
+        .limit(10)
+    )
+
+
+TIMESERIES_CORR_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+  FROM events GROUP BY user_id, day),
+base AS (SELECT day, v AS v0 FROM daily WHERE user_id = 0)
+SELECT user_id, round(corr(v, v0), 6) AS corr, count(*) AS n_days
+FROM daily JOIN base USING (day)
+WHERE user_id <> 0
+GROUP BY user_id
+HAVING count(*) >= 10
+ORDER BY corr DESC, user_id
+LIMIT 10
+"""
