@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_buckets": similarity.ann_ivf_buckets,
         "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
         "ann_ivf_search": similarity.ann_ivf_search,
+        "ann_filtered_search": similarity.ann_filtered_search,
         "similarity_join_block": similarity.similarity_join_block,
         "timeseries_corr_search": similarity.timeseries_corr_search,
         "embedding_stats": similarity.embedding_stats,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,
         "ann_ivf_kmeans_assign": similarity.ANN_IVF_KMEANS_SQL,
         "ann_ivf_search": similarity.ANN_IVF_SEARCH_SQL,
+        "ann_filtered_search": similarity.ANN_FILTERED_SQL,
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "timeseries_corr_search": similarity.TIMESERIES_CORR_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,

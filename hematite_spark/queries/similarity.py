@@ -415,3 +415,44 @@ HAVING count(*) >= 10
 ORDER BY corr DESC, user_id
 LIMIT 10
 """
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query fusion (the AnalyticDB-V shape): vector top-k UNDER a
+    structured predicate — top-10 cosine neighbors of vec 0 among
+    label=1 vectors only. The structured filter applies BEFORE any
+    vector math, so the scan prunes on the (cheap, pushable) label
+    column and the dot products run on the survivors — at 100 TB
+    with label as a partition/cluster key this is partition pruning
+    followed by a fraction-of-corpus scan, not post-filtering a
+    global ANN result (which under-fills k when the filter is
+    selective)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    e = emb.where((F.col("vec_id") != 0) & (F.col("label") == 1)).select(
+        "vec_id", _dbl("embedding").alias("ev")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+     e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+           WHERE vec_id <> 0 AND label = 1)
+SELECT vec_id,
+       round({_DUCK_DOT.format(a="ev", b="qv")}
+             / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}), 6) AS cosine
+FROM e CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""

@@ -1,4 +1,4 @@
-from hematite_spark.streaming.append import stream_append_to_store
+from hematite_spark.streaming.append import stream_append_to_store, stream_events_to_lake
 from hematite_spark.streaming.windows import (
     windowed_counts,
     sliding_windowed_agg,
@@ -11,6 +11,7 @@ from hematite_spark.streaming.windows import (
 
 __all__ = [
     "stream_append_to_store",
+    "stream_events_to_lake",
     "windowed_counts",
     "sliding_windowed_agg",
     "session_windowed_agg",

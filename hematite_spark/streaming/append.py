@@ -104,3 +104,32 @@ def stream_append_to_store(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_events_to_lake(
+    stream_df, path: str, checkpoint: str, n_user_buckets: int = 64, ts_col: str = "ts"
+):
+    """Continuous ingestion into the 100 TB lake layout
+    (io.write_events_lake's streaming twin): a file/kafka event stream
+    lands hive-partitioned by (event_date, user_bucket) via the
+    streaming parquet sink — exactly-once per sink semantics through
+    the checkpoint + file-manifest commit protocol, so a crashed or
+    restarted query never double-publishes a micro-batch.
+
+    Partition count per micro-batch stays bounded (days-in-batch ×
+    buckets); downstream batch queries get the same listing-level
+    pruning the batch writer produces. Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    out = (
+        stream_df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .withColumn("user_bucket", F.pmod(F.hash("user_id"), F.lit(n_user_buckets)))
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date", "user_bucket")
+        .trigger(availableNow=True)
+        .start()
+    )

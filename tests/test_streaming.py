@@ -19,6 +19,7 @@ from hematite_spark.streaming import (
     stateful_running_counts,
     decaying_rate_counts,
     stream_append_to_store,
+    stream_events_to_lake,
     stream_stream_interval_join,
     windowed_counts,
 )
@@ -181,6 +182,34 @@ def test_stateful_running_counts(spark, tmp_path):
     assert got == {1: 4, 2: 1}
     max_ts = {r.user_id: str(r.max_ts) for r in out}
     assert max_ts[1] == "2024-01-01 11:40:00"
+
+
+def test_stream_events_to_lake(spark, tmp_path):
+    """Streaming ingest into the lake layout: rows land hive-
+    partitioned by (event_date, user_bucket), values intact, and a
+    second run over the same checkpoint re-publishes nothing
+    (exactly-once via the sink's commit protocol)."""
+    from pyspark.sql import functions as F
+
+    rows = ROWS
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    q = stream_events_to_lake(
+        _events_stream(spark, tmp_path, rows), out, ckpt, n_user_buckets=4
+    )
+    q.awaitTermination(60)
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    assert {r.event_date.isoformat() for r in back.select("event_date").distinct().collect()} == {
+        "2024-01-01"
+    }
+    expected_bucket = back.select(F.pmod(F.hash("user_id"), F.lit(4)).alias("b"), "user_bucket")
+    assert all(r.b == r.user_bucket for r in expected_bucket.collect())
+    # same checkpoint, no new source files → nothing re-published
+    q2 = stream_events_to_lake(
+        _events_stream(spark, tmp_path, rows), out, ckpt, n_user_buckets=4
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == len(rows)
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
