@@ -160,6 +160,20 @@ def write_bucketed_table(
     writer.saveAsTable(name)
 
 
+def with_lake_columns(
+    df: DataFrame, ts_col: str = "ts", n_user_buckets: int = 64
+) -> DataFrame:
+    """Derive the lake layout's partition columns. This is the
+    compatibility contract between the batch writer, the streaming
+    writer, and every reader's pruning predicate — one definition so
+    the bucket function can never diverge between paths."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("event_date", F.to_date(F.col(ts_col))).withColumn(
+        "user_bucket", F.pmod(F.hash("user_id"), F.lit(n_user_buckets))
+    )
+
+
 def write_events_lake(
     df: DataFrame, path: str, n_user_buckets: int = 64, ts_col: str = "ts"
 ) -> None:
@@ -180,14 +194,15 @@ def write_events_lake(
       revision sort gives positional reads.
     The repartition matches the write partitioning so each task owns
     whole output partitions (no small-file explosion: one file per
-    (day, bucket) per write)."""
-    from pyspark.sql import functions as F
-
+    (day, bucket) per write). The sort LEADS with the partition
+    columns: the file writer requires its input ordered by them and
+    would otherwise insert its own (event_date, user_bucket)-only
+    sort on top, voiding the (user_id, ts) intra-file order whenever
+    that re-sort spills and merges runs."""
     (
-        df.withColumn("event_date", F.to_date(F.col(ts_col)))
-        .withColumn("user_bucket", F.pmod(F.hash("user_id"), F.lit(n_user_buckets)))
+        with_lake_columns(df, ts_col=ts_col, n_user_buckets=n_user_buckets)
         .repartition("event_date", "user_bucket")
-        .sortWithinPartitions("user_id", ts_col)
+        .sortWithinPartitions("event_date", "user_bucket", "user_id", ts_col)
         .write.partitionBy("event_date", "user_bucket")
         .mode("overwrite")
         .parquet(path)

@@ -320,6 +320,8 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
+    from hematite_spark.functions import cosine
+
     return (
         assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
         .crossJoin(F.broadcast(q))
@@ -327,9 +329,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("centroid_id").alias("cell"),
-            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
-                "cosine"
-            ),
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
@@ -382,7 +382,13 @@ def timeseries_corr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side; corr is a single-pass co-moment aggregate. The full
     pairwise variant (every user vs every user) is the same plan with
     the target filter dropped and a self-join on day — still never
-    materializing raw-event pairs."""
+    materializing raw-event pairs.
+
+    No LIMIT cut: membership is governed solely by the exact integer
+    n_days filter, so a last-ulp corr difference between engines can
+    only perturb one VALUE past its rounding boundary, never which
+    rows the two engines return (a top-k cut on a float rank would
+    reintroduce that knife edge)."""
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
@@ -398,7 +404,6 @@ def timeseries_corr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_days") >= 10)
         .orderBy(F.col("corr").desc(), "user_id")
-        .limit(10)
     )
 
 
@@ -413,7 +418,6 @@ WHERE user_id <> 0
 GROUP BY user_id
 HAVING count(*) >= 10
 ORDER BY corr DESC, user_id
-LIMIT 10
 """
 
 
@@ -432,13 +436,13 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.where((F.col("vec_id") != 0) & (F.col("label") == 1)).select(
         "vec_id", _dbl("embedding").alias("ev")
     )
+    from hematite_spark.functions import cosine
+
     return (
         e.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
-                "cosine"
-            ),
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)

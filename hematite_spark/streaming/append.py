@@ -118,13 +118,13 @@ def stream_events_to_lake(
 
     Partition count per micro-batch stays bounded (days-in-batch ×
     buckets); downstream batch queries get the same listing-level
-    pruning the batch writer produces. Returns the StreamingQuery."""
-    from pyspark.sql import functions as F
+    pruning the batch writer produces (the partition columns come
+    from the shared io.with_lake_columns contract, so batch and
+    streaming writes can never land in incompatible bucket layouts).
+    Returns the StreamingQuery."""
+    from hematite_spark.io import with_lake_columns
 
-    out = (
-        stream_df.withColumn("event_date", F.to_date(F.col(ts_col)))
-        .withColumn("user_bucket", F.pmod(F.hash("user_id"), F.lit(n_user_buckets)))
-    )
+    out = with_lake_columns(stream_df, ts_col=ts_col, n_user_buckets=n_user_buckets)
     return (
         out.writeStream.format("parquet")
         .option("path", path)

@@ -85,24 +85,30 @@ def test_bucketed_tables_join_without_shuffle(spark):
     """write_bucketed_table is the 100 TB fact-fact join strategy:
     both sides bucketed on the key join with NO shuffle exchange —
     Catalyst reads the co-partitioning from the catalog."""
+    import os as _os
+
     from hematite_spark.io import write_bucketed_table
 
+    # per-process table names: the warehouse dir is host-shared, so
+    # fixed names would let concurrent runs read/drop each other's
+    # tables mid-test
+    ta, tb = f"bt_a_{_os.getpid()}", f"bt_b_{_os.getpid()}"
     a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
     b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
-    write_bucketed_table(a, "bt_a", "k", n_buckets=4, sort_col="k")
-    write_bucketed_table(b, "bt_b", "k", n_buckets=4, sort_col="k")
+    write_bucketed_table(a, ta, "k", n_buckets=4, sort_col="k")
+    write_bucketed_table(b, tb, "k", n_buckets=4, sort_col="k")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        joined = spark.table(ta).join(spark.table(tb), "k")
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan
+        assert "hashpartitioning(" not in plan  # no shuffle exchange
         rows = joined.selectExpr("sum(va + vb) AS s").collect()
         assert rows[0].s == sum(2 * i + 3 * i for i in range(1000))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bt_a")
-        spark.sql("DROP TABLE IF EXISTS bt_b")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
 
 def test_events_lake_layout_prunes_partitions(spark, tmp_path):
