@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_connected_components",
     "ann_brute_force",
+    "ann_ivf_search",
+    "text_tfidf",
     "sample_stratified",
 ]
 
