@@ -47,17 +47,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering is deliberate (VERDICT r1 item 2): the driver's gate
+    checks entries in dict order and round 1 covered only the first
+    50, so the C-series (LLM-pipeline operators), the UDF suite, the
+    previously-unchecked TPC-H shapes, and the 5 formerly hash-failing
+    entries are front-loaded; previously driver-green B-series anchors
+    follow. Key names are unchanged from round 1."""
     return {
-        # A-series: event-store operator analogues
+        # -- priority block: front-loaded for driver coverage --------
+        # A-series anchor + the formerly hash-failing entries
         "es_point_read": eventstore.es_point_read,
-        "es_range_scan": eventstore.es_range_scan,
         "es_stream_metadata": eventstore.es_stream_metadata,
         "es_metadata_sort": eventstore.es_metadata_sort,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "json_extract_events": relational.json_extract_events,
+        "string_functions_part": relational.string_functions_part,
+        "sessionize_events": relational.sessionize_events,
+        # C-series: dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_band": dedup.dedup_simhash_band,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_connected_components": dedup.dedup_connected_components,
+        # C-series: vector similarity
+        "ann_brute_force": similarity.ann_brute_force,
+        "ann_knn_multi_query": similarity.knn_multi_query,
+        "ann_ivf_buckets": similarity.ann_ivf_buckets,
+        "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
+        "ann_ivf_search": similarity.ann_ivf_search,
+        "ann_filtered_search": similarity.ann_filtered_search,
+        "similarity_join_block": similarity.similarity_join_block,
+        "timeseries_corr_search": similarity.timeseries_corr_search,
+        "embedding_stats": similarity.embedding_stats,
+        # C-series: text analysis
+        "text_token_count": text.token_count,
+        "text_quality_score": text.quality_score,
+        "text_language_id": text.language_id,
+        "text_fingerprint": text.fingerprint,
+        "text_char_entropy": text.char_bigram_entropy,
+        "text_tfidf": text.tfidf_top_terms,
+        # C-series: deterministic sampling / dataset splits
+        "sample_systematic": sampling.sample_systematic,
+        "sample_stratified": sampling.sample_stratified,
+        "split_train_test": sampling.split_train_test,
+        # C-series: multimodal binary columns
+        "multimodal_binary_stats": multimodal.multimodal_binary_stats,
+        "multimodal_features": multimodal.multimodal_features,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        # C-series: the operators composed end-to-end
+        "corpus_pipeline": pipeline.corpus_pipeline,
+        # B-series: UDF extension points + sketch aggregates
+        "udaf_geometric_mean": udf.udaf_geometric_mean,
+        "udtf_bigrams": udf.udtf_bigrams,
+        "pandas_grouped_decile": udf.pandas_grouped_decile,
+        "agg_approx_distinct": udf.agg_approx_distinct,
+        "agg_approx_percentiles": udf.agg_approx_percentiles,
+        # B-series: TPC-H shapes the round-1 gate never reached
+        "q12_late_shipment_priority": tpch_shapes.q12_late_shipment_priority,
+        "q13_customer_order_distribution": tpch_shapes.q13_customer_order_distribution,
+        "q15_top_supplier": tpch_shapes.q15_top_supplier,
+        "q16_supplier_part_count": tpch_shapes.q16_supplier_part_count,
+        "q20_part_promotion": tpch_shapes.q20_part_promotion,
+        "q21_waiting_suppliers": tpch_shapes.q21_waiting_suppliers,
+        # B-series anchors (close out the first 50)
+        "join_asof": relational.join_asof,
+        "window_running_total": relational.window_running_total,
+        # -- previously driver-green entries ------------------------
+        # A-series: event-store operator analogues
+        "es_range_scan": eventstore.es_range_scan,
         "es_dedup_source_id": eventstore.es_dedup_source_id,
         "es_time_travel": eventstore.es_time_travel,
         # B-series: relational surface
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
@@ -65,24 +130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": relational.join_semi,
         "join_anti": relational.join_anti,
         "join_outer_coalesce": relational.join_outer_coalesce,
-        "join_asof": relational.join_asof,
         "join_range": relational.join_range,
         "join_band_inequality": advanced.join_band_inequality,
         "agg_distinct": relational.agg_distinct,
         "rollup_lineitem": relational.rollup_lineitem,
         "cube_orders": relational.cube_orders,
         "pivot_events": relational.pivot_events,
-        "window_running_total": relational.window_running_total,
         "window_top_orders_per_customer": relational.window_top_orders_per_customer,
         "window_lag_events": relational.window_lag_events,
         "topk_global": relational.topk_global,
         "setop_nations": relational.setop_nations,
-        "json_extract_events": relational.json_extract_events,
         "date_functions_orders": relational.date_functions_orders,
-        "string_functions_part": relational.string_functions_part,
         "array_functions_embeddings": relational.array_functions_embeddings,
         "tumbling_window_events": relational.tumbling_window_events,
-        "sessionize_events": relational.sessionize_events,
         # B-series depth: subquery shapes, grouping sets, stats, frames
         "q4_exists_late_orders": advanced.q4_exists_late_orders,
         "q7_nation_trade_volume": advanced.q7_nation_trade_volume,
@@ -103,53 +163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": tpch_shapes.q2_min_cost_supplier,
         "q9_product_profit": tpch_shapes.q9_product_profit,
         "q11_important_parts": tpch_shapes.q11_important_parts,
-        "q12_late_shipment_priority": tpch_shapes.q12_late_shipment_priority,
-        "q13_customer_order_distribution": tpch_shapes.q13_customer_order_distribution,
-        "q15_top_supplier": tpch_shapes.q15_top_supplier,
-        "q16_supplier_part_count": tpch_shapes.q16_supplier_part_count,
-        "q20_part_promotion": tpch_shapes.q20_part_promotion,
-        "q21_waiting_suppliers": tpch_shapes.q21_waiting_suppliers,
-        # B-series: UDF extension points + sketch aggregates
-        "udaf_geometric_mean": udf.udaf_geometric_mean,
-        "udtf_bigrams": udf.udtf_bigrams,
-        "pandas_grouped_decile": udf.pandas_grouped_decile,
-        "agg_approx_distinct": udf.agg_approx_distinct,
-        "agg_approx_percentiles": udf.agg_approx_percentiles,
-        # C-series: deterministic sampling / dataset splits
-        "sample_systematic": sampling.sample_systematic,
-        "sample_stratified": sampling.sample_stratified,
-        "split_train_test": sampling.split_train_test,
-        # C-series: text analysis
-        "text_token_count": text.token_count,
-        "text_quality_score": text.quality_score,
-        "text_language_id": text.language_id,
-        "text_fingerprint": text.fingerprint,
-        "text_char_entropy": text.char_bigram_entropy,
-        "text_tfidf": text.tfidf_top_terms,
-        # C-series: dedup
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash": dedup.dedup_minhash,
-        "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "dedup_connected_components": dedup.dedup_connected_components,
-        # C-series: vector similarity
-        "ann_brute_force": similarity.ann_brute_force,
-        "ann_knn_multi_query": similarity.knn_multi_query,
-        "ann_ivf_buckets": similarity.ann_ivf_buckets,
-        "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
-        "ann_ivf_search": similarity.ann_ivf_search,
-        "ann_filtered_search": similarity.ann_filtered_search,
-        "similarity_join_block": similarity.similarity_join_block,
-        "timeseries_corr_search": similarity.timeseries_corr_search,
-        "embedding_stats": similarity.embedding_stats,
-        # C-series: multimodal binary columns
-        "multimodal_binary_stats": multimodal.multimodal_binary_stats,
-        "multimodal_features": multimodal.multimodal_features,
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-        # C-series: the operators composed end-to-end
-        "corpus_pipeline": pipeline.corpus_pipeline,
     }
 
 
@@ -233,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_lsh_candidates": dedup.LSH_CANDIDATES_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
+        "dedup_simhash_band": dedup.DEDUP_SIMHASH_BAND_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_connected_components": dedup.DEDUP_CC_SQL,
         "ann_brute_force": similarity.ANN_BRUTE_SQL,

@@ -60,10 +60,13 @@ def _shingles_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # single-row-group inputs scan as one task; spread the (CPU-heavy)
     # shingling across cores first. Explicit partition count — a
     # keyed repartition of this tiny table gets coalesced back to one
-    # partition by AQE, defeating the point. At cluster scale the
-    # source is already multi-partition and this becomes unnecessary.
+    # partition by AQE, defeating the point. Conditional: a cluster
+    # source that is already ≥cores-wide skips the exchange entirely
+    # (a gratuitous full shuffle of the corpus at 100 TB otherwise).
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    docs = load_table(spark, "documents", sf_dir).repartition(n_parts)
+    docs = load_table(spark, "documents", sf_dir)
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts)
     # indexed get() beats slice+concat_ws ~4× (no subarray allocation);
     # get() is null on out-of-range like the oracle's 1-based w[i],
     # so <k-word docs yield a null shingle in both engines.
@@ -255,16 +258,14 @@ ORDER BY doc_a, doc_b
 )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 16-bit content sketch from per-word md5 bits —
-    bit b of the sketch = sign of Σ_words (±1 per word's bit b).
-    Groups docs by identical sketch (hamming-0 buckets); banded
-    chunks of the sketch would give hamming-k candidates the same
-    LSH way. Bit extraction is arithmetic on conv(md5), no UDF."""
+def _simhash_sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash sketch per doc. Bit b of the
+    sketch = sign of Σ_words (±1 per word's bit b); per-word 16-bit
+    hash from the first 4 hex chars of md5. Pure column arithmetic on
+    conv(md5), no UDF — one explode + one hash-aggregate per doc."""
     docs = load_table(spark, "documents", sf_dir)
     words = F.array_distinct(F.split(_norm_text(), " "))
     exploded = docs.select("doc_id", F.explode(words).alias("word"))
-    # per-word 16-bit hash from the first 4 hex chars of md5
     h = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
     with_bits = exploded.select(
         "doc_id",
@@ -276,13 +277,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed = with_bits.groupBy("doc_id").agg(
         *[F.sum(f"b{b}").alias(f"s{b}") for b in range(16)]
     )
-    sketch = summed.select(
+    return summed.select(
         "doc_id",
         sum(
             (F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
             for b in range(16)
         ).cast("bigint").alias("simhash"),
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit content sketch from per-word md5 bits.
+    Groups docs by identical sketch (hamming-0 buckets);
+    dedup_simhash_band extends this to hamming≤3 candidates via
+    pigeonhole banding over 4-bit chunks."""
+    sketch = _simhash_sketch_df(spark, sf_dir)
     return (
         sketch.groupBy("simhash")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_members"))
@@ -291,7 +300,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SIMHASH_SQL = """
+_SIMHASH_SKETCH_CTE = """
 WITH exploded AS (
   SELECT DISTINCT doc_id, word
   FROM (SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS word
@@ -316,12 +325,88 @@ WITH exploded AS (
   SELECT doc_id,
          CAST(""" + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)) + """ AS BIGINT) AS simhash
   FROM summed)
+"""
+
+DEDUP_SIMHASH_SQL = (
+    _SIMHASH_SKETCH_CTE
+    + """
 SELECT simhash, min(doc_id) AS keeper_doc_id, count(*) AS n_members
 FROM sketch
 GROUP BY simhash
 HAVING count(*) > 1
 ORDER BY keeper_doc_id
 """
+)
+
+
+def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-k SimHash candidates via pigeonhole banding: split the
+    16-bit sketch into 4 chunks of 4 bits; any pair with hamming ≤ 3
+    differs in ≤3 bit positions, which touch ≤3 chunks — so at least
+    one chunk is IDENTICAL. Candidate generation is therefore a union
+    of 4 equi-joins on (chunk value), never an all-pairs cross — the
+    same banding trick as MinHash-LSH, applied to hamming space. Each
+    candidate is then verified exactly with bit_count(xor) ≤ 3.
+
+    At 100 TB the chunk value is the shuffle key; each of the 4 joins
+    shuffles O(docs) rows and hot chunks (common sketches) are the
+    skew risk, handled by AQE skew-join. Parallels the reference's
+    content-hash uniqueness declaration (reference src/db.rs:11-17)
+    generalized to near-identity."""
+    sketch = _simhash_sketch_df(spark, sf_dir).localCheckpoint()
+    # 4 chunk columns, 4 bits each
+    chunks = sketch.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(F.lit(15)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    frames = []
+    for c in range(4):
+        a, b = chunks.alias("a"), chunks.alias("b")
+        frames.append(
+            a.join(b, (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("bigint")
+                .alias("hamming"),
+            )
+        )
+    allpairs = frames[0]
+    for fr in frames[1:]:
+        allpairs = allpairs.unionByName(fr)
+    return (
+        allpairs.where(F.col("hamming") <= 3)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_BAND_JOINS = " UNION ALL ".join(
+    f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM chunks a JOIN chunks b ON a.c{c} = b.c{c} AND a.doc_id < b.doc_id"""
+    for c in range(4)
+)
+DEDUP_SIMHASH_BAND_SQL = (
+    _SIMHASH_SKETCH_CTE
+    + f"""
+, chunks AS (
+  SELECT doc_id, simhash,
+         {", ".join(f"(simhash >> {4 * c}) & 15 AS c{c}" for c in range(4))}
+  FROM sketch)
+SELECT doc_a, doc_b, min(hamming) AS hamming
+FROM ({_SIMHASH_BAND_JOINS})
+WHERE hamming <= 3
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,7 +105,7 @@ ES_STREAM_METADATA_SQL = """
 SELECT user_id,
        count(*) AS revision,
        epoch_us(max(ts)) AS last_modified_us,
-       sum(length(props)) AS usage
+       CAST(sum(length(props)) AS BIGINT) AS usage
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -126,7 +126,7 @@ ES_METADATA_SORT_SQL = """
 SELECT user_id,
        count(*) AS revision,
        epoch_us(max(ts)) AS last_modified_us,
-       sum(length(props)) AS usage
+       CAST(sum(length(props)) AS BIGINT) AS usage
 FROM events
 GROUP BY user_id
 ORDER BY usage DESC, user_id

@@ -169,7 +169,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_STATS_SQL = """
 SELECT source,
        count(*) AS n_assets,
-       sum(CAST(strlen(text) AS BIGINT)) AS total_bytes,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
        count(DISTINCT md5(text)) AS n_unique
 FROM documents
 GROUP BY source

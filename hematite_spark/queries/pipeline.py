@@ -129,7 +129,7 @@ def _build_pipeline_sql() -> str:
         cc_prefix.rstrip().rstrip(",")
         + _PIPELINE_DEDUP_CTES
         + f"""
-SELECT stage, n_docs, n_chars FROM (
+SELECT stage, n_docs, CAST(n_chars AS BIGINT) AS n_chars FROM (
   SELECT '0_raw' AS stage, count(*) AS n_docs, coalesce(sum(n_chars), 0) AS n_chars FROM documents
   UNION ALL
   SELECT '1_lang', count(*), coalesce(sum(n_chars), 0) FROM documents WHERE lang IN ('en', 'de', 'fr')

@@ -563,7 +563,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_SQL = """
 SELECT event_type,
-       count(k) AS n_with_k, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+       count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY event_type
 ORDER BY event_type
@@ -618,7 +618,7 @@ def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRING_SQL = """
 SELECT upper(substring(p_brand, 1, 5)) AS brand_prefix,
        count(*) AS n_parts,
-       sum(CAST(length(p_name) AS BIGINT)) AS total_name_len,
+       CAST(sum(length(p_name)) AS BIGINT) AS total_name_len,
        round(avg(CAST(len(string_split(p_type, ' ')) AS BIGINT)), 4) AS avg_type_words
 FROM part
 GROUP BY brand_prefix
@@ -697,8 +697,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        round(sum(value), 2) AS session_value,

@@ -55,7 +55,7 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_SYSTEMATIC_SQL = f"""
-SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sampled_chars,
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
        min(doc_id) AS first_doc
 FROM documents
 WHERE {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} < 10
@@ -80,7 +80,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_STRATIFIED_SQL = f"""
-SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")}
       < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
@@ -111,7 +111,7 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_TRAIN_TEST_SQL = f"""
 SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM (SELECT {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} AS h, n_chars FROM documents)
 GROUP BY split

