@@ -11,12 +11,18 @@ SURVEY.md §3). Ordering within a micro-batch follows the source's
 reference gets from request serialization (README.md:8 "strictly
 ordered by arrival").
 
-Scale: foreachBatch runs on the driver but only coordinates; the
-grouping is a narrow pass over the micro-batch. At cluster scale the
-same topology holds with the store's lock service sharded by stream
-— streams are independent, so ingestion parallelizes across streams
-while staying serial within one (the reference's DashMap +
-per-stream-mutex concurrency model, server.rs:58)."""
+Scale: foreachBatch runs on the driver but only COORDINATES — the
+micro-batch itself never reaches the driver. Events are grouped per
+stream with ``applyInPandas`` and each group's parquet file is
+written EXECUTOR-SIDE under the store's ``part-{start}-{seq}``
+protocol; only a one-row-per-stream summary comes back. Streams are
+independent and Spark hands each group to exactly one task, so
+ingestion parallelizes across streams while staying serial within
+one (the reference's DashMap + per-stream-mutex concurrency model,
+server.rs:58, with the shuffle standing in for the map and task
+exclusivity for the mutex). Driver memory is O(streams-per-batch),
+not O(events-per-batch) — no ``toPandas`` funnel, no driver OOM on
+a large micro-batch."""
 
 from __future__ import annotations
 
@@ -57,6 +63,103 @@ def _batch_to_events(pdf) -> list[dict[str, Any]]:
     return events
 
 
+def _make_group_appender(root: str, repo_dir: str):
+    """Build the executor-side per-stream append function for
+    ``applyInPandas``. Each invocation owns exactly ONE stream's slice
+    of the micro-batch (Spark's grouped-map contract: one group → one
+    task), so within a micro-batch no two tasks ever write the same
+    stream — task exclusivity IS the per-stream mutex the reference
+    takes in-process (server.rs:58,184). The file it publishes follows
+    the store's ``part-{start:012d}-{seq:06d}.parquet`` protocol
+    (tmp-write + atomic rename), so batch readers, the interactive
+    store API, and compaction all consume it natively."""
+
+    def append_group(pdf):
+        import os
+        import sys
+
+        import pandas as pd
+
+        if repo_dir not in sys.path:  # python workers may lack the repo path
+            sys.path.insert(0, repo_dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime, timezone
+
+        from hematite_spark.store.store import (
+            _ARROW_SCHEMA,
+            EventStore,
+            _encode_stream_dir,
+        )
+        from hematite_spark.streaming.append import _batch_to_events
+
+        user_id = str(pdf["user_id"].iloc[0])
+        stream_id = str(pdf["stream_id"].iloc[0])
+        if "ingest_order" in pdf.columns:
+            pdf = pdf.sort_values("ingest_order")
+
+        d = os.path.join(
+            root,
+            f"user_id={_encode_stream_dir(user_id)}",
+            f"stream_id={_encode_stream_dir(stream_id)}",
+        )
+        os.makedirs(d, exist_ok=True)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        # current revision from filenames + footers: max(start + rows)
+        # is robust even against an interrupted compaction's leftover
+        # covered files (they never extend past the compacted file)
+        current = 0
+        max_seq = 0
+        existing: set[tuple[str, str]] = set()
+        for fname in files:
+            path = os.path.join(d, fname)
+            start = int(fname.split("-")[1])
+            pf = pq.ParquetFile(path)
+            current = max(current, start + pf.metadata.num_rows)
+            max_seq = max(max_seq, int(fname.rsplit("-", 1)[1].split(".")[0]))
+            t = pq.read_table(path, columns=["source", "id"])
+            existing.update(zip(t.column("source").to_pylist(), t.column("id").to_pylist()))
+
+        # idempotent replay (A10): a checkpoint-recovered micro-batch
+        # re-delivers rows whose (source,id) the stream already holds —
+        # drop them (and in-batch duplicates), append only the rest
+        events = []
+        seen = set(existing)
+        for ev in _batch_to_events(pdf):
+            key = (str(ev["source"]), str(ev["id"]))
+            if key in seen:
+                continue
+            seen.add(key)
+            events.append(ev)
+
+        appended = 0
+        if events:
+            rows = EventStore._to_arrow_rows(
+                events, start_revision=current, ingest_time=datetime.now(timezone.utc)
+            )
+            table = pa.Table.from_pydict(rows, schema=_ARROW_SCHEMA)
+            fname = f"part-{current:012d}-{max_seq + 1:06d}.parquet"
+            tmp = os.path.join(d, f".{fname}.tmp")
+            pq.write_table(table, tmp, compression="zstd")
+            os.rename(tmp, os.path.join(d, fname))  # atomic publish
+            appended = len(events)
+            current += appended
+
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stream_id": [stream_id],
+                "appended": [appended],
+                "new_revision": [current],
+            }
+        )
+
+    return append_group
+
+
+_SUMMARY_SCHEMA = "user_id string, stream_id string, appended long, new_revision long"
+
+
 def stream_append_to_store(
     stream_df: DataFrame,
     store: EventStore,
@@ -70,29 +173,37 @@ def stream_append_to_store(
 
     Checkpointing gives at-least-once delivery into the store; the
     store's (source,id) uniqueness gate (A10) upgrades that to
-    exactly-once per stream — replayed batches collide on (source,id)
-    and are dropped idempotently."""
+    exactly-once per stream — replayed rows collide on (source,id)
+    and are dropped idempotently executor-side.
+
+    The store root must be shared storage visible to executors (on
+    local mode, the local filesystem; on a cluster, S3/HDFS/NFS —
+    the same assumption every Spark file sink makes). Cross-writer
+    OCC serialization remains per-stream: within one streaming query
+    the grouped-map contract serializes each stream into one task;
+    across concurrent writers the store's lock-service abstraction
+    applies, exactly as documented in store.py."""
+    import os as _os
+
+    import hematite_spark as _pkg
+
+    repo_dir = _os.path.dirname(_os.path.dirname(_os.path.abspath(_pkg.__file__)))
+    appender = _make_group_appender(store.root, repo_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        order_cols = [c for c in ("ingest_order",) if c in batch_df.columns]
-        pdf = batch_df.toPandas()
-        if pdf.empty:
-            return
-        if order_cols:
-            pdf = pdf.sort_values(order_cols)
-        for (user_id, stream_id), group in pdf.groupby(["user_id", "stream_id"], sort=True):
-            from hematite_spark.store import SourceIdConflict
-
-            try:
-                store.append(str(user_id), str(stream_id), _batch_to_events(group))
-            except SourceIdConflict:
-                # replayed micro-batch after checkpoint recovery:
-                # fall back to per-event idempotent appends
-                for ev in _batch_to_events(group):
-                    try:
-                        store.append(str(user_id), str(stream_id), ev)
-                    except SourceIdConflict:
-                        pass
+        # executor-side distributed append: shuffle by stream, write
+        # per-stream parquet files in the workers. Only the one-row-
+        # per-stream summary is collected; the driver-local store
+        # instance then drops its caches for the touched streams so
+        # its next read sees the executor-written files.
+        summaries = (
+            batch_df.groupBy("user_id", "stream_id")
+            .applyInPandas(appender, schema=_SUMMARY_SCHEMA)
+            .collect()
+        )
+        for row in summaries:
+            if row["appended"]:
+                store._invalidate(row["user_id"], row["stream_id"])
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -88,6 +88,49 @@ def test_stream_append_idempotent_replay(spark, store, tmp_path):
     assert [e["id"] for e in store.query("u1", "s1", 0, 20)] == [f"ev-{i}" for i in range(15)]
 
 
+def test_stream_append_multi_stream_executor_side(spark, store, tmp_path, monkeypatch):
+    """A micro-batch spanning many streams appends them all in one
+    distributed pass WITHOUT collecting the batch to the driver: the
+    test forbids DataFrame.toPandas for its duration, so any driver-
+    side funnel would fail the streaming query."""
+    from pyspark.sql import DataFrame as _DF
+
+    def _no_collect(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("micro-batch was collected to the driver")
+
+    monkeypatch.setattr(_DF, "toPandas", _no_collect)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "multi.json"), "w") as f:
+        for s in range(6):
+            for i in range(10):
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": f"u{s % 2}",
+                            "stream_id": f"ms{s}",
+                            "specversion": "1.0",
+                            "id": f"ev-{s}-{i}",
+                            "source": "multi-src",
+                            "type": "test.event",
+                            "data": json.dumps({"i": i}),
+                            "ingest_order": i,
+                        }
+                    )
+                    + "\n"
+                )
+    stream_df = spark.readStream.schema(WIRE_SCHEMA).json(src)
+    q = stream_append_to_store(stream_df, store, str(tmp_path / "ckpt_multi"))
+    q.awaitTermination(60)
+    for s in range(6):
+        user = f"u{s % 2}"
+        assert store.revision(user, f"ms{s}") == 10
+        assert store.get_event(user, f"ms{s}", 3)["id"] == f"ev-{s}-3"
+    # the store API keeps working on top of executor-written files
+    assert {st["id"] for st in store.streams("u0")} == {"ms0", "ms2", "ms4"}
+
+
 def _events_stream(spark, tmp_path, rows):
     """File-source streaming DataFrame with (ts, user_id, event_type, value, event_id)."""
     src = str(tmp_path / "events_src")
