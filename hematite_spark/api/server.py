@@ -17,14 +17,19 @@ Routes (reference api.rs:140-148):
   POST   /streams/{s}/events?expected_revision=
   GET    /streams/{s}/events/{rownum}
 
+Routes also include GET /openapi.yaml serving this API's spec
+(reference api.rs:138-141).
+
 Auth: Bearer JWT, user = `sub` claim (reference openid.rs:10-12,
-api.rs:187). This container has no crypto libs, so signature
-verification is PLUGGABLE: pass `verifier=` a callable(token) ->
-user_id that raises on rejection. The default dev-mode verifier
-decodes the JWS payload WITHOUT signature verification and must not
-be used in production (a real deployment plugs an ES384/JWKS
-verifier here, reference openid.rs:39-153). 401 semantics match the
-reference: missing/malformed bearer → 401.
+api.rs:187). Signature verification is real by default: construct an
+``es384.ES384Verifier`` from a JWKS document (+ issuer/audience) and
+pass it as ``verifier=`` — full ES384 ECDSA over P-384 implemented
+in pure Python (es384.py; reference openid.rs:39-153). A custom
+callable(token) -> user_id works too. The INSECURE dev-mode decoder
+(`dev_verifier`, no signature check) now requires the explicit
+``allow_insecure_dev_auth=True`` flag — a deployment can no longer
+run unauthenticated by accident. 401 semantics match the reference:
+missing/malformed bearer → 401.
 
 Deliberate deviations from reference quirks (SURVEY.md §2 error
 table): point read past end of an existing stream → 404 (reference:
@@ -35,8 +40,10 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import re
 import threading
+from email.utils import formatdate
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
 from urllib.parse import parse_qs, unquote, urlparse
@@ -93,10 +100,28 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # silence default stderr noise
         pass
 
-    def _send(self, status: int, body: Any, headers: dict[str, str] | None = None) -> None:
-        data = json.dumps(body).encode() if body is not None else b""
+    def _drain_body(self) -> bytes:
+        """Read (and return) the request body. Called at the TOP of
+        every method handler: on an HTTP/1.1 keep-alive connection an
+        unread body would be parsed as the next request line
+        (connection desync) — GET/DELETE with a body included."""
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        return self.rfile.read(length) if length > 0 else b""
+
+    def _send(
+        self,
+        status: int,
+        body: Any,
+        headers: dict[str, str] | None = None,
+        raw: bytes | None = None,
+        content_type: str = "application/json",
+    ) -> None:
+        data = raw if raw is not None else (json.dumps(body).encode() if body is not None else b"")
         self.send_response(status)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(data)))
         # secure headers middleware (reference main.rs:43-57)
         self.send_header("X-Content-Type-Options", "nosniff")
@@ -130,11 +155,18 @@ class _Handler(BaseHTTPRequestHandler):
     _R_EVENT = re.compile(r"^/streams/([^/]+)/events/(\d+)/?$")
 
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        self._drain_body()
         url = urlparse(self.path)
         q = parse_qs(url.query)
         if url.path in ("/health", "/health/"):
             # reference health check (server.rs:123-126, api.rs:121-128)
             self._send(200, {"status": "pass"}, {"Cache-Control": "max-age=60"})
+            return
+        if url.path == "/openapi.yaml":
+            # serve the spec, unauthenticated (reference api.rs:138-141)
+            spec = os.path.join(os.path.dirname(os.path.abspath(__file__)), "openapi.yaml")
+            with open(spec, "rb") as f:
+                self._send(200, None, raw=f.read(), content_type="application/yaml")
             return
         user = self._user()
         if user is None:
@@ -185,21 +217,20 @@ class _Handler(BaseHTTPRequestHandler):
             except StreamNotFound:
                 self._error(404, "Not Found", f"stream {stream_id!r} not found")
                 return
-            self._send(200, meta)
+            # Last-Modified enables HTTP conditional caching of stream
+            # metadata (reference api.rs:384-387)
+            self._send(
+                200,
+                meta,
+                {"Last-Modified": formatdate(meta["last_modified"], usegmt=True)},
+            )
             return
         self._error(404, "Not Found", self.path)  # main.rs fallback
 
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
         q = parse_qs(url.query)
-        # drain the body BEFORE any early-exit response: on an
-        # HTTP/1.1 keep-alive connection an unread body would be
-        # parsed as the next request line (connection desync)
-        try:
-            length = int(self.headers.get("Content-Length", "0"))
-        except ValueError:
-            length = 0
-        raw = self.rfile.read(length) if length > 0 else b""
+        raw = self._drain_body()
         user = self._user()
         if user is None:
             return
@@ -239,6 +270,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(201, {"revision": new_rev}, {"Content-Location": head})
 
     def do_DELETE(self) -> None:  # noqa: N802
+        self._drain_body()
         url = urlparse(self.path)
         user = self._user()
         if user is None:
@@ -265,8 +297,22 @@ class HematiteServer(ThreadingHTTPServer):
         store: EventStore,
         host: str = "127.0.0.1",
         port: int = 0,
-        verifier: Callable[[str], str] = dev_verifier,
+        verifier: Callable[[str], str] | None = None,
+        allow_insecure_dev_auth: bool = False,
     ):
+        """``verifier`` is REQUIRED (e.g. ``es384.ES384Verifier``);
+        running without signature verification takes the explicit
+        ``allow_insecure_dev_auth=True`` opt-in so a deployment can
+        never fall back to forgeable tokens by accident (any client
+        could otherwise mint a ``sub`` and read/write any tenant)."""
+        if verifier is None:
+            if not allow_insecure_dev_auth:
+                raise ValueError(
+                    "no verifier configured: pass verifier= (e.g. "
+                    "es384.ES384Verifier(jwks, issuer=..., audience=...)) "
+                    "or explicitly opt in with allow_insecure_dev_auth=True"
+                )
+            verifier = dev_verifier
         super().__init__((host, port), _Handler)
         self.store = store
         self.verifier = verifier
@@ -281,6 +327,16 @@ class HematiteServer(ThreadingHTTPServer):
         return t
 
 
-def serve(store: EventStore, host: str = "127.0.0.1", port: int = 8080) -> None:
-    """Blocking entry point (the reference's main.rs boot sequence)."""
-    HematiteServer(store, host, port).serve_forever()
+def serve(
+    store: EventStore,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    verifier: Callable[[str], str] | None = None,
+    allow_insecure_dev_auth: bool = False,
+) -> None:
+    """Blocking entry point (the reference's main.rs boot sequence).
+    Refuses to start without a verifier unless the caller explicitly
+    passes ``allow_insecure_dev_auth=True``."""
+    HematiteServer(
+        store, host, port, verifier=verifier, allow_insecure_dev_auth=allow_insecure_dev_auth
+    ).serve_forever()

@@ -24,7 +24,7 @@ def _token(sub: str) -> str:
 @pytest.fixture()
 def api(tmp_path):
     store = EventStore(None, str(tmp_path / "store"))
-    server = HematiteServer(store, port=0)
+    server = HematiteServer(store, port=0, allow_insecure_dev_auth=True)
     server.start_background()
     yield server
     server.shutdown()
@@ -152,6 +152,130 @@ def test_keepalive_survives_error_paths(api):
         assert r.status == 200
     finally:
         conn.close()
+
+
+def test_openapi_spec_served(api):
+    """GET /openapi.yaml serves the spec unauthenticated (reference
+    api.rs:138-141)."""
+    req = urllib.request.Request(api.url + "/openapi.yaml", method="GET")
+    with urllib.request.urlopen(req) as resp:
+        raw = resp.read().decode()
+        assert resp.status == 200
+        assert "yaml" in resp.headers["Content-Type"]
+    assert "openapi:" in raw and "/streams/{stream}/events" in raw
+
+
+def test_stream_metadata_last_modified_header(api):
+    """GET /streams/{s} sends Last-Modified for HTTP conditional
+    caching (reference api.rs:384-387)."""
+    _req(api, "POST", "/streams/s1/events", EV(0))
+    status, headers, meta = _req(api, "GET", "/streams/s1")
+    assert status == 200
+    lm = headers["Last-Modified"]
+    assert lm.endswith(" GMT")
+    from email.utils import parsedate_to_datetime
+
+    assert int(parsedate_to_datetime(lm).timestamp()) == meta["last_modified"]
+
+
+def test_keepalive_survives_get_delete_with_body(api):
+    """GET/DELETE requests carrying a body are drained too — the
+    keep-alive connection must stay in sync afterwards."""
+    import http.client
+
+    host, port = api.server_address
+    conn = http.client.HTTPConnection(host, port)
+    try:
+        conn.request(
+            "GET", "/health", body=b'{"sneaky": "body"}',
+            headers={"Content-Length": "18"},
+        )
+        r = conn.getresponse(); r.read()
+        assert r.status == 200
+        conn.request("GET", "/health")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read()) == {"status": "pass"}
+        conn.request(
+            "DELETE", "/streams/none", body=b'{"x": 1}',
+            headers={"Authorization": f"Bearer {_token('user-1')}", "Content-Length": "8"},
+        )
+        r = conn.getresponse(); r.read()
+        assert r.status == 404
+        conn.request("GET", "/health")
+        r = conn.getresponse(); r.read()
+        assert r.status == 200
+    finally:
+        conn.close()
+
+
+def test_server_refuses_to_start_without_verifier(tmp_path):
+    """The production entry points cannot silently run unauthenticated
+    (dev decode requires the explicit opt-in flag)."""
+    store = EventStore(None, str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="verifier"):
+        HematiteServer(store, port=0)
+
+
+def test_es384_signed_auth_end_to_end(tmp_path):
+    """Real signature verification: a properly signed token is
+    accepted; a tampered signature, wrong issuer, wrong audience, and
+    an expired token are all rejected with 401."""
+    import time as _time
+
+    from hematite_spark.api.es384 import (
+        ES384Verifier,
+        generate_keypair,
+        jwk_from_public,
+        mint_token,
+    )
+
+    priv, pub = generate_keypair()
+    verifier = ES384Verifier(
+        {"keys": [jwk_from_public(pub, kid="k1")]},
+        issuer="https://auth.example",
+        audience="hematite",
+    )
+    store = EventStore(None, str(tmp_path / "store"))
+    server = HematiteServer(store, port=0, verifier=verifier)
+    server.start_background()
+    try:
+        claims = {
+            "sub": "alice",
+            "iss": "https://auth.example",
+            "aud": "hematite",
+            "exp": _time.time() + 600,
+        }
+        good = mint_token(priv, claims, kid="k1")
+
+        def call(token, method="POST", path="/streams/s1/events", body=EV(0)):
+            req = urllib.request.Request(server.url + path, method=method)
+            req.add_header("Authorization", f"Bearer {token}")
+            data = json.dumps(body).encode() if body is not None else None
+            if data:
+                req.add_header("Content-Type", "application/json")
+            try:
+                with urllib.request.urlopen(req, data=data) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                e.read()
+                return e.code
+
+        assert call(good) == 201
+        assert call(good, method="GET", path="/streams/s1/events/0", body=None) == 200
+        # tampered signature → 401
+        tampered = good[:-4] + ("AAAA" if good[-4:] != "AAAA" else "BBBB")
+        assert call(tampered, method="GET", path="/streams/s1", body=None) == 401
+        # forged unsigned token (the dev-mode shape) → 401
+        assert call(_token("alice"), method="GET", path="/streams/s1", body=None) == 401
+        # wrong issuer / wrong audience / expired → 401
+        assert call(mint_token(priv, {**claims, "iss": "https://evil"}), ) == 401
+        assert call(mint_token(priv, {**claims, "aud": "other"})) == 401
+        assert call(mint_token(priv, {**claims, "exp": _time.time() - 600})) == 401
+        # token signed by a DIFFERENT key (claims identical) → 401
+        other_priv, _ = generate_keypair()
+        assert call(mint_token(other_priv, claims, kid="k1")) == 401
+    finally:
+        server.shutdown()
 
 
 def test_pagination_validation_and_clamps(api):
