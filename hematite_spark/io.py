@@ -42,6 +42,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         from pyspark.sql import functions as F
 
+        # nanosAsLong is set at session build in session.py; it is
+        # ALSO set here because load_table accepts foreign sessions
+        # (the correctness harness runs queries under its own
+        # SparkSession). The conf cannot be save/restored around the
+        # read: plans are lazy, so execution would see the restored
+        # value and fail the nano-timestamp scan. Engine-owned
+        # sessions therefore carry it from birth (documented there);
+        # for foreign sessions this is a sticky, documented side
+        # effect rather than a silent one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
@@ -80,18 +89,31 @@ def read_cloudevents_ndjson(spark: SparkSession, path: str) -> DataFrame:
     Parses each line as a map so EXTENSION attributes — top-level on
     the wire, per the CloudEvents JSON format — survive into the
     `extensions` column (a fixed-schema read would silently drop
-    them). Values arrive as strings (JSON objects/arrays keep their
-    raw JSON text); `data` keeps its raw JSON form."""
+    them). Envelope attributes land as decoded strings; `data` and
+    extension VALUES are kept as raw JSON literals (via a second
+    map<string,variant> parse + to_json) — the store's encoding, so
+    scalar types survive the round trip and events_to_ndjson_lines
+    can splice them back verbatim (a decoded string like trace-1
+    would otherwise splice as invalid JSON)."""
     from pyspark.sql import functions as F
 
     lines = spark.read.text(path).where(F.length("value") > 0)
     m = F.from_json(F.col("value"), "map<string,string>")
+    mv = F.from_json(F.col("value"), "map<string,variant>")
+    ext = F.map_filter(
+        F.transform_values(mv, lambda _, v: F.to_json(v)),
+        lambda k, _: ~k.isin(*_ENVELOPE_ATTRS),
+    )
     return lines.select(
-        m.alias("m")
+        m.alias("m"), F.to_json(mv.getItem("data")).alias("data_json"), ext.alias("ext")
     ).select(
-        *[F.col("m").getItem(k).alias(k) for k in _ENVELOPE_ATTRS if k != "time"],
+        *[
+            F.col("data_json").alias(k) if k == "data" else F.col("m").getItem(k).alias(k)
+            for k in _ENVELOPE_ATTRS
+            if k != "time"
+        ],
         F.to_timestamp(F.col("m").getItem("time")).alias("time"),
-        F.map_filter("m", lambda k, _: ~k.isin(*_ENVELOPE_ATTRS)).alias("extensions"),
+        F.col("ext").alias("extensions"),
     )
 
 

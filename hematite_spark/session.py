@@ -38,6 +38,12 @@ def get_spark(app_name: str = "hematite_spark", shuffle_partitions: int | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the events testdata carries nanosecond parquet timestamps,
+        # which the vectorized reader rejects; engine sessions read
+        # them as raw nanos from birth (io.load_table truncates to µs,
+        # matching DuckDB). Set here so the behavior is a session
+        # constant, not a read-order-dependent surprise.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

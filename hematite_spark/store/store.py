@@ -502,7 +502,11 @@ class EventStore:
         Positional access = revision-range predicate: parquet row-group
         min/max stats on the sorted `revision` column give the same
         O(1)-seek behavior the reference gets from index.dat."""
-        limit = min(int(limit), 1000)
+        # clamp BOTH bounds for library callers (the HTTP layer clamps
+        # too, reference api.rs:271-272): a negative start would make
+        # end < 0 and silently return [] for an existing stream
+        start = max(int(start), 0)
+        limit = min(max(int(limit), 0), 1000)
         if not self._stream_exists(user_id, stream_id):
             return []
         # file-level positional pruning: only files overlapping

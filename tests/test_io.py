@@ -59,10 +59,24 @@ def test_ndjson_reingest_preserves_extensions(store, spark, tmp_path):
     out = str(tmp_path / "export")
     write_cloudevents_ndjson(store.read_df("u1", "s1"), out)
     back = {r.id: r for r in read_cloudevents_ndjson(spark, out).collect()}
-    # from_json's map read decodes JSON string literals to their value
-    assert back["ev-1"].extensions["traceid"] == "trace-1"
+    # extension values land in the STORE encoding (JSON literals), so
+    # scalar types survive and a re-export splices them verbatim —
+    # the same encoding EventStore.append writes (json.dumps per value)
+    assert back["ev-1"].extensions["traceid"] == '"trace-1"'
     # microsecond time precision survives the wire
     assert back["ev-1"].time.isoformat().startswith("2024-06-01T12:00:00")
+    # a re-ingested frame re-EXPORTS to byte-identical valid JSON —
+    # the encoding-asymmetry regression (string extensions used to
+    # splice unquoted, producing invalid lines)
+    from hematite_spark.io import events_to_ndjson_lines
+
+    first = sorted(r.line for r in events_to_ndjson_lines(store.read_df("u1", "s1")).collect())
+    again = sorted(
+        r.line for r in events_to_ndjson_lines(read_cloudevents_ndjson(spark, out)).collect()
+    )
+    for line in again:
+        json.loads(line)  # every re-exported line is valid JSON
+    assert [json.loads(l) for l in first] == [json.loads(l) for l in again]
 
 
 def test_data_base64_roundtrip_and_export(store, spark, tmp_path):

@@ -313,3 +313,51 @@ def test_auto_compaction_bounds_file_count(spark, tmp_path):
     assert store.revision("u", "s") == 30
     assert [e["id"] for e in store.query("u", "s", 0, 100)] == [f"e-{i}" for i in range(30)]
     assert store.get_event("u", "s", 29)["id"] == "e-29"
+
+
+# -- multi-instance / multi-writer contract ---------------------------
+
+
+def test_two_instances_stale_cache_and_self_heal(tmp_path):
+    """Two EventStore instances on one root (the two-process shape).
+    A fresh instance hydrates from disk and continues gaplessly; an
+    instance that missed another writer's file is STALE until
+    `_invalidate` re-reads the directory — the documented self-heal
+    hook for external writers."""
+    root = str(tmp_path / "shared")
+    a = EventStore(None, root)
+    b = EventStore(None, root)
+    a.append(U, S, [minimal_event(f"a{i}", source="A") for i in range(5)])
+    # fresh instance hydrates from the directory: appends continue
+    assert b.revision(U, S) == 5
+    b.append(U, S, [minimal_event(f"b{i}", source="B") for i in range(5)])
+    # the instance that didn't write is stale (in-process caches)...
+    assert a.revision(U, S) == 5
+    # ...and self-heals via _invalidate: reads see all 10, gapless
+    a._invalidate(U, S)
+    assert a.revision(U, S) == 10
+    assert [e["_revision"] for e in a.query(U, S, 0, 20)] == list(range(10))
+    # negative start clamps to 0 (library-caller path)
+    assert [e["_revision"] for e in a.query(U, S, -5, 3)] == [0, 1, 2]
+
+
+def test_two_instances_occ_needs_shared_lock_service(tmp_path):
+    """Executable contract for the cluster-scale claim: the OCC gate
+    serializes writers WITHIN one instance only. Across instances a
+    stale cache lets an exact-revision append pass and collide — the
+    precise failure the documented shared lock service (store.py
+    module docstring) exists to prevent. This test pins the failure
+    mode so the limitation stays visible and documented."""
+    root = str(tmp_path / "shared")
+    a = EventStore(None, root)
+    b = EventStore(None, root)
+    a.append(U, S, [minimal_event(f"a{i}", source="A") for i in range(10)])
+    assert b.revision(U, S) == 10  # both instances now see revision 10
+    # interleaved writers without a shared lock:
+    a.append(U, S, minimal_event("a-tail", source="A2"))
+    # b's cache still says 10, so the exact(10) gate passes — and the
+    # file it writes collides with a's revision 10
+    b.append(U, S, minimal_event("b-tail", source="B2"), ExpectedRevision.exact_at(10))
+    fresh = EventStore(None, root)
+    revs = [e["_revision"] for e in fresh.query(U, S, 0, 50)]
+    assert revs.count(10) == 2  # the collision a lock service prevents
