@@ -100,7 +100,57 @@ def main() -> None:
         "point_read_p95_ms": p95(read_ms),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # regression guard: compare against the most recent BENCH_r{N}.json
+    # (same sf only) and surface anything >1.2× slower in-run. Sub-
+    # second queries are exempt (scheduler noise dominates there).
+    prev = _latest_prev_bench(out["sf"])
+    if prev:
+        budget = 1.2
+        regressions = []
+        if prev.get("value") and out["value"] > prev["value"] * budget:
+            regressions.append(
+                f"suite total {out['value']:.2f}s > {budget}x previous {prev['value']:.2f}s"
+            )
+        for name, t in timings.items():
+            pt = prev.get("queries", {}).get(name)
+            if pt and pt >= 1.0 and t > pt * budget:
+                regressions.append(f"{name} {t:.2f}s > {budget}x previous {pt:.2f}s")
+        out["prev_total"] = prev.get("value")
+        out["regressions"] = regressions
+        for r in regressions:
+            print(f"# REGRESSION: {r}", file=sys.stderr)
+        if not regressions:
+            print(
+                f"# no regressions vs previous bench ({prev.get('value'):.2f}s total)",
+                file=sys.stderr,
+            )
     print(json.dumps(out))
+
+
+def _latest_prev_bench(sf) -> dict | None:
+    """The newest BENCH_r{N}.json beside this script at the same sf."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    import re
+
+    best = None
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fname)) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # the driver's record wraps this script's JSON line in "parsed"
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        if data.get("sf") != sf:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), data)
+    return best[1] if best else None
 
 
 if __name__ == "__main__":
