@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
+        "dedup_lsh_verified": dedup.dedup_lsh_verified,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_band": dedup.dedup_simhash_band,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_buckets": similarity.ann_ivf_buckets,
         "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
         "ann_ivf_search": similarity.ann_ivf_search,
+        "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe,
         "ann_filtered_search": similarity.ann_filtered_search,
         "similarity_join_block": similarity.similarity_join_block,
         "timeseries_corr_search": similarity.timeseries_corr_search,
@@ -245,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_lsh_candidates": dedup.LSH_CANDIDATES_SQL,
+        "dedup_lsh_verified": dedup.DEDUP_LSH_VERIFIED_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_simhash_band": dedup.DEDUP_SIMHASH_BAND_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
@@ -254,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_buckets": similarity.ANN_IVF_SQL,
         "ann_ivf_kmeans_assign": similarity.ANN_IVF_KMEANS_SQL,
         "ann_ivf_search": similarity.ANN_IVF_SEARCH_SQL,
+        "ann_ivf_multiprobe": similarity.ANN_IVF_MULTIPROBE_SQL,
         "ann_filtered_search": similarity.ANN_FILTERED_SQL,
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "timeseries_corr_search": similarity.TIMESERIES_CORR_SQL,

@@ -286,6 +286,76 @@ def _simhash_sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup funnel in one operator: LSH band
+    candidates (lsh_candidate_pairs) VERIFIED with exact word-3-gram
+    Jaccard, keeping pairs ≥ 0.5. This is the scalable two-stage
+    shape: the expensive exact similarity runs only on the O(near-dups)
+    candidate set the banding emits, never on the full co-shingled
+    pair space dedup_ngram_jaccard scores (at 100 TB the difference is
+    the job completing or not — hot shingles make the unbanded join's
+    pair count quadratic in the hottest key).
+
+    Both verify joins are candidate-bounded: candidates ⋈ shingles on
+    doc_a, then ⋈ shingles on (doc_b, same shingle), then one count
+    per pair — every shuffle carries O(candidate × doc-shingles),
+    proportional to actual near-duplicate mass."""
+    cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", "n_bands")
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("doc_a", "doc_b", "n_bands")
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.round(
+                F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_LSH_VERIFIED_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+, cands AS (
+  SELECT doc_a, doc_b, count(*) AS n_bands
+  FROM ({_LSH_BANDS})
+  GROUP BY doc_a, doc_b)
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+, common AS (
+  SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS common
+  FROM cands c
+  JOIN shingles a ON c.doc_a = a.doc_id
+  JOIN shingles b ON c.doc_b = b.doc_id AND a.sh = b.sh
+  GROUP BY c.doc_a, c.doc_b, c.n_bands)
+SELECT doc_a, doc_b, n_bands,
+       round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 16-bit content sketch from per-word md5 bits.
     Groups docs by identical sketch (hamming-0 buckets);

@@ -361,6 +361,81 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search over the sign-bucket quantizer — the
+    recall knob ann_ivf_buckets' docstring promises: probe the query's
+    own 4-bit sign bucket PLUS its 4 hamming-1 neighbors (one sign
+    flipped), then exact cosine top-10 within the probed 5/16 cells.
+
+    Multi-probe is how production IVF/LSH systems buy recall without
+    touching nlist: a near neighbor that disagrees with the query on
+    exactly one hyperplane sign lands one bit away, so probing the
+    hamming-1 shell recovers it for 5/16 of the scan cost (vs 1/16
+    single-probe). At 100 TB with bucket as the partition key the
+    probe list IS the partition-pruning predicate — 5 partitions
+    scanned, no shuffle; the probe set is an O(probes) broadcast."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    bucket = (
+        sum(
+            (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(4)
+        ).cast("bigint")
+    )
+    v = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", "label", bucket.alias("bucket"), ev.alias("ev")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(bucket.alias("qb"), ev.alias("qv"))
+    probes = q.select(
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
+            )
+        ).alias("bucket")
+    )
+    from hematite_spark.functions import cosine
+
+    return (
+        v.join(F.broadcast(probes), "bucket", "left_semi")
+        .crossJoin(F.broadcast(q.select("qv")))
+        .select(
+            "vec_id",
+            "label",
+            F.col("bucket").alias("cell"),
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_DUCK_BUCKET = (
+    "CAST((CASE WHEN {e}[1] >= 0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN {e}[2] >= 0 THEN 2 ELSE 0 END)"
+    " + (CASE WHEN {e}[3] >= 0 THEN 4 ELSE 0 END)"
+    " + (CASE WHEN {e}[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT)"
+)
+
+ANN_IVF_MULTIPROBE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, {_DUCK_BUCKET.format(e="ev")} AS bucket, ev
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0)),
+q AS (
+  SELECT {_DUCK_BUCKET.format(e="qv")} AS qb, qv
+  FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)),
+probes AS (
+  SELECT unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS bucket FROM q)
+SELECT vec_id, label, bucket AS cell,
+       round({_DUCK_DOT.format(a="ev", b="qv")}
+             / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}), 6) AS cosine
+FROM v, q
+WHERE bucket IN (SELECT bucket FROM probes)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 _DUCK_SQDIST = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "

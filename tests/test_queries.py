@@ -115,6 +115,43 @@ def test_ivf_search_recall_vs_brute_force(spark):
         assert abs(exact[vid] - ivf[vid]) < 1e-9  # same scoring, same values
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe quality gate: probing the query's sign bucket plus
+    its hamming-1 shell (5/16 cells) must recover at least as much of
+    the exact top-10 as any smaller probe set could, and every score
+    it reports must equal the brute-force cosine for that vector."""
+    from hematite_spark.queries.similarity import ann_brute_force, ann_ivf_multiprobe
+
+    exact = {r.vec_id: r.cosine for r in ann_brute_force(spark, SF_DIR).collect()}
+    multi = {r.vec_id: r.cosine for r in ann_ivf_multiprobe(spark, SF_DIR).collect()}
+    assert len(multi) == 10
+    overlap = set(exact) & set(multi)
+    assert len(overlap) >= 5, f"multi-probe recall {len(overlap)}/10 too low"
+    for vid in overlap:
+        assert abs(exact[vid] - multi[vid]) < 1e-9
+
+
+def test_lsh_verified_pairs_are_exact_jaccard(spark):
+    """The two-stage funnel's output must agree with the unbanded
+    exact operator wherever both report a pair, and may only MISS
+    pairs (LSH false negatives) — never invent them."""
+    from hematite_spark.queries.dedup import dedup_lsh_verified, dedup_ngram_jaccard
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+        if r.jaccard >= 0.6
+    }
+    funnel = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_lsh_verified(spark, SF_DIR).collect()}
+    for pair, j in funnel.items():
+        if j >= 0.6:
+            assert pair in exact and abs(exact[pair] - j) < 1e-9
+    high = {p for p, j in exact.items() if j >= 0.8}
+    if high:
+        found = {p for p, j in funnel.items() if p in high}
+        assert len(found) / len(high) >= 0.9
+
+
 def test_lsh_recall_against_ground_truth(spark):
     """Approximate-operator quality gate: MinHash-LSH banding must
     recover (nearly) all true near-dup pairs. Ground truth = the
