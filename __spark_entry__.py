@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.fingerprint,
         "text_char_entropy": text.char_bigram_entropy,
         "text_tfidf": text.tfidf_top_terms,
+        "text_vocabulary": text.text_vocabulary,
+        "corpus_decontaminate": text.corpus_decontaminate,
         # C-series: deterministic sampling / dataset splits
         "sample_systematic": sampling.sample_systematic,
         "sample_stratified": sampling.sample_stratified,
@@ -243,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": text.FINGERPRINT_SQL,
         "text_char_entropy": text.CHAR_ENTROPY_SQL,
         "text_tfidf": text.TFIDF_SQL,
+        "text_vocabulary": text.VOCABULARY_SQL,
+        "corpus_decontaminate": text.DECONTAMINATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.functions import words as _words
 from hematite_spark.io import load_table
 
@@ -319,4 +320,106 @@ SELECT doc_id, term,
 FROM tc JOIN dl USING (doc_id) JOIN dfc USING (term), n
 ORDER BY tfidf DESC, doc_id, term
 LIMIT 50
+"""
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: the top-100 lowercased tokens by document
+    frequency, with term frequency — the corpus-statistics pass that
+    seeds tokenizer training (BPE merges start from exactly this
+    table) and powers stopword/frequency filtering.
+
+    One explode + one hash-aggregate on the token: the shuffle
+    carries (token, doc_id) pairs, partial-aggregated map-side by
+    Catalyst. At 100 TB the vocab aggregate is the canonical
+    word-count shape — count-distinct on doc_id is the only state per
+    token, and a two-level (partial/final) aggregate handles hot
+    tokens; the top-k cut is TakeOrderedAndProject, never a global
+    sort."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(_norm_text()), " ")).alias("token")
+    ).where(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), "token")
+        .limit(100)
+    )
+
+
+VOCABULARY_SQL = """
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY df DESC, tf DESC, token
+LIMIT 100
+"""
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the LLM-pipeline step that keeps
+    benchmark answers out of training data: find TRAIN-split documents
+    sharing any word-5-gram with the TEST split, reporting how many
+    distinct test 5-grams each contaminated train doc contains.
+    Splits reuse the stable doc_id hash of split_train_test (train =
+    hash<80, test = hash>=90), so membership matches the split
+    operator exactly.
+
+    Shape at scale: the test corpus is the small side — its DISTINCT
+    shingle set is the build side of one equi-join on the shingle key
+    (at 100 TB: a bloom filter over test shingles pre-filters the
+    train side before the join, same topology). No doc-pair explosion:
+    the join output is (train_doc, shingle) hits, aggregated per doc.
+    A hot shingle (boilerplate) is the skew risk — AQE skew-join
+    handles it, and a df-cap on shingles (drop shingles in >x% of
+    docs) is the standard refinement."""
+    from hematite_spark.queries.dedup import _shingles_df
+    from hematite_spark.queries.sampling import _hash_pct
+
+    sh = _shingles_df(spark, sf_dir, k=5)
+    h = _hash_pct(F.col("doc_id"))
+    train = sh.where(h < 80)
+    test_shingles = sh.where(h >= 90).select("sh").distinct()
+    return (
+        train.join(test_shingles, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_5grams"))
+        .where(F.col("n_shared_5grams") >= 3)
+        .select(F.col("doc_id").alias("train_doc_id"), "n_shared_5grams")
+        .orderBy("train_doc_id")
+    )
+
+
+_DECON_HASH = (
+    "(((strpos('0123456789abcdef', md5(doc_id::VARCHAR)[1]) - 1) * 4096"
+    " + (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[2]) - 1) * 256"
+    " + (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[3]) - 1) * 16"
+    " + (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[4]) - 1)) % 100)"
+)
+
+DECONTAMINATE_SQL = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 1)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+), train AS (
+  SELECT doc_id, sh FROM shingles WHERE {_DECON_HASH} < 80
+), test_shingles AS (
+  SELECT DISTINCT sh FROM shingles WHERE {_DECON_HASH} >= 90
+)
+SELECT doc_id AS train_doc_id, count(*) AS n_shared_5grams
+FROM train JOIN test_shingles USING (sh)
+GROUP BY doc_id
+HAVING count(*) >= 3
+ORDER BY train_doc_id
 """
