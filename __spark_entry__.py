@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": relational.rollup_lineitem,
         "cube_orders": relational.cube_orders,
         "pivot_events": relational.pivot_events,
+        "unpivot_lineitem": relational.unpivot_lineitem,
         "window_top_orders_per_customer": relational.window_top_orders_per_customer,
         "window_lag_events": relational.window_lag_events,
         "topk_global": relational.topk_global,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_lineitem": relational.ROLLUP_SQL,
         "cube_orders": relational.CUBE_SQL,
         "pivot_events": relational.PIVOT_SQL,
+        "unpivot_lineitem": relational.UNPIVOT_SQL,
         "window_running_total": relational.WINDOW_RUNNING_SQL,
         "window_top_orders_per_customer": relational.WINDOW_TOPK_SQL,
         "window_lag_events": relational.WINDOW_LAG_SQL,

@@ -368,6 +368,48 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of pivot_events: per-returnflag
+    quantity/price/discount totals folded from columns into
+    (metric, value) rows. `DataFrame.unpivot` is Catalyst's Expand
+    node — one pass, rows × n_metrics output, no shuffle beyond the
+    feeding aggregate; the same Expand powers rollup/cube, so this
+    closes the reshape family."""
+    li = load_table(spark, "lineitem", sf_dir)
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "sum_disc"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, value
+FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+ORDER BY l_returnflag, metric
+"""
+
+
 def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns. Fixed pivot values
     keep the plan a single pass (no distinct-values pre-query)."""
