@@ -121,10 +121,9 @@ def main() -> None:
         for r in regressions:
             print(f"# REGRESSION: {r}", file=sys.stderr)
         if not regressions:
-            print(
-                f"# no regressions vs previous bench ({prev.get('value'):.2f}s total)",
-                file=sys.stderr,
-            )
+            prev_total = prev.get("value")
+            prev_s = f"{prev_total:.2f}s" if isinstance(prev_total, (int, float)) else "n/a"
+            print(f"# no regressions vs previous bench ({prev_s} total)", file=sys.stderr)
     print(json.dumps(out))
 
 

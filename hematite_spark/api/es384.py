@@ -269,7 +269,10 @@ class ES384Verifier:
             sub, exp = hit
             if exp is None or self.clock() <= exp + self.leeway:
                 return sub
-            del self._cache[token]
+            # pop, not del: two request threads can race the expiry
+            # check under ThreadingHTTPServer; the loser must not
+            # KeyError into a 500
+            self._cache.pop(token, None)
 
         parts = token.split(".")
         if len(parts) != 3:

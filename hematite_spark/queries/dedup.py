@@ -9,8 +9,8 @@ Scale design: every variant avoids the O(n²) all-pairs trap.
 * minhash   — fixed-width signature per doc (one pass), LSH banding
               turns candidate generation into an equi-join on band
               keys — THE shuffle-friendly near-dup path at 100 TB;
-* simhash   — 64-bit sketch per doc; hamming-ball candidate pairs via
-              band equi-join on 16-bit chunks (pigeonhole: hamming≤3
+* simhash   — 32-bit sketch per doc; hamming-ball candidate pairs via
+              band equi-join on 8-bit chunks (pigeonhole: hamming≤3
               ⇒ some chunk equal).
 
 Hash functions are md5-based so the DuckDB oracle computes the exact
@@ -137,7 +137,7 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6
+WHERE round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 4) >= 0.6
 ORDER BY doc_a, doc_b
 """
 )
@@ -258,30 +258,38 @@ ORDER BY doc_a, doc_b
 )
 
 
+_SIMHASH_BITS = 32  # sketch width; 8-bit chunks × 4 bands below
+
+
 def _simhash_sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash sketch per doc. Bit b of the
-    sketch = sign of Σ_words (±1 per word's bit b); per-word 16-bit
-    hash from the first 4 hex chars of md5. Pure column arithmetic on
-    conv(md5), no UDF — one explode + one hash-aggregate per doc."""
+    """(doc_id, simhash) — 32-bit SimHash sketch per doc. Bit b of the
+    sketch = sign of Σ_words (±1 per word's bit b); per-word 32-bit
+    hash from the first 8 hex chars of md5. Pure column arithmetic on
+    conv(md5), no UDF — one explode + one hash-aggregate per doc.
+    32 bits (not 16) so the banded chunks below carry 8 bits each —
+    256 distinct values per band key, which is what makes the band
+    equi-join prune (a 4-bit chunk key would put ~n/16 docs in every
+    bucket and the 'candidates' would be a thinly sliced cross
+    join)."""
     docs = load_table(spark, "documents", sf_dir)
     words = F.array_distinct(F.split(_norm_text(), " "))
     exploded = docs.select("doc_id", F.explode(words).alias("word"))
-    h = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
     with_bits = exploded.select(
         "doc_id",
         *[
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{b}")
-            for b in range(16)
+            for b in range(_SIMHASH_BITS)
         ],
     )
     summed = with_bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(16)]
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(_SIMHASH_BITS)]
     )
     return summed.select(
         "doc_id",
         sum(
             (F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
-            for b in range(16)
+            for b in range(_SIMHASH_BITS)
         ).cast("bigint").alias("simhash"),
     )
 
@@ -350,17 +358,17 @@ SELECT doc_a, doc_b, n_bands,
 FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+WHERE round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 4) >= 0.5
 ORDER BY doc_a, doc_b
 """
 )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 16-bit content sketch from per-word md5 bits.
+    """SimHash: 32-bit content sketch from per-word md5 bits.
     Groups docs by identical sketch (hamming-0 buckets);
     dedup_simhash_band extends this to hamming≤3 candidates via
-    pigeonhole banding over 4-bit chunks."""
+    pigeonhole banding over 8-bit chunks."""
     sketch = _simhash_sketch_df(spark, sf_dir)
     return (
         sketch.groupBy("simhash")
@@ -377,23 +385,25 @@ WITH exploded AS (
         FROM documents)
 ), hashed AS (
   SELECT doc_id,
-         (strpos('0123456789abcdef', md5(word)[1]) - 1) * 4096
-       + (strpos('0123456789abcdef', md5(word)[2]) - 1) * 256
-       + (strpos('0123456789abcdef', md5(word)[3]) - 1) * 16
-       + (strpos('0123456789abcdef', md5(word)[4]) - 1) AS h
+         """ + "\n       + ".join(
+    f"CAST(strpos('0123456789abcdef', md5(word)[{i + 1}]) - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+) + """ AS h
   FROM exploded
 ), bits AS (
   SELECT doc_id,
          """ + ",\n         ".join(
-    f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END AS b{b}" for b in range(16)
+    f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END AS b{b}" for b in range(_SIMHASH_BITS)
 ) + """
   FROM hashed
 ), summed AS (
-  SELECT doc_id, """ + ", ".join(f"sum(b{b}) AS s{b}" for b in range(16)) + """
+  SELECT doc_id, """ + ", ".join(f"sum(b{b}) AS s{b}" for b in range(_SIMHASH_BITS)) + """
   FROM bits GROUP BY doc_id
 ), sketch AS (
   SELECT doc_id,
-         CAST(""" + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)) + """ AS BIGINT) AS simhash
+         CAST(""" + " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+) + """ AS BIGINT) AS simhash
   FROM summed)
 """
 
@@ -411,25 +421,29 @@ ORDER BY keeper_doc_id
 
 def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-k SimHash candidates via pigeonhole banding: split the
-    16-bit sketch into 4 chunks of 4 bits; any pair with hamming ≤ 3
+    32-bit sketch into 4 chunks of 8 bits; any pair with hamming ≤ 3
     differs in ≤3 bit positions, which touch ≤3 chunks — so at least
     one chunk is IDENTICAL. Candidate generation is therefore a union
     of 4 equi-joins on (chunk value), never an all-pairs cross — the
     same banding trick as MinHash-LSH, applied to hamming space. Each
     candidate is then verified exactly with bit_count(xor) ≤ 3.
 
-    At 100 TB the chunk value is the shuffle key; each of the 4 joins
-    shuffles O(docs) rows and hot chunks (common sketches) are the
-    skew risk, handled by AQE skew-join. Parallels the reference's
-    content-hash uniqueness declaration (reference src/db.rs:11-17)
-    generalized to near-identity."""
+    The 8-bit chunk key (256 values) is what makes each band join
+    prune — near-identical docs agree on whole chunks, unrelated docs
+    collide on a given chunk with p≈1/256 per band; production
+    deployments widen further (64-bit sketch, 16-bit chunks) as the
+    corpus grows. At 100 TB the chunk value is the shuffle key; hot
+    chunks (boilerplate-dominated sketches) are the skew risk,
+    handled by AQE skew-join. Parallels the reference's content-hash
+    uniqueness declaration (reference src/db.rs:11-17) generalized to
+    near-identity."""
     sketch = _simhash_sketch_df(spark, sf_dir).localCheckpoint()
-    # 4 chunk columns, 4 bits each
+    # 4 chunk columns, 8 bits each
     chunks = sketch.select(
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 4 * c).bitwiseAND(F.lit(15)).alias(f"c{c}")
+            F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255)).alias(f"c{c}")
             for c in range(4)
         ],
     )
@@ -468,7 +482,7 @@ DEDUP_SIMHASH_BAND_SQL = (
     + f"""
 , chunks AS (
   SELECT doc_id, simhash,
-         {", ".join(f"(simhash >> {4 * c}) & 15 AS c{c}" for c in range(4))}
+         {", ".join(f"(simhash >> {8 * c}) & 255 AS c{c}" for c in range(4))}
   FROM sketch)
 SELECT doc_a, doc_b, min(hamming) AS hamming
 FROM ({_SIMHASH_BAND_JOINS})

@@ -398,12 +398,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECON_HASH = (
-    "(((strpos('0123456789abcdef', md5(doc_id::VARCHAR)[1]) - 1) * 4096"
-    " + (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[2]) - 1) * 256"
-    " + (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[3]) - 1) * 16"
-    " + (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[4]) - 1)) % 100)"
-)
+# the split-hash formula is OWNED by sampling.py (split_train_test);
+# importing it keeps decontamination membership exactly in sync with
+# the split operator if the formula ever changes
+from hematite_spark.queries.sampling import _DUCK_HASH_PCT as _SPLIT_HASH_SQL
+
+_DECON_HASH = _SPLIT_HASH_SQL.format(k="doc_id::VARCHAR")
 
 DECONTAMINATE_SQL = f"""
 WITH shingles AS (

@@ -93,6 +93,8 @@ def _make_group_appender(root: str, repo_dir: str):
         )
         from hematite_spark.streaming.append import _batch_to_events
 
+        from hematite_spark.store.store import _validate
+
         user_id = str(pdf["user_id"].iloc[0])
         stream_id = str(pdf["stream_id"].iloc[0])
         if "ingest_order" in pdf.columns:
@@ -122,10 +124,17 @@ def _make_group_appender(root: str, repo_dir: str):
 
         # idempotent replay (A10): a checkpoint-recovered micro-batch
         # re-delivers rows whose (source,id) the stream already holds —
-        # drop them (and in-batch duplicates), append only the rest
+        # drop them (and in-batch duplicates), append only the rest.
+        # Rehydrating the key set costs one narrow 2-column read per
+        # existing file each batch (stateless workers can't carry the
+        # incremental cache the interactive path keeps); the driver's
+        # post-batch auto-compaction bounds the file count, and at
+        # cluster scale a bloom-filter sidecar per stream replaces the
+        # re-read entirely
         events = []
         seen = set(existing)
         for ev in _batch_to_events(pdf):
+            _validate(ev)  # same CloudEvents gate as the API path
             key = (str(ev["source"]), str(ev["id"]))
             if key in seen:
                 continue
@@ -139,7 +148,14 @@ def _make_group_appender(root: str, repo_dir: str):
             )
             table = pa.Table.from_pydict(rows, schema=_ARROW_SCHEMA)
             fname = f"part-{current:012d}-{max_seq + 1:06d}.parquet"
-            tmp = os.path.join(d, f".{fname}.tmp")
+            # attempt-unique tmp name: under speculative execution /
+            # zombie retries two attempts of the same group may run
+            # concurrently; a shared tmp path would interleave writes
+            # into a corrupt file. Distinct tmps + atomic rename make
+            # the last publisher win with a whole file either way.
+            import uuid
+
+            tmp = os.path.join(d, f".{fname}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp")
             pq.write_table(table, tmp, compression="zstd")
             os.rename(tmp, os.path.join(d, fname))  # atomic publish
             appended = len(events)
@@ -204,6 +220,18 @@ def stream_append_to_store(
         for row in summaries:
             if row["appended"]:
                 store._invalidate(row["user_id"], row["stream_id"])
+                # honor the store's auto-compaction policy (the
+                # interactive append path compacts inline; here the
+                # driver compacts after the batch) — keeps per-stream
+                # file counts bounded on long-running streams, which
+                # also bounds the workers' per-batch (source,id)
+                # rehydration cost
+                if (
+                    store.auto_compact_files is not None
+                    and len(store._snapshot_ranges(row["user_id"], row["stream_id"]))
+                    >= store.auto_compact_files
+                ):
+                    store.compact_stream(row["user_id"], row["stream_id"])
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

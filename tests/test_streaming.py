@@ -298,3 +298,48 @@ def test_decaying_rate_counts(spark, tmp_path):
     expected = sum(math.pow(2.0, -a / 3600.0) for a in ages_s)
     assert abs(out[1].decayed_count - expected) < 1e-4
     assert out[2].decayed_count == 1.0  # single event, zero age
+
+
+def test_stream_append_honors_auto_compaction(spark, tmp_path):
+    """A store with auto_compact_files=N must keep per-stream file
+    counts bounded under streaming ingestion (the executor path defers
+    compaction to the driver after each batch)."""
+    from hematite_spark.store import EventStore
+
+    store = EventStore(spark, str(tmp_path / "store_ac"), auto_compact_files=2)
+    src = str(tmp_path / "incoming_ac")
+    for batch in range(3):
+        _write_wire_batch(src, 5, stream="ac", start=batch * 5)
+        sdf = spark.readStream.schema(WIRE_SCHEMA).json(src)
+        stream_append_to_store(sdf, store, str(tmp_path / f"ckpt_ac{batch}")).awaitTermination(60)
+    assert store.revision("u1", "ac") == 15
+    assert [e["id"] for e in store.query("u1", "ac", 0, 20)] == [f"ev-{i}" for i in range(15)]
+    n_files = len(store._snapshot_ranges("u1", "ac"))
+    assert n_files <= 2, f"auto-compaction did not bound files: {n_files}"
+
+
+def test_stream_append_rejects_invalid_specversion(spark, store, tmp_path):
+    """The executor path enforces the same CloudEvents gate as the
+    interactive API: a non-1.0 specversion fails the streaming query
+    loudly instead of being silently written."""
+    import json as _json
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src = str(tmp_path / "incoming_bad")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "bad.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "user_id": "u1", "stream_id": "bad", "specversion": "0.3",
+                    "id": "e1", "source": "s", "type": "t", "data": None,
+                    "ingest_order": 0,
+                }
+            )
+            + "\n"
+        )
+    sdf = spark.readStream.schema(WIRE_SCHEMA).json(src)
+    q = stream_append_to_store(sdf, store, str(tmp_path / "ckpt_bad"))
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(60)
+        q.processAllAvailable()
