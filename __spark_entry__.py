@@ -31,6 +31,7 @@ from hematite_spark.queries import (
     dedup,
     eventstore,
     multimodal,
+    packing,
     pipeline,
     relational,
     sampling,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_block": similarity.similarity_join_block,
         "timeseries_corr_search": similarity.timeseries_corr_search,
         "embedding_stats": similarity.embedding_stats,
+        "embedding_quantize": similarity.embedding_quantize,
         # C-series: text analysis
         "text_token_count": text.token_count,
         "text_quality_score": text.quality_score,
@@ -95,10 +97,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text.tfidf_top_terms,
         "text_vocabulary": text.text_vocabulary,
         "corpus_decontaminate": text.corpus_decontaminate,
+        "text_repetition_stats": text.text_repetition_stats,
+        "text_boilerplate_fraction": text.text_boilerplate_fraction,
+        "text_unigram_logprob": text.text_unigram_logprob,
         # C-series: deterministic sampling / dataset splits
         "sample_systematic": sampling.sample_systematic,
         "sample_stratified": sampling.sample_stratified,
         "split_train_test": sampling.split_train_test,
+        "sample_temperature": sampling.sample_temperature,
+        "pack_sequences": packing.pack_sequences,
         # C-series: multimodal binary columns
         "multimodal_binary_stats": multimodal.multimodal_binary_stats,
         "multimodal_features": multimodal.multimodal_features,
@@ -241,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_systematic": sampling.SAMPLE_SYSTEMATIC_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
         "split_train_test": sampling.SPLIT_TRAIN_TEST_SQL,
+        "sample_temperature": sampling.SAMPLE_TEMPERATURE_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_quality_score": text.QUALITY_SQL,
         "text_language_id": text.LANGUAGE_ID_SQL,
@@ -249,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": text.TFIDF_SQL,
         "text_vocabulary": text.VOCABULARY_SQL,
         "corpus_decontaminate": text.DECONTAMINATE_SQL,
+        "text_repetition_stats": text.REPETITION_SQL,
+        "text_boilerplate_fraction": text.BOILERPLATE_SQL,
+        "text_unigram_logprob": text.UNIGRAM_LOGPROB_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
@@ -268,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join_block": similarity.SIMILARITY_JOIN_SQL,
         "timeseries_corr_search": similarity.TIMESERIES_CORR_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
+        "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
         "multimodal_binary_stats": multimodal.MULTIMODAL_STATS_SQL,
         "multimodal_frame_sample": multimodal.MULTIMODAL_FRAMES_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,

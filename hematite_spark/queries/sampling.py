@@ -117,3 +117,59 @@ FROM (SELECT {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} AS h, n_chars FROM doc
 GROUP BY split
 ORDER BY split
 """
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture (the multilingual /
+    multi-domain rebalancing rule used for training corpora): domain
+    d's sampling weight ∝ p_d^α with α = 0.5, normalized so the
+    highest-weight domain keeps 100% of its docs — small domains are
+    up-weighted relative to their share, big ones thinned. Selection
+    is the same stateless doc_id-hash filter as the other samplers,
+    so the drawn set is deterministic and growth-stable; only the
+    per-domain RATE comes from the corpus profile.
+
+    Shape at scale: one tiny per-domain count aggregate (O(domains)
+    rows) broadcast back into a stateless filter over the corpus —
+    the 100 TB pass is scan + broadcast-join + filter, no wide
+    shuffle. Reports per-domain before/after sizes and the applied
+    rate."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # w_d = sqrt(share); rate_d = 100 * w_d / max(w_d). Computed on
+    # O(domains) rows — the max is a second tiny aggregate, cross-
+    # joined (broadcast) rather than collected.
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    w = counts.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", F.sqrt(F.col("n_docs") / F.col("n_total")).alias("w")
+    )
+    wmax = w.agg(F.max("w").alias("w_max"))
+    rates = w.crossJoin(F.broadcast(wmax)).select(
+        "source", "n_docs", (F.lit(100.0) * F.col("w") / F.col("w_max")).alias("rate")
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(_hash_pct(F.col("doc_id")) < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.first("n_docs").alias("n_before"),
+             F.round(F.first("rate"), 4).alias("rate_pct"))
+        .select("source", "n_before", "n_sampled", "rate_pct")
+        .orderBy("source")
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             sqrt(n_docs / CAST((SELECT sum(n_docs) FROM counts) AS DOUBLE)) AS w
+      FROM counts),
+rates AS (SELECT source, n_docs,
+                 100.0 * w / (SELECT max(w) FROM w) AS rate
+          FROM w)
+SELECT source, n_docs AS n_before, count(*) AS n_sampled,
+       round(rate, 4) AS rate_pct
+FROM documents JOIN rates USING (source)
+WHERE {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} < rate
+GROUP BY source, n_docs, rate
+ORDER BY source
+"""

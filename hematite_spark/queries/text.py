@@ -423,3 +423,200 @@ GROUP BY doc_id
 HAVING count(*) >= 3
 ORDER BY train_doc_id
 """
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher-rules family):
+    per doc, the top-unigram mass fraction and the duplicate-bigram
+    fraction — the two cheapest detectors of degenerate/templated
+    text (keyboard mash, SEO keyword stuffing, boilerplate loops).
+    Docs exceeding either threshold are flagged for removal.
+
+    Two explode+hash-aggregate passes (unigrams, bigrams) joined on
+    doc_id — both map-side-combine shapes whose shuffle carries one
+    row per distinct (doc, gram), never the corpus text. At 100 TB
+    this is the same single-pass profile as token counting; no
+    Python, no sort, flagged set selected on rounded fractions so
+    engine summation order can't flip a threshold decision."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(_norm_text(), " ")
+
+    toks = docs.select("doc_id", F.explode(w).alias("t"))
+    uni = (
+        toks.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_unigram_frac"),
+        )
+    )
+
+    bg_expr = (
+        "transform(sequence(0, greatest(size(w) - 2, 0)),"
+        " i -> concat(get(w, i), ' ', get(w, i + 1)))"
+    )
+    bg = (
+        docs.withColumn("w", w)
+        .select("doc_id", F.explode(F.expr(bg_expr)).alias("b"))
+        .groupBy("doc_id")
+        # count(col) skips the null bigram a 1-word doc produces —
+        # same null-propagation as the oracle's w[i+1] past the end
+        .agg(F.count("b").alias("n_bg"), F.countDistinct("b").alias("n_bg_distinct"))
+        .select(
+            "doc_id",
+            F.round((F.col("n_bg") - F.col("n_bg_distinct")) / F.col("n_bg"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+    return (
+        uni.join(bg, "doc_id")
+        .where((F.col("top_unigram_frac") >= 0.15) | (F.col("dup_bigram_frac") >= 0.08))
+        .select("doc_id", "n_tokens", "top_unigram_frac", "dup_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_unigram_frac
+  FROM (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY doc_id, t)
+  GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         round((count(b) - count(DISTINCT b)) / CAST(count(b) AS DOUBLE), 6) AS dup_bigram_frac
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i + 1])) AS b
+        FROM w)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, top_unigram_frac, dup_bigram_frac
+FROM uni JOIN bg USING (doc_id)
+WHERE top_unigram_frac >= 0.15 OR dup_bigram_frac >= 0.08
+ORDER BY doc_id
+"""
+
+
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition: per doc, the fraction of its
+    distinct word-3-gram shingles that also appear in at least one
+    OTHER document — the C4-style boilerplate detector (nav bars,
+    license headers, templated intros live in many docs at once).
+    Reported per source: mean/max boilerplate fraction and the count
+    of mostly-boilerplate docs (≥80%).
+
+    Relational all the way: the shingle document-frequency table is
+    ONE hash aggregate over the inverted index (shared shape with
+    dedup_ngram_jaccard), joined back to per-doc shingles. The join
+    key is the shingle — O(corpus shingles) shuffle, no doc-pair
+    explosion; a df-cap (drop shingles in >x% of docs) bounds the
+    hot-key side at 100 TB, and AQE skew-join covers the rest."""
+    from hematite_spark.queries.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir, k=3).localCheckpoint()
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("df") > 1, F.lit(1))) / F.count("*"), 6
+            ).alias("bfrac")
+        )
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("bfrac"), 6).alias("avg_boilerplate_frac"),
+            F.round(F.max("bfrac"), 6).alias("max_boilerplate_frac"),
+            F.count(F.when(F.col("bfrac") >= 0.8, F.lit(1))).alias("n_mostly_boilerplate"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+), dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+per_doc AS (
+  SELECT doc_id,
+         round(count(*) FILTER (df > 1) / CAST(count(*) AS DOUBLE), 6) AS bfrac
+  FROM sh JOIN dfc USING (sh)
+  GROUP BY doc_id
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(bfrac), 6) AS avg_boilerplate_frac,
+       round(max(bfrac), 6) AS max_boilerplate_frac,
+       count(*) FILTER (bfrac >= 0.8) AS n_mostly_boilerplate
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: build a unigram language model from
+    the corpus itself (p(t) = count(t)/total), then score each doc by
+    its mean token log-probability and the equivalent perplexity —
+    the cheapest member of the perplexity-filter family (KenLM-style
+    filters are the production version; the unigram model keeps it
+    oracle-exact). Low scorers are off-distribution docs: wrong
+    language, encoding garbage, random strings.
+
+    Two aggregates (token counts; per-doc mean over the token-count
+    join) — the model 'training' and the scoring pass are the SAME
+    relational shapes as TF-IDF, and the unigram table is tiny
+    (vocabulary-sized): broadcast into the scoring join, so the
+    corpus is scanned once with no wide shuffle. Ordering is on the
+    ROUNDED score so both engines agree on ties."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"))
+    model = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(model), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 4).alias("avg_logprob"))
+        .select(
+            "doc_id",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 2).alias("perplexity"),
+        )
+    )
+    return scored.orderBy(F.col("avg_logprob").asc(), "doc_id").limit(20)
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), model AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+total AS (SELECT count(*) AS n_total FROM toks),
+scored AS (
+  SELECT doc_id, round(avg(ln(c / CAST(n_total AS DOUBLE))), 4) AS avg_logprob
+  FROM toks JOIN model USING (t), total
+  GROUP BY doc_id
+)
+SELECT doc_id, avg_logprob, round(exp(-avg_logprob), 2) AS perplexity
+FROM scored
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 20
+"""
