@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_band": dedup.dedup_simhash_band,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_semantic": dedup.dedup_semantic,
         "dedup_connected_components": dedup.dedup_connected_components,
         # C-series: vector similarity
         "ann_brute_force": similarity.ann_brute_force,
@@ -125,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_count": tpch_shapes.q16_supplier_part_count,
         "q20_part_promotion": tpch_shapes.q20_part_promotion,
         "q21_waiting_suppliers": tpch_shapes.q21_waiting_suppliers,
+        # B-series: event-analytics shapes (funnel, cohort)
+        "funnel_events": advanced.funnel_events,
+        "cohort_retention": advanced.cohort_retention,
         # B-series anchors (close out the first 50)
         "join_asof": relational.join_asof,
         "window_running_total": relational.window_running_total,
@@ -229,6 +233,8 @@ def oracle_sql() -> dict[str, str]:
         "join_salted_hotkey": advanced.JOIN_SALTED_SQL,
         "window_range_moving_avg": advanced.WINDOW_RANGE_SQL,
         "window_rank_suite": advanced.WINDOW_RANK_SQL,
+        "funnel_events": advanced.FUNNEL_SQL,
+        "cohort_retention": advanced.COHORT_SQL,
         "q2_min_cost_supplier": tpch_shapes.Q2_MINCOST_SQL,
         "q9_product_profit": tpch_shapes.Q9_PROFIT_SQL,
         "q11_important_parts": tpch_shapes.Q11_IMPORTANT_SQL,
@@ -269,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_simhash_band": dedup.DEDUP_SIMHASH_BAND_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
+        "dedup_semantic": dedup.DEDUP_SEMANTIC_SQL,
         "dedup_connected_components": dedup.DEDUP_CC_SQL,
         "ann_brute_force": similarity.ANN_BRUTE_SQL,
         "ann_knn_multi_query": similarity.KNN_MULTI_SQL,

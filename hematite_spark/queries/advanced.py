@@ -626,3 +626,120 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user,
+    the earliest view, the earliest click strictly AFTER that view,
+    and the earliest purchase strictly after that click — the classic
+    product-analytics shape (MATCH_RECOGNIZE-lite) expressed as three
+    chained min-aggregates, each stage filtering on the previous
+    stage's timestamp. Emits one summary row with stage counts and
+    conversion rates.
+
+    Scale: each stage is one groupBy(user_id) min — the shuffles are
+    all on the SAME key, so Catalyst reuses the partitioning across
+    stages instead of re-shuffling; stage outputs are O(users) and
+    shrink monotonically. No window over the full event log, no
+    per-user event sorting."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    n1 = v.agg(F.count("*").alias("n_viewed"))
+    n2 = c.agg(F.count("*").alias("n_clicked"))
+    n3 = p.agg(F.count("*").alias("n_purchased"))
+    return (
+        total.crossJoin(n1)
+        .crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
+            F.round(F.col("n_purchased") / F.col("n_clicked"), 6).alias("click_to_purchase"),
+            F.round(F.col("n_purchased") / F.col("n_users"), 6).alias("overall"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased,
+       round((SELECT count(*) FROM c) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+       round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS click_to_purchase,
+       round((SELECT count(*) FROM p) / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6) AS overall
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event (the cohort), counted in each subsequent week they
+    were active — the (cohort_week, week_offset) → active-users table
+    every growth dashboard draws. Pure two-aggregate shape: first-seen
+    per user, then distinct (user, week) activity joined back to the
+    cohort assignment.
+
+    Scale: both aggregates key on user_id (partitioning reuse); the
+    activity set is distinct-compressed BEFORE the join so the join
+    input is O(users × weeks), not O(events). The cohort table is
+    O(users) and the final matrix O(weeks²) — tiny at any corpus
+    size."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_active_users
+FROM activity JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""

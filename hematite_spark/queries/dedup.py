@@ -694,3 +694,95 @@ HAVING count(*) > 1
 ORDER BY cluster_keeper
 """
 )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe): coarse-cluster the
+    embedding space with the same deterministic 8-centroid quantizer
+    as ann_ivf_kmeans_assign, then prune near-duplicates WITHIN each
+    cluster — a doc is dropped when a lower-id doc in its cell has
+    cosine ≥ 0.3 with it; the verdict row names its best keeper.
+    Complements the sign-bucket blocking of dedup_embedding_cosine:
+    learned cells adapt to the data distribution, so at 100 TB the
+    cell id doubles as the partition key and pruning is an
+    embarrassingly parallel per-partition job after ONE broadcast
+    assignment pass (centroids are O(k)); the in-cell pair join is
+    an equi-join on the cell, never a cross-corpus explosion.
+
+    All float math is the shared float64 left-fold library, cosine
+    rounded to 6 before thresholding so both engines make identical
+    keep/drop decisions."""
+    from pyspark.sql import Window as W
+
+    from hematite_spark.functions import dbl as _dbl, dot as _dot, l2_norm as _norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    )
+    vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
+    diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    w_assign = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ev", "centroid_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ev", "centroid_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col("a.vec_id").alias("keep_vec"),
+            F.col("b.vec_id").alias("drop_vec"),
+            F.round(
+                _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+    w_best = W.partitionBy("drop_vec").orderBy(F.col("cosine").desc(), F.col("keep_vec"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("drop_vec", "keep_vec", "centroid_id", "cosine")
+        .orderBy("drop_vec")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT vec_id, ev, centroid_id,
+         sqrt(list_reduce(list_transform(list_zip(ev, cv),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (acc, x) -> acc + x)) AS d
+  FROM v CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, ev, centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn FROM scored)
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.centroid_id AS centroid_id, a.vec_id AS keep_vec, b.vec_id AS drop_vec,
+         round({{dot}} / ({{norm_a}} * {{norm_b}}), 6) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+SELECT drop_vec, keep_vec, centroid_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY drop_vec ORDER BY cosine DESC, keep_vec) AS rn
+      FROM pairs WHERE cosine >= 0.3)
+WHERE rn = 1
+ORDER BY drop_vec
+""".format(
+    dot="list_reduce(list_transform(list_zip(a.ev, b.ev), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)",
+    norm_a="sqrt(list_reduce(list_transform(a.ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))",
+    norm_b="sqrt(list_reduce(list_transform(b.ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))",
+)
