@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_band": dedup.dedup_simhash_band,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_semantic": dedup.dedup_semantic,
+        "dedup_incremental": dedup.dedup_incremental,
         "dedup_connected_components": dedup.dedup_connected_components,
         # C-series: vector similarity
         "ann_brute_force": similarity.ann_brute_force,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_band": dedup.DEDUP_SIMHASH_BAND_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_semantic": dedup.DEDUP_SEMANTIC_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "dedup_connected_components": dedup.DEDUP_CC_SQL,
         "ann_brute_force": similarity.ANN_BRUTE_SQL,
         "ann_knn_multi_query": similarity.KNN_MULTI_SQL,

@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_ivf_search",
     "text_tfidf",
     "sample_stratified",
+    "pack_sequences",
+    "dedup_semantic",
 ]
 
 
@@ -108,12 +110,19 @@ def main() -> None:
     if prev:
         budget = 1.2
         regressions = []
-        if prev.get("value") and out["value"] > prev["value"] * budget:
-            regressions.append(
-                f"suite total {out['value']:.2f}s > {budget}x previous {prev['value']:.2f}s"
-            )
+        # compare totals over the SHARED query set, so growing the
+        # headline suite doesn't read as a regression
+        prev_qs = prev.get("queries", {})
+        shared = [n for n in timings if n in prev_qs]
+        if shared:
+            cur_shared = sum(timings[n] for n in shared)
+            prev_shared = sum(prev_qs[n] for n in shared)
+            if cur_shared > prev_shared * budget:
+                regressions.append(
+                    f"shared-suite total {cur_shared:.2f}s > {budget}x previous {prev_shared:.2f}s"
+                )
         for name, t in timings.items():
-            pt = prev.get("queries", {}).get(name)
+            pt = prev_qs.get(name)
             if pt and pt >= 1.0 and t > pt * budget:
                 regressions.append(f"{name} {t:.2f}s > {budget}x previous {pt:.2f}s")
         out["prev_total"] = prev.get("value")

@@ -786,3 +786,113 @@ ORDER BY drop_vec
     norm_a="sqrt(list_reduce(list_transform(a.ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))",
     norm_b="sqrt(list_reduce(list_transform(b.ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))",
 )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the production shape for a corpus
+    that grows: a new batch (docs whose split-hash ≥ 80, reusing the
+    split_train_test membership rule) is deduplicated against the
+    ALREADY-ACCEPTED corpus (hash < 80) AND against itself, via the
+    same MinHash band keys as dedup_lsh_candidates. Per flagged
+    incoming doc: its lowest-id matching partner on each side and the
+    distinct-partner count — what an ingest job needs to decide
+    drop/keep and to wire provenance.
+
+    Scale: the accepted corpus' band table is the big side but it is
+    NEVER rebuilt — in production it's a materialized index keyed by
+    band (here both sides derive from one signature pass for oracle
+    parity). Each band is one equi-join of O(batch) probe rows
+    against the band-bucketed index — at 100 TB the index is
+    bucketed/partitioned BY the band key, so the probe is a
+    partition-pruned lookup, and batch-vs-batch dedup stays O(batch).
+    No similarity math at all until a downstream verify (the
+    dedup_lsh_verified funnel applies unchanged)."""
+    from hematite_spark.queries.sampling import _hash_pct
+
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        _hash_pct(F.col("doc_id")).alias("hp"),
+        *[
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
+            for b in range(N_MINHASH // 2)
+        ],
+    ).localCheckpoint()  # one signature pass feeds 8 join branches
+    existing = bands.where(F.col("hp") < 80)
+    incoming = bands.where(F.col("hp") >= 80)
+
+    frames = []
+    for b in range(N_MINHASH // 2):
+        i, e = incoming.alias("i"), existing.alias("e")
+        frames.append(
+            i.join(e, F.col(f"i.band{b}") == F.col(f"e.band{b}"))
+            .select(
+                F.col("i.doc_id").alias("doc_id"),
+                F.col("e.doc_id").alias("partner"),
+                F.lit("existing").alias("match_type"),
+            )
+        )
+        j = incoming.alias("j")
+        frames.append(
+            i.join(
+                j,
+                (F.col(f"i.band{b}") == F.col(f"j.band{b}"))
+                & (F.col("j.doc_id") < F.col("i.doc_id")),
+            )
+            .select(
+                F.col("i.doc_id").alias("doc_id"),
+                F.col("j.doc_id").alias("partner"),
+                F.lit("incoming").alias("match_type"),
+            )
+        )
+    matches = frames[0]
+    for fr in frames[1:]:
+        matches = matches.unionByName(fr)
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            F.min(F.when(F.col("match_type") == "existing", F.col("partner"))).alias(
+                "min_existing_match"
+            ),
+            F.min(F.when(F.col("match_type") == "incoming", F.col("partner"))).alias(
+                "min_incoming_match"
+            ),
+            F.countDistinct("partner").alias("n_partners"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incr_sql() -> str:
+    from hematite_spark.queries.sampling import _DUCK_HASH_PCT
+
+    hp = _DUCK_HASH_PCT.format(k="doc_id::VARCHAR")
+    band_defs = ", ".join(
+        f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2)
+    )
+    unions = " UNION ALL ".join(
+        f"""SELECT i.doc_id, e.doc_id AS partner, 'existing' AS match_type
+           FROM incoming i JOIN existing e ON i.band{b} = e.band{b}
+           UNION ALL
+           SELECT i.doc_id, j.doc_id, 'incoming'
+           FROM incoming i JOIN incoming j ON i.band{b} = j.band{b} AND j.doc_id < i.doc_id"""
+        for b in range(N_MINHASH // 2)
+    )
+    return (
+        _MINHASH_CTE
+        + f"""
+, bands AS (SELECT doc_id, {hp} AS hp, {band_defs} FROM sigs)
+, existing AS (SELECT * FROM bands WHERE hp < 80)
+, incoming AS (SELECT * FROM bands WHERE hp >= 80)
+SELECT doc_id,
+       min(CASE WHEN match_type = 'existing' THEN partner END) AS min_existing_match,
+       min(CASE WHEN match_type = 'incoming' THEN partner END) AS min_incoming_match,
+       count(DISTINCT partner) AS n_partners
+FROM ({unions})
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+DEDUP_INCREMENTAL_SQL = _incr_sql()
