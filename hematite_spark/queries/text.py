@@ -73,6 +73,24 @@ ORDER BY source
 """
 
 
+def quality_col():
+    """The combined [0,1]-ish quality score as a reusable Column —
+    shared by the batch quality_score query and the STREAMING ingest
+    filter (streaming/corpus.py), so both paths apply the identical
+    rule."""
+    w = _words()
+    n_words = F.size(w).cast("bigint")
+    uniq_ratio = F.size(F.array_distinct(w)) / F.size(w)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    return F.round(
+        F.least(F.lit(1.0), n_words / F.lit(50.0)) * uniq_ratio
+        * F.when(stop_hits > 0, F.lit(1.0)).otherwise(F.lit(0.5)),
+        4,
+    )
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: per-document length/word-length/stopword/
     duplicate-word signals combined into a [0,1]-ish score — the
@@ -93,11 +111,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(avg_wlen, 4).alias("avg_word_len"),
             F.round(uniq_ratio, 4).alias("uniq_ratio"),
             stop_hits.cast("bigint").alias("stopword_kinds"),
-            F.round(
-                F.least(F.lit(1.0), n_words / F.lit(50.0)) * uniq_ratio
-                * F.when(stop_hits > 0, F.lit(1.0)).otherwise(F.lit(0.5)),
-                4,
-            ).alias("quality"),
+            quality_col().alias("quality"),
         )
         .orderBy("doc_id")
     )

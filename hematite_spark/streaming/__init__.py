@@ -1,4 +1,5 @@
 from hematite_spark.streaming.append import stream_append_to_store, stream_events_to_lake
+from hematite_spark.streaming.corpus import stream_corpus_ingest
 from hematite_spark.streaming.windows import (
     windowed_counts,
     sliding_windowed_agg,
@@ -12,6 +13,7 @@ from hematite_spark.streaming.windows import (
 __all__ = [
     "stream_append_to_store",
     "stream_events_to_lake",
+    "stream_corpus_ingest",
     "windowed_counts",
     "sliding_windowed_agg",
     "session_windowed_agg",

@@ -343,3 +343,72 @@ def test_stream_append_rejects_invalid_specversion(spark, store, tmp_path):
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(60)
         q.processAllAvailable()
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ]
+)
+
+
+def test_stream_corpus_ingest_filters_and_dedups(spark, tmp_path):
+    """The streaming corpus funnel drops wrong-language docs,
+    low-quality docs, and content duplicates (incl. whitespace-only
+    variants), and lands survivors partitioned by lang with the SAME
+    quality values the batch rule computes."""
+    from hematite_spark.streaming import stream_corpus_ingest
+
+    good = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "s1"},
+        # exact duplicate content (different doc_id) — must be dropped
+        {"doc_id": 2, "text": good, "lang": "en", "source": "s2"},
+        # whitespace variant normalizes to the same content hash
+        {"doc_id": 3, "text": "  " + good.replace(" ", "  "), "lang": "en", "source": "s3"},
+        # wrong language
+        {"doc_id": 4, "text": good, "lang": "zh", "source": "s1"},
+        # degenerate repetition → low quality (uniq_ratio collapses)
+        {"doc_id": 5, "text": "spam " * 40, "lang": "en", "source": "s1"},
+        # distinct good doc — long enough (32 unique words) that the
+        # 0.5 no-English-stopword factor still clears min_quality
+        {"doc_id": 6, "text": " ".join(f"wort{i} inhalt{i}" for i in range(16)),
+         "lang": "de", "source": "s2"},
+    ]
+    with open(os.path.join(src, "batch0.json"), "w") as f:
+        for i, r in enumerate(rows):
+            r["ingest_ts"] = f"2024-01-01T00:0{i}:00.000Z"
+            f.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "corpus_lake")
+    sdf = spark.readStream.schema(DOC_SCHEMA).json(src)
+    q = stream_corpus_ingest(sdf, out, str(tmp_path / "ckpt_corpus"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    kept = {r.doc_id for r in got.collect()}
+    assert kept == {1, 6}, kept
+    # lang partitioning is physical (listable without a scan)
+    assert os.path.isdir(os.path.join(out, "lang=en"))
+    assert os.path.isdir(os.path.join(out, "lang=de"))
+    # streaming quality == batch rule quality for the same text
+    from hematite_spark.queries.text import quality_col
+
+    batch_q = (
+        spark.createDataFrame([(good,)], "text string").select(quality_col().alias("q")).first().q
+    )
+    stream_q = got.where(F.col("doc_id") == 1).first().quality
+    assert stream_q == batch_q
+
+    # replay: a second run over the same source must not double-publish
+    q2 = stream_corpus_ingest(
+        spark.readStream.schema(DOC_SCHEMA).json(src), out, str(tmp_path / "ckpt_corpus")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
