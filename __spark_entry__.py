@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B-series: event-analytics shapes (funnel, cohort)
         "funnel_events": advanced.funnel_events,
         "cohort_retention": advanced.cohort_retention,
+        "anomaly_zscore_events": advanced.anomaly_zscore_events,
         # B-series anchors (close out the first 50)
         "join_asof": relational.join_asof,
         "window_running_total": relational.window_running_total,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rank_suite": advanced.WINDOW_RANK_SQL,
         "funnel_events": advanced.FUNNEL_SQL,
         "cohort_retention": advanced.COHORT_SQL,
+        "anomaly_zscore_events": advanced.ANOMALY_ZSCORE_SQL,
         "q2_min_cost_supplier": tpch_shapes.Q2_MINCOST_SQL,
         "q9_product_profit": tpch_shapes.Q9_PROFIT_SQL,
         "q11_important_parts": tpch_shapes.Q11_IMPORTANT_SQL,

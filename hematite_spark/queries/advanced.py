@@ -743,3 +743,52 @@ FROM activity JOIN cohort USING (user_id)
 GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: per event type, each day's
+    value total is z-scored against that type's own 30-day
+    mean/stddev, and days with |z| ≥ 1.8 are flagged — the monitoring
+    query every event pipeline runs over its ingest lake.
+
+    One groupBy(type, day) pre-aggregate compresses the log to
+    O(types × days) rows BEFORE the window pass, so the window
+    function (mean/std per type) runs on a tiny frame — at 100 TB
+    the expensive aggregate is the pre-agg, which map-side combines;
+    nothing downstream ever re-touches the raw events. Daily sums
+    and z-scores are rounded before the threshold so both engines
+    flag identical days."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("daily_value"))
+    )
+    w = W.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.round(
+            (F.col("daily_value") - F.avg("daily_value").over(w))
+            / F.stddev_samp("daily_value").over(w),
+            4,
+        ).alias("z"),
+    )
+    return scored.where(F.abs(F.col("z")) >= 1.8).orderBy("event_type", "day")
+
+
+ANOMALY_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS daily_value
+  FROM events GROUP BY event_type, day
+), scored AS (
+  SELECT event_type, day, daily_value,
+         round((daily_value - avg(daily_value) OVER (PARTITION BY event_type))
+               / stddev_samp(daily_value) OVER (PARTITION BY event_type), 4) AS z
+  FROM daily
+)
+SELECT event_type, day, daily_value, z
+FROM scored
+WHERE abs(z) >= 1.8
+ORDER BY event_type, day
+"""
