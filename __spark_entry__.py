@@ -181,6 +181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": tpch_shapes.q2_min_cost_supplier,
         "q9_product_profit": tpch_shapes.q9_product_profit,
         "q11_important_parts": tpch_shapes.q11_important_parts,
+        # round-2 additions: LM scoring depth, sketch-audited heavy
+        # hitters, behavioral segmentation, lake clustering, PII scrub
+        "text_bigram_logprob": text.text_bigram_logprob,
+        "tokens_heavy_hitters": text.tokens_heavy_hitters,
+        "rfm_segments": advanced.rfm_segments,
+        "zorder_cluster_key": advanced.zorder_cluster_key,
+        "redact_numbers_events": advanced.redact_numbers_events,
     }
 
 
@@ -296,4 +303,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": multimodal.MULTIMODAL_FRAMES_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "corpus_pipeline": pipeline.PIPELINE_SQL,
+        "text_bigram_logprob": text.BIGRAM_LOGPROB_SQL,
+        "tokens_heavy_hitters": text.HEAVY_HITTERS_SQL,
+        "rfm_segments": advanced.RFM_SQL,
+        "zorder_cluster_key": advanced.ZORDER_SQL,
+        "redact_numbers_events": advanced.REDACT_SQL,
     }

@@ -792,3 +792,178 @@ FROM scored
 WHERE abs(z) >= 1.8
 ORDER BY event_type, day
 """
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order),
+    frequency (order count), monetary (lifetime spend) quartiled into
+    a 3-digit segment code — the behavioral-cohort builder marketing
+    pipelines run over the orders fact.
+
+    The window input is the pre-aggregated CUSTOMER dim (one row per
+    customer — orders of magnitude smaller than the fact table), so
+    the ntile pass is cheap; the fact-table work is one
+    map-side-combined groupBy. At extreme customer counts the ntile
+    swaps for broadcast quantile boundaries with identical outputs.
+    Ties are broken on custkey so both engines assign identical
+    quartiles."""
+    orders = load_table(spark, "orders", sf_dir)
+    now = orders.agg(F.max("o_orderdate").alias("now"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    rfm = per_cust.crossJoin(F.broadcast(now)).select(
+        "o_custkey",
+        F.datediff("now", "last_order").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(4).over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+    f = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+    return (
+        rfm.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r.cast("bigint").alias("r_score"),
+            f.cast("bigint").alias("f_score"),
+            m.cast("bigint").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("bigint"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), now_t AS (SELECT max(o_orderdate) AS now FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, now) AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM per_cust, now_t
+), scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS segment
+FROM scored
+ORDER BY o_custkey
+"""
+
+
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day):
+    interleave 8 bits of each dimension into a 16-bit key, bucket the
+    keyed rows into 256 target files, and report each file's span on
+    BOTH dimensions — the multi-dimensional lake-clustering layout.
+
+    This is the 100 TB pruning story: a lake sorted by z-key
+    (repartitionByRange(zkey) + sortWithinPartitions) gives every
+    parquet file TIGHT min/max footer stats on customer AND day
+    simultaneously, so a predicate on EITHER dimension prunes ~√F of
+    F files — linear layouts only prune their one sort column. The
+    key itself is pure JVM bit algebra (shift/and/or), codegen'd into
+    the scan projection; the span report is one map-side-combined
+    aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    x = (F.col("o_custkey") % 256).cast("bigint")
+    y = (F.datediff("o_orderdate", F.to_date(F.lit("1995-01-01"))) % 256).cast("bigint")
+    zkey = None
+    for i in range(8):
+        bits = F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i) + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(1), 2 * i + 1
+        )
+        zkey = bits if zkey is None else zkey + bits
+    keyed = orders.select(x.alias("x"), y.alias("y"), zkey.cast("bigint").alias("zkey"))
+    return (
+        keyed.withColumn("file_id", F.shiftright("zkey", 8).cast("bigint"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("cust_span"),
+            (F.max("y") - F.min("y")).alias("day_span"),
+        )
+        .orderBy("file_id")
+    )
+
+
+_Z_BITS = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})" for i in range(8)
+)
+
+ZORDER_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256 AS BIGINT) AS y
+  FROM orders
+), z AS (
+  SELECT x, y, ({_Z_BITS}) AS zkey FROM keyed
+)
+SELECT CAST(zkey >> 8 AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       max(x) - min(x) AS cust_span,
+       max(y) - min(y) AS day_span
+FROM z
+GROUP BY file_id
+ORDER BY file_id
+"""
+
+
+def redact_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-run redaction over event payloads — the PII-scrub shape
+    (emails/phones/ids are the production patterns; digit runs are
+    the deterministic stand-in this corpus contains): rewrite every
+    digit run to a <NUM> placeholder and account per event type for
+    how many payloads changed and how many characters were removed.
+
+    Pure regexp column algebra in the scan projection — the scrub is
+    a single embarrassingly-parallel pass at any scale, and the
+    accounting aggregate map-side combines."""
+    ev = load_table(spark, "events", sf_dir)
+    red = F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>")
+    stripped = F.regexp_replace(F.col("props"), "[0-9]+", "")
+    return (
+        ev.select(
+            "event_type",
+            "props",
+            red.alias("red"),
+            (F.length("props") - F.length(stripped)).cast("bigint").alias("digits_removed"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("red") != F.col("props"), 1)).alias("n_redacted_events"),
+            F.sum("digits_removed").alias("chars_removed"),
+            F.max("red").alias("sample_redaction"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REDACT_SQL = """
+SELECT event_type,
+       count(*) FILTER (WHERE regexp_replace(props, '[0-9]+', '<NUM>', 'g') <> props)
+         AS n_redacted_events,
+       CAST(sum(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+         AS chars_removed,
+       max(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS sample_redaction
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

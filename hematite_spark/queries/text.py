@@ -634,3 +634,163 @@ FROM scored
 ORDER BY avg_logprob ASC, doc_id
 LIMIT 20
 """
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring: p(w|prev) = 0.75·c(prev,w)/c(prev)
+    + 0.25·c(w)/N, per-doc mean log-prob + perplexity — one rung up
+    the perplexity-filter ladder from text_unigram_logprob, catching
+    scrambled-word-order docs a unigram model scores as fluent.
+
+    Same relational shape as TF-IDF: the bigram and unigram count
+    tables are vocabulary-sized, broadcast into the scoring join, so
+    the corpus is scanned once (bigram explode) and the only wide
+    shuffle is the per-doc mean. Scores rounded to 4 before the sort
+    so both engines agree on ties."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.lower(_norm_text()), " ").alias("w")
+    ).where(F.size("w") >= 2)
+    bgf = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(get(w, i) AS prev, get(w, i + 1) AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    toks = d.select("doc_id", F.explode("w").alias("t"))
+    uni = toks.groupBy("t").agg(F.count("*").alias("cu"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    big = bgf.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    p = 0.75 * F.col("cb") / F.col("cp") + 0.25 * F.col("cc") / F.col("n_total")
+    scored = (
+        bgf.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(uni.select(F.col("t").alias("prev"), F.col("cu").alias("cp"))), "prev")
+        .join(F.broadcast(uni.select(F.col("t").alias("cur"), F.col("cu").alias("cc"))), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(p)), 4).alias("avg_logprob"))
+        .select(
+            "doc_id",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 2).alias("perplexity"),
+        )
+    )
+    return scored.orderBy(F.col("avg_logprob").asc(), "doc_id").limit(20)
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), d2 AS (SELECT * FROM d WHERE len(w) >= 2),
+toks AS (SELECT doc_id, unnest(w) AS t FROM d2),
+bgf AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS prev,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS cur
+  FROM d2
+),
+uni AS (SELECT t, count(*) AS cu FROM toks GROUP BY t),
+total AS (SELECT count(*) AS n_total FROM toks),
+big AS (SELECT prev, cur, count(*) AS cb FROM bgf GROUP BY prev, cur),
+scored AS (
+  SELECT doc_id,
+         round(avg(ln(0.75 * cb / cp + 0.25 * cc / n_total)), 4) AS avg_logprob
+  FROM bgf
+  JOIN big USING (prev, cur)
+  JOIN (SELECT t AS prev, cu AS cp FROM uni) USING (prev)
+  JOIN (SELECT t AS cur, cu AS cc FROM uni) USING (cur)
+  , total
+  GROUP BY doc_id
+)
+SELECT doc_id, avg_logprob, round(exp(-avg_logprob), 2) AS perplexity
+FROM scored
+ORDER BY avg_logprob ASC, doc_id
+LIMIT 20
+"""
+
+
+def tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (d=4 rows × w=64 buckets),
+    audited against exact counts. The sketch is the 100 TB structure:
+    counters are a fixed 256-cell table built by one map-side-combined
+    aggregate — mergeable across partitions, machines, and days — and
+    a token's estimate is the min over its 4 row-buckets, never an
+    exact per-token shuffle of the full corpus. The exact-count join
+    here is the AUDIT (overcount = est − exact ≥ 0 by construction),
+    kept so the error contract is value-checked, not assumed.
+
+    Bucket hashes are md5-derived, so the DuckDB oracle computes the
+    byte-identical sketch (Spark conv(hex,16,10) ≡ DuckDB
+    ('0x'||hex)::BIGINT — both engines agree on every counter)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"))
+    rb = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(str(r)), F.lit(":"), F.col("t"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 64
+            ).alias("bucket"),
+        )
+        for r in range(4)
+    ]
+    hashed = toks.select("t", F.explode(F.array(*rb)).alias("rb")).select(
+        "t", "rb.r", "rb.bucket"
+    )
+    counters = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    cand = hashed.distinct()
+    est = (
+        cand.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("t")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = toks.groupBy("t").agg(F.count("*").alias("exact_count"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        est.join(exact, "t")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("est_count") >= F.col("n_total") / 100)
+        .select(
+            F.col("t").alias("token"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(30)
+    )
+
+
+HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT t, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 8))::BIGINT % 64 AS bucket
+  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS r)
+),
+counters AS (SELECT r, bucket, count(*) AS c FROM hashed GROUP BY r, bucket),
+cand AS (SELECT DISTINCT t, r, bucket FROM hashed),
+est AS (
+  SELECT t, CAST(min(c) AS BIGINT) AS est_count
+  FROM cand JOIN counters USING (r, bucket) GROUP BY t
+),
+exact AS (SELECT t, count(*) AS exact_count FROM toks GROUP BY t),
+total AS (SELECT count(*) AS n_total FROM toks)
+SELECT t AS token, est_count, exact_count, est_count - exact_count AS overcount
+FROM est JOIN exact USING (t), total
+WHERE est_count >= n_total / 100
+ORDER BY est_count DESC, token
+LIMIT 30
+"""
