@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": advanced.rfm_segments,
         "zorder_cluster_key": advanced.zorder_cluster_key,
         "redact_numbers_events": advanced.redact_numbers_events,
+        "agg_incremental_merge": advanced.agg_incremental_merge,
+        "resample_fill_events": advanced.resample_fill_events,
+        "profile_columns_orders": advanced.profile_columns_orders,
+        "textrank_keywords": text.textrank_keywords,
     }
 
 
@@ -308,4 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": advanced.RFM_SQL,
         "zorder_cluster_key": advanced.ZORDER_SQL,
         "redact_numbers_events": advanced.REDACT_SQL,
+        "agg_incremental_merge": advanced.INCREMENTAL_MERGE_SQL,
+        "resample_fill_events": advanced.RESAMPLE_FILL_SQL,
+        "profile_columns_orders": advanced.PROFILE_SQL,
+        "textrank_keywords": text.TEXTRANK_SQL,
     }

@@ -967,3 +967,184 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-day PARTIAL states
+    (count, sum, sum-of-squares, min, max) merged into per-month
+    finals, with mean and stddev derived from the merged moments —
+    the mergeable-state contract behind rollup tables, streaming
+    state, and every two-phase aggregate. The oracle computes the
+    monthly numbers directly from raw rows with the same moment
+    algebra, so the merge path is PROVEN equal to the direct path.
+
+    At 100 TB this is the whole point of partial aggregation: day
+    partials are tiny, computed once, and month/quarter/year finals
+    merge partials instead of re-scanning the fact table. Both levels
+    map-side combine."""
+    ev = load_table(spark, "events", sf_dir)
+    day_partials = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    merged = day_partials.groupBy(
+        "event_type", F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("v_min"),
+        F.max("mx").alias("v_max"),
+    )
+    mean = F.col("s") / F.col("n_events")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_events")) / (F.col("n_events") - 1)
+    return merged.select(
+        "event_type",
+        "month",
+        "n_events",
+        F.round("v_min", 4).alias("v_min"),
+        F.round("v_max", 4).alias("v_max"),
+        F.round(mean, 4).alias("v_mean"),
+        F.round(F.sqrt(var), 4).alias("v_stddev"),
+    ).orderBy("event_type", "month")
+
+
+INCREMENTAL_MERGE_SQL = """
+SELECT event_type,
+       CAST(date_trunc('month', ts) AS DATE) AS month,
+       count(*) AS n_events,
+       round(min(value), 4) AS v_min,
+       round(max(value), 4) AS v_max,
+       round(sum(value) / count(*), 4) AS v_mean,
+       round(sqrt((sum(value * value) - sum(value) * sum(value) / count(*))
+                  / (count(*) - 1)), 4) AS v_stddev
+FROM events
+GROUP BY event_type, month
+ORDER BY event_type, month
+"""
+
+
+def resample_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: a complete per-user daily spine
+    (sequence-explode over the corpus date range) left-joined with
+    actual daily totals, gaps forward-filled with the last observed
+    value — the regularization pass every downstream model or
+    retention metric needs over sparse activity logs.
+
+    The spine is generated distributed (one sequence per user — no
+    driver loop), the join shuffles on (user, day) once, and the
+    forward fill is a single last-value-ignore-nulls window
+    partitioned by user, so users fill in parallel and state per
+    task is one scalar."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    filled = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        (F.col("v").isNull() & F.last("v", ignorenulls=True).over(w).isNotNull())
+        .cast("bigint")
+        .alias("is_gap"),
+    )
+    return filled.orderBy("user_id", "day")
+
+
+RESAMPLE_FILL_SQL = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events), bounds
+), daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  FROM events GROUP BY user_id, day
+)
+SELECT s.user_id, s.day,
+       last_value(d.v IGNORE NULLS) OVER w AS v_filled,
+       CAST(d.v IS NULL AND last_value(d.v IGNORE NULLS) OVER w IS NOT NULL AS BIGINT) AS is_gap
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+WINDOW w AS (PARTITION BY s.user_id ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY s.user_id, s.day
+"""
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority"),
+)
+
+
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over the orders table: per column, null count,
+    exact distinct count, and min/max rendered as strings — the
+    data-quality summary every ingest pipeline publishes next to a
+    dataset. ONE aggregate pass computes every column's stats
+    simultaneously (24 aggregate expressions over one scan — not six
+    scans), then a literal explode pivots the single stats row into
+    the per-column report. Doubles go through round+decimal so both
+    engines render identical strings; at 100 TB the exact distincts
+    are the only wide state, and each swaps for approx_count_distinct
+    with one line."""
+    orders = load_table(spark, "orders", sf_dir)
+    str_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+        "o_orderdate": F.col("o_orderdate").cast("string"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = []
+    for c, e in str_exprs.items():
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(e).alias(f"{c}__min"),
+            F.max(e).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in str_exprs
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.column_name", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value")
+        .orderBy("column_name")
+    )
+
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({s}) AS min_value, max({s}) AS max_value FROM orders"""
+    for c, s in _PROFILE_COLS
+) + "\nORDER BY column_name"

@@ -794,3 +794,109 @@ WHERE est_count >= n_total / 100
 ORDER BY est_count DESC, token
 LIMIT 30
 """
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank (damping 0.85,
+    5 fixed iterations) over the corpus word co-occurrence graph —
+    nodes are tokens, edges are adjacent-token pairs weighted by
+    corpus bigram count, symmetrized. The classic unsupervised
+    keyword ranker, and the catalog's second iterative-dataflow
+    operator after connected components.
+
+    Scale design: the graph tables (edges, out-weights, ranks) are
+    vocabulary-sized and partition on the token key; every iteration
+    is one shuffle join + one map-side-combined aggregate, and the
+    iteration count is FIXED (5) so the plan is a finite unrolled
+    dataflow — no driver-side convergence loop, no lineage blowup
+    needing checkpoints. The oracle unrolls the same 5 iterations as
+    nested CTEs, proving the recursion, not just the last hop. Ranks
+    round to 6 only at the end."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(F.split(F.lower(_norm_text()), " ").alias("w")).where(F.size("w") >= 2)
+    bgf = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(get(w, i) AS src, get(w, i + 1) AS dst))"
+            )
+        ).alias("b")
+    ).select("b.src", "b.dst")
+    edir = bgf.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    edges = (
+        edir.union(edir.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .withColumnRenamed("node", "token")
+    )
+
+
+_TEXTRANK_ITER = """r{i} AS (
+  SELECT nd.node, 0.15 / nn.n_nodes + 0.85 * coalesce(sum(p.r * e.w / ow.ow), 0) AS r
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN r{prev} p ON p.node = e.src
+  LEFT JOIN outw ow ON ow.src = e.src
+  CROSS JOIN n nn
+  GROUP BY nd.node, nn.n_nodes
+)"""
+
+TEXTRANK_SQL = (
+    r"""
+WITH d AS (
+  SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), d2 AS (SELECT * FROM d WHERE len(w) >= 2),
+bgf AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS src,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS dst
+  FROM d2
+),
+edir AS (SELECT src, dst, count(*) AS w FROM bgf GROUP BY src, dst),
+edges AS (
+  SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w
+  FROM (SELECT src, dst, w FROM edir UNION ALL SELECT dst AS src, src AS dst, w FROM edir)
+  GROUP BY src, dst
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS n_nodes FROM nodes),
+r0 AS (SELECT node, 1.0 / n_nodes AS r FROM nodes, n),
+"""
+    + ",\n".join(_TEXTRANK_ITER.format(i=i, prev=i - 1) for i in range(1, 6))
+    + """
+SELECT node AS token, round(r, 6) AS rank
+FROM r5
+ORDER BY rank DESC, token
+LIMIT 20
+"""
+)
