@@ -45,6 +45,10 @@ HEADLINE = [
     "sample_stratified",
     "pack_sequences",
     "dedup_semantic",
+    "tokens_heavy_hitters",
+    "zorder_cluster_key",
+    "rfm_segments",
+    "textrank_keywords",
 ]
 
 

@@ -808,15 +808,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties are broken on custkey so both engines assign identical
     quartiles."""
     orders = load_table(spark, "orders", sf_dir)
-    now = orders.agg(F.max("o_orderdate").alias("now"))
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    rfm = per_cust.crossJoin(F.broadcast(now)).select(
+    # "now" = the corpus max order date, taken over the already-built
+    # customer dim (max of per-customer maxes) so the fact table is
+    # scanned exactly once
+    now = F.max("last_order").over(W.partitionBy())
+    rfm = per_cust.select(
         "o_custkey",
-        F.datediff("now", "last_order").cast("bigint").alias("recency_days"),
+        F.datediff(now, F.col("last_order")).cast("bigint").alias("recency_days"),
         "frequency",
         "monetary",
     )
@@ -848,12 +851,11 @@ WITH per_cust AS (
          count(*) AS frequency,
          round(sum(o_totalprice), 2) AS monetary
   FROM orders GROUP BY o_custkey
-), now_t AS (SELECT max(o_orderdate) AS now FROM orders),
-rfm AS (
+), rfm AS (
   SELECT o_custkey,
-         CAST(date_diff('day', last_order, now) AS BIGINT) AS recency_days,
+         CAST(date_diff('day', last_order, max(last_order) OVER ()) AS BIGINT) AS recency_days,
          frequency, monetary
-  FROM per_cust, now_t
+  FROM per_cust
 ), scored AS (
   SELECT o_custkey, recency_days, frequency, monetary,
          CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT) AS r_score,

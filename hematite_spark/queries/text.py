@@ -829,15 +829,20 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("double").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # materialize the loop-invariant graph tables once and cut the
+    # lineage per superstep (same policy as connected components):
+    # otherwise iteration i's plan nests i joins deep and optimizer
+    # time, not data, dominates — at 100 TB each checkpoint is also
+    # the fault-tolerance cut between supersteps
+    edges = edges.join(outw, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
-    for _ in range(5):
+    for i in range(5):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outw, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("c"))
         )
@@ -852,6 +857,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+        if i < 4:
+            ranks = ranks.localCheckpoint()
     return (
         ranks.select("node", F.round("r", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")

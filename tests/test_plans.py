@@ -133,3 +133,56 @@ def test_dedup_exact_one_shuffle(spark):
 )
 def test_no_cartesian_in_multijoins(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_profile_columns_single_scan(spark):
+    # the one-pass claim: 24 aggregate expressions over ONE scan of
+    # orders, never six per-column scans
+    plan = plan_of(spark, "profile_columns_orders")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # multi-count_distinct rewrites to Expand + SortAggregate; either
+    # aggregate flavor must still partial+final combine
+    assert tree.count("HashAggregate") + tree.count("SortAggregate") >= 2
+
+
+def test_zorder_key_stays_in_scan_projection(spark):
+    # the Morton key is pure JVM bit algebra computed in the scan
+    # projection: one scan, no join, no Python stage
+    plan = plan_of(spark, "zorder_cluster_key")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_incremental_merge_two_level_combine(spark):
+    # both the day-partial and month-merge levels map-side combine
+    plan = plan_of(spark, "agg_incremental_merge")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 4
+    assert tree.count("Scan parquet") == 1
+
+
+def test_heavy_hitters_counters_broadcast(spark):
+    # the 256-cell sketch joins back to candidates as a broadcast,
+    # and nothing degenerates to a cartesian pair join
+    plan = plan_of(spark, "tokens_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_iterations_no_cartesian(spark):
+    # 5 unrolled iterations stay equi-joins on the token key; the
+    # only nested-loop is the broadcast of the 1-row node count
+    plan = plan_of(spark, "textrank_keywords")
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_window_over_preaggregated_dim(spark):
+    # the ntile windows run over the customer dim produced by a
+    # map-side-combined groupBy of the fact table, in one scan
+    plan = plan_of(spark, "rfm_segments")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Window" in plan and tree.count("HashAggregate") >= 2
