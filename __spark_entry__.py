@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill_events": advanced.resample_fill_events,
         "profile_columns_orders": advanced.profile_columns_orders,
         "textrank_keywords": text.textrank_keywords,
+        "doc_chunk_overlap": text.doc_chunk_overlap,
+        "text_duplicate_spans": text.text_duplicate_spans,
+        "fuzzy_match_parts": advanced.fuzzy_match_parts,
     }
 
 
@@ -316,4 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_fill_events": advanced.RESAMPLE_FILL_SQL,
         "profile_columns_orders": advanced.PROFILE_SQL,
         "textrank_keywords": text.TEXTRANK_SQL,
+        "doc_chunk_overlap": text.DOC_CHUNK_SQL,
+        "text_duplicate_spans": text.DUPLICATE_SPANS_SQL,
+        "fuzzy_match_parts": advanced.FUZZY_MATCH_SQL,
     }

@@ -44,6 +44,29 @@ DUCK_DOT = "list_reduce(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOU
 DUCK_NORM = "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
 
 
+# ----------------------------------------------------- count-min sketch
+
+
+def cms_rb_structs(col, d: int = 4, w: int = 64) -> list:
+    """The count-min-sketch (row, bucket) coordinates of a token
+    column: d structs, one per sketch row, each bucketing by an
+    md5-derived hash so DuckDB (('0x'||hex)::BIGINT) computes the
+    byte-identical sketch. Shared by the batch heavy-hitter query and
+    the streaming sketch maintainer so both paths agree counter for
+    counter."""
+    return [
+        F.struct(
+            F.lit(r).alias("r"),
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(str(r)), F.lit(":"), col)), 1, 8), 16, 10)
+                .cast("long")
+                % w
+            ).alias("bucket"),
+        )
+        for r in range(d)
+    ]
+
+
 # ------------------------------------------------------------ text
 
 
@@ -62,6 +85,7 @@ def words(col: str = "text") -> Column:
 
 
 __all__ = [
+    "cms_rb_structs",
     "dbl",
     "dot",
     "l2_norm",

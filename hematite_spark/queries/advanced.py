@@ -1150,3 +1150,58 @@ PROFILE_SQL = "\nUNION ALL\n".join(
        min({s}) AS min_value, max({s}) AS max_value FROM orders"""
     for c, s in _PROFILE_COLS
 ) + "\nORDER BY column_name"
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy match: for every part, the
+    closest OTHER part by name edit distance, searched only within
+    the name's last-word block — the record-linkage shape (block →
+    compare → best match) that keeps fuzzy matching off the O(n²)
+    cliff. Blocking turns the cross join into an equi-join on the
+    block key; at 100 TB the block is the partition key, and a hot
+    block composes with the same salting/banding used elsewhere.
+    levenshtein() is JVM-side in Spark and native in DuckDB — the
+    identical metric, so best-match verdicts are value-checked.
+    Ties break on (distance, partner key)."""
+    part = load_table(spark, "part", sf_dir)
+    v = part.select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") != F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("p_partkey"),
+        F.col("a.p_name").alias("p_name"),
+        F.col("b.p_partkey").alias("match_key"),
+        F.col("b.p_name").alias("match_name"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint").alias("distance"),
+    )
+    w_best = W.partitionBy("p_partkey").orderBy(F.col("distance").asc(), F.col("match_key").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "match_key", "match_name", "distance")
+        .orderBy("p_partkey")
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH v AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk FROM part
+), pairs AS (
+  SELECT a.p_partkey, a.p_name, b.p_partkey AS match_key, b.p_name AS match_name,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+  FROM v a JOIN v b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY distance ASC, match_key ASC) AS rn
+  FROM pairs
+)
+SELECT p_partkey, p_name, match_key, match_name, distance
+FROM best WHERE rn = 1
+ORDER BY p_partkey
+"""

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hematite_spark.functions import cms_rb_structs as _cms_rb
 from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.functions import words as _words
 from hematite_spark.io import load_table
@@ -729,21 +730,7 @@ def tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('0x'||hex)::BIGINT — both engines agree on every counter)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"))
-    rb = [
-        F.struct(
-            F.lit(r).alias("r"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(str(r)), F.lit(":"), F.col("t"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 64
-            ).alias("bucket"),
-        )
-        for r in range(4)
-    ]
-    hashed = toks.select("t", F.explode(F.array(*rb)).alias("rb")).select(
+    hashed = toks.select("t", F.explode(F.array(*_cms_rb(F.col("t")))).alias("rb")).select(
         "t", "rb.r", "rb.bucket"
     )
     counters = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
@@ -907,3 +894,135 @@ ORDER BY rank DESC, token
 LIMIT 20
 """
 )
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (32 tokens, stride 24 →
+    8-token overlap): the context-window prep step for RAG indexing
+    and long-doc training. Each chunk carries its provenance
+    (doc_id, start offset), exact token count, and an md5 content
+    fingerprint so downstream chunk-level dedup composes directly.
+
+    Chunking is a per-row sequence/slice/explode — embarrassingly
+    parallel, no shuffle at all until a downstream op asks for one;
+    the fingerprint keeps chunk text out of the result (provenance +
+    hash travel, text stays in the lake)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    chunks = d.select(
+        "doc_id",
+        F.size("w").alias("n_doc_tokens"),
+        F.explode(F.expr("sequence(0, greatest(size(w) - 1, 0), 24)")).alias("chunk_start"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        (F.col("chunk_start") / 24).cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint"),
+        F.expr("slice(w, chunk_start + 1, 32)").alias("cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.size("cw").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+DOC_CHUNK_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(len(w) - 1, 0), 24)) AS chunk_start,
+         w
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_start / 24 AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(w, chunk_start + 1, chunk_start + 32)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(w, chunk_start + 1, chunk_start + 32), ' ')) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection: positions whose 5-gram shingle
+    also appears in ANOTHER document, collapsed into per-doc maximal
+    runs via the gaps-and-islands pattern (pos − row_number is
+    constant within a consecutive run) — the signal behind
+    substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): long cross-doc runs are
+    boilerplate/licenses/copied spans that survive doc-level dedup.
+
+    The cross-doc shingle set is one hash aggregate (distinct-doc
+    count > 1), re-joined to positions on the shingle key; islands
+    are a per-doc window — state per task is one counter. No doc-pair
+    join anywhere, so there is nothing quadratic to explode at
+    100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", F.split(_norm_text(), " ").alias("w")).where(F.size("w") >= 5)
+    pos_sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w) - 5),"
+                " i -> concat_ws(' ', slice(w, i + 1, 5)))"
+            )
+        ).alias("pos", "sh"),
+    )
+    cross_doc = (
+        pos_sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("sh")
+    )
+    marked = pos_sh.join(cross_doc, "sh").select("doc_id", "pos")
+    from pyspark.sql import Window as W
+
+    isl = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("n_dup_positions"),
+            F.max("run_len").alias("max_dup_run"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUPLICATE_SPANS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), d2 AS (SELECT * FROM d WHERE len(w) >= 5),
+pos_sh AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(w) - 5)) AS pos,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS sh
+  FROM d2
+),
+cross_doc AS (
+  SELECT sh FROM pos_sh GROUP BY sh HAVING count(DISTINCT doc_id) > 1
+),
+marked AS (SELECT doc_id, pos FROM pos_sh JOIN cross_doc USING (sh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+),
+runs AS (SELECT doc_id, grp, count(*) AS run_len FROM isl GROUP BY doc_id, grp)
+SELECT doc_id,
+       CAST(sum(run_len) AS BIGINT) AS n_dup_positions,
+       max(run_len) AS max_dup_run
+FROM runs
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -8,6 +8,7 @@ from hematite_spark.streaming.windows import (
     stateful_running_counts,
     decaying_rate_counts,
     stream_stream_interval_join,
+    cms_counters,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "stateful_running_counts",
     "decaying_rate_counts",
     "stream_stream_interval_join",
+    "cms_counters",
 ]

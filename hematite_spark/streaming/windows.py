@@ -255,3 +255,24 @@ def decaying_rate_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_counters(df: DataFrame, token_col: str = "t", d: int = 4, w: int = 64) -> DataFrame:
+    """Streaming count-min sketch: maintain the d×w counter table
+    over an unbounded token stream as a plain streaming aggregation.
+    The sketch's mergeability is exactly Spark's partial-aggregation
+    contract, so the state store holds at most d·w rows (256 by
+    default) FOREVER — a fixed-size summary of an unbounded stream,
+    the whole point of sketching. Heavy-hitter estimates join a
+    candidate set against this table with min-over-rows, identically
+    to the batch twin (queries/text.py tokens_heavy_hitters — the
+    SAME cms_rb_structs hash exprs, so a batch replay of the stream
+    produces counter-for-counter the same sketch, which the streaming
+    test asserts).
+
+    Works on batch DataFrames too (shared operator semantics) —
+    that's how the sketch math itself is pinned."""
+    from hematite_spark.functions import cms_rb_structs
+
+    hashed = df.select(F.explode(F.array(*cms_rb_structs(F.col(token_col), d=d, w=w))).alias("rb"))
+    return hashed.groupBy("rb.r", "rb.bucket").agg(F.count("*").alias("c"))

@@ -412,3 +412,37 @@ def test_stream_corpus_ingest_filters_and_dedups(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    # the streaming sketch over two micro-batches must equal the batch
+    # sketch over the union — counter for counter (mergeability IS the
+    # partial-agg contract)
+    from hematite_spark.streaming import cms_counters
+
+    src = os.path.join(str(tmp_path), "toks")
+    os.makedirs(src, exist_ok=True)
+    batch1 = ["spark", "sketch", "spark", "stream", "merge"]
+    batch2 = ["spark", "merge", "sketch", "spark", "spark"]
+    for i, toks in enumerate([batch1, batch2]):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for t in toks:
+                f.write(json.dumps({"t": t}) + "\n")
+
+    schema = T.StructType([T.StructField("t", T.StringType())])
+    sdf = cms_counters(spark.readStream.schema(schema).json(src))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {(r.r, r.bucket): r.c for r in spark.table("cms_stream").collect()}
+
+    batch_df = spark.createDataFrame([(t,) for t in batch1 + batch2], schema)
+    batch = {(r.r, r.bucket): r.c for r in cms_counters(batch_df).collect()}
+    assert streamed == batch
+    # d=4 rows, every token hits each row exactly once
+    assert sum(c for (r, _), c in streamed.items() if r == 0) == len(batch1 + batch2)
