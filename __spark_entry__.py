@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": text.doc_chunk_overlap,
         "text_duplicate_spans": text.text_duplicate_spans,
         "fuzzy_match_parts": advanced.fuzzy_match_parts,
+        "basket_item_affinity": advanced.basket_item_affinity,
+        "event_transition_matrix": advanced.event_transition_matrix,
+        "winsorize_event_values": advanced.winsorize_event_values,
     }
 
 
@@ -322,4 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_overlap": text.DOC_CHUNK_SQL,
         "text_duplicate_spans": text.DUPLICATE_SPANS_SQL,
         "fuzzy_match_parts": advanced.FUZZY_MATCH_SQL,
+        "basket_item_affinity": advanced.BASKET_AFFINITY_SQL,
+        "event_transition_matrix": advanced.TRANSITION_MATRIX_SQL,
+        "winsorize_event_values": advanced.WINSORIZE_SQL,
     }

@@ -1205,3 +1205,173 @@ SELECT p_partkey, p_name, match_key, match_name, distance
 FROM best WHERE rn = 1
 ORDER BY p_partkey
 """
+
+
+def basket_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: support/confidence/lift for part pairs
+    co-occurring in an order — the co-occurrence statistic behind
+    recommenders and complement detection. Pairs are generated
+    WITHIN basket only (equi-join on orderkey, a < b), so the pair
+    space is Σ basket², bounded by basket size — never corpus²; at
+    100 TB the orderkey is the partition key and a pathological mega
+    basket is the only skew, handled by the same salting pattern as
+    the hot-key join. Baskets dedup (order, part) first so repeated
+    lines don't inflate counts. Lift > 1 ⇒ the pair co-occurs more
+    than independence predicts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    item = basket.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.round(
+                (F.col("pair_cnt") * F.col("n_orders"))
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                4,
+            ).alias("lift"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 4).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+BASKET_AFFINITY_SQL = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+item AS (SELECT l_partkey, count(*) AS item_cnt FROM basket GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_cnt
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING count(*) >= 3
+)
+SELECT part_a, part_b, pair_cnt,
+       round((pair_cnt * n_orders) / CAST(ia.item_cnt * ib.item_cnt AS DOUBLE), 4) AS lift,
+       round(pair_cnt / CAST(ia.item_cnt AS DOUBLE), 4) AS confidence_a_to_b
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type), from a lag-1 window
+    per user — the sequence statistic behind funnel modeling, churn
+    prediction features, and session simulators. One window pass
+    partitioned by user (parallel across users, state = one row),
+    one map-side-combined aggregate; ordering ties break on event_id
+    so both engines see identical sequences."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = steps.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    w_src = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 4).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+TRANSITION_MATRIX_SQL = """
+WITH steps AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM steps WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p
+FROM counts
+ORDER BY event_type, next_type
+"""
+
+
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's exact
+    [p05, p95] band and report the per-type effect (n clipped low/
+    high, mean before/after) — the standard outlier-taming pass
+    before training on heavy-tailed metrics. The percentile pass is
+    one groupBy over the pre-aggregated type key; the clip is a
+    broadcast join back (bounds are O(types) rows), so the fact
+    table is scanned twice but shuffled never."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("v_clip"),
+        (F.col("value") < F.col("lo")).cast("bigint").alias("is_lo"),
+        (F.col("value") > F.col("hi")).cast("bigint").alias("is_hi"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_lo").alias("n_clipped_low"),
+            F.sum("is_hi").alias("n_clipped_high"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("v_clip"), 4).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+), clipped AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, b.lo), b.hi) AS v_clip,
+         CAST(e.value < b.lo AS BIGINT) AS is_lo,
+         CAST(e.value > b.hi AS BIGINT) AS is_hi
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(is_lo) AS BIGINT) AS n_clipped_low,
+       CAST(sum(is_hi) AS BIGINT) AS n_clipped_high,
+       round(avg(value), 4) AS mean_raw,
+       round(avg(v_clip), 4) AS mean_winsorized
+FROM clipped
+GROUP BY event_type
+ORDER BY event_type
+"""
