@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_item_affinity": advanced.basket_item_affinity,
         "event_transition_matrix": advanced.event_transition_matrix,
         "winsorize_event_values": advanced.winsorize_event_values,
+        "scd2_merge_orders": advanced.scd2_merge_orders,
+        "skew_diagnostics_lineitem": advanced.skew_diagnostics_lineitem,
     }
 
 
@@ -328,4 +330,6 @@ def oracle_sql() -> dict[str, str]:
         "basket_item_affinity": advanced.BASKET_AFFINITY_SQL,
         "event_transition_matrix": advanced.TRANSITION_MATRIX_SQL,
         "winsorize_event_values": advanced.WINSORIZE_SQL,
+        "scd2_merge_orders": advanced.SCD2_MERGE_SQL,
+        "skew_diagnostics_lineitem": advanced.SKEW_DIAG_SQL,
     }

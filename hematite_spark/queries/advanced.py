@@ -1375,3 +1375,123 @@ FROM clipped
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply an update batch
+    (repriced orders, here the deterministic o_orderkey % 7 == 0
+    slice at +1000.00 — an exact float step, so no rounding-tie
+    divergence between engines) to the base snapshot, closing the superseded
+    version (valid_to = effective date) and opening the new current
+    one — the Delta/Iceberg MERGE INTO history pattern, expressed as
+    three key-partitioned branches: semi-join (close), anti-join
+    (carry), and the update batch itself (open). Each branch is one
+    shuffle on the merge key; at 100 TB the base is bucketed by that
+    key so the merge is exchange-free, and the write is a dynamic
+    partition overwrite of touched partitions only."""
+    eff = F.to_date(F.lit("2001-09-01"))
+    hi = F.to_date(F.lit("9999-12-31"))
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", F.to_date("o_orderdate").alias("odate")
+    )
+    upd = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    upd_keys = upd.select("o_orderkey")
+    closed = base.join(upd_keys, "o_orderkey", "left_semi").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.col("odate").alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(0).cast("bigint").alias("is_current"),
+    )
+    carried = base.join(upd_keys, "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.col("odate").alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(1).cast("bigint").alias("is_current"),
+    )
+    opened = upd.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        eff.alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(1).cast("bigint").alias("is_current"),
+    )
+    return closed.union(carried).union(opened).orderBy("o_orderkey", "valid_from")
+
+
+SCD2_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS o_orderstatus
+  FROM base WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       odate AS valid_from, DATE '2001-09-01' AS valid_to, CAST(0 AS BIGINT) AS is_current
+FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       odate AS valid_from, DATE '9999-12-31' AS valid_to, CAST(1 AS BIGINT) AS is_current
+FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       DATE '2001-09-01' AS valid_from, DATE '9999-12-31' AS valid_to, CAST(1 AS BIGINT) AS is_current
+FROM upd
+ORDER BY o_orderkey, valid_from
+"""
+
+
+def skew_diagnostics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: for each candidate join key of the
+    fact table, the key-count distribution (cardinality, max rows per
+    key, top-1 share, exact p50/p99 counts and their ratio) — the
+    report that decides BEFORE a 100 TB join whether a key needs
+    salting, AQE skew handling, or a broadcast rethink. One
+    map-side-combined count per key column over the same scan shape;
+    the percentile pass runs on the already-tiny per-key count
+    table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    outs = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        counts = li.groupBy(key).agg(F.count("*").alias("cnt"))
+        outs.append(
+            counts.agg(
+                F.lit(key).alias("key_name"),
+                F.count("*").alias("n_keys"),
+                F.sum("cnt").alias("n_rows"),
+                F.max("cnt").alias("max_per_key"),
+                F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+                F.round(F.percentile("cnt", F.lit(0.5)), 4).alias("p50_per_key"),
+                F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_per_key"),
+                F.round(
+                    F.percentile("cnt", F.lit(0.99)) / F.percentile("cnt", F.lit(0.5)), 4
+                ).alias("skew_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.orderBy("key_name")
+
+
+SKEW_DIAG_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{k}' AS key_name,
+       count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_per_key,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top1_share,
+       round(quantile_cont(cnt, 0.5), 4) AS p50_per_key,
+       round(quantile_cont(cnt, 0.99), 4) AS p99_per_key,
+       round(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 4) AS skew_ratio
+FROM (SELECT {k}, count(*) AS cnt FROM lineitem GROUP BY {k})"""
+    for k in ("l_orderkey", "l_partkey", "l_suppkey")
+) + "\nORDER BY key_name"
