@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_event_values": advanced.winsorize_event_values,
         "scd2_merge_orders": advanced.scd2_merge_orders,
         "skew_diagnostics_lineitem": advanced.skew_diagnostics_lineitem,
+        "bpe_learn_merges": text.bpe_learn_merges,
     }
 
 
@@ -332,4 +333,5 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_event_values": advanced.WINSORIZE_SQL,
         "scd2_merge_orders": advanced.SCD2_MERGE_SQL,
         "skew_diagnostics_lineitem": advanced.SKEW_DIAG_SQL,
+        "bpe_learn_merges": text.BPE_SQL,
     }

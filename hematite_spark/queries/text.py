@@ -1026,3 +1026,110 @@ FROM runs
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the first 3 merge steps: from the
+    frequency-weighted word list, repeatedly (1) count adjacent
+    symbol pairs, (2) pick the most frequent pair (ties → lexicographic),
+    (3) fuse that pair everywhere — the iterative loop every modern
+    tokenizer's vocabulary comes from. Symbols travel as
+    space-delimited strings and fusion is a literal delimited
+    replace, whose left-to-right non-overlapping semantics both
+    engines share exactly (adjacent-repeat occurrences fuse
+    alternately — documented variant, identical on both sides).
+
+    Scale design: the word-frequency table is vocabulary-sized (the
+    corpus is scanned ONCE); each step is a bigram explode + one
+    map-side-combined aggregate over symbols, and the argmax pair is
+    a 1-row broadcast into the fuse projection — no driver loop over
+    data, only over the 3 fixed steps. The oracle unrolls the same 3
+    steps as CTEs, value-checking the recursion."""
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq = wf.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")).alias("s"),
+        "freq",
+    )
+    bests = []
+    for step in (1, 2, 3):
+        syms = seq.select("freq", F.split(F.trim("s"), " ").alias("y"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(y) - 2),"
+                    " i -> struct(get(y, i) AS pa, get(y, i + 1) AS pb))"
+                )
+            ).alias("b"),
+        ).where(F.expr("size(y) >= 2"))
+        best = (
+            pairs.groupBy("b.pa", "b.pb")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pa", "pb")
+            .limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("pa").alias("left_sym"),
+                F.col("pb").alias("right_sym"),
+                F.concat("pa", "pb").alias("merged"),
+                "pair_count",
+            )
+        )
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
+            ).alias("s"),
+            "freq",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.union(b)
+    return out.orderBy("step")
+
+
+_BPE_STEP = """p{i} AS (
+  SELECT y[j] AS pa, y[j + 1] AS pb, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(s), ' ') AS y, freq FROM w{prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(y) - 1)) AS j)
+  WHERE len(y) >= 2
+  GROUP BY pa, pb
+), b{i} AS (
+  SELECT pa, pb, pair_count FROM p{i}
+  ORDER BY pair_count DESC, pa, pb LIMIT 1
+), w{i} AS (
+  SELECT replace(s, ' ' || pa || ' ' || pb || ' ', ' ' || pa || pb || ' ') AS s, freq
+  FROM w{prev}, b{i}
+)"""
+
+BPE_SQL = (
+    r"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents)
+  GROUP BY word
+), w0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM wf
+),
+"""
+    + ",\n".join(_BPE_STEP.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+SELECT CAST(step AS BIGINT) AS step, pa AS left_sym, pb AS right_sym,
+       pa || pb AS merged, pair_count
+FROM (
+  SELECT 1 AS step, * FROM b1
+  UNION ALL SELECT 2, * FROM b2
+  UNION ALL SELECT 3, * FROM b3
+)
+ORDER BY step
+"""
+)
