@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge_orders": advanced.scd2_merge_orders,
         "skew_diagnostics_lineitem": advanced.skew_diagnostics_lineitem,
         "bpe_learn_merges": text.bpe_learn_merges,
+        "chunk_dedup_stats": text.chunk_dedup_stats,
     }
 
 
@@ -334,4 +335,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_merge_orders": advanced.SCD2_MERGE_SQL,
         "skew_diagnostics_lineitem": advanced.SKEW_DIAG_SQL,
         "bpe_learn_merges": text.BPE_SQL,
+        "chunk_dedup_stats": text.CHUNK_DEDUP_SQL,
     }

@@ -734,7 +734,12 @@ def tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "rb.r", "rb.bucket"
     )
     counters = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
-    cand = hashed.distinct()
+    # candidates: distinct the RAW tokens (one shuffle of the token
+    # stream), then hash the vocabulary — never distinct the
+    # 4×-exploded (t, r, bucket) stream
+    cand = toks.distinct().select(
+        "t", F.explode(F.array(*_cms_rb(F.col("t")))).alias("rb")
+    ).select("t", "rb.r", "rb.bucket")
     est = (
         cand.join(F.broadcast(counters), ["r", "bucket"])
         .groupBy("t")
@@ -907,11 +912,17 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, no shuffle at all until a downstream op asks for one;
     the fingerprint keeps chunk text out of the result (provenance +
     hash travel, text stays in the lake)."""
+    return _chunks_df(spark, sf_dir).orderBy("doc_id", "chunk_id")
+
+
+def _chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 32-token/stride-24 chunk frame (provenance, token
+    count, md5 fingerprint) — doc_chunk_overlap returns it directly;
+    chunk_dedup_stats aggregates over it."""
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select("doc_id", F.split(_norm_text(), " ").alias("w"))
     chunks = d.select(
         "doc_id",
-        F.size("w").alias("n_doc_tokens"),
         F.explode(F.expr("sequence(0, greatest(size(w) - 1, 0), 24)")).alias("chunk_start"),
         F.col("w"),
     ).select(
@@ -926,7 +937,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_start",
         F.size("cw").cast("bigint").alias("n_tokens"),
         F.md5(F.array_join("cw", " ")).alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 DOC_CHUNK_SQL = r"""
@@ -1133,3 +1144,61 @@ FROM (
 ORDER BY step
 """
 )
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup accounting: how much of each source's corpus
+    is duplicated at 32-token-chunk granularity — the composition of
+    the chunker with exact fingerprint dedup, and the statistic that
+    decides whether a source needs span-level cleaning before
+    training (doc-level dedup misses partial overlap; chunk-level
+    catches it). One hash aggregate on the chunk fingerprint finds
+    corpus-wide duplicate chunks; the per-source rollup map-side
+    combines. No pair join anywhere."""
+    ch = _chunks_df(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    dup_fps = (
+        ch.groupBy("chunk_fp").agg(F.count("*").alias("n")).where(F.col("n") > 1).select("chunk_fp")
+    )
+    flagged = ch.join(F.broadcast(dup_fps), "chunk_fp", "left_semi").select("doc_id", "chunk_id")
+    per_doc = ch.select("doc_id", "chunk_id").join(docs, "doc_id")
+    marked = per_doc.join(flagged.withColumn("is_dup", F.lit(1)), ["doc_id", "chunk_id"], "left")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))) / F.count("*"), 4
+            ).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+CHUNK_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(len(w) - 1, 0), 24)) AS chunk_start,
+         w
+  FROM d
+), ch AS (
+  SELECT doc_id,
+         CAST(chunk_start / 24 AS BIGINT) AS chunk_id,
+         md5(array_to_string(list_slice(w, chunk_start + 1, chunk_start + 32), ' ')) AS chunk_fp
+  FROM chunks
+),
+dup_fps AS (SELECT chunk_fp FROM ch GROUP BY chunk_fp HAVING count(*) > 1)
+SELECT s.source,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN ch.chunk_fp IN (SELECT chunk_fp FROM dup_fps) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(sum(CASE WHEN ch.chunk_fp IN (SELECT chunk_fp FROM dup_fps) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+FROM ch JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+GROUP BY s.source
+ORDER BY s.source
+"""
