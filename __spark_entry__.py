@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_diagnostics_lineitem": advanced.skew_diagnostics_lineitem,
         "bpe_learn_merges": text.bpe_learn_merges,
         "chunk_dedup_stats": text.chunk_dedup_stats,
+        "ann_pq_adc": similarity.ann_pq_adc,
     }
 
 
@@ -336,4 +337,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_diagnostics_lineitem": advanced.SKEW_DIAG_SQL,
         "bpe_learn_merges": text.BPE_SQL,
         "chunk_dedup_stats": text.CHUNK_DEDUP_SQL,
+        "ann_pq_adc": similarity.ANN_PQ_SQL,
     }

@@ -620,3 +620,125 @@ FROM errs
 GROUP BY label
 ORDER BY label
 """
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance (PQ/ADC): encode
+    every vector as 4 codebook ids (one per 16-dim subspace, 8
+    centroids each — here the deterministic vec_id<8 slice), then
+    score the query against CODES ONLY, summing per-subspace
+    query→centroid distances from a 32-cell lookup table. This is the
+    memory-side ANN compression story: at 100 TB the corpus resides
+    as 4 bytes of codes per vector (16× less than float32), the ADC
+    lookup is a broadcast of 8×4 floats, and scoring is 4 tiny
+    broadcast-hash joins + an add — no float vectors are touched
+    after encoding. Exact distance rides along as the recall audit.
+
+    Encoding picks argmin by lexicographic (distance, centroid-id)
+    struct-min, so ties are deterministic and both engines agree
+    code-for-code."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", _dbl("embedding").alias("e"))
+    cents = v.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    sub_d = [
+        F.expr(
+            f"aggregate(zip_with(slice(e, {16 * s + 1}, 16), slice(ce, {16 * s + 1}, 16),"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        ).alias(f"d{s}")
+        for s in range(4)
+    ]
+    pair = v.crossJoin(F.broadcast(cents)).select("vec_id", "cid", *sub_d)
+    codes = pair.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("cid")))
+            .getField("cid")
+            .alias(f"code{s}")
+            for s in range(4)
+        ]
+    )
+    q = v.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    lut = cents.crossJoin(F.broadcast(q)).select(
+        "cid",
+        *[
+            F.expr(
+                f"aggregate(zip_with(slice(qe, {16 * s + 1}, 16), slice(ce, {16 * s + 1}, 16),"
+                " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            ).alias(f"qd{s}")
+            for s in range(4)
+        ],
+    )
+    scored = codes
+    for s in range(4):
+        scored = scored.join(
+            F.broadcast(lut.select(F.col("cid").alias(f"code{s}"), f"qd{s}")), f"code{s}"
+        )
+    approx = scored.select(
+        "vec_id",
+        F.round(F.sqrt(F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")), 6).alias(
+            "approx_dist"
+        ),
+    )
+    exact = v.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)),"
+                    " 0.0D, (acc, x) -> acc + x)"
+                )
+            ),
+            6,
+        ).alias("exact_dist"),
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .orderBy(F.col("approx_dist").asc(), "vec_id")
+        .limit(20)
+    )
+
+
+def _pq_d2(a: str, b: str, s: int) -> str:
+    lo = 16 * s + 1
+    hi = 16 * s + 16
+    return (
+        f"list_reduce(list_transform(list_zip(list_slice({a}, {lo}, {hi}),"
+        f" list_slice({b}, {lo}, {hi})), p -> (p[1] - p[2]) * (p[1] - p[2])),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+), pair AS (
+  SELECT v.vec_id, c.cid,
+         {", ".join(_pq_d2("v.e", "c.ce", s) + f" AS d{s}" for s in range(4))}
+  FROM v CROSS JOIN cents c
+), codes AS (
+  SELECT vec_id,
+         {", ".join(f"(min(struct_pack(d := d{s}, cid := cid))).cid AS code{s}" for s in range(4))}
+  FROM pair GROUP BY vec_id
+), q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+lut AS (
+  SELECT cid,
+         {", ".join(_pq_d2("c.ce", "qe", s) + f" AS qd{s}" for s in range(4))}
+  FROM cents c CROSS JOIN q
+), approx AS (
+  SELECT vec_id, round(sqrt(l0.qd0 + l1.qd1 + l2.qd2 + l3.qd3), 6) AS approx_dist
+  FROM codes
+  {" ".join(f"JOIN lut l{s} ON l{s}.cid = codes.code{s}" for s in range(4))}
+), exact AS (
+  SELECT vec_id,
+         round(sqrt(list_reduce(list_transform(list_zip(e, qe),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)), 6) AS exact_dist
+  FROM v CROSS JOIN q
+)
+SELECT vec_id, approx_dist, exact_dist
+FROM approx JOIN exact USING (vec_id)
+ORDER BY approx_dist ASC, vec_id
+LIMIT 20
+"""
