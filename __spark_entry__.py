@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": text.bpe_learn_merges,
         "chunk_dedup_stats": text.chunk_dedup_stats,
         "ann_pq_adc": similarity.ann_pq_adc,
+        "attribution_last_touch": advanced.attribution_last_touch,
+        "histogram_event_values": advanced.histogram_event_values,
     }
 
 
@@ -338,4 +340,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn_merges": text.BPE_SQL,
         "chunk_dedup_stats": text.CHUNK_DEDUP_SQL,
         "ann_pq_adc": similarity.ANN_PQ_SQL,
+        "attribution_last_touch": advanced.ATTRIBUTION_SQL,
+        "histogram_event_values": advanced.HISTOGRAM_SQL,
     }

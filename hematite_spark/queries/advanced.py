@@ -1495,3 +1495,116 @@ SKEW_DIAG_SQL = "\nUNION ALL\n".join(
 FROM (SELECT {k}, count(*) AS cnt FROM lineitem GROUP BY {k})"""
     for k in ("l_orderkey", "l_partkey", "l_suppkey")
 ) + "\nORDER BY key_name"
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    view/click by the same user within the preceding 3 days — the
+    marketing-attribution join, i.e. a backward as-of join with a
+    tolerance window. The join key is the user plus a bounded time
+    range, so pair growth is capped by per-user activity in 3 days;
+    partitioned on user at scale (and Spark's range-join machinery
+    applies). Ties at the same timestamp break on event_id, so both
+    engines credit the identical touch."""
+    ev = load_table(spark, "events", sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purch.join(touch, "user_id").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    w = W.partitionBy("purchase_id").orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_value",
+            "touch_id",
+            "touch_type",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("t_ts")).cast("bigint").alias(
+                "seconds_to_convert"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+), joined AS (
+  SELECT p.*, t.touch_id, t.touch_type, t.t_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn
+  FROM purch p JOIN touch t
+    ON p.user_id = t.user_id
+   AND t.t_ts <= p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 3 DAY
+)
+SELECT purchase_id, user_id, purchase_value, touch_id, touch_type,
+       CAST(date_diff('second', t_ts, p_ts) AS BIGINT) AS seconds_to_convert
+FROM joined WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histograms per event type (10 buckets over
+    the type's own [min, max]) — the profiling companion to the
+    column profiler: one broadcast of O(types) bounds, one
+    map-side-combined bucket count; bucket bounds travel in the
+    result so the histogram renders without re-touching the data."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 10
+    b = F.least(F.floor((F.col("value") - F.col("mn")) / width), F.lit(9)).cast("bigint")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "value", "mn", "mx", b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("mn") + F.col("bucket") * (F.min("mx") - F.min("mn")) / 10, 4).alias(
+                "bucket_lo"
+            ),
+            F.round(F.min("mn") + (F.col("bucket") + 1) * (F.min("mx") - F.min("mn")) / 10, 4).alias(
+                "bucket_hi"
+            ),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+HISTOGRAM_SQL = """
+WITH bounds AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(least(floor((e.value - b.mn) / ((b.mx - b.mn) / 10)), 9) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(b.mn) + CAST(least(floor((e.value - b.mn) / ((b.mx - b.mn) / 10)), 9) AS BIGINT)
+             * (min(b.mx) - min(b.mn)) / 10, 4) AS bucket_lo,
+       round(min(b.mn) + (CAST(least(floor((e.value - b.mn) / ((b.mx - b.mn) / 10)), 9) AS BIGINT) + 1)
+             * (min(b.mx) - min(b.mn)) / 10, 4) AS bucket_hi
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type, bucket
+ORDER BY e.event_type, bucket
+"""
