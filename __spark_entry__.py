@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": similarity.ann_pq_adc,
         "attribution_last_touch": advanced.attribution_last_touch,
         "histogram_event_values": advanced.histogram_event_values,
+        "bloom_semi_join_reduction": advanced.bloom_semi_join_reduction,
     }
 
 
@@ -342,4 +343,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": similarity.ANN_PQ_SQL,
         "attribution_last_touch": advanced.ATTRIBUTION_SQL,
         "histogram_event_values": advanced.HISTOGRAM_SQL,
+        "bloom_semi_join_reduction": advanced.BLOOM_SQL,
     }

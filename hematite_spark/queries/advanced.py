@@ -1608,3 +1608,102 @@ FROM events e JOIN bounds b USING (event_type)
 GROUP BY e.event_type, bucket
 ORDER BY e.event_type, bucket
 """
+
+
+def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, built explicitly: the urgent
+    orders' keys fold into a 32768-bit Bloom filter (1024×32-bit words
+    via bit_or aggregation, 2 md5-derived hashes per key), the fact
+    table probes the broadcast filter BEFORE the real join, and the
+    result audits the filter against the exact semi-join — passes,
+    misses, and the false-positive rate. This is the runtime-filter
+    pattern (Spark's own bloomFilter runtime join filters, Parquet
+    bloom indexes) materialized as an operator: at 100 TB the filter
+    is a few KB broadcast that spares the shuffle of every
+    non-matching fact row; the build side map-side combines into ≤32
+    rows. md5-derived hashes keep the oracle's filter bit-identical."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+
+    def hashes(col):
+        h = F.md5(col.cast("string"))
+        return [
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % 32768 for i in range(2)
+        ]
+
+    hb = keys.select(F.explode(F.array(*hashes(F.col("k")))).alias("bit"))
+    bloom = (
+        hb.select(F.expr("bit div 32").alias("word"),
+                  F.expr("shiftleft(1L, cast(bit % 32 AS INT))").alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+    p = li.select(F.col("l_orderkey").alias("k")).select(
+        "k", *[b.alias(f"bit{i}") for i, b in enumerate(hashes(F.col("k")))]
+    )
+    for i in range(2):
+        p = p.withColumn(f"word{i}", F.expr(f"bit{i} div 32")).withColumn(
+            f"m{i}", F.expr(f"shiftleft(1L, cast(bit{i} % 32 AS INT))")
+        )
+        b = F.broadcast(bloom.select(F.col("word").alias(f"word{i}"), F.col("w").alias(f"w{i}")))
+        p = p.join(b, f"word{i}", "left")
+    passed = p.where(
+        (F.col("w0").isNotNull() & (F.col("w0").bitwiseAND(F.col("m0")) == F.col("m0")))
+        & (F.col("w1").isNotNull() & (F.col("w1").bitwiseAND(F.col("m1")) == F.col("m1")))
+    )
+    n_probe = li.agg(F.count("*").alias("n_probe"))
+    n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
+    n_exact = (
+        li.join(keys, li.l_orderkey == keys.k, "left_semi").agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        n_probe.crossJoin(n_pass)
+        .crossJoin(n_exact)
+        .select(
+            "n_probe",
+            "n_bloom_pass",
+            "n_exact",
+            F.round((F.col("n_bloom_pass") - F.col("n_exact")) / F.col("n_probe"), 6).alias(
+                "false_positive_rate"
+            ),
+        )
+    )
+
+
+BLOOM_SQL = """
+WITH keys AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+), hb AS (
+  SELECT ('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT % 32768 AS bit FROM keys
+  UNION ALL
+  SELECT ('0x' || substr(md5(k::VARCHAR), 9, 8))::BIGINT % 32768 AS bit FROM keys
+), bloom AS (
+  SELECT bit // 32 AS word,
+         bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS w
+  FROM hb GROUP BY word
+), p AS (
+  SELECT l_orderkey AS k,
+         ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT % 32768 AS bit0,
+         ('0x' || substr(md5(l_orderkey::VARCHAR), 9, 8))::BIGINT % 32768 AS bit1
+  FROM lineitem
+), checked AS (
+  SELECT p.k,
+         (b0.w IS NOT NULL AND (b0.w & (1::BIGINT << CAST(bit0 % 32 AS INTEGER)))
+            = (1::BIGINT << CAST(bit0 % 32 AS INTEGER)))
+         AND
+         (b1.w IS NOT NULL AND (b1.w & (1::BIGINT << CAST(bit1 % 32 AS INTEGER)))
+            = (1::BIGINT << CAST(bit1 % 32 AS INTEGER))) AS pass
+  FROM p
+  LEFT JOIN bloom b0 ON b0.word = bit0 // 32
+  LEFT JOIN bloom b1 ON b1.word = bit1 // 32
+)
+SELECT (SELECT count(*) FROM lineitem) AS n_probe,
+       (SELECT count(*) FROM checked WHERE pass) AS n_bloom_pass,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT k FROM keys)) AS n_exact,
+       round(((SELECT count(*) FROM checked WHERE pass)
+              - (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT k FROM keys)))
+             / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS false_positive_rate
+"""
