@@ -186,3 +186,25 @@ def test_rfm_window_over_preaggregated_dim(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert "Window" in plan and tree.count("HashAggregate") >= 2
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    # the 1024-word filter reaches the probe side as broadcast-hash
+    # joins; nothing shuffles the fact table before the filter
+    plan = plan_of(spark, "bloom_semi_join_reduction")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_no_cartesian(spark):
+    # the tolerance-window as-of join stays keyed on user_id
+    plan = plan_of(spark, "attribution_last_touch")
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_single_vector_scan(spark):
+    # encoding cross-joins only the broadcast 8-centroid side; the
+    # corpus vectors are scanned, never shuffled pairwise
+    plan = plan_of(spark, "ann_pq_adc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the O(8) centroid side
