@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": advanced.attribution_last_touch,
         "histogram_event_values": advanced.histogram_event_values,
         "bloom_semi_join_reduction": advanced.bloom_semi_join_reduction,
+        "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
     }
 
 
@@ -344,4 +345,5 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": advanced.ATTRIBUTION_SQL,
         "histogram_event_values": advanced.HISTOGRAM_SQL,
         "bloom_semi_join_reduction": advanced.BLOOM_SQL,
+        "sample_weighted_reservoir": sampling.SAMPLE_WEIGHTED_SQL,
     }

@@ -173,3 +173,37 @@ WHERE {_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} < rate
 GROUP BY source, n_docs, rate
 ORDER BY source
 """
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis:
+    each doc draws a stable uniform u from md5(doc_id) and competes
+    with key u^(1/weight) (weight = n_chars); the global top-20 keys
+    ARE a weighted sample without replacement. This is THE
+    distributed weighted-sampling algorithm: the key is a stateless
+    per-row expression (no RNG, reproducible across engines and
+    cluster sizes), selection is a top-k (TakeOrderedAndProject —
+    per-task heaps, no global sort), and streams/partitions merge by
+    just keeping the k largest keys. Keys round to 9 decimals so both
+    engines' pow() agree; ties break on doc_id."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9)
+    return (
+        docs.select("doc_id", "source", F.col("n_chars").alias("weight"), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, source, n_chars AS weight,
+       round(pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) / 4294967296.0,
+                 1.0 / n_chars), 9) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT 20
+"""
