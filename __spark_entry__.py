@@ -102,18 +102,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": text.text_repetition_stats,
         "text_boilerplate_fraction": text.text_boilerplate_fraction,
         "text_unigram_logprob": text.text_unigram_logprob,
+        # round-2 flagships (front-loaded for driver coverage)
+        "bpe_learn_merges": text.bpe_learn_merges,
+        "tokens_heavy_hitters": text.tokens_heavy_hitters,
+        "ann_pq_adc": similarity.ann_pq_adc,
+        "zorder_cluster_key": advanced.zorder_cluster_key,
+        "scd2_merge_orders": advanced.scd2_merge_orders,
+        "bloom_semi_join_reduction": advanced.bloom_semi_join_reduction,
         # C-series: deterministic sampling / dataset splits
         "sample_systematic": sampling.sample_systematic,
         "sample_stratified": sampling.sample_stratified,
         "split_train_test": sampling.split_train_test,
+        # C-series: the operators composed end-to-end
+        "corpus_pipeline": pipeline.corpus_pipeline,
+        # ---- (driver-window boundary; ~50 entries above) ----------
         "sample_temperature": sampling.sample_temperature,
         "pack_sequences": packing.pack_sequences,
         # C-series: multimodal binary columns
         "multimodal_binary_stats": multimodal.multimodal_binary_stats,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-        # C-series: the operators composed end-to-end
-        "corpus_pipeline": pipeline.corpus_pipeline,
         # B-series: UDF extension points + sketch aggregates
         "udaf_geometric_mean": udf.udaf_geometric_mean,
         "udtf_bigrams": udf.udtf_bigrams,
@@ -184,9 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 additions: LM scoring depth, sketch-audited heavy
         # hitters, behavioral segmentation, lake clustering, PII scrub
         "text_bigram_logprob": text.text_bigram_logprob,
-        "tokens_heavy_hitters": text.tokens_heavy_hitters,
         "rfm_segments": advanced.rfm_segments,
-        "zorder_cluster_key": advanced.zorder_cluster_key,
         "redact_numbers_events": advanced.redact_numbers_events,
         "agg_incremental_merge": advanced.agg_incremental_merge,
         "resample_fill_events": advanced.resample_fill_events,
@@ -198,14 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_item_affinity": advanced.basket_item_affinity,
         "event_transition_matrix": advanced.event_transition_matrix,
         "winsorize_event_values": advanced.winsorize_event_values,
-        "scd2_merge_orders": advanced.scd2_merge_orders,
         "skew_diagnostics_lineitem": advanced.skew_diagnostics_lineitem,
-        "bpe_learn_merges": text.bpe_learn_merges,
         "chunk_dedup_stats": text.chunk_dedup_stats,
-        "ann_pq_adc": similarity.ann_pq_adc,
         "attribution_last_touch": advanced.attribution_last_touch,
         "histogram_event_values": advanced.histogram_event_values,
-        "bloom_semi_join_reduction": advanced.bloom_semi_join_reduction,
         "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
     }
 
