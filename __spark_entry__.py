@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": advanced.attribution_last_touch,
         "histogram_event_values": advanced.histogram_event_values,
         "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
+        "metric_confidence_intervals": advanced.metric_confidence_intervals,
     }
 
 
@@ -348,4 +349,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram_event_values": advanced.HISTOGRAM_SQL,
         "bloom_semi_join_reduction": advanced.BLOOM_SQL,
         "sample_weighted_reservoir": sampling.SAMPLE_WEIGHTED_SQL,
+        "metric_confidence_intervals": advanced.CONFIDENCE_SQL,
     }

@@ -1707,3 +1707,36 @@ SELECT (SELECT count(*) FROM lineitem) AS n_probe,
               - (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT k FROM keys)))
              / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS false_positive_rate
 """
+
+
+def metric_confidence_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type metric means with 95% confidence intervals
+    (mean ± 1.96·s/√n) — the report layer every A/B readout and
+    data-quality dashboard sits on. One map-side-combined aggregate;
+    the interval math is scalar post-processing of (n, mean, stddev),
+    so the same query serves any fact-table size unchanged."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("s"),
+    )
+    half = 1.96 * F.col("s") / F.sqrt(F.col("n"))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("m", 4).alias("mean_value"),
+        F.round(F.col("m") - half, 4).alias("ci_lo"),
+        F.round(F.col("m") + half, 4).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+CONFIDENCE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 4) AS mean_value,
+       round(avg(value) - 1.96 * stddev_samp(value) / sqrt(count(*)), 4) AS ci_lo,
+       round(avg(value) + 1.96 * stddev_samp(value) / sqrt(count(*)), 4) AS ci_hi
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
