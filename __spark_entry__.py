@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_event_values": advanced.histogram_event_values,
         "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
         "metric_confidence_intervals": advanced.metric_confidence_intervals,
+        "revenue_growth_mom": advanced.revenue_growth_mom,
     }
 
 
@@ -350,4 +351,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join_reduction": advanced.BLOOM_SQL,
         "sample_weighted_reservoir": sampling.SAMPLE_WEIGHTED_SQL,
         "metric_confidence_intervals": advanced.CONFIDENCE_SQL,
+        "revenue_growth_mom": advanced.REVENUE_GROWTH_SQL,
     }

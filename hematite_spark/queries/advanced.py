@@ -1740,3 +1740,41 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def revenue_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue: monthly totals with month-over-month
+    and year-over-year growth from lag windows — the BI trend shape
+    every revenue dashboard starts from. The fact table collapses to
+    O(months) rows in one map-side-combined aggregate before any
+    window, so the lag pass is effectively free; growth is rounded to
+    4 so both engines agree on the exact percentages."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    prev_m = F.lag("revenue", 1).over(w)
+    prev_y = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev_m) / prev_m * 100, 4).alias("mom_pct"),
+        F.round((F.col("revenue") - prev_y) / prev_y * 100, 4).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+REVENUE_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, revenue,
+       round((revenue - lag(revenue, 1) OVER (ORDER BY month))
+             / lag(revenue, 1) OVER (ORDER BY month) * 100, 4) AS mom_pct,
+       round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+             / lag(revenue, 12) OVER (ORDER BY month) * 100, 4) AS yoy_pct
+FROM monthly
+ORDER BY month
+"""
