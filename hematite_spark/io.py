@@ -53,8 +53,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # effect rather than a silent one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # newer testdata stores µs timestamps without tz annotation;
+            # Spark infers TIMESTAMP_NTZ, which unix_micros & friends
+            # reject. Session tz is pinned UTC, so casting to TIMESTAMP
+            # (LTZ) preserves every instant bit-for-bit and keeps one
+            # timestamp type across the whole engine.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -44,6 +44,12 @@ def get_spark(app_name: str = "hematite_spark", shuffle_partitions: int | None =
         # matching DuckDB). Set here so the behavior is a session
         # constant, not a read-order-dependent surprise.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps (events.ts, o_orderdate, l_shipdate) are
+        # unannotated µs — Spark 4 would infer TIMESTAMP_NTZ, which
+        # unix_micros & friends reject. Disabling the inference reads
+        # the stored µs as epoch (LTZ) — byte-identical to DuckDB's
+        # view of the same parquet, and tz-independent.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
