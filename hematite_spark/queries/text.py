@@ -730,23 +730,23 @@ def tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('0x'||hex)::BIGINT — both engines agree on every counter)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"))
-    hashed = toks.select("t", F.explode(F.array(*_cms_rb(F.col("t")))).alias("rb")).select(
-        "t", "rb.r", "rb.bucket"
-    )
-    counters = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
-    # candidates: distinct the RAW tokens (one shuffle of the token
-    # stream), then hash the vocabulary — never distinct the
-    # 4×-exploded (t, r, bucket) stream
-    cand = toks.distinct().select(
-        "t", F.explode(F.array(*_cms_rb(F.col("t")))).alias("rb")
-    ).select("t", "rb.r", "rb.bucket")
+    # ONE corpus-scale pass: the exact per-token counts (map-side
+    # combined groupBy — the only shuffle that sees every token
+    # occurrence). Everything downstream is vocabulary-sized, so the
+    # sketch counters are built as grouped SUMS of the exact counts —
+    # cell-for-cell identical to hashing each occurrence (addition is
+    # associative), but md5 runs per vocab entry, not per occurrence.
+    exact = toks.groupBy("t").agg(F.count("*").alias("exact_count")).localCheckpoint()
+    hashed = exact.select(
+        "t", "exact_count", F.explode(F.array(*_cms_rb(F.col("t")))).alias("rb")
+    ).select("t", "exact_count", "rb.r", "rb.bucket")
+    counters = hashed.groupBy("r", "bucket").agg(F.sum("exact_count").alias("c"))
     est = (
-        cand.join(F.broadcast(counters), ["r", "bucket"])
+        hashed.join(F.broadcast(counters), ["r", "bucket"])
         .groupBy("t")
         .agg(F.min("c").alias("est_count"))
     )
-    exact = toks.groupBy("t").agg(F.count("*").alias("exact_count"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    total = exact.agg(F.sum("exact_count").alias("n_total"))
     return (
         est.join(exact, "t")
         .crossJoin(F.broadcast(total))
