@@ -211,6 +211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
         "metric_confidence_intervals": advanced.metric_confidence_intervals,
         "revenue_growth_mom": advanced.revenue_growth_mom,
+        "dsir_importance_weights": text.dsir_importance_weights,
+        "text_ngram_novelty": text.text_ngram_novelty,
+        "dedup_containment": dedup.dedup_containment,
+        "pair_mining_contrastive": similarity.pair_mining_contrastive,
+        "shuffle_deterministic": sampling.shuffle_deterministic,
+        "split_temporal_purged": sampling.split_temporal_purged,
+        "quantile_bins_price": advanced.quantile_bins_price,
     }
 
 
@@ -352,4 +359,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted_reservoir": sampling.SAMPLE_WEIGHTED_SQL,
         "metric_confidence_intervals": advanced.CONFIDENCE_SQL,
         "revenue_growth_mom": advanced.REVENUE_GROWTH_SQL,
+        "dsir_importance_weights": text.DSIR_SQL,
+        "text_ngram_novelty": text.NGRAM_NOVELTY_SQL,
+        "dedup_containment": dedup.DEDUP_CONTAINMENT_SQL,
+        "pair_mining_contrastive": similarity.PAIR_MINING_SQL,
+        "shuffle_deterministic": sampling.SHUFFLE_DETERMINISTIC_SQL,
+        "split_temporal_purged": sampling.SPLIT_TEMPORAL_SQL,
+        "quantile_bins_price": advanced.QUANTILE_BINS_SQL,
     }

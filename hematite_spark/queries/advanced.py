@@ -1778,3 +1778,48 @@ SELECT month, revenue,
 FROM monthly
 ORDER BY month
 """
+
+
+def quantile_bins_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature discretization: ntile(10) buckets over
+    lineitem extended price — the binning step of classic feature
+    engineering (decile features, monotone-binned WOE, calibration
+    buckets). The ORDER BY carries a full unique key
+    (price, orderkey, linenumber) so tie placement is deterministic
+    and both engines bin identically.
+
+    Scale note: a global ntile is a single-partition window — fine
+    for reporting, wrong for a 100 TB feature pipeline. The scale
+    path is approx_percentile(p, [0.1 .. 0.9]) → broadcast the 9 cut
+    points → stateless width_bucket filter (one scan, no global
+    sort); this exact-ntile form is kept because the oracle can
+    value-check it bin-for-bin, and the cutpoint variant's contract
+    (±ε on boundaries) is probabilistic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUANTILE_BINS_SQL = """
+SELECT bin, count(*) AS n_rows,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi,
+       round(avg(l_extendedprice), 4) AS mean_price
+FROM (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+  FROM lineitem)
+GROUP BY bin
+ORDER BY bin
+"""

@@ -919,3 +919,64 @@ ORDER BY doc_id
 
 
 DEDUP_INCREMENTAL_SQL = _incr_sql()
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A,B) = |A∩B| / min(|A|,|B|)
+    over word-3-gram sets. Jaccard misses subset duplicates — a doc
+    quoted wholesale inside a longer doc scores low Jaccard but
+    containment ≈ 1 — and subset inclusion is the dominant dup mode
+    in crawled training data (boilerplate-wrapped articles, quoted
+    posts). Flags pairs where containment ≥ 0.8; the jaccard column
+    is kept to show what the symmetric metric would have said.
+
+    Same inverted-index shape as dedup_ngram_jaccard — pairs only
+    materialize for co-shingled docs, shuffle key is the shingle —
+    so the scale story is identical: no all-pairs, AQE handles hot
+    shingles."""
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common"),
+            F.round(
+                F.col("common") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")), 4
+            ).alias("containment"),
+            F.round(
+                F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = (
+    _SHINGLES_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, common,
+       round(common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) AS containment,
+       round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+)

@@ -207,3 +207,118 @@ FROM documents
 ORDER BY es_key DESC, doc_id
 LIMIT 20
 """
+
+
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle + sharding: every doc
+    gets a pseudorandom rank (md5 of seed‖doc_id — stateless, so the
+    permutation is reproducible on any cluster size and stable under
+    re-runs) and a shard (rank-hash mod 8). This is the "shuffle the
+    corpus before training" step: at 100 TB you never materialize a
+    global sort — the shard is the write-partition key (one
+    repartition by shard, sort WITHIN shards by rank at write), and
+    readers interleave shards. Verifies the permutation is balanced
+    and unbiased: per-shard doc counts, char mass, and the mean
+    normalized rank (≈0.5 per shard when the hash mixes well).
+    Seed change ⇒ a fresh, equally-balanced permutation."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    rank = F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / F.lit(float(16**12))
+    shard = (F.conv(F.substring(h, 13, 4), 16, 10).cast("bigint") % 8).alias("shard")
+    return (
+        docs.select(shard, rank.alias("rank"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("rank"), 4).alias("mean_rank"),
+            F.round(F.min("rank"), 6).alias("min_rank"),
+            F.round(F.max("rank"), 6).alias("max_rank"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHUFFLE_DETERMINISTIC_SQL = """
+WITH h AS (
+  SELECT md5('seed42:' || doc_id::VARCHAR) AS hx, n_chars FROM documents
+), ranked AS (
+  SELECT ('0x' || substr(hx, 1, 12))::BIGINT / CAST(281474976710656 AS DOUBLE) AS rank,
+         ('0x' || substr(hx, 13, 4))::BIGINT % 8 AS shard,
+         n_chars
+  FROM h)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(rank), 4) AS mean_rank,
+       round(min(rank), 6) AS min_rank, round(max(rank), 6) AS max_rank
+FROM ranked
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def split_temporal_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free temporal split with an embargo gap: train on the
+    first 70% of the event time range, embargo the next 5% (rows
+    whose information could leak across the boundary — label windows,
+    session tails — are DROPPED, not assigned), test on the rest.
+    The time-series analogue of split_train_test: hash splits leak
+    future information for forecasting tasks; purged temporal splits
+    are the standard fix (combinatorial purged CV in finance).
+
+    Cutoffs derive from the global min/max timestamp — two tiny
+    aggregates broadcast into a stateless row filter, so the corpus
+    pass is scan + filter, no shuffle beyond the final per-split
+    rollup. Split boundaries are reported in epoch-µs so the result
+    is engine-exact (no float time arithmetic)."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    b = F.broadcast(bounds)
+    span = F.col("t1") - F.col("t0")
+    train_end = (F.col("t0") + (span * 70) / 100).cast("bigint")
+    test_start = (F.col("t0") + (span * 75) / 100).cast("bigint")
+    tagged = (
+        ev.select(us.alias("us"), "event_type")
+        .crossJoin(b)
+        .select(
+            "event_type",
+            "us",
+            train_end.alias("train_end"),
+            test_start.alias("test_start"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("us") <= F.col("train_end"), "train")
+            .when(F.col("us") >= F.col("test_start"), "test")
+            .otherwise(F.lit("embargo")),
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_TEMPORAL_SQL = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events
+), tagged AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) <= CAST(b.t0 + ((b.t1 - b.t0) * 70) / 100 AS BIGINT) THEN 'train'
+              WHEN epoch_us(ts) >= CAST(b.t0 + ((b.t1 - b.t0) * 75) / 100 AS BIGINT) THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM events, b)
+SELECT split, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+       min(us) AS first_us, max(us) AS last_us
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""

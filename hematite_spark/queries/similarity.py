@@ -742,3 +742,95 @@ FROM approx JOIN exact USING (vec_id)
 ORDER BY approx_dist ASC, vec_id
 LIMIT 20
 """
+
+
+def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining over the embedding table:
+    positives are in-bucket near-neighbors (sign-bucket blocked
+    cosine ≥ 0.42 — the dedup_embedding_cosine candidate generator
+    reused as a POSITIVE miner), negatives are deterministic
+    pseudo-random partners (vec_id shifted by a fixed stride mod n)
+    kept only when cosine < 0.1 — the "easy negative" floor that
+    keeps false negatives out of the batch.
+
+    Scale design: positives come from the equi-join on the 4-bit
+    sign bucket (never all-pairs); negatives are a self-join on a
+    COMPUTED key (id + stride mod n) — one shuffle each, both keyed.
+    No RNG anywhere: the same pairs mine on any cluster, any day —
+    reproducible batches, diffable across pipeline versions. Returns
+    per-label pair counts and cosine stats (the contract a batch
+    sampler consumes)."""
+    from hematite_spark.functions import dbl as _dbl2
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        "vec_id",
+        _dbl2("embedding").alias("ev"),
+        sum(
+            (F.when(F.element_at(_dbl2("embedding"), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(4)
+        ).cast("bigint").alias("bucket"),
+    ).localCheckpoint()
+    cos = lambda a, b: F.round(
+        _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), 6
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pos = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(cos("a.ev", "b.ev").alias("cosine"))
+        .where(F.col("cosine") >= 0.42)
+        .withColumn("label", F.lit("positive"))
+    )
+    n = v.count()
+    neg = (
+        a.join(b, F.col("b.vec_id") == (F.col("a.vec_id") + F.lit(n // 2 + 13)) % F.lit(n))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(cos("a.ev", "b.ev").alias("cosine"))
+        .where(F.col("cosine") < 0.1)
+        .withColumn("label", F.lit("negative"))
+    )
+    return (
+        pos.unionByName(neg)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("cosine"), 6).alias("avg_cos"),
+            F.round(F.min("cosine"), 6).alias("min_cos"),
+            F.round(F.max("cosine"), 6).alias("max_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+PAIR_MINING_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)) AS bucket
+  FROM embeddings
+), n AS (SELECT count(*) AS n FROM v),
+pos AS (
+  SELECT 'positive' AS label,
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+neg AS (
+  SELECT 'negative' AS label,
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+  FROM v a JOIN v b ON b.vec_id = (a.vec_id + (SELECT n // 2 + 13 FROM n)) % (SELECT n FROM n)
+  WHERE a.vec_id < b.vec_id),
+pairs AS (
+  SELECT * FROM pos WHERE cosine >= 0.42
+  UNION ALL
+  SELECT * FROM neg WHERE cosine < 0.1)
+SELECT label, count(*) AS n_pairs,
+       round(avg(cosine), 6) AS avg_cos,
+       round(min(cosine), 6) AS min_cos,
+       round(max(cosine), 6) AS max_cos
+FROM pairs
+GROUP BY label
+ORDER BY label
+"""

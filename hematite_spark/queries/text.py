@@ -1202,3 +1202,154 @@ FROM ch JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
 GROUP BY s.source
 ORDER BY s.source
 """
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are, so a
+    weighted resample shifts the training mixture toward the target
+    domain without training a classifier.
+
+    Features are word bigrams hashed into 256 buckets (md5-derived so
+    the oracle computes identical buckets). The target distribution
+    is estimated from the `lang = 'en'` slice, the raw distribution
+    from the whole corpus; both are add-one-smoothed bucket
+    frequencies. A doc's log importance weight is the mean of
+    ln p_target(f) − ln p_raw(f) over its feature OCCURRENCES.
+
+    Scale design: the two feature tables are 256 rows — broadcast
+    joins — so the whole operator is one corpus-scale bigram pass +
+    one per-doc aggregate; nothing pairwise, nothing iterative. The
+    resample itself then composes with sample_weighted_reservoir.
+    Returns the 20 highest-weight non-English docs (the ones DSIR
+    would pull into an English-targeted mixture) — deterministic
+    tie-break on doc_id."""
+    B = 256
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> concat(get(w, i), ' ', get(w, i + 1)))"
+            )
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    feats = grams.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % B).alias("f"),
+    ).localCheckpoint()  # one bigram pass feeds all three consumers
+    target = feats.where(F.col("lang") == "en").groupBy("f").agg(F.count("*").alias("ct"))
+    raw = feats.groupBy("f").agg(F.count("*").alias("cr"))
+    nt = feats.where(F.col("lang") == "en").count()
+    nr = feats.count()
+    logratio = (
+        raw.join(target, "f", "left")
+        .select(
+            "f",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / float(nt + B))
+                - F.log((F.col("cr") + 1.0) / float(nr + B))
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.where(F.col("lang") != "en")
+        .join(F.broadcast(logratio), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lr"), 6).alias("log_weight"), F.count("*").alias("n_feats"))
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+DSIR_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM d
+), feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS f
+  FROM grams WHERE g IS NOT NULL
+), target AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
+raw AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+nt AS (SELECT count(*) AS n FROM feats WHERE lang = 'en'),
+nr AS (SELECT count(*) AS n FROM feats),
+logratio AS (
+  SELECT raw.f,
+         ln((coalesce(ct, 0) + 1.0) / (nt.n + 256)) - ln((cr + 1.0) / (nr.n + 256)) AS lr
+  FROM raw LEFT JOIN target ON raw.f = target.f, nt, nr)
+SELECT doc_id, round(avg(lr), 6) AS log_weight, count(*) AS n_feats
+FROM feats JOIN logratio USING (f)
+WHERE lang <> 'en'
+GROUP BY doc_id
+ORDER BY log_weight DESC, doc_id
+LIMIT 20
+"""
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-3-grams that appear in NO other document — the inverse of
+    how derivative the doc is. Low-novelty docs are re-hashes of
+    corpus content (templates, quotes, near-dups that slipped past
+    pairwise dedup) and are the first candidates for down-weighting
+    in a training mixture.
+
+    Mechanics: the same inverted shingle index as the dedup family,
+    but instead of a pair join, one groupBy computes each shingle's
+    document frequency; a second per-doc aggregate counts df=1
+    shingles. Two hash-aggregates on corpus-scale data, no joins
+    wider than (shingle → df) — strictly cheaper than any pairwise
+    dedup pass, so it runs on the full 100 TB corpus where pair
+    joins run only on LSH survivors. Returns the 20 least-novel
+    docs (most derivative first; ties on doc_id)."""
+    from hematite_spark.queries.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir).where(F.col("sh").isNotNull()).localCheckpoint()
+    df_ = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sh.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(20)
+    )
+
+
+NGRAM_NOVELTY_SQL = r"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+), shn AS (SELECT * FROM shingles WHERE sh IS NOT NULL),
+dfs AS (SELECT sh, count(DISTINCT doc_id) AS df FROM shn GROUP BY sh)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM shn JOIN dfs USING (sh)
+GROUP BY doc_id
+ORDER BY novelty, doc_id
+LIMIT 20
+"""
