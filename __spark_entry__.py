@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_deterministic": sampling.shuffle_deterministic,
         "split_temporal_purged": sampling.split_temporal_purged,
         "quantile_bins_price": advanced.quantile_bins_price,
+        "dedup_cluster_density": dedup.dedup_cluster_density,
+        "join_cardinality_estimate": advanced.join_cardinality_estimate,
+        "bpe_apply_compression": text.bpe_apply_compression,
     }
 
 
@@ -366,4 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_deterministic": sampling.SHUFFLE_DETERMINISTIC_SQL,
         "split_temporal_purged": sampling.SPLIT_TEMPORAL_SQL,
         "quantile_bins_price": advanced.QUANTILE_BINS_SQL,
+        "dedup_cluster_density": dedup.DEDUP_DENSITY_SQL,
+        "join_cardinality_estimate": advanced.JOIN_CARD_SQL,
+        "bpe_apply_compression": text.BPE_APPLY_SQL,
     }

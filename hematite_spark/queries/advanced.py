@@ -1823,3 +1823,74 @@ FROM (
 GROUP BY bin
 ORDER BY bin
 """
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join size estimation, audited against the exact
+    answer: |lineitem ⋈ orders on orderkey| estimated as the
+    count-min-sketch inner product minᵣ Σ_b cms_l[r,b]·cms_o[r,b] —
+    the classic AMS/CMS estimator a distributed optimizer uses to
+    size a join BEFORE shuffling either side. Overestimates only
+    (hash collisions add non-negative cross terms), so the audit
+    checks est ≥ exact and reports the blow-up ratio.
+
+    Scale design: per-side per-key counts first (map-side-combined —
+    the only corpus-scale shuffles), then hashing runs on the key
+    VOCABULARY, and the sketches are 256-cell tables whose inner
+    product is a broadcast-side fold. At 100 TB the two sketches are
+    mergeable accumulators (per-partition, per-day) — the estimate
+    never touches the other side's data."""
+    from hematite_spark.functions import cms_rb_structs as _cms
+
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+
+    def sketch(df, key):
+        counts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        return (
+            counts.select("c", F.explode(F.array(*_cms(F.col("k")))).alias("rb"))
+            .groupBy("rb.r", "rb.bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    sl = sketch(li, "l_orderkey").withColumnRenamed("c", "cl")
+    so = sketch(od, "o_orderkey").withColumnRenamed("c", "co")
+    est = (
+        sl.join(so, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cl") * F.col("co")).alias("ip"))
+        .agg(F.min("ip").alias("est_pairs"))
+    )
+    exact = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .agg(F.count("*").alias("exact_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "est_pairs",
+        F.round(F.col("est_pairs") / F.col("exact_pairs"), 4).alias("overcount_ratio"),
+    )
+
+
+JOIN_CARD_SQL = """
+WITH lc AS (SELECT l_orderkey::VARCHAR AS k, count(*) AS c FROM lineitem GROUP BY k),
+oc AS (SELECT o_orderkey::VARCHAR AS k, count(*) AS c FROM orders GROUP BY k),
+rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+sl AS (
+  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k), 1, 8))::BIGINT % 64 AS bucket,
+         CAST(sum(c) AS BIGINT) AS cl
+  FROM lc, rs GROUP BY 1, 2),
+so AS (
+  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k), 1, 8))::BIGINT % 64 AS bucket,
+         CAST(sum(c) AS BIGINT) AS co
+  FROM oc, rs GROUP BY 1, 2),
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS est_pairs
+  FROM (SELECT r, sum(cl * co) AS ip FROM sl JOIN so USING (r, bucket) GROUP BY r)),
+exact AS (
+  SELECT count(*) AS exact_pairs FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT exact_pairs, est_pairs,
+       round(est_pairs / CAST(exact_pairs AS DOUBLE), 4) AS overcount_ratio
+FROM exact, est
+"""

@@ -980,3 +980,89 @@ WHERE round(common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) >= 0.8
 ORDER BY doc_a, doc_b
 """
 )
+
+
+def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-graph quality audit: triangle count and global
+    clustering coefficient of the LSH candidate graph. Near-dup
+    clusters should be near-cliques (every member resembles every
+    member); a candidate graph with many wedges but few triangles is
+    dominated by hub false positives (a hot band key chaining
+    unrelated docs), and its transitive closure would over-merge.
+    This is the metric that catches that BEFORE connected components
+    commits to the clusters.
+
+    Mechanics: triangles = edges⋈edges⋈edges with a<b<c — three
+    equi-joins on node keys, never enumerating non-edges; wedges =
+    Σ d(d−1)/2 from one degree aggregate. At 100 TB both are keyed
+    shuffles on the candidate graph, which is orders of magnitude
+    smaller than the corpus (only near-dup docs have edges)."""
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a")) & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    degstats = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges"),
+        )
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    # three 1-row aggregates composed broadcast-side — no driver
+    # round-trip, the whole audit is one lazy plan
+    return (
+        n_edges.crossJoin(F.broadcast(degstats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_cc"),
+        )
+    )
+
+
+DEDUP_DENSITY_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+, pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b)
+, tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+, deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY node)
+, degstats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) AS n_wedges
+  FROM deg)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       n_nodes, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 4) ELSE 0.0 END AS global_cc
+FROM degstats, tri
+"""
+)

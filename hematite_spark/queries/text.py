@@ -1353,3 +1353,105 @@ GROUP BY doc_id
 ORDER BY novelty, doc_id
 LIMIT 20
 """
+
+
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding compression curve: apply the first 3 learned
+    merges (the bpe_learn_merges loop) to the frequency-weighted
+    vocabulary and report, after each step, the corpus token count
+    (Σ freq × symbols-per-word) and the symbol-vocabulary size —
+    the curve a tokenizer trainer watches to pick vocab size, and
+    the apply-side proof that the learned merges actually encode.
+
+    Scale design: identical to the learner — the corpus is scanned
+    once into a vocabulary-sized frequency table, every merge step
+    is vocabulary-scale column algebra with the 1-row argmax
+    broadcast into the fuse, and the per-step stats are map-side-
+    combined aggregates. Encoding N new docs later is a broadcast
+    join of the (tiny) merge list + the same fuse expression."""
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq = wf.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")).alias("s"),
+        "freq",
+    ).localCheckpoint()
+
+    def stats(df, step):
+        syms = df.select("freq", F.split(F.trim("s"), " ").alias("y"))
+        total = syms.agg(
+            F.sum(F.col("freq") * F.size("y")).alias("total_symbols")
+        )
+        vocab = (
+            syms.select(F.explode("y").alias("sym"))
+            .agg(F.countDistinct("sym").alias("n_symbols"))
+        )
+        return total.crossJoin(F.broadcast(vocab)).select(
+            F.lit(step).cast("bigint").alias("step"), "total_symbols", "n_symbols"
+        )
+
+    outs = [stats(seq, 0)]
+    for step in (1, 2, 3):
+        syms = seq.select("freq", F.split(F.trim("s"), " ").alias("y"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(y) - 2),"
+                    " i -> struct(get(y, i) AS pa, get(y, i + 1) AS pb))"
+                )
+            ).alias("b"),
+        ).where(F.expr("size(y) >= 2"))
+        best = (
+            pairs.groupBy("b.pa", "b.pb")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pa", "pb")
+            .limit(1)
+        )
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint()
+        outs.append(stats(seq, step))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+_BPE_APPLY_STATS = """SELECT {step} AS step,
+       (SELECT CAST(sum(freq * len(string_split(trim(s), ' '))) AS BIGINT) FROM w{step})
+         AS total_symbols,
+       (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+        FROM w{step}, LATERAL (SELECT unnest(string_split(trim(s), ' ')) AS sym))
+         AS n_symbols"""
+
+BPE_APPLY_SQL = (
+    r"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents)
+  GROUP BY word
+), w0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM wf
+),
+"""
+    + ",\n".join(_BPE_STEP.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+SELECT CAST(step AS BIGINT) AS step, total_symbols, n_symbols
+FROM (
+"""
+    + "\n  UNION ALL ".join(_BPE_APPLY_STATS.format(step=i) for i in (0, 1, 2, 3))
+    + """
+)
+ORDER BY step
+"""
+)
