@@ -71,51 +71,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_lsh_candidates": dedup.lsh_candidate_pairs,
-        "dedup_lsh_verified": dedup.dedup_lsh_verified,
-        "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_band": dedup.dedup_simhash_band,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_semantic": dedup.dedup_semantic,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_connected_components": dedup.dedup_connected_components,
+        "dedup_containment": dedup.dedup_containment,
+        "dedup_cluster_density": dedup.dedup_cluster_density,
         # C-series: vector similarity
         "ann_brute_force": similarity.ann_brute_force,
-        "ann_knn_multi_query": similarity.knn_multi_query,
-        "ann_ivf_buckets": similarity.ann_ivf_buckets,
         "ann_ivf_kmeans_assign": similarity.ann_ivf_kmeans_assign,
         "ann_ivf_search": similarity.ann_ivf_search,
-        "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe,
         "ann_filtered_search": similarity.ann_filtered_search,
         "similarity_join_block": similarity.similarity_join_block,
         "timeseries_corr_search": similarity.timeseries_corr_search,
-        "embedding_stats": similarity.embedding_stats,
-        "embedding_quantize": similarity.embedding_quantize,
+        "pair_mining_contrastive": similarity.pair_mining_contrastive,
         # C-series: text analysis
         "text_token_count": text.token_count,
         "text_quality_score": text.quality_score,
         "text_language_id": text.language_id,
-        "text_fingerprint": text.fingerprint,
-        "text_char_entropy": text.char_bigram_entropy,
         "text_tfidf": text.tfidf_top_terms,
-        "text_vocabulary": text.text_vocabulary,
         "corpus_decontaminate": text.corpus_decontaminate,
         "text_repetition_stats": text.text_repetition_stats,
         "text_boilerplate_fraction": text.text_boilerplate_fraction,
-        "text_unigram_logprob": text.text_unigram_logprob,
+        "dsir_importance_weights": text.dsir_importance_weights,
+        "text_ngram_novelty": text.text_ngram_novelty,
         # round-2 flagships (front-loaded for driver coverage)
         "bpe_learn_merges": text.bpe_learn_merges,
+        "bpe_apply_compression": text.bpe_apply_compression,
         "tokens_heavy_hitters": text.tokens_heavy_hitters,
         "ann_pq_adc": similarity.ann_pq_adc,
         "zorder_cluster_key": advanced.zorder_cluster_key,
         "scd2_merge_orders": advanced.scd2_merge_orders,
         "bloom_semi_join_reduction": advanced.bloom_semi_join_reduction,
+        "join_cardinality_estimate": advanced.join_cardinality_estimate,
+        "quantile_bins_price": advanced.quantile_bins_price,
         # C-series: deterministic sampling / dataset splits
         "sample_systematic": sampling.sample_systematic,
         "sample_stratified": sampling.sample_stratified,
         "split_train_test": sampling.split_train_test,
+        "shuffle_deterministic": sampling.shuffle_deterministic,
+        "split_temporal_purged": sampling.split_temporal_purged,
         # C-series: the operators composed end-to-end
         "corpus_pipeline": pipeline.corpus_pipeline,
-        # ---- (driver-window boundary; ~50 entries above) ----------
+        # ---- (driver-window boundary; 50 entries above) -----------
+        "dedup_lsh_verified": dedup.dedup_lsh_verified,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ann_knn_multi_query": similarity.knn_multi_query,
+        "ann_ivf_buckets": similarity.ann_ivf_buckets,
+        "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe,
+        "embedding_stats": similarity.embedding_stats,
+        "embedding_quantize": similarity.embedding_quantize,
+        "text_fingerprint": text.fingerprint,
+        "text_char_entropy": text.char_bigram_entropy,
+        "text_vocabulary": text.text_vocabulary,
+        "text_unigram_logprob": text.text_unigram_logprob,
         "sample_temperature": sampling.sample_temperature,
         "pack_sequences": packing.pack_sequences,
         # C-series: multimodal binary columns
@@ -211,16 +221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
         "metric_confidence_intervals": advanced.metric_confidence_intervals,
         "revenue_growth_mom": advanced.revenue_growth_mom,
-        "dsir_importance_weights": text.dsir_importance_weights,
-        "text_ngram_novelty": text.text_ngram_novelty,
-        "dedup_containment": dedup.dedup_containment,
-        "pair_mining_contrastive": similarity.pair_mining_contrastive,
-        "shuffle_deterministic": sampling.shuffle_deterministic,
-        "split_temporal_purged": sampling.split_temporal_purged,
-        "quantile_bins_price": advanced.quantile_bins_price,
-        "dedup_cluster_density": dedup.dedup_cluster_density,
-        "join_cardinality_estimate": advanced.join_cardinality_estimate,
-        "bpe_apply_compression": text.bpe_apply_compression,
     }
 
 
