@@ -49,6 +49,10 @@ HEADLINE = [
     "zorder_cluster_key",
     "rfm_segments",
     "textrank_keywords",
+    "dsir_importance_weights",
+    "dedup_containment",
+    "bpe_apply_compression",
+    "join_cardinality_estimate",
 ]
 
 
