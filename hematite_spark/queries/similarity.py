@@ -781,9 +781,16 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= 0.42)
         .withColumn("label", F.lit("positive"))
     )
-    n = v.count()
+    # stride partner computed in-plan: the 1-row corpus count rides a
+    # broadcast cross join instead of a driver count() action
+    nrow = v.agg(F.count("*").alias("n"))
+    withpartner = (
+        v.crossJoin(F.broadcast(nrow))
+        .withColumn("partner", (F.col("vec_id") + (F.col("n") / 2).cast("bigint") + 13) % F.col("n"))
+        .alias("a")
+    )
     neg = (
-        a.join(b, F.col("b.vec_id") == (F.col("a.vec_id") + F.lit(n // 2 + 13)) % F.lit(n))
+        withpartner.join(b, F.col("b.vec_id") == F.col("a.partner"))
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(cos("a.ev", "b.ev").alias("cosine"))
         .where(F.col("cosine") < 0.1)

@@ -1245,15 +1245,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # one bigram pass feeds all three consumers
     target = feats.where(F.col("lang") == "en").groupBy("f").agg(F.count("*").alias("ct"))
     raw = feats.groupBy("f").agg(F.count("*").alias("cr"))
-    nt = feats.where(F.col("lang") == "en").count()
-    nr = feats.count()
+    # corpus totals as a 1-row broadcast — stays in the lazy plan, no
+    # driver round-trip
+    totals = feats.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
     logratio = (
         raw.join(target, "f", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
             "f",
             (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / float(nt + B))
-                - F.log((F.col("cr") + 1.0) / float(nr + B))
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + B))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + B))
             ).alias("lr"),
         )
     )
