@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_reservoir": sampling.sample_weighted_reservoir,
         "metric_confidence_intervals": advanced.metric_confidence_intervals,
         "revenue_growth_mom": advanced.revenue_growth_mom,
+        "minhash_jaccard_audit": dedup.minhash_jaccard_audit,
+        "session_path_analysis": advanced.session_path_analysis,
+        "token_pmi_collocations": text.token_pmi_collocations,
+        "sample_per_group": sampling.sample_per_group,
     }
 
 
@@ -372,4 +376,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_density": dedup.DEDUP_DENSITY_SQL,
         "join_cardinality_estimate": advanced.JOIN_CARD_SQL,
         "bpe_apply_compression": text.BPE_APPLY_SQL,
+        "minhash_jaccard_audit": dedup.MINHASH_AUDIT_SQL,
+        "session_path_analysis": advanced.SESSION_PATH_SQL,
+        "token_pmi_collocations": text.PMI_SQL,
+        "sample_per_group": sampling.SAMPLE_PER_GROUP_SQL,
     }

@@ -1894,3 +1894,76 @@ SELECT exact_pairs, est_pairs,
        round(est_pairs / CAST(exact_pairs AS DOUBLE), 4) AS overcount_ratio
 FROM exact, est
 """
+
+
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize events (30-min gaps, the
+    same rule as sessionize_events), take each session's first three
+    event types in time order, and rank the most common paths — the
+    product-analytics "how do sessions start" report.
+
+    Shape at scale: two window passes over (user, ts) — the same
+    partitioning reused, so one shuffle — then a path-string
+    aggregate whose cardinality is bounded by |event_types|³, tiny.
+    The path is assembled via array_sort on (rank, type) structs, so
+    ordering inside the aggregate is explicit and deterministic, not
+    collect_list's arrival order."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+SESSION_PATH_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), first3 AS (
+  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess)
+  WHERE rn <= 3
+  GROUP BY user_id, session_id)
+SELECT path, count(*) AS n_sessions
+FROM first3
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""

@@ -1066,3 +1066,99 @@ SELECT (SELECT count(*) FROM pairs) AS n_edges,
 FROM degstats, tri
 """
 )
+
+
+def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy calibration: for every LSH candidate pair,
+    the MinHash ESTIMATE of Jaccard (fraction of the 8 signature
+    slots that agree) bucketed against the EXACT shingle Jaccard —
+    the audit that tells you whether the banding thresholds are
+    honest before you trust them corpus-wide. A well-calibrated
+    sketch shows avg_exact rising monotonically with the estimate
+    bucket; a flat table means hash collisions dominate and the
+    signature needs more slots.
+
+    Cost shape: candidate pairs only (the LSH output, never
+    all-pairs); the exact-Jaccard verify is the same inverted-index
+    join the verified-dedup path already pays, and the calibration
+    rollup is O(9) rows. At 100 TB you run this on a sampled slice
+    of candidates — the operator is the contract."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
+    )
+    sh = _shingles_df(spark, sf_dir).where(F.col("sh").isNotNull()).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ja, jb = sizes.alias("ja"), sizes.alias("jb")
+    exact = (
+        common.join(ja, F.col("doc_a") == F.col("ja.doc_id"))
+        .join(jb, F.col("doc_b") == F.col("jb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("ja.n_sh") + F.col("jb.n_sh") - F.col("common"))).alias(
+                "jac"
+            ),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select("n_agree", F.coalesce(F.col("jac"), F.lit(0.0)).alias("jac"))
+        .groupBy("n_agree")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jac"), 4).alias("avg_exact_jaccard"),
+            F.round(F.avg(F.abs(F.col("n_agree") / N_MINHASH - F.col("jac"))), 4).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("n_agree")
+    )
+
+
+MINHASH_AUDIT_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+, pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b)
+, est AS (
+  SELECT doc_a, doc_b,
+         ({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH))})
+           AS n_agree
+  FROM pairs JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id)
+, shn AS (SELECT * FROM shingles WHERE sh IS NOT NULL)
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY doc_id)
+, common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shn a JOIN shn b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+, exact AS (
+  SELECT doc_a, doc_b, common / CAST(ja.n_sh + jb.n_sh - common AS DOUBLE) AS jac
+  FROM common
+  JOIN sizes ja ON doc_a = ja.doc_id
+  JOIN sizes jb ON doc_b = jb.doc_id)
+SELECT CAST(n_agree AS BIGINT) AS n_agree, count(*) AS n_pairs,
+       round(avg(coalesce(jac, 0.0)), 4) AS avg_exact_jaccard,
+       round(avg(abs(n_agree / {N_MINHASH}.0 - coalesce(jac, 0.0))), 4) AS mean_abs_err
+FROM est LEFT JOIN exact USING (doc_a, doc_b)
+GROUP BY n_agree
+ORDER BY n_agree
+"""
+)

@@ -15,7 +15,7 @@ snapshot) keeps every previously-selected row selected.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hematite_spark.io import load_table
@@ -321,4 +321,39 @@ SELECT split, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
 FROM tagged
 GROUP BY split
 ORDER BY split
+"""
+
+
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (k=3 per source): rank each
+    group's docs by a stable md5 draw and keep the first three — the
+    "show me a few examples from every domain" inspection query, and
+    the building block for stratified eval-set construction when the
+    stratum sizes are wildly skewed.
+
+    One window pass partitioned by the group key; the md5 rank makes
+    the choice reproducible and growth-stable in distribution (a new
+    doc displaces at most one pick in its group). At 100 TB the
+    window partitions by the group key — no global sort, and per-task
+    top-k heaps do the work."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("source", "doc_id", "lang", "n_chars")
+        .withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= 3)
+        .orderBy("source", "pick")
+    )
+
+
+SAMPLE_PER_GROUP_SQL = """
+SELECT source, doc_id, lang, n_chars, pick
+FROM (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS pick
+  FROM documents)
+WHERE pick <= 3
+ORDER BY source, pick
 """

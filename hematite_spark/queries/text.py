@@ -1460,3 +1460,77 @@ FROM (
 ORDER BY step
 """
 )
+
+
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent token pairs,
+    min support 5 — the classic measure for multi-word expressions
+    ("new york"-style units) worth fusing before tokenizer training.
+
+    One corpus pass explodes bigrams; unigram and bigram counts are
+    map-side-combined aggregates; the totals ride 1-row broadcast
+    cross joins. Nothing here is pairwise beyond ADJACENT tokens, so
+    the cost is linear in corpus size — at 100 TB the two count
+    tables partition on the token key, and the PMI join is keyed on
+    the bigram's components. Top 20 by PMI (ties → pair)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> struct(get(w, i) AS a, get(w, i + 1) AS b))"
+            )
+        ).alias("g")
+    ).select("g.a", "g.b").where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    toks = d.select(F.explode("w").alias("t"))
+    uni = toks.groupBy("t").agg(F.count("*").alias("cu"))
+    big = bigrams.groupBy("a", "b").agg(F.count("*").alias("cb")).where(F.col("cb") >= 5)
+    n_uni = toks.agg(F.count("*").alias("nu"))
+    n_big = bigrams.agg(F.count("*").alias("nb"))
+    ua, ub = uni.alias("ua"), uni.alias("ub")
+    return (
+        big.join(ua, F.col("a") == F.col("ua.t"))
+        .join(ub, F.col("b") == F.col("ub.t"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "a",
+            "b",
+            "cb",
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("nb"))
+                    / ((F.col("ua.cu") / F.col("nu")) * (F.col("ub.cu") / F.col("nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+PMI_SQL = r"""
+WITH d AS (
+  SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), bigrams AS (
+  SELECT w[i] AS a, w[i + 1] AS b
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
+  WHERE w[i] IS NOT NULL AND w[i + 1] IS NOT NULL
+), toks AS (SELECT unnest(w) AS t FROM d),
+uni AS (SELECT t, count(*) AS cu FROM toks GROUP BY t),
+big AS (SELECT a, b, count(*) AS cb FROM bigrams GROUP BY a, b HAVING count(*) >= 5),
+nu AS (SELECT count(*) AS nu FROM toks),
+nb AS (SELECT count(*) AS nb FROM bigrams)
+SELECT a, b, cb,
+       round(ln((cb / CAST(nb AS DOUBLE))
+                / ((ua.cu / CAST(nu AS DOUBLE)) * (ub.cu / CAST(nu AS DOUBLE)))), 4) AS pmi
+FROM big
+JOIN uni ua ON a = ua.t
+JOIN uni ub ON b = ub.t, nu, nb
+ORDER BY pmi DESC, a, b
+LIMIT 20
+"""
