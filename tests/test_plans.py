@@ -208,3 +208,61 @@ def test_pq_codes_single_vector_scan(spark):
     plan = plan_of(spark, "ann_pq_adc")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the O(8) centroid side
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dsir_importance_weights",
+        "dedup_containment",
+        "dedup_cluster_density",
+        "pair_mining_contrastive",
+        "join_cardinality_estimate",
+        "minhash_jaccard_audit",
+        "bpe_apply_compression",
+        "token_pmi_collocations",
+        "session_path_analysis",
+    ],
+)
+def test_new_ops_no_cartesian(spark, name):
+    # every pair/feature join in the round-2 additions is keyed
+    # (bucket, shingle, band, stride partner, sketch cell) — a
+    # CartesianProduct appearing in any of them means the blocking
+    # strategy silently broke
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_dsir_feature_tables_broadcast(spark):
+    # the 256-bucket log-ratio table joins back to the corpus as a
+    # broadcast; corpus-side data never shuffles for the join
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_bins_pruned_scan(spark):
+    # exact ntile needs only the 3 ORDER BY columns off disk
+    plan = plan_of(spark, "quantile_bins_price")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema and "l_returnflag" not in read_schema
+    assert "Window" in plan
+
+
+def test_session_paths_reuse_user_partitioning(spark):
+    # sessionization + per-session ranking ride windows over ONE
+    # user_id-rooted exchange (the session window only re-sorts, never
+    # re-shuffles); the path rollup is the only other exchange. The
+    # rn<=3 filter is pushed into the window as a WindowGroupLimit, so
+    # per-session ranking keeps 3 rows per group instead of ranking
+    # every event
+    plan = plan_of(spark, "session_path_analysis")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("+- Exchange") <= 3
+
+
+def test_join_cardinality_sketch_combines_mapside(spark):
+    # per-key counts and the 256-cell sketch both partial-aggregate
+    # before their shuffles
+    plan = plan_of(spark, "join_cardinality_estimate")
+    assert plan.count("HashAggregate") >= 4
