@@ -301,3 +301,50 @@ def write_cloudevents_ndjson(df: DataFrame, path: str, order_by: str = "revision
     `order_by` so a single-stream export reproduces the reference's
     append order."""
     events_to_ndjson_lines(df.orderBy(order_by)).write.mode("overwrite").text(path)
+
+
+def write_training_shards(
+    df: DataFrame, path: str, n_shards: int = 8, seed: str = "seed42", key_col: str = "doc_id"
+) -> DataFrame:
+    """The shuffle_deterministic scale path made executable: write a
+    corpus as n_shards parquet shards, globally pseudorandomly
+    ordered, WITHOUT a global sort. Each row's md5(seed‖key) splits
+    into a shard assignment (write-partition key) and an intra-shard
+    rank; one repartition + sortWithinPartitions materializes the
+    training order. Readers stream shard files round-robin and see a
+    reproducible, seed-controlled permutation of the corpus.
+
+    At 100 TB this is exactly one shuffle (the repartition by shard)
+    and a per-partition sort — the global ORDER BY rank a naive
+    writer would pay is avoided entirely because inter-shard order
+    does not matter to a data loader that interleaves shards.
+    Re-running with the same seed writes byte-identical shard
+    membership and order; a new seed reshuffles.
+
+    Returns the per-shard manifest (shard → rows, min/max rank) the
+    loader uses to plan epochs."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    sharded = (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.conv(F.substring("_h", 13, 4), 16, 10).cast("bigint") % n_shards))
+        .withColumn("rank", F.conv(F.substring("_h", 1, 12), 16, 10).cast("bigint"))
+        .drop("_h")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "rank", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("rank").alias("min_rank"),
+            F.max("rank").alias("max_rank"),
+        )
+        .orderBy("shard")
+    )

@@ -1967,3 +1967,40 @@ GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 15
 """
+
+
+def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of quantile_bins_price: cut points from
+    approx_percentile (Greenwald–Khanna, one pass, mergeable across
+    partitions) broadcast into a stateless bin assignment — one scan
+    + one tiny aggregate instead of a global single-partition ntile
+    sort. Bin populations are approximately n/10 (the GK ±ε
+    contract); the error-bound unit test pins that contract against
+    the exact decile sizes. No oracle entry — DuckDB's approx
+    quantiles use a different sketch, so estimates are engine-
+    specific by construction."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    cuts = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("cuts")
+    )
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        "l_extendedprice",
+        # width_bucket against the 9 broadcast cut points: count of
+        # cuts <= value = bin index 0..9, pure column algebra
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("l_extendedprice") > c, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

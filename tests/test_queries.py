@@ -226,3 +226,21 @@ def test_lsh_no_spurious_pairs_for_short_docs(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, str(tmp_path)).collect()}
     assert (1, 2) not in pairs  # short docs must NOT pair up
     assert (3, 4) in pairs  # identical long docs must
+
+
+def test_approx_quantile_bins_error_bound(spark):
+    """quantile_bins_approx has no oracle (GK sketches are
+    engine-specific); pin its contract instead: 10 bins, every value
+    binned, each bin within 25% of the exact decile size, and bin
+    boundaries monotone."""
+    from hematite_spark.queries.advanced import quantile_bins_approx
+    from hematite_spark.io import load_table
+
+    rows = quantile_bins_approx(spark, SF_DIR).collect()
+    n = load_table(spark, "lineitem", SF_DIR).count()
+    assert [r.bin for r in rows] == list(range(10))
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert abs(r.n_rows - n / 10) <= 0.25 * n / 10, (r.bin, r.n_rows, n / 10)
+    los = [r.lo for r in rows]
+    assert los == sorted(los)
