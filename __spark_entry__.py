@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path_analysis": advanced.session_path_analysis,
         "token_pmi_collocations": text.token_pmi_collocations,
         "sample_per_group": sampling.sample_per_group,
+        "kmeans_lloyd_step": similarity.kmeans_lloyd_step,
+        "es_state_projection": eventstore.es_state_projection,
+        "text_inverted_index": text.text_inverted_index,
     }
 
 
@@ -380,4 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "session_path_analysis": advanced.SESSION_PATH_SQL,
         "token_pmi_collocations": text.PMI_SQL,
         "sample_per_group": sampling.SAMPLE_PER_GROUP_SQL,
+        "kmeans_lloyd_step": similarity.KMEANS_LLOYD_SQL,
+        "es_state_projection": eventstore.ES_STATE_PROJECTION_SQL,
+        "text_inverted_index": text.INVERTED_INDEX_SQL,
     }

@@ -188,3 +188,52 @@ FROM revisioned WHERE user_id = 5 AND revision < 100
 GROUP BY user_id
 """
 )
+
+
+def es_state_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourcing read-model projection — the CQRS fold hematite's
+    consumers build downstream of the log (the reference serves
+    positional reads exactly so clients can replay into state;
+    README.md:5-9): collapse each stream's log into current state per
+    (stream, event_type) cell — latest value, the revision that set
+    it, and how many events folded into the cell.
+
+    One window pass partitioned by the stream key; the stream filter
+    sits below both windows (same partition key), so the plan prunes
+    before it sorts. At 100 TB this is the standard log→table replay
+    job; the streaming path maintains it incrementally with
+    applyInPandasWithState (streaming/windows.py)."""
+    rev = _with_revision(spark, sf_dir).where(F.col("user_id") < 20)
+    w_desc = W.partitionBy("user_id", "event_type").orderBy(F.col("revision").desc())
+    w_all = W.partitionBy("user_id", "event_type")
+    return (
+        rev.withColumn("rn", F.row_number().over(w_desc))
+        .withColumn("n_events", F.count("*").over(w_all))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            F.col("revision").alias("last_revision"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+ES_STATE_PROJECTION_SQL = (
+    _REV_CTE
+    + """
+SELECT user_id, event_type, n_events, last_revision, last_value
+FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY revision DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_events,
+         revision AS last_revision,
+         round(value, 2) AS last_value
+  FROM revisioned
+  WHERE user_id < 20)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+)

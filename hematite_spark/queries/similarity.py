@@ -841,3 +841,78 @@ FROM pairs
 GROUP BY label
 ORDER BY label
 """
+
+
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's iteration of k-means over the embedding corpus —
+    the centroid-UPDATE step that closes the loop ann_ivf_kmeans_assign
+    opens: assign every vector to its nearest seed centroid (exact L2,
+    ties by centroid id), then recompute each cell's centroid as the
+    per-dimension mean of its members.
+
+    Shape: the update is ONE hash aggregate producing 64 `avg` columns
+    — vectors never explode to (row, dim) pairs, so rows never widen
+    and the shuffle carries k×d doubles (bytes, not data). That is the
+    same partial/final two-stage reduce Spark ML's KMeans runs per
+    iteration. The k×64 result is unpivoted to (cell, dim, value) rows
+    only at the very end, at vocabulary scale. At 100 TB one iteration
+    is one scan + a k×d-byte shuffle; iterating = re-running with the
+    updated centroids broadcast back in (reference has no ML surface;
+    this is north-star C-series depth, SURVEY.md §2 C)."""
+    from pyspark.sql import Window as W
+
+    dim = 64
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    )
+    vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
+    diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ev", "centroid_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    updated = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("cell_size"),
+        *[F.avg(F.element_at("ev", i + 1)).alias(f"c{i}") for i in range(dim)],
+    )
+    unpivot = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("dim"),
+                F.round(F.col(f"c{i}"), 6).alias("centroid_val"),
+            )
+            for i in range(dim)
+        ]
+    )
+    return (
+        updated.select("centroid_id", "cell_size", F.explode(unpivot).alias("p"))
+        .select("centroid_id", "cell_size", F.col("p.dim").alias("dim"), F.col("p.centroid_val").alias("centroid_val"))
+        .orderBy("centroid_id", "dim")
+    )
+
+
+KMEANS_LLOYD_SQL = """
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+     v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+     scored AS (
+       SELECT vec_id, ev, centroid_id,
+              sqrt(list_reduce(list_transform(list_zip(ev, cv),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (acc, x) -> acc + x)) AS d
+       FROM v CROSS JOIN c),
+     assigned AS (
+       SELECT vec_id, ev, centroid_id
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn
+             FROM scored)
+       WHERE rn = 1)
+SELECT centroid_id, count(*) AS cell_size, CAST(t.i AS BIGINT) AS dim,
+       round(avg(ev[CAST(t.i + 1 AS INTEGER)]), 6) AS centroid_val
+FROM assigned CROSS JOIN range(64) t(i)
+GROUP BY centroid_id, t.i
+ORDER BY centroid_id, dim
+"""

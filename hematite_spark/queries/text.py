@@ -1534,3 +1534,44 @@ JOIN uni ub ON b = ub.t, nu, nb
 ORDER BY pmi DESC, a, b
 LIMIT 20
 """
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — token → (document frequency, sorted
+    posting list): the exact-lookup sibling of the LSH band index and
+    the substrate for corpus_decontaminate-style containment probes.
+
+    Postings are distinct (token, doc) pairs — one explode + one hash
+    aggregate keyed on the token, no joins; the posting list is
+    rendered as a comma-joined sorted string so the oracle value-checks
+    the index itself, not just its stats. At 100 TB the token is the
+    shuffle key (AQE handles the Zipfian skew) and the df floor keeps
+    hapax noise out; real indexes also CAP df — stopword-scale posting
+    lists get sharded, which is the same banding trick as LSH."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("token")
+    ).where(F.col("token").rlike("^[a-z]{3,}$"))
+    postings = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")), ","
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"), postings.alias("postings"))
+        .where(F.col("doc_freq") >= 3)
+        .orderBy("token")
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE regexp_matches(token, '^[a-z]{3,}$'))
+SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings
+FROM toks
+GROUP BY token
+HAVING count(*) >= 3
+ORDER BY token
+"""
