@@ -2004,3 +2004,71 @@ def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lake-maintenance job that
+    keeps a 100 TB table scannable: derive a file listing (here
+    simulated as one file per (ship-month, supplier bucket) with an
+    integer byte-size proxy), then assign files to rewrite bins by
+    sequential fill — order files largest-first within a month,
+    running-sum their sizes, bin = floor(mass-before / quarter-of-
+    month-total) → ~4 even rewrite tasks per month regardless of the
+    file-size distribution.
+
+    All arithmetic is integer until one exact double division, so the
+    plan is engine-reproducible; the window partitions by month (the
+    compaction unit), never globally. The real job feeds each bin to
+    one executor-side rewrite task — bin boundaries ARE the task
+    boundaries, which is why even mass matters more than file
+    count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    files = (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            (F.col("l_suppkey") % 16).cast("bigint").alias("file_id"),
+        )
+        .agg(
+            (F.count("*") * 64 + F.sum(F.col("l_linenumber").cast("bigint")) * 8)
+            .cast("bigint")
+            .alias("bytes")
+        )
+    )
+    w_run = W.partitionBy("month").orderBy(F.col("bytes").desc(), "file_id")
+    w_all = W.partitionBy("month")
+    planned = files.select(
+        "month",
+        "file_id",
+        "bytes",
+        F.floor(
+            (F.sum("bytes").over(w_run) - F.col("bytes")).cast("double")
+            * 4.0
+            / F.sum("bytes").over(w_all).cast("double")
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        planned.groupBy("month", "bin")
+        .agg(F.count("*").alias("n_files"), F.sum("bytes").alias("total_bytes"))
+        .orderBy("month", "bin")
+    )
+
+
+COMPACTION_SQL = """
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(l_suppkey % 16 AS BIGINT) AS file_id,
+         CAST(count(*) * 64 + sum(CAST(l_linenumber AS BIGINT)) * 8 AS BIGINT) AS bytes
+  FROM lineitem
+  GROUP BY 1, 2),
+planned AS (
+  SELECT month, file_id, bytes,
+         CAST(floor(CAST(sum(bytes) OVER (PARTITION BY month ORDER BY bytes DESC, file_id) - bytes AS DOUBLE)
+                    * 4.0 / CAST(sum(bytes) OVER (PARTITION BY month) AS DOUBLE)) AS BIGINT) AS bin
+  FROM files)
+SELECT month, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes
+FROM planned
+GROUP BY month, bin
+ORDER BY month, bin
+"""

@@ -1162,3 +1162,106 @@ GROUP BY n_agree
 ORDER BY n_agree
 """
 )
+
+
+def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Per-node component labels (node, label=min member id) over a
+    candidate-pair graph — the membership-level sibling of
+    dedup_connected_components' cluster summaries, size-adaptive the
+    same way: driver union-find under _CC_DRIVER_MAX edges,
+    distributed min-label propagation above it."""
+    edges = (
+        pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .localCheckpoint()
+    )
+    if edges.count() <= _CC_DRIVER_MAX:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges.collect():
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted((node, find(node)) for node in parent)
+        return spark.createDataFrame(rows, "node bigint, label bigint")
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
+    prev_sum = None
+    while True:
+        labels = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .select(F.col("doc_a").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step — the output a pipeline actually acts
+    on: for every doc in a near-dup cluster (LSH candidates → connected
+    components), elect one keeper by quality (longest text wins, ties
+    to the lowest doc_id) and emit per-doc verdicts. Downstream, the
+    training set is `WHERE is_keeper` — so this is the last hop of the
+    funnel corpus_pipeline runs end-to-end.
+
+    The election is one window over the cluster label (first_value on
+    (n_chars DESC, doc_id)); clusters are near-dup-sized, never
+    corpus-sized, so the window partitions are tiny no matter the
+    corpus. Oracle replays the same fixpoint as a recursive CTE."""
+    from pyspark.sql import Window as W
+
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_labels(spark, pairs)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    joined = labels.join(docs, labels.node == docs.doc_id).select(
+        F.col("label").alias("cluster"), "doc_id", "n_chars"
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        joined.withColumn("keeper_id", F.first("doc_id").over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+        .orderBy("cluster", "doc_id")
+    )
+
+
+DEDUP_KEEPER_SQL = (
+    _MINHASH_CTE.replace("WITH shingles", "WITH RECURSIVE shingles", 1)
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+, pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b)
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs)
+, reach(node, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s)
+, assign AS (
+  SELECT node, min(label) AS label FROM reach GROUP BY node)
+SELECT cluster, doc_id, n_chars, keeper_id, doc_id = keeper_id AS is_keeper
+FROM (
+  SELECT a.label AS cluster, a.node AS doc_id, d.n_chars,
+         first_value(a.node) OVER (PARTITION BY a.label ORDER BY d.n_chars DESC, a.node) AS keeper_id
+  FROM assign a JOIN documents d ON a.node = d.doc_id)
+ORDER BY cluster, doc_id
+"""
+)

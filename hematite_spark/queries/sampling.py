@@ -357,3 +357,67 @@ FROM (
 WHERE pick <= 3
 ORDER BY source, pick
 """
+
+
+def quality_nucleus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) data selection per source: rank each source's
+    docs by quality and keep the head that covers 80% of the source's
+    total quality mass — the budgeted quality-first selection rule
+    (spend a token budget on the best docs, proportionally per
+    domain), a step up from a global quality threshold because every
+    source keeps its own best material.
+
+    Two windows on the same source partitioning (running mass +
+    total mass), then one aggregate. The running sum is sequential
+    over an identical total order in both engines, so the float
+    accumulation — and therefore the strict `< 0.8` boundary — is
+    bit-reproducible. At 100 TB: source is the partition key; the
+    per-source sort is the only heavy op and AQE splits skewed
+    sources."""
+    from hematite_spark.queries.text import quality_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select("source", "doc_id", quality_col().alias("quality"))
+    w_run = W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    w_all = W.partitionBy("source")
+    scored = q.select(
+        "source",
+        "quality",
+        ((F.sum("quality").over(w_run) - F.col("quality")) < F.lit(0.8) * F.sum("quality").over(w_all)).alias(
+            "kept"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.round(F.sum(F.when(F.col("kept"), F.col("quality")).otherwise(F.lit(0.0))), 4).alias("kept_mass"),
+            F.round(F.sum("quality"), 4).alias("total_mass"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_NUCLEUS_SQL = """
+WITH q AS (
+  SELECT source, doc_id,
+         round(least(1.0, len(w) / 50.0) * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+               * (CASE WHEN len(list_intersect(list_distinct(w),
+                   ['the','a','an','and','or','of','to','in','is','it'])) > 0
+                  THEN 1.0 ELSE 0.5 END), 4) AS quality
+  FROM (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents)),
+scored AS (
+  SELECT source, quality,
+         (sum(quality) OVER (PARTITION BY source ORDER BY quality DESC, doc_id) - quality)
+           < 0.8 * sum(quality) OVER (PARTITION BY source) AS kept
+  FROM q)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN kept THEN quality ELSE 0.0 END), 4) AS kept_mass,
+       round(sum(quality), 4) AS total_mass
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
