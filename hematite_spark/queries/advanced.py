@@ -2072,3 +2072,48 @@ FROM planned
 GROUP BY month, bin
 ORDER BY month, bin
 """
+
+
+def corr_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of the event types' daily mean
+    values — the feature-correlation report that precedes any
+    modeling step. Relational formulation: pre-aggregate to the
+    O(types × days) daily series FIRST, self-join on the day with
+    type_a < type_b, then one co-moment aggregate per pair — so the
+    corpus is scanned once and the join input is vocabulary-scale,
+    never the raw event log. Rounded to 4 decimals so co-moment
+    merge order cannot surface."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("etype")
+    ).agg(F.avg("value").alias("mean_val"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.etype") < F.col("b.etype")))
+    return (
+        pairs.select(
+            F.col("a.etype").alias("type_a"),
+            F.col("b.etype").alias("type_b"),
+            F.col("a.mean_val").alias("va"),
+            F.col("b.mean_val").alias("vb"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_days"),
+            (F.round(F.corr("va", "vb"), 4) + F.lit(0.0)).alias("corr"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+CORR_MATRIX_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS etype, avg(value) AS mean_val
+  FROM events
+  GROUP BY 1, 2)
+SELECT a.etype AS type_a, b.etype AS type_b,
+       count(*) AS n_days,
+       round(corr(a.mean_val, b.mean_val), 4) + 0.0 AS corr
+FROM daily a JOIN daily b ON a.day = b.day AND a.etype < b.etype
+GROUP BY a.etype, b.etype
+ORDER BY type_a, type_b
+"""

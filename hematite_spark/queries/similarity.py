@@ -916,3 +916,141 @@ FROM assigned CROSS JOIN range(64) t(i)
 GROUP BY centroid_id, t.i
 ORDER BY centroid_id, dim
 """
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by THREE
+    unrolled power-iteration steps — distributed linear algebra as
+    plain DataFrame aggregates, no MLlib: each step is w = Σ_x (x·v)x
+    (ONE hash aggregate producing 64 sum columns) followed by
+    normalization, and the next step consumes v via a broadcast of the
+    one-row result. The whole pipeline stays lazy — agg → broadcast
+    crossJoin → agg — with no driver round-trip between steps.
+
+    At 100 TB each step is one scan + a 64-double reduce (the shuffle
+    carries bytes, not rows), which is exactly how distributed PCA's
+    matrix-free power method scales; more steps = chain more of the
+    same block. Start vector is the deterministic uniform unit vector
+    so both engines walk the identical float sequence; components are
+    rounded to 5 decimals."""
+    dim = 64
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(_dbl("embedding").alias("ev"))
+
+    def step(vcol_df: DataFrame) -> DataFrame:
+        # vcol_df: one row, column `v` (array<double>); returns same shape
+        joined = vecs.crossJoin(F.broadcast(vcol_df))
+        d = _dot(F.col("ev"), F.col("v"))
+        w = joined.agg(
+            *[F.sum(d * F.element_at("ev", j + 1)).alias(f"w{j}") for j in range(dim)]
+        ).select(F.array(*[F.col(f"w{j}") for j in range(dim)]).alias("w"))
+        nrm = _norm(F.col("w"))
+        return w.select(
+            F.transform(F.col("w"), lambda x: x / nrm).alias("v"), nrm.alias("eig")
+        )
+
+    v0 = spark.range(1).select(
+        F.array(*[F.lit(1.0 / 8.0) for _ in range(dim)]).alias("v")
+    )
+    v = step(v0).select("v")
+    v = step(v).select("v")
+    final = step(v)
+    return (
+        final.select(F.posexplode("v").alias("dim", "comp"), "eig")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("comp", 5).alias("component"),
+            F.round("eig", 3).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_step_sql(prev: str, out: str, dim: int = 64) -> str:
+    """One power-iteration CTE pair: {out}_w aggregates Σ(x·v)x over
+    the corpus against the one-row {prev}(v); {out} normalizes."""
+    dot = _DUCK_DOT.format(a="ev", b="v")
+    sums = ", ".join(f"sum(({dot}) * ev[{j + 1}]) AS w{j}" for j in range(dim))
+    arr = "list_value(" + ", ".join(f"w{j}" for j in range(dim)) + ")"
+    return f"""{out}_w AS (
+  SELECT {sums} FROM v_all CROSS JOIN {prev}),
+{out} AS (
+  SELECT list_transform(w, x -> x / nrm) AS v, nrm AS eig
+  FROM (SELECT {arr} AS w, {_DUCK_NORM.format(a=arr)} AS nrm FROM {out}_w))"""
+
+
+PCA_POWER_SQL = f"""
+WITH v_all AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings),
+v0 AS (SELECT list_transform(range(64), x -> 0.125) AS v),
+{_pca_step_sql("v0", "v1")},
+{_pca_step_sql("v1", "v2")},
+{_pca_step_sql("v2", "v3")}
+SELECT CAST(t.i AS BIGINT) AS dim,
+       round(v[CAST(t.i + 1 AS INTEGER)], 5) AS component,
+       round(eig, 3) AS eigenvalue
+FROM v3 CROSS JOIN range(64) t(i)
+ORDER BY dim
+"""
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search — ALL neighbors within a
+    cosine threshold of each query, the contract dedup and recall
+    audits need where top-k under-reports dense neighborhoods. Same
+    sign-bucket coarse quantizer as ann_ivf_multiprobe (exact bucket +
+    hamming-1 shell = 5 of 16 cells probed), but the verify step
+    keeps every candidate ≥ τ instead of ranking to k. At 100 TB the
+    probed cells are pruned partitions; the output size is governed by
+    τ, so the radius IS the cost knob."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    bucket = sum(
+        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
+    ).cast("bigint")
+    base = emb.select("vec_id", ev.alias("ev"), bucket.alias("bucket"))
+    qs = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    # probe shell: the query's own cell + its 4 hamming-1 neighbors
+    shell = qs.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
+            )
+        ).alias("bucket"),
+    )
+    cand = base.where(F.col("vec_id") >= 3).join(F.broadcast(shell), "bucket")
+    cos = F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6)
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.2)
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)) AS bucket
+  FROM embeddings),
+qs AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket FROM base WHERE vec_id < 3),
+shell AS (
+  SELECT query_id, qv, u.bucket
+  FROM qs, unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4), xor(qbucket, 8)]) u(bucket)),
+cand AS (
+  SELECT s.query_id, b.vec_id,
+         round({_DUCK_DOT.format(a="b.ev", b="s.qv")}
+               / ({_DUCK_NORM.format(a="b.ev")} * {_DUCK_NORM.format(a="s.qv")}), 6) AS cosine
+  FROM base b JOIN shell s ON b.bucket = s.bucket
+  WHERE b.vec_id >= 3)
+SELECT query_id, vec_id, cosine
+FROM cand
+WHERE cosine >= 0.2
+ORDER BY query_id, cosine DESC, vec_id
+"""
