@@ -2117,3 +2117,153 @@ FROM daily a JOIN daily b ON a.day = b.day AND a.etype < b.etype
 GROUP BY a.etype, b.etype
 ORDER BY type_a, type_b
 """
+
+
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent report over ROLLUP(lang, source):
+    every (lang, source) leaf carries its share of the lang subtotal,
+    every lang subtotal its share of the grand total — the drill-down
+    table BI layers ask for. One rollup aggregate, then the shares
+    come from joining the (tiny) subtotal levels back — broadcast
+    joins on the O(groups) result, never a second corpus pass. NULL
+    group keys are folded to 'ALL' so the level structure is explicit
+    in the output."""
+    docs = load_table(spark, "documents", sf_dir)
+    rolled = (
+        docs.rollup("lang", "source")
+        .agg(F.sum("n_chars").alias("mass"), F.grouping_id().alias("gid"))
+        .localCheckpoint()  # three level-slices below — compute the rollup once
+    )
+    leaves = rolled.where(F.col("gid") == 0)
+    lang_tot = rolled.where(F.col("gid") == 1).select(
+        F.col("lang").alias("p_lang"), F.col("mass").alias("parent_mass")
+    )
+    grand = rolled.where(F.col("gid") == 3).select(F.col("mass").alias("grand_mass"))
+    leaf_rows = leaves.join(F.broadcast(lang_tot), leaves.lang == lang_tot.p_lang).select(
+        "lang",
+        "source",
+        "mass",
+        F.round(F.col("mass") / F.col("parent_mass"), 6).alias("share_of_parent"),
+    )
+    lang_rows = (
+        rolled.where(F.col("gid") == 1)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            F.lit("ALL").alias("source"),
+            "mass",
+            F.round(F.col("mass") / F.col("grand_mass"), 6).alias("share_of_parent"),
+        )
+    )
+    grand_row = rolled.where(F.col("gid") == 3).select(
+        F.lit("ALL").alias("lang"),
+        F.lit("ALL").alias("source"),
+        "mass",
+        F.lit(1.0).alias("share_of_parent"),
+    )
+    return leaf_rows.unionByName(lang_rows).unionByName(grand_row).orderBy("lang", "source")
+
+
+ROLLUP_SHARE_SQL = """
+WITH rolled AS (
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS mass, grouping(lang, source) AS gid
+  FROM documents
+  GROUP BY ROLLUP (lang, source))
+SELECT l.lang, l.source, l.mass,
+       round(l.mass / CAST(p.mass AS DOUBLE), 6) AS share_of_parent
+FROM rolled l JOIN rolled p ON p.gid = 1 AND p.lang = l.lang
+WHERE l.gid = 0
+UNION ALL
+SELECT l.lang, 'ALL' AS source, l.mass,
+       round(l.mass / CAST(g.mass AS DOUBLE), 6) AS share_of_parent
+FROM rolled l CROSS JOIN (SELECT mass FROM rolled WHERE gid = 3) g
+WHERE l.gid = 1
+UNION ALL
+SELECT 'ALL' AS lang, 'ALL' AS source, mass, 1.0 AS share_of_parent
+FROM rolled WHERE gid = 3
+ORDER BY lang, source
+"""
+
+
+# Poisson(1) inverse-CDF thresholds for the deterministic bootstrap:
+# P(X<=k) for k = 0..4; u beyond the last bucket draws weight 5.
+_POIS_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015)
+# 24-bit md5-derived uniform in [0,1): DuckDB spelling built from hex
+# digit positions (no conv() there), Spark uses conv().
+_DUCK_U24 = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', md5({{k}})[{i + 1}]) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ") / 16777216.0)"
+)
+
+
+def bootstrap_ci_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap confidence intervals for the per-type
+    mean event value — the resampling sibling of
+    metric_confidence_intervals' normal approximation, for when the
+    statistic's sampling distribution isn't trusted. 16 bootstrap
+    replicates, each resampling the corpus WITH replacement via a
+    deterministic Poisson(1) weight drawn from md5(event_id:replicate)
+    — the 'Poisson bootstrap', the construction that makes bootstrap
+    distributable: no replicate ever materializes, each row just
+    carries 16 small integer weights.
+
+    One explode (bounded 16×) + two hash aggregates; every replicate
+    mean is a weighted average computed in the same pass. At 100 TB
+    the explode factor is the only cost knob, and the weights column
+    could instead be 16 parallel aggregates to avoid row growth
+    entirely."""
+    ev = load_table(spark, "events", sf_dir)
+    reps = ev.select(
+        "event_type", "value", "event_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    key = F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("b").cast("string"))
+    u = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / F.lit(16777216.0)
+    w = F.when(u < _POIS_CDF[0], 0)
+    for k, c in enumerate(_POIS_CDF[1:], start=1):
+        w = w.when(u < c, k)
+    w = w.otherwise(5).cast("double")
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("mean_b"))
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.round(F.avg("mean_b"), 4).alias("boot_mean"),
+            F.round(F.percentile("mean_b", F.lit(0.05)), 4).alias("ci_lo"),
+            F.round(F.percentile("mean_b", F.lit(0.95)), 4).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _bootstrap_sql() -> str:
+    u = _DUCK_U24.format(k="(event_id::VARCHAR || ':' || b::VARCHAR)")
+    w_case = "CASE " + " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    ) + " ELSE 5 END"
+    return f"""
+WITH reps AS (
+  SELECT event_type, value, event_id, u.b
+  FROM events, unnest(range(16)) u(b)),
+means AS (
+  SELECT event_type, b,
+         sum(CAST({w_case} AS DOUBLE) * value) / sum(CAST({w_case} AS DOUBLE)) AS mean_b
+  FROM reps
+  GROUP BY event_type, b)
+SELECT event_type,
+       round(avg(mean_b), 4) AS boot_mean,
+       round(quantile_cont(mean_b, 0.05), 4) AS ci_lo,
+       round(quantile_cont(mean_b, 0.95), 4) AS ci_hi
+FROM means
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+BOOTSTRAP_CI_SQL = _bootstrap_sql()

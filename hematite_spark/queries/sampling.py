@@ -421,3 +421,41 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment (k=5): every doc's
+    fold is a pure function of its id (md5 mod k), so folds are
+    reproducible, disjoint, and stable under corpus growth — append
+    new docs and old assignments never move, the property random
+    shuffles lose. The report audits balance per (stratum, fold):
+    counts and each fold's share within its language stratum.
+
+    Stateless hash filter → one hash aggregate + one stratum window;
+    no shuffle of the corpus itself at scale (fold becomes a derived
+    write-partition column)."""
+    docs = load_table(spark, "documents", sf_dir)
+    fold = (_hash_pct(F.col("doc_id")) % 5).cast("bigint")
+    per = (
+        docs.select("lang", fold.alias("fold"), "n_chars")
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+    w = W.partitionBy("lang")
+    return (
+        per.withColumn("share_of_lang", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4))
+        .orderBy("lang", "fold")
+    )
+
+
+STRATIFIED_KFOLD_SQL = f"""
+WITH per AS (
+  SELECT lang, CAST({_DUCK_HASH_PCT.format(k="doc_id::VARCHAR")} % 5 AS BIGINT) AS fold,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents
+  GROUP BY 1, 2)
+SELECT lang, fold, n_docs, n_chars,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS share_of_lang
+FROM per
+ORDER BY lang, fold
+"""

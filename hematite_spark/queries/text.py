@@ -1575,3 +1575,54 @@ GROUP BY token
 HAVING count(*) >= 3
 ORDER BY token
 """
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language — regress log(frequency) on
+    log(rank) over the token frequency table and report the slope
+    (ideal corpora sit near -1) and fit quality. The slope is the
+    cheap corpus-health diagnostic: templated/boilerplate-heavy
+    corpora flatten the head, OCR noise fattens the tail, and both
+    move the slope and r² before any human reads a sample.
+
+    Shape: one explode + one vocabulary-scale hash aggregate, a
+    per-language window for ranks, then a single-pass co-moment
+    regression aggregate (regr_slope/regr_r2) — no driver math. The
+    window partitions by language, never globally."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("lang", F.explode(_words()).alias("token")).where(
+        F.col("token").rlike("^[a-z]+$")
+    )
+    freq = toks.groupBy("lang", "token").agg(F.count("*").alias("freq"))
+    w = W.partitionBy("lang").orderBy(F.col("freq").desc(), "token")
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
+            F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_ZIPF_SQL = """
+WITH freq AS (
+  SELECT lang, token, count(*) AS freq
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')
+  GROUP BY lang, token),
+ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rank
+  FROM freq)
+SELECT lang, count(*) AS vocab,
+       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rank)), 4) AS r2
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
