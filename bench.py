@@ -63,8 +63,13 @@ def main() -> None:
     qs = entrymod.queries()
 
     # warm up the JVM + file listing so the first timed query isn't
-    # paying session bootstrap costs
+    # paying session bootstrap costs; also exercise the shuffle +
+    # localCheckpoint machinery once, since the iterative operators
+    # (textrank, connected components) otherwise pay its first-use
+    # JIT cost inside their timing window
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.groupBy("lang").count().localCheckpoint().count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

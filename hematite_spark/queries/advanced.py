@@ -2267,3 +2267,52 @@ ORDER BY event_type
 
 
 BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (DAU/WAU) — the windowed COUNT
+    DISTINCT SQL window frames cannot express (distinct doesn't
+    decompose over sliding frames). The scalable formulation: compress
+    the log to the distinct (day, user) grid FIRST — one hash
+    aggregate, corpus → O(days × active users) — then a day-grid range
+    self-join re-counts each 7-day window over the compressed table.
+    The join input is the pre-aggregate, so the quadratic term is
+    days², not events².
+
+    At 100 TB the alternative is an HLL sketch per day merged over the
+    window (mergeability is what the sketch buys); this exact form is
+    its oracle."""
+    ev = load_table(spark, "events", sf_dir)
+    day_user = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = day_user.select("day").distinct()
+    d, g = days.alias("d"), day_user.alias("g")
+    win = d.join(
+        g,
+        (F.col("g.day") <= F.col("d.day"))
+        & (F.col("g.day") >= F.date_sub(F.col("d.day"), 6)),
+    )
+    dau = day_user.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = win.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("g.user_id").alias("wau_7d")
+    )
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau_7d")
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_SQL = """
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM day_user),
+dau AS (SELECT day, count(*) AS dau FROM day_user GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT g.user_id) AS wau_7d
+  FROM days d JOIN day_user g
+    ON g.day <= d.day AND g.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day)
+SELECT dau.day AS day, dau, wau_7d
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
+"""

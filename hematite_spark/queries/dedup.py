@@ -1265,3 +1265,48 @@ FROM (
 ORDER BY cluster, doc_id
 """
 )
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the LSH candidate graph — the other half of
+    the over-merge audit dedup_cluster_density starts: a heavy-tailed
+    degree distribution means some band key turned into a near-clique
+    (boilerplate shingles, template docs) and connected components
+    would fuse unrelated documents through it. Reading this BEFORE
+    committing cluster decisions is how large dedup runs catch the
+    '1M docs in one cluster' failure early.
+
+    Two vocabulary-scale hash aggregates over the pair list (degree
+    per node → nodes per degree); the expensive part — the candidate
+    graph — is the same build every dedup consumer shares."""
+    pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionByName(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("degree")
+    )
+
+
+GRAPH_DEGREE_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs)
+, pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b)
+, nodes AS (
+  SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b AS node FROM pairs)
+, deg AS (
+  SELECT node, count(*) AS degree FROM nodes GROUP BY node)
+SELECT degree, count(*) AS n_nodes, min(node) AS min_node
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""
+)

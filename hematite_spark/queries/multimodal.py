@@ -243,3 +243,67 @@ FROM documents
 WHERE doc_id % 10 = 0 AND n_chars > 0
 ORDER BY asset_id
 """
+
+
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over the binary asset table — byte-level
+    sha256 grouping, the first gate of every media pipeline (identical
+    files re-crawled under different ids) and the multimodal sibling
+    of dedup_exact's normalized-text hash. Emits the duplicate payload
+    groups with a deterministic keeper (min asset id) and the bytes
+    reclaimable by keeping one copy.
+
+    One hash aggregate on the digest; content bytes never shuffle —
+    only the 32-byte digest does (the reason content-addressed
+    storage scales). The digest doubles as the content-addressed
+    storage key at 100 TB.
+
+    The testdata corpus has no byte-identical documents, so the query
+    simulates the failure mode it guards against: a re-crawl that
+    re-ingests every 10th asset under a fresh id. The dedup must
+    recover exactly those pairs — making the output a checkable
+    contract rather than an empty report."""
+    base = assets_from_documents(spark, sf_dir)
+    recrawl = base.where(F.col("asset_id") % 10 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 1_000_000
+    )
+    assets = base.unionByName(recrawl)
+    return (
+        assets.select(
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+            "asset_id",
+        )
+        .groupBy("sha256")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("asset_id").alias("keeper_id"),
+            (F.max("n_bytes") * (F.count("*") - 1)).alias("reclaimable_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            F.substring("sha256", 1, 16).alias("sha_prefix"),
+            "n_copies",
+            "keeper_id",
+            "reclaimable_bytes",
+        )
+        .orderBy("sha_prefix")
+    )
+
+
+CONTENT_DEDUP_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS asset_id, text FROM documents WHERE doc_id % 10 = 0)
+SELECT substr(sha256, 1, 16) AS sha_prefix, n_copies, keeper_id, reclaimable_bytes
+FROM (
+  SELECT sha256(text) AS sha256,
+         count(*) AS n_copies,
+         min(asset_id) AS keeper_id,
+         CAST(max(strlen(text)) * (count(*) - 1) AS BIGINT) AS reclaimable_bytes
+  FROM assets
+  GROUP BY sha256(text))
+WHERE n_copies > 1
+ORDER BY sha_prefix
+"""
