@@ -237,3 +237,62 @@ WHERE rn = 1
 ORDER BY user_id, event_type
 """
 )
+
+
+def es_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evidence hash chain per stream — the integrity audit an
+    append-only log affords (the reference's whole design thesis is
+    immutable, strictly-ordered history; README.md:5-9): fold each
+    stream in revision order through h_i = sha256(h_{i-1} || md5(
+    event_i)), emitting the head digest. Re-running the audit after
+    any mutation of history changes the head — the ledger contract.
+
+    The fold is inherently sequential PER STREAM but embarrassingly
+    parallel ACROSS streams, so it runs as applyInPandas over the
+    stream key: O(1) state per stream, one shuffle, executors fold
+    their streams independently — the same layout the store's append
+    path uses. The oracle replays the identical recursion as a
+    recursive CTE, checking an imperative fold against a declarative
+    one."""
+    import hashlib
+
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        h = ""
+        for eid, et in zip(pdf.event_id, pdf.event_type):
+            m = hashlib.md5(f"{eid}:{et}".encode()).hexdigest()
+            h = hashlib.sha256((h + m).encode()).hexdigest()
+        return pd.DataFrame(
+            {"user_id": [pdf.user_id.iloc[0]], "n_events": [len(pdf)], "head_hash": [h[:16]]}
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(fold, "user_id bigint, n_events bigint, head_hash string")
+        .orderBy("user_id")
+    )
+
+
+ES_HASH_CHAIN_SQL = """
+WITH RECURSIVE revisioned AS (
+  SELECT user_id, event_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS revision
+  FROM events
+),
+chain(user_id, revision, h) AS (
+  SELECT user_id, revision, sha256(md5(event_id::VARCHAR || ':' || event_type))
+  FROM revisioned WHERE revision = 0
+  UNION ALL
+  SELECT r.user_id, r.revision, sha256(c.h || md5(r.event_id::VARCHAR || ':' || r.event_type))
+  FROM chain c JOIN revisioned r ON r.user_id = c.user_id AND r.revision = c.revision + 1
+)
+SELECT user_id, CAST(max(revision) + 1 AS BIGINT) AS n_events,
+       substr(max_by(h, revision), 1, 16) AS head_hash
+FROM chain
+GROUP BY user_id
+ORDER BY user_id
+"""

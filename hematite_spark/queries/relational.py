@@ -885,3 +885,122 @@ FROM embeddings
 WHERE vec_id < 100
 ORDER BY vec_id
 """
+
+
+def incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of per-user session counts: the
+    log is split at a cut timestamp into STATE (already processed)
+    and DELTA (newly arrived), and the delta pass touches only the
+    new events plus an O(users) state summary (session count + last
+    event time per user) — never re-reading processed history. The
+    first delta event per user decides merge-or-open against the
+    state's last timestamp; everything downstream is ordinary gap
+    sessionization of the delta.
+
+    The ORACLE sessionizes the full log in one pass — so the driver
+    check proves the incremental decomposition equals the full
+    recomputation, which is the IVM contract. At 100 TB this is the
+    nightly-sessions job: state summary lives in the lake, each run
+    shuffles only the day's delta on user_id."""
+    gap_us = 1800 * 1_000_000
+    cut = "2024-01-22"
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+    state = ev.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+    delta = ev.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # O(users) state summary: sessions so far + the open session's tail
+    state_sum = (
+        state.select(
+            "user_id",
+            F.when(
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us, 1
+            )
+            .otherwise(0)
+            .alias("new_s"),
+            "ts",
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_s") + 1).cast("bigint").alias("state_sessions"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    d = delta.select("user_id", F.unix_micros("ts").alias("us"), "event_id").join(
+        state_sum.select("user_id", "last_us"), "user_id", "left"
+    )
+    flagged = d.select(
+        "user_id",
+        F.coalesce(
+            # within-delta gap when a predecessor exists...
+            (F.col("us") - F.lag("us").over(W.partitionBy("user_id").orderBy("us", "event_id")) > gap_us).cast("int"),
+            # ...else the stitch decision against the state tail
+            F.when(F.col("last_us").isNull(), 1)
+            .when(F.col("us") - F.col("last_us") > gap_us, 1)
+            .otherwise(0),
+        ).alias("new_s"),
+    )
+    delta_sum = flagged.groupBy("user_id").agg(F.sum("new_s").cast("bigint").alias("delta_sessions"))
+    return (
+        state_sum.select("user_id", "state_sessions")
+        .join(delta_sum, "user_id", "full")
+        .select(
+            "user_id",
+            (F.coalesce("state_sessions", F.lit(0)) + F.coalesce("delta_sessions", F.lit(0)))
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INCREMENTAL_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality heatmap — events per (day-of-week, hour)
+    cell with each cell's share of total traffic: the load-profile
+    report capacity planning and anomaly baselines start from. One
+    hash aggregate plus a broadcast of the single total row; at scale
+    this is a metadata-sized result regardless of corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("mean_value"))
+    total = cells.agg(F.sum("n_events").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "mean_value",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("traffic_share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+         count(*) AS n_events, round(avg(value), 4) AS mean_value
+  FROM events
+  GROUP BY 1, 2)
+SELECT dow, hour, n_events, mean_value,
+       round(n_events / CAST((SELECT sum(n_events) FROM cells) AS DOUBLE), 6) AS traffic_share
+FROM cells
+ORDER BY dow, hour
+"""
