@@ -2316,3 +2316,97 @@ SELECT dau.day AS day, dau, wau_7d
 FROM dau JOIN wau ON dau.day = wau.day
 ORDER BY day
 """
+
+
+def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store
+    operation that keeps training data leakage-free: each purchase
+    event is enriched with the user's feature snapshot as of STRICTLY
+    BEFORE the purchase day (yesterday's close), never same-day or
+    future state. Snapshots are daily per-user running totals; the
+    strictness is what separates this from a plain as-of join — a
+    same-day snapshot already contains the purchase being labeled.
+
+    Single-window no-explosion form (the join_asof pattern): union
+    snapshots and purchases into one stream ordered by (day, kind)
+    with snapshots sorting AFTER purchases on equal days, then one
+    last_value(ignore nulls) window carries each user's latest
+    eligible snapshot forward. One shuffle on the user key, state
+    bounded by one snapshot row — at 100 TB this beats the
+    correlated-subquery plan by a join-explosion factor. The oracle
+    IS the textbook correlated formulation (max_by over an inequality
+    join), so the driver check proves the two equivalent."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    wd = W.partitionBy("user_id").orderBy("day")
+    snaps = daily.select(
+        "user_id",
+        "day",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.sum("n").over(wd).cast("bigint").alias("s_n"),
+        F.sum("v").over(wd).alias("s_v"),
+        F.col("day").alias("s_day"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("s_n"),
+        F.lit(None).cast("double").alias("s_v"),
+        F.lit(None).cast("date").alias("s_day"),
+    )
+    merged = snaps.unionByName(purch)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "day",
+        "kind",
+        "event_id",
+        F.last("s_n", ignorenulls=True).over(w).alias("feat_n_events"),
+        F.last("s_v", ignorenulls=True).over(w).alias("feat_value"),
+        F.last("s_day", ignorenulls=True).over(w).alias("asof_day"),
+    )
+    return (
+        carried.where((F.col("kind") == 0) & F.col("feat_n_events").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("day").alias("purchase_day"),
+            "feat_n_events",
+            F.round("feat_value", 4).alias("feat_value"),
+            "asof_day",
+        )
+        .orderBy("event_id")
+    )
+
+
+FEATURE_PIT_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2),
+snaps AS (
+  SELECT user_id, day,
+         CAST(sum(n) OVER w AS BIGINT) AS s_n,
+         sum(v) OVER w AS s_v
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+purch AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.day AS purchase_day,
+       max_by(s.s_n, s.day) AS feat_n_events,
+       round(max_by(s.s_v, s.day), 4) AS feat_value,
+       max(s.day) AS asof_day
+FROM purch p JOIN snaps s ON s.user_id = p.user_id AND s.day < p.day
+GROUP BY p.event_id, p.user_id, p.day
+ORDER BY p.event_id
+"""

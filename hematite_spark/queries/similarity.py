@@ -1054,3 +1054,118 @@ FROM cand
 WHERE cosine >= 0.2
 ORDER BY query_id, cosine DESC, vec_id
 """
+
+
+_GD_LR = 2.0  # full-batch learning rate; 3 unrolled steps below
+
+
+def linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear probe (logistic regression, label 0 vs rest) on
+    the embedding corpus by THREE unrolled full-batch gradient-descent
+    steps — the standard representation-quality measurement in LLM
+    pipelines (freeze embeddings, fit a linear head), executed the
+    same way as embedding_pca_power_iteration: each step is ONE hash
+    aggregate (65 avg columns: 64 weight gradients + bias) against the
+    broadcast one-row parameter state, so the whole training run is a
+    lazy agg → broadcast → agg chain with no driver round-trip and a
+    shuffle that carries bytes, not rows.
+
+    Deterministic: zero init + full-batch gradients — no RNG, no
+    sampling — so both engines walk the identical float sequence. The
+    oracle unrolls the same three steps as CTEs. Output: the trained
+    weight per dimension (dim 64 = bias) and the final training loss,
+    the number a quality dashboard tracks."""
+    dim = 64
+    emb = load_table(spark, "embeddings", sf_dir)
+    data = emb.select(
+        _dbl("embedding").alias("ev"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+
+    def sigmoid(z):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def step(params: DataFrame) -> DataFrame:
+        # params: one row (w array<double>, b double); returns same shape
+        joined = data.crossJoin(F.broadcast(params))
+        p = sigmoid(_dot(F.col("ev"), F.col("w")) + F.col("b"))
+        err = (p - F.col("y")).alias("err")
+        grads = joined.select("ev", "w", "b", err).agg(
+            *[F.avg(F.col("err") * F.element_at("ev", j + 1)).alias(f"g{j}") for j in range(dim)],
+            F.avg("err").alias("gb"),
+            F.first("w").alias("w"),
+            F.first("b").alias("b"),
+        )
+        garr = F.array(*[F.col(f"g{j}") for j in range(dim)])
+        return grads.select(
+            F.zip_with(F.col("w"), garr, lambda wj, gj: wj - F.lit(_GD_LR) * gj).alias("w"),
+            (F.col("b") - F.lit(_GD_LR) * F.col("gb")).alias("b"),
+        )
+
+    params = spark.range(1).select(
+        F.array(*[F.lit(0.0) for _ in range(dim)]).alias("w"), F.lit(0.0).alias("b")
+    )
+    for _ in range(3):
+        params = step(params)
+    # final pass: training loss under the trained parameters
+    scored = data.crossJoin(F.broadcast(params))
+    p = sigmoid(_dot(F.col("ev"), F.col("w")) + F.col("b"))
+    loss = scored.agg(
+        F.avg(-(F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p))).alias(
+            "train_loss"
+        ),
+        F.first("w").alias("w"),
+        F.first("b").alias("b"),
+    )
+    return (
+        loss.select(
+            F.posexplode(F.concat(F.col("w"), F.array(F.col("b")))).alias("dim", "wv"),
+            "train_loss",
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("wv", 6).alias("weight"),
+            F.round("train_loss", 6).alias("train_loss"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _gd_step_sql(prev: str, out: str, dim: int = 64) -> str:
+    dot = _DUCK_DOT.format(a="ev", b="w")
+    p = f"(1.0 / (1.0 + exp(-({dot} + b))))"
+    gsums = ", ".join(f"avg(({p} - y) * ev[{j + 1}]) AS g{j}" for j in range(dim))
+    garr = "list_value(" + ", ".join(f"g{j}" for j in range(dim)) + ")"
+    return f"""{out}_g AS (
+  SELECT {gsums}, avg({p} - y) AS gb, first(w) AS w, first(b) AS b
+  FROM data CROSS JOIN {prev}),
+{out} AS (
+  SELECT list_transform(list_zip(w, {garr}), t -> t[1] - {_GD_LR} * t[2]) AS w,
+         b - {_GD_LR} * gb AS b
+  FROM {out}_g)"""
+
+
+LINEAR_PROBE_SQL = f"""
+WITH data AS (
+  SELECT embedding::DOUBLE[] AS ev,
+         CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings),
+p0 AS (SELECT list_transform(range(64), x -> 0.0) AS w, 0.0 AS b),
+{_gd_step_sql("p0", "p1")},
+{_gd_step_sql("p1", "p2")},
+{_gd_step_sql("p2", "p3")},
+final AS (
+  SELECT avg(-(y * ln({{p}}) + (1.0 - y) * ln(1.0 - {{p}}))) AS train_loss,
+         first(w) AS w, first(b) AS b
+  FROM data CROSS JOIN p3),
+exploded AS (
+  SELECT CAST(t.i AS BIGINT) AS dim,
+         CASE WHEN t.i < 64 THEN w[CAST(t.i + 1 AS INTEGER)] ELSE b END AS wv,
+         train_loss
+  FROM final CROSS JOIN range(65) t(i))
+SELECT dim, round(wv, 6) AS weight, round(train_loss, 6) AS train_loss
+FROM exploded
+ORDER BY dim
+""".format(
+    p=f"(1.0 / (1.0 + exp(-({_DUCK_DOT.format(a='ev', b='w')} + b))))"
+)
