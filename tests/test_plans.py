@@ -266,3 +266,52 @@ def test_join_cardinality_sketch_combines_mapside(spark):
     # before their shuffles
     plan = plan_of(spark, "join_cardinality_estimate")
     assert plan.count("HashAggregate") >= 4
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kmeans_lloyd_step",
+        "embedding_pca_power_iteration",
+        "linear_probe_gd",
+        "ann_range_search",
+        "dedup_keeper_selection",
+        "feature_store_pit_join",
+        "rolling_distinct_users",
+        "graph_degree_distribution",
+        "multimodal_content_dedup",
+        "incremental_sessionize",
+    ],
+)
+def test_session3_ops_no_cartesian(spark, name):
+    # the ML-iteration chains ride broadcast one-row parameter frames,
+    # the graph/PIT/dedup ops are keyed joins — a CartesianProduct in
+    # any of them means a blocking key or broadcast hint vanished
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_kmeans_update_single_wide_aggregate(spark):
+    # the Lloyd update must stay ONE hash aggregate over 64 avg
+    # columns (map-side partials) — an Expand/explode in the plan
+    # would mean rows widen 64x before the shuffle
+    plan = plan_of(spark, "kmeans_lloyd_step")
+    assert "Expand" not in plan
+    # centroid side broadcast into the assignment
+    assert "Broadcast" in plan
+
+
+def test_linear_probe_params_broadcast_each_step(spark):
+    # three GD steps + the loss pass: four broadcasts of the one-row
+    # parameter frame — none of them may fall back to a shuffle join
+    plan = plan_of(spark, "linear_probe_gd")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastExchange") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_pit_join_single_user_shuffle(spark):
+    # the merge-form PIT join: snapshots and purchases union into ONE
+    # window over the user key — no join node at all between the fact
+    # and feature sides, which is the point of the formulation
+    plan = plan_of(spark, "feature_store_pit_join")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
