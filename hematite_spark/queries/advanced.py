@@ -2410,3 +2410,220 @@ FROM purch p JOIN snaps s ON s.user_id = p.user_id AND s.day < p.day
 GROUP BY p.event_id, p.user_id, p.day
 ORDER BY p.event_id
 """
+
+
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data budget analysis — the tuning input for every
+    streaming watermark in streaming/windows.py: simulate per-event
+    arrival delay (deterministic md5-derived jitter, 0-1800 s, so the
+    audit is reproducible), then report per event type the lateness
+    distribution AND the fraction of events a 5/15/30-minute watermark
+    would drop. Choosing a watermark without this table is guessing;
+    with it, the state-size/completeness trade-off is a number.
+
+    One scan, one hash aggregate (exact percentiles at audit scale;
+    the approx_percentile sketch replaces them at 100 TB — same
+    plumbing)."""
+    ev = load_table(spark, "events", sf_dir)
+    delay_s = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 5), 16, 10)
+        .cast("bigint")
+        % 1800
+    )
+    d = ev.select("event_type", delay_s.alias("delay_s"))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.percentile("delay_s", F.lit(0.5)), 1).alias("p50_s"),
+            F.round(F.percentile("delay_s", F.lit(0.95)), 1).alias("p95_s"),
+            F.round(F.avg((F.col("delay_s") > 300).cast("int")), 4).alias("drop_rate_5m"),
+            F.round(F.avg((F.col("delay_s") > 900).cast("int")), 4).alias("drop_rate_15m"),
+            F.round(F.avg((F.col("delay_s") > 1740).cast("int")), 4).alias("drop_rate_29m"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DUCK_HEX5 = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', md5(event_id::VARCHAR)[{i + 1}]) - 1) * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    + ") % 1800)"
+)
+
+WATERMARK_AUDIT_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST({_DUCK_HEX5} AS BIGINT) AS delay_s FROM events)
+SELECT event_type, count(*) AS n_events,
+       round(quantile_cont(delay_s, 0.5), 1) AS p50_s,
+       round(quantile_cont(delay_s, 0.95), 1) AS p95_s,
+       round(avg(CASE WHEN delay_s > 300 THEN 1 ELSE 0 END), 4) AS drop_rate_5m,
+       round(avg(CASE WHEN delay_s > 900 THEN 1 ELSE 0 END), 4) AS drop_rate_15m,
+       round(avg(CASE WHEN delay_s > 1740 THEN 1 ELSE 0 END), 4) AS drop_rate_29m
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink reconciliation — the exactly-once audit every
+    pipeline runs after a backfill: full-outer join the source log
+    against a simulated sink copy (deterministic 2% of rows missing,
+    1% value-corrupted — md5-derived, so both engines simulate the
+    identical sink) and classify every id as matched / missing-at-sink
+    / corrupted. The join key is the event id; at 100 TB both sides
+    pre-hash to (id, checksum) first so the join carries 16 bytes per
+    row, not the payload — the same digest-only trick as content
+    dedup."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast("bigint") % 100
+    src = ev.select("event_id", "event_type", F.round("value", 4).alias("src_value"))
+    sink = (
+        ev.select("event_id", F.round("value", 4).alias("sink_value"), h.alias("h"))
+        .where(F.col("h") >= 2)  # 2% lost in transit
+        .select(
+            "event_id",
+            # 1% corrupted downstream (h in [2,3)): value off by 0.01
+            F.when(F.col("h") < 3, F.round(F.col("sink_value") + 0.01, 4))
+            .otherwise(F.col("sink_value"))
+            .alias("sink_value"),
+        )
+    )
+    joined = src.join(sink, "event_id", "full")
+    status = (
+        F.when(F.col("sink_value").isNull(), "missing_at_sink")
+        .when(F.col("src_value") != F.col("sink_value"), "corrupted")
+        .otherwise("matched")
+    )
+    return (
+        joined.select("event_type", status.alias("status"))
+        .groupBy("event_type", "status")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type", "status")
+    )
+
+
+_DUCK_HASH_PCT_EVENTS = (
+    "(((strpos('0123456789abcdef', md5(event_id::VARCHAR)[1]) - 1) * 4096"
+    " + (strpos('0123456789abcdef', md5(event_id::VARCHAR)[2]) - 1) * 256"
+    " + (strpos('0123456789abcdef', md5(event_id::VARCHAR)[3]) - 1) * 16"
+    " + (strpos('0123456789abcdef', md5(event_id::VARCHAR)[4]) - 1)) % 100)"
+)
+
+RECONCILIATION_SQL = f"""
+WITH src AS (
+  SELECT event_id, event_type, round(value, 4) AS src_value FROM events),
+hashed AS (
+  SELECT event_id, round(value, 4) AS sink_value,
+         {_DUCK_HASH_PCT_EVENTS} AS h
+  FROM events),
+sink AS (
+  SELECT event_id,
+         CASE WHEN h < 3 THEN round(sink_value + 0.01, 4) ELSE sink_value END AS sink_value
+  FROM hashed WHERE h >= 2)
+SELECT event_type,
+       CASE WHEN sink_value IS NULL THEN 'missing_at_sink'
+            WHEN src_value <> sink_value THEN 'corrupted'
+            ELSE 'matched' END AS status,
+       count(*) AS n_events
+FROM src LEFT JOIN sink USING (event_id)
+GROUP BY 1, 2
+ORDER BY event_type, status
+"""
+
+
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection between two order
+    periods (before/after 1998-05) — the ML-ops gate that catches a
+    feature's distribution silently shifting between training and
+    serving. Numeric feature (o_totalprice) bins on the COMBINED
+    deciles so both periods share a fixed grid; the categorical
+    feature (o_orderpriority) uses its category cells directly. Counts
+    are Laplace-smoothed so empty cells can't blow up the log-ratio.
+    PSI > 0.1 is the conventional 'investigate' line, > 0.25 'act'.
+
+    Shape: one pass for the decile cuts (broadcast), one pass for the
+    (period, cell) counts, then cell-level arithmetic on an O(bins)
+    table. Nothing re-reads the corpus to evaluate drift at another
+    threshold — the cell table is the artifact."""
+    orders = load_table(spark, "orders", sf_dir)
+    cut_ts = F.lit("1998-05-01").cast("timestamp")
+    period = F.when(F.col("o_orderdate") < cut_ts, "a").otherwise("b")
+    cuts = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("cuts")
+    )
+    binned = orders.select(period.alias("period"), "o_totalprice", "o_orderpriority").crossJoin(
+        F.broadcast(cuts)
+    )
+    num_cells = binned.select(
+        F.lit("o_totalprice").alias("metric"),
+        "period",
+        F.aggregate(
+            "cuts", F.lit(0), lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0)
+        )
+        .cast("string")
+        .alias("cell"),
+    )
+    cat_cells = orders.select(
+        F.lit("o_orderpriority").alias("metric"), period.alias("period"), F.col("o_orderpriority").alias("cell")
+    )
+    cells = num_cells.unionByName(cat_cells).groupBy("metric", "cell").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    tot = cells.groupBy("metric").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count("*").alias("n_cells")
+    )
+    smoothed = cells.join(tot, "metric").select(
+        "metric",
+        "n_cells",
+        ((F.col("na") + 0.5) / (F.col("ta") + 0.5 * F.col("n_cells"))).alias("p"),
+        ((F.col("nb") + 0.5) / (F.col("tb") + 0.5 * F.col("n_cells"))).alias("q"),
+    )
+    return (
+        smoothed.groupBy("metric", "n_cells")
+        .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"))
+        .select("metric", F.col("n_cells").cast("bigint").alias("n_cells"), "psi",
+                (F.col("psi") > 0.1).alias("drifted"))
+        .orderBy("metric")
+    )
+
+
+FEATURE_DRIFT_SQL = """
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders),
+num_cells AS (
+  SELECT 'o_totalprice' AS metric,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-05-01' THEN 'a' ELSE 'b' END AS period,
+         CAST(len(list_filter(cuts, c -> o_totalprice > c)) AS VARCHAR) AS cell
+  FROM orders CROSS JOIN cuts),
+cat_cells AS (
+  SELECT 'o_orderpriority' AS metric,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-05-01' THEN 'a' ELSE 'b' END AS period,
+         o_orderpriority AS cell
+  FROM orders),
+cells AS (
+  SELECT metric, cell,
+         sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM (SELECT * FROM num_cells UNION ALL SELECT * FROM cat_cells)
+  GROUP BY metric, cell),
+tot AS (
+  SELECT metric, sum(na) AS ta, sum(nb) AS tb, count(*) AS n_cells
+  FROM cells GROUP BY metric),
+smoothed AS (
+  SELECT c.metric, t.n_cells,
+         (c.na + 0.5) / (t.ta + 0.5 * t.n_cells) AS p,
+         (c.nb + 0.5) / (t.tb + 0.5 * t.n_cells) AS q
+  FROM cells c JOIN tot t ON c.metric = t.metric)
+SELECT metric, CAST(n_cells AS BIGINT) AS n_cells,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.1 AS drifted
+FROM smoothed
+GROUP BY metric, n_cells
+ORDER BY metric
+"""

@@ -1004,3 +1004,76 @@ SELECT dow, hour, n_events, mean_value,
 FROM cells
 ORDER BY dow, hour
 """
+
+
+def timeseries_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of each event
+    type's daily total: trend = centered 7-day moving average (RANGE
+    of ±3 rows over the daily series), seasonal = the day-of-week's
+    mean detrended deviation, residual = the rest. The anomaly
+    baseline one level up from z-scores: an outlier is a large
+    RESIDUAL, not a large value on a Friday.
+
+    Everything runs on the O(types × days) pre-aggregate: two window
+    passes partitioned by type and one dow-profile join — corpus
+    scanned once. Edge days (incomplete MA window) are dropped from
+    the report, as in the textbook method."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    w_ma = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    with_trend = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.when(
+            F.count("*").over(w_ma) == 7, F.round(F.avg("total").over(w_ma), 4)
+        ).alias("trend"),
+    ).where(F.col("trend").isNotNull())
+    dow_profile = (
+        with_trend.groupBy(
+            F.col("event_type").alias("p_type"), F.dayofweek("day").alias("dow")
+        )
+        .agg(F.round(F.avg(F.col("total") - F.col("trend")), 4).alias("seasonal"))
+    )
+    return (
+        with_trend.join(
+            F.broadcast(dow_profile),
+            (F.col("event_type") == F.col("p_type"))
+            & (F.dayofweek("day") == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "total",
+            "trend",
+            "seasonal",
+            F.round(F.col("total") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TSDECOMP_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2),
+with_trend AS (
+  SELECT event_type, day, total,
+         CASE WHEN count(*) OVER w = 7 THEN round(avg(total) OVER w, 4) END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+trimmed AS (SELECT * FROM with_trend WHERE trend IS NOT NULL),
+dow_profile AS (
+  SELECT event_type, dayofweek(day) + 1 AS dow,
+         round(avg(total - trend), 4) AS seasonal
+  FROM trimmed GROUP BY 1, 2)
+SELECT t.event_type, t.day, t.total, t.trend, p.seasonal,
+       round(t.total - t.trend - p.seasonal, 4) AS residual
+FROM trimmed t JOIN dow_profile p
+  ON t.event_type = p.event_type AND dayofweek(t.day) + 1 = p.dow
+ORDER BY t.event_type, t.day
+"""
