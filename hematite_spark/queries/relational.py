@@ -1077,3 +1077,90 @@ FROM trimmed t JOIN dow_profile p
   ON t.event_type = p.event_type AND dayofweek(t.day) + 1 = p.dow
 ORDER BY t.event_type, t.day
 """
+
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native recursive CTE (WITH RECURSIVE) — the SQL-surface
+    recursion the engine's iterative operators (connected components,
+    textrank) otherwise hand-unroll: walk each user up the implicit
+    binary-tree hierarchy (parent = floor((id-1)/2), root 0) and
+    aggregate event counts along the ancestry path. Terminates because
+    the node id strictly decreases (Spark recursion is UNION ALL-only,
+    so the recursion must be acyclic by construction — cyclic
+    fixpoints stay with the iterative dataflow operators).
+
+    Both engines run the IDENTICAL recursive SQL text — this entry
+    pins Spark's recursion semantics against DuckDB's, so the catalog
+    covers declarative recursion natively, not only via driver
+    loops."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.groupBy("user_id").agg(F.count("*").alias("n_events")).createOrReplaceTempView(
+        "user_counts_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(user_id, node, depth) AS (
+          SELECT user_id, user_id, 0 FROM user_counts_v
+          UNION ALL
+          SELECT w.user_id, CAST(floor((w.node - 1) / 2) AS BIGINT), w.depth + 1
+          FROM walk w WHERE w.node > 0)
+        SELECT w.user_id, max(w.depth) AS depth,
+               CAST(sum(c.n_events) AS BIGINT) AS path_events
+        FROM walk w JOIN user_counts_v c ON c.user_id = w.node
+        GROUP BY w.user_id
+        ORDER BY w.user_id
+        """
+    )
+
+
+SQL_RECURSIVE_SQL = """
+WITH RECURSIVE user_counts_v AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+walk(user_id, node, depth) AS (
+  SELECT user_id, user_id, 0 FROM user_counts_v
+  UNION ALL
+  SELECT w.user_id, CAST(floor((w.node - 1) / 2) AS BIGINT), w.depth + 1
+  FROM walk w WHERE w.node > 0)
+SELECT w.user_id, max(w.depth) AS depth,
+       CAST(sum(c.n_events) AS BIGINT) AS path_events
+FROM walk w JOIN user_counts_v c ON c.user_id = w.node
+GROUP BY w.user_id
+ORDER BY w.user_id
+"""
+
+
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed-path
+    extraction (variant_get) — the scan-speed upgrade over repeated
+    get_json_object string parsing that json_extract_events
+    demonstrates. At 100 TB the variant column is stored shredded in
+    parquet, so `$.k` reads like a real column instead of re-parsing
+    JSON text per row — this entry is the API contract for that
+    path."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("events_variant_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS sum_k,
+               CAST(min(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS min_k,
+               CAST(max(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS max_k
+        FROM events_variant_v
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+VARIANT_EXTRACT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+       CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
