@@ -53,6 +53,12 @@ HEADLINE = [
     "dedup_containment",
     "bpe_apply_compression",
     "join_cardinality_estimate",
+    "kmeans_lloyd_step",
+    "linear_probe_gd",
+    "feature_store_pit_join",
+    "rolling_distinct_users",
+    "dedup_keeper_selection",
+    "sql_recursive_hierarchy",
 ]
 
 

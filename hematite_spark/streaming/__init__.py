@@ -5,6 +5,7 @@ from hematite_spark.streaming.windows import (
     sliding_windowed_agg,
     session_windowed_agg,
     dedup_within_watermark,
+    stateful_latest_state,
     stateful_running_counts,
     decaying_rate_counts,
     stream_stream_interval_join,
@@ -19,6 +20,7 @@ __all__ = [
     "sliding_windowed_agg",
     "session_windowed_agg",
     "dedup_within_watermark",
+    "stateful_latest_state",
     "stateful_running_counts",
     "decaying_rate_counts",
     "stream_stream_interval_join",

@@ -276,3 +276,63 @@ def cms_counters(df: DataFrame, token_col: str = "t", d: int = 4, w: int = 64) -
 
     hashed = df.select(F.explode(F.array(*cms_rb_structs(F.col(token_col), d=d, w=w))).alias("rb"))
     return hashed.groupBy("rb.r", "rb.bucket").agg(F.count("*").alias("c"))
+
+
+def stateful_latest_state(
+    df: DataFrame,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch es_state_projection fold (the
+    Kappa-architecture contract: one definition of 'current state',
+    maintainable from either the log replay or the live stream): per
+    (stream, event_type) cell, carry the event count and the latest
+    (event-time, event-id)-ordered value across micro-batches via
+    applyInPandasWithState. Late or duplicate arrivals within a batch
+    are handled by the explicit (ts, event_id) ordering; cross-batch,
+    the state keeps the winning (ts, event_id) so an older event can
+    never overwrite a newer one — the same last-writer-wins rule the
+    batch window uses. State is O(1) per cell and shards on the key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    k1, k2 = key_cols
+    output_schema = T.StructType(
+        [
+            T.StructField(k1, df.schema[k1].dataType),
+            T.StructField(k2, df.schema[k2].dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("count", T.LongType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("last_id", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        count, last_ts, last_id, last_value = (
+            state.get if state.exists else (0, None, None, None)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, "event_id"])
+            count += len(pdf)
+            tail = pdf.iloc[-1]
+            if last_ts is None or (tail[ts_col], tail.event_id) > (last_ts, last_id):
+                last_ts, last_id, last_value = tail[ts_col], int(tail.event_id), float(tail.value)
+        state.update((count, last_ts, last_id, last_value))
+        yield pd.DataFrame(
+            {k1: [key[0]], k2: [key[1]], "n_events": [count], "last_value": [round(last_value, 2)]}
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

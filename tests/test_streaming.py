@@ -446,3 +446,58 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     assert streamed == batch
     # d=4 rows, every token hits each row exactly once
     assert sum(c for (r, _), c in streamed.items() if r == 0) == len(batch1 + batch2)
+
+
+def test_stateful_latest_state_matches_batch_projection(spark, tmp_path):
+    """Kappa contract: the streaming latest-state fold over TWO
+    micro-batches (split mid-history, so cross-batch state carry is
+    exercised) must agree cell-for-cell with the batch
+    es_state_projection fold over the same events."""
+    import json
+
+    from hematite_spark.streaming.windows import stateful_latest_state
+    from hematite_spark.queries.eventstore import es_state_projection
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    cut = len(rows) // 2
+    src = tmp_path / "latest_state_src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        with open(src / f"{i}.json", "w") as f:
+            for r in chunk:
+                r = dict(r, ts_s=r.pop("ts").strftime("%Y-%m-%d %H:%M:%S.%f"))
+                f.write(json.dumps(r) + "\n")
+    schema = "ts_s string, user_id long, event_id long, event_type string, value double"
+    base = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    out = _run_to_memory(spark, stateful_latest_state(base), "latest_state", mode="update")
+    # update mode re-emits a key's row each batch it changes in; the
+    # final state per key is the LAST emission — dedupe keeping last
+    import pandas as pd
+
+    emitted = out.toPandas()
+    final = emitted.groupby(["user_id", "event_type"]).tail(1)
+    batch = (
+        es_state_projection(spark, sf_dir)
+        .select("user_id", "event_type", "n_events", "last_value")
+        .toPandas()
+    )
+    key = ["user_id", "event_type"]
+    merged = final.sort_values(key).reset_index(drop=True).merge(
+        batch.sort_values(key).reset_index(drop=True), on=key, suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(batch) == len(final)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.last_value_s - merged.last_value_b).abs().max() < 1e-9
