@@ -2627,3 +2627,125 @@ FROM smoothed
 GROUP BY metric, n_cells
 ORDER BY metric
 """
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→purchase funnel —
+    funnel_events' counting sibling answers 'how many', this answers
+    'how fast': per user take the first view and the first purchase
+    AFTER it, then report conversion rate and the delay distribution
+    per the user's first-seen day-of-week cohort.
+
+    Two min-aggregates on the user key (no event-level join), then an
+    O(users) percentile pass — the corpus is scanned once. The strict
+    'purchase after first view' guard keeps pre-exposure purchases
+    from counting as instant conversions."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("first_view"),
+        F.min(F.unix_micros("ts")).alias("first_seen"),
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(per_user, "user_id")
+        .where(F.col("first_view").isNotNull() & (F.col("p_us") > F.col("first_view")))
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_us") - F.col("first_view")).alias("delay_us"))
+    )
+    cohorts = per_user.select(
+        "user_id",
+        F.dayofweek(F.timestamp_micros("first_seen")).cast("bigint").alias("cohort_dow"),
+        "first_view",
+    )
+    joined = cohorts.join(purch, "user_id", "left")
+    return (
+        joined.where(F.col("first_view").isNotNull())
+        .groupBy("cohort_dow")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("delay_us").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_converted"),
+            F.round(F.avg(F.when(F.col("delay_us").isNotNull(), 1.0).otherwise(0.0)), 4).alias("conv_rate"),
+            F.round(F.percentile(F.col("delay_us") / 3.6e9, F.lit(0.5)), 3).alias("p50_hours"),
+            F.round(F.percentile(F.col("delay_us") / 3.6e9, F.lit(0.9)), 3).alias("p90_hours"),
+        )
+        .orderBy("cohort_dow")
+    )
+
+
+FUNNEL_TTC_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         min(epoch_us(ts)) AS first_seen
+  FROM events GROUP BY user_id),
+purch AS (
+  SELECT e.user_id, min(epoch_us(e.ts) - u.first_view) AS delay_us
+  FROM events e JOIN per_user u ON e.user_id = u.user_id
+  WHERE e.event_type = 'purchase' AND u.first_view IS NOT NULL
+    AND epoch_us(e.ts) > u.first_view
+  GROUP BY e.user_id)
+SELECT CAST(dayofweek(make_timestamp(u.first_seen)) + 1 AS BIGINT) AS cohort_dow,
+       count(*) AS n_users,
+       CAST(sum(CASE WHEN p.delay_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       round(avg(CASE WHEN p.delay_us IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS conv_rate,
+       round(quantile_cont(p.delay_us / 3.6e9, 0.5), 3) AS p50_hours,
+       round(quantile_cont(p.delay_us / 3.6e9, 0.9), 3) AS p90_hours
+FROM per_user u LEFT JOIN purch p ON u.user_id = p.user_id
+WHERE u.first_view IS NOT NULL
+GROUP BY 1
+ORDER BY cohort_dow
+"""
+
+
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence — inter-order gap distribution per
+    market segment: lag over each customer's order dates, then one
+    percentile aggregate per segment. The replenishment-cycle input
+    for demand forecasting and churn definitions (a customer is
+    'lapsed' when their gap exceeds their segment's p90).
+
+    The lag window partitions on the customer key; the customer
+    dimension joins broadcast-side. Gaps are integer days — exact in
+    both engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("bigint").alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 2).alias("mean_gap"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 1).alias("p50_gap"),
+            F.round(F.percentile("gap_days", F.lit(0.9)), 1).alias("p90_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDER_CADENCE_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+SELECT c_mktsegment,
+       count(*) AS n_gaps,
+       round(avg(gap_days), 2) AS mean_gap,
+       round(quantile_cont(gap_days, 0.5), 1) AS p50_gap,
+       round(quantile_cont(gap_days, 0.9), 1) AS p90_gap,
+       max(gap_days) AS max_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
