@@ -374,7 +374,7 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             "c_acctbal",
-            F.ntile(4).over(w).alias("balance_quartile"),
+            F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
@@ -1799,7 +1799,7 @@ def quantile_bins_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     return (
         li.select("l_extendedprice", "l_orderkey", "l_linenumber")
-        .withColumn("bin", F.ntile(10).over(w))
+        .withColumn("bin", F.ntile(10).over(w).cast("bigint"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_rows"),
@@ -1993,7 +1993,7 @@ def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cuts",
             F.lit(0),
             lambda acc, c: acc + F.when(F.col("l_extendedprice") > c, 1).otherwise(0),
-        ).alias("bin"),
+        ).cast("bigint").alias("bin"),
     )
     return (
         binned.groupBy("bin")
@@ -2749,3 +2749,60 @@ WHERE gap_days IS NOT NULL
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning calculator — the sizing pass run before any big
+    job: per fact table, estimate bytes from row counts × measured
+    average row width (strings measured, numerics at their physical
+    width) and derive the 128 MB-target partition count the job
+    should set for spark.sql.shuffle.partitions / maxPartitionBytes.
+    One aggregate per table; the estimate is metadata-scale however
+    large the table. At 100 TB this query IS the difference between
+    a 200-partition default shredding the cluster and a plan sized
+    to the data."""
+    specs = {
+        "lineitem": (["l_returnflag", "l_linestatus"], 8 * 9),
+        "orders": (["o_orderstatus", "o_orderpriority"], 8 * 4),
+        "events": (["event_type", "props"], 8 * 4),
+    }
+    out = None
+    for table, (str_cols, fixed) in specs.items():
+        df = load_table(spark, table, sf_dir)
+        str_cols = [c for c in str_cols if c in df.columns]
+        width = sum(
+            (F.avg(F.length(c).cast("double")) for c in str_cols), F.lit(float(fixed))
+        )
+        row = df.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.round(width, 2).alias("avg_row_bytes"),
+            F.ceil(F.count("*") * width).cast("bigint").alias("est_bytes"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.count("*") * width / F.lit(128.0 * 1024 * 1024)).cast("bigint"),
+            ).alias("partitions_128mb"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
+def _advisor_sql() -> str:
+    parts = []
+    for table, str_cols, fixed in (
+        ("lineitem", ["l_returnflag", "l_linestatus"], 72),
+        ("orders", ["o_orderstatus", "o_orderpriority"], 32),
+        ("events", ["event_type", "props"], 32),
+    ):
+        width = " + ".join([str(float(fixed))] + [f"avg(CAST(length({c}) AS DOUBLE))" for c in str_cols])
+        parts.append(
+            f"""SELECT '{table}' AS table_name, count(*) AS n_rows,
+  round({width}, 2) AS avg_row_bytes,
+  CAST(ceil(count(*) * ({width})) AS BIGINT) AS est_bytes,
+  greatest(CAST(1 AS BIGINT), CAST(ceil(count(*) * ({width}) / (128.0 * 1024 * 1024)) AS BIGINT)) AS partitions_128mb
+FROM {table}"""
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY table_name"
+
+
+SHUFFLE_ADVISOR_SQL = _advisor_sql()

@@ -1310,3 +1310,87 @@ GROUP BY degree
 ORDER BY degree
 """
 )
+
+
+_LSH_SWEEP_CONFIGS = ((8, 1), (4, 2), (2, 4))  # (bands, rows) over 8 minhashes
+
+
+def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding trade-off table — candidate-pair volume for every
+    (bands × rows) split of the SAME 8 minhashes, beside each config's
+    s-curve midpoint (the similarity where match probability is 50%:
+    s50 = (1/b)^(1/r)). 8×1 floods candidates (high recall, low
+    precision), 2×4 starves them; this one table is how the banding
+    choice stops being folklore — run it on a corpus sample, pick the
+    row whose s50 matches the dedup threshold, and the candidate count
+    IS the verify-stage cost forecast.
+
+    All three configs share one signature build (localCheckpoint);
+    each config is a union of band equi-joins — the identical
+    candidate generation the production path uses, never an all-pairs
+    comparison."""
+    sigs = _minhash_signatures(spark, sf_dir).localCheckpoint()
+    out = None
+    for b, r in _LSH_SWEEP_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            *[
+                F.md5(
+                    F.concat(
+                        *sum(
+                            ([F.col(f"mh{r * i + j}"), F.lit("|")] for j in range(r)),
+                            [],
+                        )[:-1]
+                    )
+                ).alias(f"band{i}")
+                for i in range(b)
+            ],
+        )
+        pair_frames = []
+        for i in range(b):
+            a, c = bands.alias("a"), bands.alias("c")
+            pair_frames.append(
+                a.join(c, (F.col(f"a.band{i}") == F.col(f"c.band{i}")) & (F.col("a.doc_id") < F.col("c.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+            )
+        allp = pair_frames[0]
+        for pf in pair_frames[1:]:
+            allp = allp.unionByName(pf)
+        row = allp.distinct().agg(
+            F.lit(f"{b}x{r}").alias("config"),
+            F.lit(b).cast("bigint").alias("n_bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            F.count("*").alias("n_candidate_pairs"),
+            F.lit(round((1.0 / b) ** (1.0 / r), 4)).alias("s50"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")
+
+
+def _lsh_sweep_sql() -> str:
+    parts = []
+    for b, r in _LSH_SWEEP_CONFIGS:
+        band_exprs = ", ".join(
+            "md5(" + " || '|' || ".join(f"mh{r * i + j}" for j in range(r)) + f") AS band{i}"
+            for i in range(b)
+        )
+        joins = " UNION ALL ".join(
+            f"SELECT a.doc_id AS doc_a, c.doc_id AS doc_b FROM bands_{b}x{r} a "
+            f"JOIN bands_{b}x{r} c ON a.band{i} = c.band{i} AND a.doc_id < c.doc_id"
+            for i in range(b)
+        )
+        parts.append(
+            f", bands_{b}x{r} AS (SELECT doc_id, {band_exprs} FROM sigs)"
+            f", pairs_{b}x{r} AS (SELECT DISTINCT doc_a, doc_b FROM ({joins}))"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT '{b}x{r}' AS config, CAST({b} AS BIGINT) AS n_bands,"
+        f" CAST({r} AS BIGINT) AS rows_per_band,"
+        f" (SELECT count(*) FROM pairs_{b}x{r}) AS n_candidate_pairs,"
+        f" CAST({round((1.0 / b) ** (1.0 / r), 4)} AS DOUBLE) AS s50"
+        for b, r in _LSH_SWEEP_CONFIGS
+    )
+    return _MINHASH_CTE + "".join(parts) + f"\nSELECT * FROM ({selects}) ORDER BY n_bands"
+
+
+LSH_SWEEP_SQL = _lsh_sweep_sql()

@@ -487,7 +487,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, "orders", sf_dir)
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk")

@@ -341,7 +341,7 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("source").orderBy(h, "doc_id")
     return (
         docs.select("source", "doc_id", "lang", "n_chars")
-        .withColumn("pick", F.row_number().over(w))
+        .withColumn("pick", F.row_number().over(w).cast("bigint"))
         .where(F.col("pick") <= 3)
         .orderBy("source", "pick")
     )
