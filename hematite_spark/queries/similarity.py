@@ -1169,3 +1169,125 @@ ORDER BY dim
 """.format(
     p=f"(1.0 / (1.0 + exp(-({_DUCK_DOT.format(a='ev', b='w')} + b))))"
 )
+
+
+_RECALL_PROBES = (1, 2, 4, 8)
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 as a function of nprobe — the ANN tuning curve that
+    prices the IVF recall knob: for each probe budget, what fraction
+    of the TRUE top-10 (brute force) lives in the probed cells. A
+    global-top-10 member inside a probed cell is always in the IVF
+    top-10 (nothing outside the true top-10 outranks it), so recall
+    reduces to counting which true neighbors' cells get probed — one
+    10-row join, no per-nprobe reruns.
+
+    Everything shares one assignment pass and one exact top-10; the
+    per-nprobe results are 4 columns of one aggregate, unpivoted at
+    the end. Read with lsh_parameter_sweep: these two tables are the
+    tuning story for the similarity stack."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    sqdist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # cells ranked by distance to the query (O(k) rows; global window
+    # over the centroid table is the intended shape)
+    ranked_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", sqdist(F.col("cv"), F.col("qv")).alias("dq"))
+        .withColumn("cell_rank", F.row_number().over(W.orderBy("dq", "centroid_id")))
+        .select("centroid_id", "cell_rank")
+    )
+    vecs = emb.where(F.col("vec_id") != 0).select("vec_id", _dbl("embedding").alias("ev"))
+    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ev", "centroid_id", sqdist(F.col("ev"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    brute10 = (
+        assigned.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+    hits = brute10.join(F.broadcast(ranked_cells), "centroid_id").agg(
+        *[
+            F.sum(F.when(F.col("cell_rank") <= p, 1).otherwise(0)).cast("bigint").alias(f"h{p}")
+            for p in _RECALL_PROBES
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.col(f"h{p}").alias("hits_at_10"),
+                F.round(F.col(f"h{p}") / 10.0, 2).alias("recall_at_10"),
+            )
+            for p in _RECALL_PROBES
+        ]
+    )
+    return (
+        hits.select(F.explode(rows).alias("r"))
+        .select("r.nprobe", "r.hits_at_10", "r.recall_at_10")
+        .orderBy("nprobe")
+    )
+
+
+def _recall_sql() -> str:
+    probes = _RECALL_PROBES
+    hit_cols = ", ".join(
+        f"CAST(sum(CASE WHEN cell_rank <= {p} THEN 1 ELSE 0 END) AS BIGINT) AS h{p}"
+        for p in probes
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS nprobe, h{p} AS hits_at_10, round(h{p} / 10.0, 2) AS recall_at_10 FROM hits"
+        for p in probes
+    )
+    d2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ranked_cells AS (
+  SELECT centroid_id, row_number() OVER (ORDER BY dq, centroid_id) AS cell_rank
+  FROM (SELECT centroid_id, {d2.format(a="cv", b="qv")} AS dq FROM c CROSS JOIN q)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0),
+assigned AS (
+  SELECT vec_id, ev, centroid_id
+  FROM (SELECT v.vec_id, v.ev, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2.format(a="ev", b="cv")}, c.centroid_id) AS rn
+        FROM v CROSS JOIN c)
+  WHERE rn = 1),
+brute10 AS (
+  SELECT vec_id, centroid_id,
+         round({_DUCK_DOT.format(a="ev", b="qv")}
+               / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}), 6) AS cosine
+  FROM assigned CROSS JOIN q
+  ORDER BY cosine DESC, vec_id
+  LIMIT 10),
+hits AS (
+  SELECT {hit_cols}
+  FROM brute10 JOIN ranked_cells USING (centroid_id))
+SELECT * FROM ({unpivot}) ORDER BY nprobe
+"""
+
+
+ANN_RECALL_SQL = _recall_sql()

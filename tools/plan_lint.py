@@ -35,6 +35,7 @@ ALLOW_GLOBAL_WINDOW = {
     "window_running_total",  # demonstration of an explicitly global running sum
     "rfm_segments",          # ntile over the pre-aggregated customer dim (docstring notes scale)
     "revenue_growth_mom",    # lag over O(months) pre-aggregate
+    "ann_recall_curve",      # centroid ranking over the O(k)=8 cell table
 }
 
 
