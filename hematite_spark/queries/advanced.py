@@ -2806,3 +2806,137 @@ FROM {table}"""
 
 
 SHUFFLE_ADVISOR_SQL = _advisor_sql()
+
+
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout — deterministic 50/50 assignment (md5
+    of the user id, so both engines and every rerun agree on who is
+    in which arm), then per event type the Welch two-sample t
+    statistic on mean event value. The analysis is one pass: the
+    co-moment aggregate computes both arms' counts/means/variances
+    grouped by (type, arm), and the t arithmetic runs on the O(types)
+    result. At 100 TB the readout cost is the corpus scan, full stop
+    — no per-arm rescans, no driver statistics.
+
+    |t| > 1.96 flags ~95% significance under the normal
+    approximation; with a hash split and no real treatment the flags
+    should be overwhelmingly false — which is exactly the A/A-test
+    sanity a platform runs first."""
+    ev = load_table(spark, "events", sf_dir)
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast("bigint") % 2
+        == 0,
+        "a",
+    ).otherwise("b")
+    per_arm = ev.select("event_type", arm.alias("arm"), "value").groupBy(
+        "event_type", "arm"
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = per_arm.where(F.col("arm") == "a").select(
+        "event_type", F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = per_arm.where(F.col("arm") == "b").select(
+        "event_type", F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            F.round("ma", 4).alias("mean_a"),
+            F.round("mb", 4).alias("mean_b"),
+            F.round(t, 4).alias("t_stat"),
+            (F.abs(t) > 1.96).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AB_TEST_SQL = f"""
+WITH per_arm AS (
+  SELECT event_type,
+         CASE WHEN {_DUCK_HASH_PCT_EVENTS.replace("event_id", "user_id")} % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         count(*) AS n, avg(value) AS mean, var_samp(value) AS var
+  FROM events
+  GROUP BY 1, 2)
+SELECT a.event_type, a.n AS na, b.n AS nb,
+       round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+       round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+       abs((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n)) > 1.96 AS significant
+FROM per_arm a JOIN per_arm b ON a.event_type = b.event_type AND a.arm = 'a' AND b.arm = 'b'
+ORDER BY a.event_type
+"""
+
+
+def data_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate — the declarative constraint checks a table
+    carries into production (the Great-Expectations/dbt-test shape):
+    each rule is one conditional count inside a SINGLE aggregate pass
+    per table, so adding a rule never adds a scan. Emits per-rule
+    violation counts and pass/fail; a scheduler gates downstream jobs
+    on `WHERE NOT passed` being empty."""
+    orders = load_table(spark, "orders", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    o_rules = orders.agg(
+        viol(F.col("o_totalprice") <= 0).alias("orders_totalprice_positive"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("orders_status_enum"),
+        viol(F.col("o_custkey").isNull()).alias("orders_custkey_not_null"),
+        viol(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")).alias(
+            "orders_date_min"
+        ),
+    )
+    e_rules = ev.agg(
+        viol(F.col("value").isNull()).alias("events_value_not_null"),
+        viol(~F.col("event_type").isin("view", "click", "purchase", "signup", "error")).alias(
+            "events_type_enum"
+        ),
+        viol(F.col("ts").isNull()).alias("events_ts_not_null"),
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        arr = F.array(
+            *[
+                F.struct(F.lit(c).alias("rule"), F.col(c).alias("n_violations"))
+                for c in cols
+            ]
+        )
+        return df.select(F.explode(arr).alias("r")).select("r.rule", "r.n_violations")
+
+    return (
+        melt(o_rules)
+        .unionByName(melt(e_rules))
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("rule")
+    )
+
+
+DATA_CONTRACT_SQL = """
+WITH o AS (
+  SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS orders_totalprice_positive,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS orders_status_enum,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_custkey_not_null,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS orders_date_min
+  FROM orders),
+e AS (
+  SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS events_value_not_null,
+         CAST(sum(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS events_type_enum,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS events_ts_not_null
+  FROM events)
+SELECT rule, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'orders_totalprice_positive' AS rule, orders_totalprice_positive AS n_violations FROM o
+  UNION ALL SELECT 'orders_status_enum', orders_status_enum FROM o
+  UNION ALL SELECT 'orders_custkey_not_null', orders_custkey_not_null FROM o
+  UNION ALL SELECT 'orders_date_min', orders_date_min FROM o
+  UNION ALL SELECT 'events_value_not_null', events_value_not_null FROM e
+  UNION ALL SELECT 'events_type_enum', events_type_enum FROM e
+  UNION ALL SELECT 'events_ts_not_null', events_ts_not_null FROM e)
+ORDER BY rule
+"""

@@ -1164,3 +1164,58 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window run in BATCH mode — the native
+    gap-session operator cross-validated against the gaps-and-islands
+    SQL the oracle runs (and sessionize_events hand-builds with
+    lag + running sum). Agreement here proves the engine's native
+    sessionization and the manual formulation define the same
+    sessions, so the streaming path (session_windowed_agg) can use
+    the built-in with the relational semantics pinned.
+
+    One shuffle on the user key; session merging is done by the
+    operator itself (no second window pass). Output is per-session
+    start/end micros so no timestamp objects cross the comparison
+    boundary."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 30)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+SESSION_WINDOW_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
