@@ -2940,3 +2940,148 @@ FROM (
   UNION ALL SELECT 'events_ts_not_null', events_ts_not_null FROM e)
 ORDER BY rule
 """
+
+
+def mad_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection — median absolute deviation instead of
+    the mean/stddev z-score (anomaly_zscore_events), because one fat
+    outlier inflates a stddev and hides its siblings while the MAD
+    barely moves. Per event type: median, MAD, and how many events
+    exceed robust-z 3.5 (the Iglewicz-Hoaglin cut).
+
+    Two exact-median passes (type-grouped percentile aggregates) and
+    one broadcast join back — the medians table is O(types). At 100 TB
+    the approx_percentile sketch replaces the exact medians, same
+    plumbing."""
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.first("med"), 4).alias("median"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(F.when(F.abs(rz) > 3.5, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIER_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, first(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type)
+SELECT e.event_type, count(*) AS n_events,
+       round(first(m.med), 4) AS median,
+       round(first(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / m.mad) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m ON e.event_type = m.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    operational SLA readout: join each line item's ship date to its
+    order's date, then exact percentiles of the day gap per priority
+    class. One shuffle join on the order key (both sides pre-pruned
+    to two columns), one percentile aggregate on the O(priorities)
+    grouping."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    gap = F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", gap.alias("gap_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("gap_days"), 3).alias("mean_days"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 1).alias("p50_days"),
+            F.round(F.percentile("gap_days", F.lit(0.95)), 1).alias("p95_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(avg(gap_days), 3) AS mean_days,
+       round(quantile_cont(gap_days, 0.5), 1) AS p50_days,
+       round(quantile_cont(gap_days, 0.95), 1) AS p95_days,
+       max(gap_days) AS max_days
+FROM (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS gap_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog timeline — how many orders are open (placed but not yet
+    fully shipped) each month: the interval-stabbing problem solved
+    the scalable way, as +1/-1 boundary events and a running sum.
+    Each order contributes +1 at its order month and -1 after its
+    LAST ship month; the monthly net then cumulates. No per-day
+    explosion of order lifetimes — the running sum is over the
+    O(months) pre-aggregate (global window on a metadata-sized
+    table)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    opens = spans.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"), F.lit(1).alias("delta"))
+    closes = spans.select(
+        F.date_format(F.add_months(F.date_trunc("month", "last_ship"), 1), "yyyy-MM").alias("month"),
+        F.lit(-1).alias("delta"),
+    )
+    monthly = opens.unionByName(closes).groupBy("month").agg(
+        F.sum("delta").cast("bigint").alias("net_change")
+    )
+    return (
+        monthly.withColumn(
+            "open_orders",
+            F.sum("net_change")
+            .over(W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint"),
+        )
+        .orderBy("month")
+    )
+
+
+OPEN_ORDERS_SQL = """
+WITH spans AS (
+  SELECT o_orderkey, o_orderdate, max(l_shipdate) AS last_ship
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate),
+deltas AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, 1 AS delta FROM spans
+  UNION ALL
+  SELECT strftime(date_trunc('month', last_ship) + INTERVAL 1 MONTH, '%Y-%m'), -1 FROM spans),
+monthly AS (
+  SELECT month, CAST(sum(delta) AS BIGINT) AS net_change FROM deltas GROUP BY month)
+SELECT month, net_change,
+       CAST(sum(net_change) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM monthly
+ORDER BY month
+"""

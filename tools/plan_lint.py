@@ -36,6 +36,7 @@ ALLOW_GLOBAL_WINDOW = {
     "rfm_segments",          # ntile over the pre-aggregated customer dim (docstring notes scale)
     "revenue_growth_mom",    # lag over O(months) pre-aggregate
     "ann_recall_curve",      # centroid ranking over the O(k)=8 cell table
+    "open_orders_timeline",  # running sum over the O(months) pre-aggregate
 }
 
 
