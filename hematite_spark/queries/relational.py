@@ -1019,9 +1019,14 @@ def timeseries_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once. Edge days (incomplete MA window) are dropped from
     the report, as in the textbook method."""
     ev = load_table(spark, "events", sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+        # the daily series feeds BOTH the trend window and the dow
+        # profile — materialize the O(types × days) table once so the
+        # raw log is scanned once, not per consumer
+        .localCheckpoint()
+    )
     w_ma = (
         W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     )

@@ -315,3 +315,49 @@ def test_pit_join_single_user_shuffle(spark):
     plan = plan_of(spark, "feature_store_pit_join")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "watermark_lateness_audit",
+        "reconciliation_report",
+        "timeseries_decompose_daily",
+        "feature_drift_psi",
+        "funnel_time_to_convert",
+        "customer_order_cadence",
+        "lsh_parameter_sweep",
+        "shuffle_partition_advisor",
+        "ann_recall_curve",
+        "session_window_native",
+        "ab_test_analysis",
+        "data_contract_validation",
+        "mad_outlier_detection",
+        "fulfillment_latency",
+        "open_orders_timeline",
+        "sql_recursive_hierarchy",
+        "variant_json_extract",
+    ],
+)
+def test_session3_late_ops_no_cartesian(spark, name):
+    # every join in these is keyed (event id, order key, band key,
+    # day grid, type+arm) or a one-row broadcast — a CartesianProduct
+    # means a key or broadcast hint was dropped
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_contract_gate_single_pass_per_table(spark):
+    # all rules for a table fold into ONE aggregate: exactly two scan
+    # nodes (orders + events) in the whole plan — count the per-node
+    # detail blocks, not tree mentions
+    plan = plan_of(spark, "data_contract_validation")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_decomposition_runs_on_preaggregate(spark):
+    # the daily pre-aggregate is checkpointed, so the raw log never
+    # appears in the decomposition plan — both consumers read the
+    # materialized O(types x days) table
+    plan = plan_of(spark, "timeseries_decompose_daily")
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "ExistingRDD" in plan
