@@ -3085,3 +3085,140 @@ SELECT month, net_change,
 FROM monthly
 ORDER BY month
 """
+
+
+def repeat_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-customer share per month — the retention trend line: for
+    each order month, the fraction of orders placed by customers with
+    at least one earlier order. One customer-partitioned row_number
+    marks first orders; the monthly aggregate is O(months). The
+    metric every growth dashboard pairs with revenue_growth_mom."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.row_number().over(w) > 1).alias("is_repeat"),
+    )
+    return (
+        flagged.groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("is_repeat"), 1).otherwise(0)).cast("bigint").alias("n_repeat"),
+            F.round(F.avg(F.when(F.col("is_repeat"), 1.0).otherwise(0.0)), 4).alias("repeat_share"),
+        )
+        .orderBy("month")
+    )
+
+
+REPEAT_SHARE_SQL = """
+WITH flagged AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) > 1 AS is_repeat
+  FROM orders)
+SELECT month, count(*) AS n_orders,
+       CAST(sum(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       round(avg(CASE WHEN is_repeat THEN 1.0 ELSE 0.0 END), 4) AS repeat_share
+FROM flagged
+GROUP BY month
+ORDER BY month
+"""
+
+
+def supplier_share_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per nation — the Herfindahl–Hirschman
+    index over supplier revenue shares: HHI = Σ share², 1/n for a
+    perfectly even base, 1.0 for a single-supplier monopoly. The
+    procurement-risk metric: a nation above ~0.25 has a concentration
+    problem. Two hash aggregates (supplier revenue, then the share
+    fold per nation) + a broadcast nation join — the share math never
+    touches the fact table again."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    tot = W.partitionBy("n_name")
+    shares = rev.select("n_name", (F.col("rev") / F.sum("rev").over(tot)).alias("share"))
+    return (
+        shares.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey),
+shares AS (
+  SELECT n_name, rev / sum(rev) OVER (PARTITION BY n_name) AS share FROM rev)
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(share * share), 6) AS hhi,
+       round(max(share), 6) AS top_share
+FROM shares
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def spend_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend inequality per market segment — the Gini coefficient of
+    per-customer order totals via the rank formulation
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend-sorted customers. The
+    'whale concentration' diagnostic: how much of a segment's revenue
+    sits in its top customers. Ranks come from a window PARTITIONED
+    by segment over the pre-aggregated customer dim — O(customers)
+    rows, never the fact table."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("spend", "o_custkey")
+    ranked = spend.select(
+        "c_mktsegment", "spend", F.row_number().over(w).cast("double").alias("i")
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("spend")) / (F.count("*") * F.sum("spend"))
+                - (F.count("*") + 1) / F.count("*"),
+                4,
+            ).alias("gini"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend, o_custkey) AS DOUBLE) AS i
+  FROM spend)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(2.0 * sum(i * spend) / (count(*) * sum(spend)) - (count(*) + 1.0) / count(*), 4) AS gini,
+       round(sum(spend), 2) AS total_spend
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
