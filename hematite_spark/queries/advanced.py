@@ -3222,3 +3222,155 @@ FROM ranked
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    event_transition_matrix's P(next|current) settles if user behavior
+    runs forever: three unrolled power steps π ← πP from the uniform
+    start. Each step is a join of the O(types) π row-set against the
+    O(types²) edge list + one aggregate — the same lazy unrolled-
+    fixpoint pattern as the PCA/GD chains, but over a broadcast-sized
+    transition table, so the whole computation is metadata-scale after
+    the single corpus pass that builds the edges."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = steps.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    edges = counts.withColumn(
+        "p", F.col("n") / F.sum("n").over(W.partitionBy("cur"))
+    ).select("cur", "nxt", "p").localCheckpoint()
+    pi = edges.select(F.col("cur").alias("state")).distinct().withColumn(
+        "pi", F.lit(1.0) / F.count("*").over(W.partitionBy())
+    )
+    for _ in range(3):
+        pi = (
+            edges.join(pi, edges.cur == pi.state)
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("pi")).alias("pi"))
+        )
+    return pi.select("state", F.round("pi", 6).alias("pi")).orderBy("state")
+
+
+MARKOV_STATIONARY_SQL = """
+WITH steps AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+counts AS (
+  SELECT cur, nxt, count(*) AS n FROM steps WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+edges AS (
+  SELECT cur, nxt, n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p FROM counts),
+p0 AS (
+  SELECT cur AS state, 1.0 / (SELECT count(DISTINCT cur) FROM edges) AS pi
+  FROM (SELECT DISTINCT cur FROM edges)),
+p1 AS (SELECT e.nxt AS state, sum(e.p * p.pi) AS pi FROM edges e JOIN p0 p ON e.cur = p.state GROUP BY e.nxt),
+p2 AS (SELECT e.nxt AS state, sum(e.p * p.pi) AS pi FROM edges e JOIN p1 p ON e.cur = p.state GROUP BY e.nxt),
+p3 AS (SELECT e.nxt AS state, sum(e.p * p.pi) AS pi FROM edges e JOIN p2 p ON e.cur = p.state GROUP BY e.nxt)
+SELECT state, round(pi, 6) AS pi FROM p3 ORDER BY state
+"""
+
+
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity segmentation — Shannon entropy of each
+    user's event-type mix (0 bits = single-type bot-like, ~2.3 bits =
+    uniform across 5 types), bucketed into quarter-bit bands. The
+    cheap engagement-diversity feature: two hash aggregates on the
+    user key, entropy math on the O(users × types) middle table, and
+    the report is O(bands)."""
+    ev = load_table(spark, "events", sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = per.withColumn("share", F.col("n") / F.sum("n").over(W.partitionBy("user_id")))
+    ent = tot.groupBy("user_id").agg(
+        (-F.sum(F.col("share") * F.log2("share"))).alias("entropy"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    band = (F.floor(F.col("entropy") / 0.25) * 0.25).alias("entropy_band")
+    return (
+        ent.groupBy(F.round(band, 2).alias("entropy_band"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("n_events"), 2).alias("avg_events"),
+        )
+        .orderBy("entropy_band")
+    )
+
+
+USER_ENTROPY_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type),
+shares AS (
+  SELECT user_id, n, n / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS share FROM per),
+ent AS (
+  SELECT user_id, -sum(share * log2(share)) AS entropy, CAST(sum(n) AS BIGINT) AS n_events
+  FROM shares GROUP BY user_id)
+SELECT round(floor(entropy / 0.25) * 0.25, 2) AS entropy_band,
+       count(*) AS n_users,
+       round(avg(n_events), 2) AS avg_events
+FROM ent
+GROUP BY 1
+ORDER BY entropy_band
+"""
+
+
+def revenue_pareto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration bands per market segment — the share of
+    segment revenue held by the top 10% / 25% / 50% of customers,
+    the interpretable companion to spend_gini_by_segment's single
+    coefficient. Ranking and cumulative shares run on the
+    pre-aggregated customer dim (segment-partitioned windows); each
+    band is a conditional sum in ONE aggregate, so adding bands never
+    adds passes."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("spend").desc(), "o_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        "spend",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("c_mktsegment")).alias("n"),
+    )
+    share_at = lambda q: F.round(
+        F.sum(F.when(F.col("rk") <= F.ceil(F.col("n") * q), F.col("spend")).otherwise(0.0))
+        / F.sum("spend"),
+        4,
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            share_at(0.10).alias("top10_share"),
+            share_at(0.25).alias("top25_share"),
+            share_at(0.50).alias("top50_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PARETO_BANDS_SQL = """
+WITH spend AS (
+  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM spend)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(CASE WHEN rk <= ceil(n * 0.10) THEN spend ELSE 0.0 END) / sum(spend), 4) AS top10_share,
+       round(sum(CASE WHEN rk <= ceil(n * 0.25) THEN spend ELSE 0.0 END) / sum(spend), 4) AS top25_share,
+       round(sum(CASE WHEN rk <= ceil(n * 0.50) THEN spend ELSE 0.0 END) / sum(spend), 4) AS top50_share
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -1224,3 +1224,37 @@ FROM sessions
 GROUP BY user_id, sid
 ORDER BY user_id, session_start_us
 """
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (|>) — the linear query form where
+    each stage reads top-to-bottom instead of inside-out: scan |>
+    filter |> aggregate |> order. Same Catalyst plan as the nested
+    form (the syntax is sugar over the same logical operators); this
+    entry pins that the pipe surface produces the identical result as
+    the oracle's classic SQL, completing the engine's third query
+    authoring surface after the DataFrame API and standard SQL."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("events_pipe_v")
+    return spark.sql(
+        """
+        FROM events_pipe_v
+        |> WHERE value > 50
+        |> AGGREGATE count(*) AS n_events, round(sum(value), 2) AS total_value,
+                     round(avg(value), 4) AS mean_value
+           GROUP BY event_type
+        |> WHERE n_events > 10
+        |> ORDER BY event_type
+        """
+    )
+
+
+SQL_PIPE_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value,
+       round(avg(value), 4) AS mean_value
+FROM events
+WHERE value > 50
+GROUP BY event_type
+HAVING count(*) > 10
+ORDER BY event_type
+"""
