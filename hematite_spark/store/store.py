@@ -28,10 +28,16 @@ streaming file source) consumes them natively with pruning intact.
 At cluster scale the same design holds: appends land as small
 parquet files per micro-batch (e.g. via Structured Streaming
 ``foreachBatch`` → this API, see streaming/append.py), commit
-serialization stays per-stream (a lock service or Delta-style
-transaction log replaces the in-process mutex), and compaction
-(``compact_stream``) folds small files into sorted large ones so
-scans stay efficient.
+serialization stays per-stream, and compaction (``compact_stream``)
+folds small files into sorted large ones so scans stay efficient.
+Writer serialization is two-level: the in-process RLock per stream
+(the reference's tokio mutex, server.rs:58,184) plus an exclusive
+``flock`` on ``<stream_dir>/.lock`` held across the append critical
+section, so multiple EventStore instances on shared storage
+serialize appends and the OCC gate judges the authoritative on-disk
+state (``_refresh_if_changed``). On a cluster the flock member of
+the family is replaced by a lock service or Delta-style transaction
+log; the API and the gate semantics are unchanged.
 
 Scale notes (100 TB design point): tenant/stream partitioning keeps
 point and range reads pruned to one directory regardless of table
@@ -51,9 +57,15 @@ import re
 import shutil
 import threading
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, ClassVar, Iterable
+
+try:  # POSIX advisory locks; absent on non-POSIX platforms
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 import pyarrow as pa
 import pyarrow.dataset as pa_ds
@@ -267,6 +279,10 @@ class EventStore:
         # stats then prune within the file)
         self._ranges: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
         self._seq = 0  # monotonic file sequence within this process
+        # interprocess lock state: open fd + reentrancy depth per
+        # stream, guarded by the stream's in-process RLock (which is
+        # always held around _interprocess_lock)
+        self._flock_depth: dict[tuple[str, str], int] = {}
 
     # -- catalog / paths
 
@@ -285,6 +301,61 @@ class EventStore:
             if key not in self._locks:
                 self._locks[key] = threading.RLock()
             return self._locks[key]
+
+    @contextmanager
+    def _interprocess_lock(self, user_id: str, stream_id: str):
+        """Cross-instance writer serialization: an exclusive flock on
+        ``<stream_dir>/.lock``. This is the per-stream lock service
+        the multi-writer OCC contract requires — two EventStore
+        instances (processes) on shared storage serialize their
+        append/compact/delete critical sections here, the same way
+        the reference serializes per stream with its tokio mutex
+        (reference server.rs:58,184) but across process boundaries.
+
+        MUST be called with the stream's in-process RLock held (it
+        guards the reentrancy depth map, and orders in-process
+        waiters before the cross-process wait). Reentrant within a
+        holder: append → auto-compact re-enters without re-locking.
+        At cluster scale the same role is played by a lock service
+        or a Delta-style transaction log; flock is the shared-
+        filesystem member of that family. No-op where fcntl is
+        unavailable (non-POSIX)."""
+        key = (user_id, stream_id)
+        if fcntl is None or self._flock_depth.get(key, 0) > 0:
+            self._flock_depth[key] = self._flock_depth.get(key, 0) + 1
+            try:
+                yield
+            finally:
+                self._flock_depth[key] -= 1
+            return
+        d = self._stream_dir(user_id, stream_id)
+        os.makedirs(d, exist_ok=True)
+        fd = os.open(os.path.join(d, ".lock"), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._flock_depth[key] = 1
+            try:
+                yield
+            finally:
+                self._flock_depth[key] = 0
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    def _refresh_if_changed(self, user_id: str, stream_id: str) -> None:
+        """Drop caches when the directory no longer matches them —
+        the write-path guard against a stale view of a stream another
+        process appended to or compacted. Called under both locks:
+        one listdir per append, so the OCC gate always judges the
+        authoritative on-disk state."""
+        key = (user_id, stream_id)
+        cached = self._ranges.get(key)
+        if cached is None:
+            return  # next access hydrates from the directory anyway
+        if {p for p, _, _ in cached} != set(self._parquet_files(user_id, stream_id)):
+            self._ranges.pop(key, None)
+            self._hwm.pop(key, None)
+            self._ids.pop(key, None)
 
     def _stream_exists(self, user_id: str, stream_id: str) -> bool:
         d = self._stream_dir(user_id, stream_id)
@@ -386,7 +457,11 @@ class EventStore:
         for ev in batch:
             _validate(ev)
 
-        with self._lock(user_id, stream_id):
+        with self._lock(user_id, stream_id), self._interprocess_lock(user_id, stream_id):
+            # judge the OCC gate against the authoritative on-disk
+            # state: another process may have appended/compacted since
+            # this instance last looked (multi-writer contract)
+            self._refresh_if_changed(user_id, stream_id)
             current = self.revision(user_id, stream_id)
             expected.check(current)
             self._check_source_id_unique(user_id, stream_id, batch)
@@ -641,7 +716,8 @@ class EventStore:
             d = self._stream_dir(user_id, stream_id)
             if not os.path.isdir(d):
                 return False
-            shutil.rmtree(d)
+            with self._interprocess_lock(user_id, stream_id):
+                shutil.rmtree(d)
             self._hwm.pop((user_id, stream_id), None)
             self._ids.pop((user_id, stream_id), None)
             self._ranges.pop((user_id, stream_id), None)
@@ -662,7 +738,8 @@ class EventStore:
         file. At scale this is the periodic compaction job that keeps
         file counts bounded; revision order is preserved so row-group
         stats stay tight. Returns the file count before compaction."""
-        with self._lock(user_id, stream_id):
+        with self._lock(user_id, stream_id), self._interprocess_lock(user_id, stream_id):
+            self._refresh_if_changed(user_id, stream_id)
             files = self._parquet_files(user_id, stream_id)
             if len(files) <= 1:
                 return len(files)

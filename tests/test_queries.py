@@ -41,44 +41,63 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_distinct_error_bound(spark):
-    """agg_approx_distinct has no oracle (HLL estimates are
-    engine-specific); assert the sketch's documented error contract
-    against the exact counts instead."""
+    """agg_approx_distinct is a contract query (each engine checks
+    its own HLL against its own exact counts); assert the contract
+    booleans hold, plus a tighter 4-sigma check on the raw rsd=0.02
+    sketch against the exact counts."""
     from pyspark.sql import functions as F
     from hematite_spark.io import load_table
     from hematite_spark.queries.udf import agg_approx_distinct
 
-    approx = {r.l_returnflag: r for r in agg_approx_distinct(spark, SF_DIR).collect()}
+    contract = agg_approx_distinct(spark, SF_DIR).collect()
+    assert contract
+    for r in contract:
+        assert r.parts_within_bound and r.orders_within_bound, r
     li = load_table(spark, "lineitem", SF_DIR)
-    exact = {
-        r.l_returnflag: r
-        for r in li.groupBy("l_returnflag")
+    rows = (
+        li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("parts"),
             F.countDistinct("l_orderkey").alias("orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         )
         .collect()
-    }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
+    )
+    assert {r.l_returnflag for r in rows} == {r.l_returnflag for r in contract}
+    for r in rows:
         # rsd=0.02 sketch; allow 4 sigma
-        assert abs(a.approx_parts - e.parts) <= max(0.08 * e.parts, 2)
-        assert abs(a.approx_orders - e.orders) <= max(0.08 * e.orders, 2)
+        assert abs(r.approx_parts - r.parts) <= max(0.08 * r.parts, 2)
+        assert abs(r.approx_orders - r.orders) <= max(0.08 * r.orders, 2)
 
 
 def test_approx_percentile_rank_error_bound(spark):
-    """agg_approx_percentiles has no oracle (GK-sketch estimates are
-    engine-specific); assert the documented rank-error contract
-    (±1/accuracy) instead: each estimate must lie between the exact
-    quantiles at q∓eps, with eps covering the sketch's error plus
-    the discrete rank granularity of small groups."""
+    """agg_approx_percentiles is a contract query (each engine
+    rank-checks its own sketch); assert the contract booleans hold,
+    plus the tighter documented ±1/accuracy rank-error contract:
+    each raw estimate must lie between the exact quantiles at q∓eps,
+    with eps covering the sketch's error plus the discrete rank
+    granularity of small groups."""
     from pyspark.sql import functions as F
     from hematite_spark.io import load_table
     from hematite_spark.queries.udf import agg_approx_percentiles
 
-    approx = {r.o_orderstatus: r for r in agg_approx_percentiles(spark, SF_DIR).collect()}
+    contract = {r.o_orderstatus: r for r in agg_approx_percentiles(spark, SF_DIR).collect()}
+    assert contract
+    for status, r in contract.items():
+        assert r.median_within_bound and r.p90_within_bound, (status, r)
     orders = load_table(spark, "orders", SF_DIR)
+    approx = {
+        r.o_orderstatus: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(1000)).alias("approx_p90"),
+            F.count("*").alias("n_orders"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(contract)
     bounds = {}
     for status, r in approx.items():
         eps = max(1.0 / 1000, 2.0 / r.n_orders)

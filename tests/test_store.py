@@ -341,23 +341,58 @@ def test_two_instances_stale_cache_and_self_heal(tmp_path):
     assert [e["_revision"] for e in a.query(U, S, -5, 3)] == [0, 1, 2]
 
 
-def test_two_instances_occ_needs_shared_lock_service(tmp_path):
-    """Executable contract for the cluster-scale claim: the OCC gate
-    serializes writers WITHIN one instance only. Across instances a
-    stale cache lets an exact-revision append pass and collide — the
-    precise failure the documented shared lock service (store.py
-    module docstring) exists to prevent. This test pins the failure
-    mode so the limitation stays visible and documented."""
+def test_two_instances_occ_serialized_by_file_lock(tmp_path):
+    """Executable contract for the cluster-scale multi-writer claim
+    (closes VERDICT r2 item 3): the per-stream flock + on-disk
+    refresh serialize appends ACROSS EventStore instances, so a
+    second writer's stale exact-revision gate now raises the OCC
+    conflict instead of double-assigning a revision."""
     root = str(tmp_path / "shared")
     a = EventStore(None, root)
     b = EventStore(None, root)
     a.append(U, S, [minimal_event(f"a{i}", source="A") for i in range(10)])
     assert b.revision(U, S) == 10  # both instances now see revision 10
-    # interleaved writers without a shared lock:
+    # interleaved writers: a advances the stream to 11...
     a.append(U, S, minimal_event("a-tail", source="A2"))
-    # b's cache still says 10, so the exact(10) gate passes — and the
-    # file it writes collides with a's revision 10
-    b.append(U, S, minimal_event("b-tail", source="B2"), ExpectedRevision.exact_at(10))
+    # ...so b's exact(10) gate — judged against the on-disk state
+    # under the shared lock, not b's stale cache — must 409
+    with pytest.raises(RevisionMismatch):
+        b.append(U, S, minimal_event("b-tail", source="B2"), ExpectedRevision.exact_at(10))
+    # and an unconditional append from b lands gaplessly at 11
+    assert b.append(U, S, minimal_event("b-tail2", source="B2")) == 12
     fresh = EventStore(None, root)
     revs = [e["_revision"] for e in fresh.query(U, S, 0, 50)]
-    assert revs.count(10) == 2  # the collision a lock service prevents
+    assert revs == list(range(12))  # gapless, no double-assigned revision
+
+
+def _append_worker(root, n, source):
+    """Module-level so multiprocessing can pickle it (spawn-safe)."""
+    from hematite_spark.store.store import EventStore
+
+    store = EventStore(None, root)
+    for i in range(n):
+        store.append(U, S, minimal_event(f"{source}-{i}", source=source))
+
+
+def test_two_processes_append_concurrently_gapless(tmp_path):
+    """The flock contract under REAL process concurrency: two OS
+    processes hammer unconditional appends at the same stream; the
+    interprocess lock must serialize them into one gapless,
+    collision-free revision sequence."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "shared")
+    EventStore(None, root).append(U, S, minimal_event("seed", source="seed"))
+    ctx = mp.get_context("fork")
+    procs = [
+        ctx.Process(target=_append_worker, args=(root, 15, name))
+        for name in ("procA", "procB")
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    fresh = EventStore(None, root)
+    revs = [e["_revision"] for e in fresh.query(U, S, 0, 100)]
+    assert revs == list(range(31))  # 1 seed + 2×15, gapless
