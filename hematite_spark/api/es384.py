@@ -224,6 +224,16 @@ def mint_token(
     return f"{h}.{p}.{sig}"
 
 
+def _default_jwks_fetcher(uri: str) -> dict[str, Any]:
+    """HTTPS JWKS fetch (stdlib urllib; the injectable default). The
+    reference does the same GET against the provider's jwks_uri
+    (openid.rs:49-74); tests inject an in-memory fetcher instead."""
+    import urllib.request
+
+    with urllib.request.urlopen(uri, timeout=10) as resp:  # noqa: S310
+        return json.loads(resp.read())
+
+
 class ES384Verifier:
     """Verifying callable for the API server's ``verifier=`` hook:
     checks the ES384 signature against a JWKS key set, then the
@@ -231,35 +241,103 @@ class ES384Verifier:
     the reference's middleware (openid.rs:78-105: JWKS-cached verify
     + issuer and audience checks; api.rs:153-231).
 
-    ``jwks`` is the JWKS document (``{"keys": [...]}``) or a bare key
-    list; discovery-over-HTTP (openid.rs:49-74) is a deployment
-    concern — fetch the document however fits and hand it here.
+    Key material comes from either a static ``jwks`` document
+    (``{"keys": [...]}`` or a bare key list) or JWKS *discovery*
+    (reference openid.rs:49-74: fetch the key set from the provider's
+    ``jwks_uri`` and cache it): pass ``jwks_uri`` plus an injectable
+    ``fetcher(uri) -> jwks-document`` (defaults to an HTTPS fetch via
+    urllib). The fetched set is cached for ``jwks_ttl`` seconds, and
+    an *unknown kid* triggers an early refetch — the key-rotation
+    path: a provider signing with a freshly rotated key becomes
+    verifiable at the next request instead of after TTL expiry.
+    Unknown-kid refetches are rate-limited by ``refresh_cooldown`` so
+    garbage kids can't turn into an IdP hammering vector; without a
+    fetcher an unknown kid is a plain 401.
     """
 
     def __init__(
         self,
-        jwks: dict[str, Any] | list[dict[str, Any]],
+        jwks: dict[str, Any] | list[dict[str, Any]] | None = None,
         issuer: str | None = None,
         audience: str | None = None,
         clock: Callable[[], float] = time.time,
         leeway: float = 30.0,
+        jwks_uri: str | None = None,
+        fetcher: Callable[[str], dict[str, Any]] | None = None,
+        jwks_ttl: float = 300.0,
+        refresh_cooldown: float = 30.0,
     ):
-        keys = jwks.get("keys", []) if isinstance(jwks, dict) else jwks
-        self._keys: dict[str | None, tuple[int, int]] = {}
-        for jwk in keys:
-            self._keys[jwk.get("kid")] = _public_from_jwk(jwk)
-        if not self._keys:
-            raise ValueError("empty JWKS")
+        if jwks is None and jwks_uri is None:
+            raise ValueError("one of jwks / jwks_uri is required")
+        self.jwks_uri = jwks_uri
+        self._fetcher = fetcher or (_default_jwks_fetcher if jwks_uri else None)
+        self.jwks_ttl = jwks_ttl
+        self.refresh_cooldown = refresh_cooldown
         self.issuer = issuer
         self.audience = audience
         self.clock = clock
         self.leeway = leeway
+        self._keys: dict[str | None, tuple[int, int]] = {}
+        self._fetched_at: float | None = None
+        if jwks is not None:
+            self._load_keys(jwks)
+        else:
+            self._refresh()
         # verified-token cache: (sub, exp). Bearer clients resend the
         # same token until it expires, so amortizing the ~4 ms curve
         # math keeps authenticated request latency inside the
         # reference's 50 ms p95 SLO; entries honor exp on every hit.
         self._cache: dict[str, tuple[str, float | None]] = {}
         self._cache_max = 1024
+
+    def _load_keys(self, jwks: dict[str, Any] | list[dict[str, Any]]) -> None:
+        keys = jwks.get("keys", []) if isinstance(jwks, dict) else jwks
+        parsed: dict[str | None, tuple[int, int]] = {}
+        for jwk in keys:
+            parsed[jwk.get("kid")] = _public_from_jwk(jwk)
+        if not parsed:
+            raise ValueError("empty JWKS")
+        self._keys = parsed
+
+    def _refresh(self) -> None:
+        """Fetch the JWKS from jwks_uri and swap the key set. A failed
+        or empty fetch keeps the previous keys (a flapping IdP must
+        not take auth down with it) unless there are none yet."""
+        doc = self._fetcher(self.jwks_uri)  # type: ignore[misc]
+        try:
+            self._load_keys(doc)
+        except ValueError:
+            if not self._keys:
+                raise
+        self._fetched_at = self.clock()
+
+    def _lookup_key(self, kid: str | None):
+        """kid → public point, with the discovery lifecycle around it:
+        TTL-expired cache refetches first; an unknown kid forces an
+        early refetch (key rotation), rate-limited by the cooldown."""
+        if self._fetcher is not None and self._fetched_at is not None:
+            if self.clock() - self._fetched_at > self.jwks_ttl:
+                try:
+                    self._refresh()
+                except Exception:  # noqa: BLE001 — keep serving cached keys
+                    self._fetched_at = self.clock()  # back off one TTL
+        # a kid-less token may use a single-key set; a token whose kid
+        # is NOT in the set is an unknown kid (the rotation signal) —
+        # falling back to an unrelated key would mask rotations
+        def pick(k):
+            return self._keys.get(k) or (
+                k is None and len(self._keys) == 1 and next(iter(self._keys.values()))
+            )
+
+        pub = pick(kid)
+        if not pub and self._fetcher is not None and self._fetched_at is not None:
+            if self.clock() - self._fetched_at >= self.refresh_cooldown:
+                try:
+                    self._refresh()
+                except Exception:  # noqa: BLE001
+                    self._fetched_at = self.clock()
+                pub = pick(kid)
+        return pub
 
     def __call__(self, token: str) -> str:
         from hematite_spark.api.server import AuthError
@@ -288,7 +366,7 @@ class ES384Verifier:
         if len(sig) != 96:
             raise AuthError("malformed ES384 signature")
         kid = header.get("kid")
-        pub = self._keys.get(kid) or (len(self._keys) == 1 and next(iter(self._keys.values())))
+        pub = self._lookup_key(kid)
         if not pub:
             raise AuthError(f"unknown key id {kid!r}")
         r = int.from_bytes(sig[:48], "big")

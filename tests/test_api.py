@@ -278,6 +278,84 @@ def test_es384_signed_auth_end_to_end(tmp_path):
         server.shutdown()
 
 
+def test_jwks_discovery_refresh_on_rotation(tmp_path):
+    """JWKS discovery parity (reference openid.rs:49-74, VERDICT r2
+    item 5): the verifier fetches keys from jwks_uri via an injected
+    fetcher; after the provider rotates to a new kid, a token signed
+    by the rotated key triggers an unknown-kid refetch and verifies;
+    within the refresh cooldown an unknown kid is a 401 WITHOUT a
+    refetch; TTL expiry refreshes on the normal path."""
+    import time as _time
+
+    from hematite_spark.api.es384 import (
+        ES384Verifier,
+        generate_keypair,
+        jwk_from_public,
+        mint_token,
+    )
+    from hematite_spark.api.server import AuthError
+
+    priv1, pub1 = generate_keypair()
+    priv2, pub2 = generate_keypair()
+    provider = {"keys": [jwk_from_public(pub1, kid="k1")]}
+    fetches = []
+
+    def fetcher(uri):
+        fetches.append(uri)
+        return provider
+
+    now = [1000.0]
+    verifier = ES384Verifier(
+        jwks_uri="https://auth.example/jwks.json",
+        fetcher=fetcher,
+        issuer=None,
+        audience=None,
+        clock=lambda: now[0],
+        jwks_ttl=300.0,
+        refresh_cooldown=30.0,
+    )
+    assert fetches == ["https://auth.example/jwks.json"]  # boot fetch
+    claims = {"sub": "alice", "exp": now[0] + 3600}
+    assert verifier(mint_token(priv1, claims, kid="k1")) == "alice"
+
+    # provider rotates: k2 signs, k1 retired. Within the cooldown an
+    # unknown kid must NOT refetch → 401
+    rotated = mint_token(priv2, {**claims, "sub": "bob"}, kid="k2")
+    n_fetches = len(fetches)
+    with pytest.raises(AuthError, match="unknown key id"):
+        verifier(rotated)
+    assert len(fetches) == n_fetches  # no refetch inside the cooldown
+
+    # past the cooldown the unknown kid forces an early refetch and
+    # the rotated-key token verifies
+    provider = {"keys": [jwk_from_public(pub2, kid="k2")]}
+    now[0] += 31.0
+    assert verifier(rotated) == "bob"
+    assert len(fetches) == n_fetches + 1
+
+    # a k1 token now fails (key withdrawn), still without hammering:
+    # the refetch just happened, cooldown applies again
+    stale = mint_token(priv1, {**claims, "sub": "carol"}, kid="k1")
+    with pytest.raises(AuthError, match="unknown key id"):
+        verifier(stale)
+    assert len(fetches) == n_fetches + 1
+
+    # TTL expiry refreshes on the normal lookup path (fresh token —
+    # a cached token short-circuits before key lookup by design)
+    now[0] += 301.0
+    assert verifier(mint_token(priv2, {**claims, "sub": "erin"}, kid="k2")) == "erin"
+    assert len(fetches) == n_fetches + 2
+
+    # a failed fetch keeps serving the cached keys (IdP flap ≠ outage)
+    def broken(uri):
+        fetches.append(uri)
+        raise OSError("connection refused")
+
+    verifier._fetcher = broken
+    now[0] += 301.0
+    assert verifier(mint_token(priv2, {**claims, "sub": "dave"}, kid="k2")) == "dave"
+
+
 def test_pagination_validation_and_clamps(api):
     _req(api, "POST", "/streams/s/events", [EV(i) for i in range(3)])
     assert _req(api, "GET", "/streams/s/events?page[offset]=abc")[0] == 400

@@ -302,8 +302,9 @@ def test_decaying_rate_counts(spark, tmp_path):
 
 def test_stream_append_honors_auto_compaction(spark, tmp_path):
     """A store with auto_compact_files=N must keep per-stream file
-    counts bounded under streaming ingestion (the executor path defers
-    compaction to the driver after each batch)."""
+    counts bounded under streaming ingestion (compaction runs in the
+    grouped-map worker right after its append — never a
+    driver-serialized post-batch loop)."""
     from hematite_spark.store import EventStore
 
     store = EventStore(spark, str(tmp_path / "store_ac"), auto_compact_files=2)
