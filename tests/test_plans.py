@@ -361,3 +361,81 @@ def test_decomposition_runs_on_preaggregate(spark):
     plan = plan_of(spark, "timeseries_decompose_daily")
     assert plan.count("Location: InMemoryFileIndex") == 0
     assert "ExistingRDD" in plan
+
+
+# --- plan_lint rule self-tests (tools/plan_lint.py) -----------------
+# The linter gates all 192 catalog entries per round; these pin that
+# its two newest rules actually fire on bad plans (not vacuously
+# green) and stay quiet on the good twins.
+
+_LINT_BAD_UNPUSHED = """== Physical Plan ==
+* Project (4)
++- * Filter (3)
+   +- * ColumnarToRow (2)
+      +- Scan parquet  (1)
+
+
+(1) Scan parquet 
+Output [2]: [l_orderkey#0L, l_quantity#4]
+Batched: true
+PushedFilters: []
+ReadSchema: struct<l_orderkey:bigint,l_quantity:double>
+
+(2) ColumnarToRow [codegen id : 1]
+Input [2]: [l_orderkey#0L, l_quantity#4]
+
+(3) Filter [codegen id : 1]
+Input [2]: [l_orderkey#0L, l_quantity#4]
+Condition : (isnotnull(l_quantity#4) AND (l_quantity#4 > 40.0))
+
+(4) Project [codegen id : 1]
+Output [1]: [l_orderkey#0L]
+"""
+
+
+def _lint_mods():
+    import tools.plan_lint as pl
+
+    return pl
+
+
+def test_lint_unpushed_filter_fires_and_stays_quiet():
+    pl = _lint_mods()
+
+    def hit(plan):
+        return pl._unpushed_selective_scan(pl._parse_tree(plan), pl._node_details(plan))
+
+    assert hit(_LINT_BAD_UNPUSHED)
+    # col-col comparison is not pushable: no finding
+    assert not hit(_LINT_BAD_UNPUSHED.replace("(l_quantity#4 > 40.0)", "(l_quantity#4 > l_orderkey#0L)"))
+    # function-wrapped predicate is not pushable: no finding
+    assert not hit(_LINT_BAD_UNPUSHED.replace("(l_quantity#4 > 40.0)", "(size(toks#4) > 5)"))
+    # scan that pushed something: no finding
+    assert not hit(_LINT_BAD_UNPUSHED.replace("PushedFilters: []", "PushedFilters: [IsNotNull(l_quantity)]"))
+
+
+def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
+    import pyspark.sql.functions as F
+
+    pl = _lint_mods()
+
+    def hit(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        return pl._smj_over_global_agg(pl._parse_tree(plan), pl._node_details(plan))
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    tot = li.agg(F.max("l_orderkey").alias("l_orderkey"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert hit(li.join(tot, "l_orderkey"))
+        # the fixed form — explicit broadcast — is clean even with
+        # auto-broadcast off
+        assert not hit(li.join(F.broadcast(tot), "l_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)

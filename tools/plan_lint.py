@@ -5,7 +5,12 @@
 * single-partition Window (`windowspecdefinition()` with no
   PARTITION BY on a corpus-scale input) — the whole dataset funnels
   through one task;
-* scans reading every column into a narrow projection.
+* SortMergeJoin / ShuffledHashJoin whose build side is a global
+  (no-keys) aggregate — a guaranteed-1-row input paying a full
+  shuffle+sort instead of a broadcast;
+* a Filter with pushable-looking comparisons sitting on a parquet
+  scan that pushed NOTHING down — the scan reads every row for a
+  predicate the reader could have applied.
 
 Exit non-zero if an entry outside the documented allowlist trips.
 
@@ -16,6 +21,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -39,6 +45,114 @@ ALLOW_GLOBAL_WINDOW = {
     "open_orders_timeline",  # running sum over the O(months) pre-aggregate
 }
 
+# Joins where a global-aggregate side is deliberately NOT broadcast
+# (none expected; add with a docstring justification only).
+ALLOW_SMJ_GLOBAL_AGG: set[str] = set()
+
+# Filters Spark genuinely cannot push into the parquet reader
+# (predicates over arrays/UDF outputs); add with justification only.
+ALLOW_UNPUSHED_FILTER: set[str] = set()
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(node_id, node_name, depth) per line of the plan-tree header.
+
+    Depth is the column of the `+-`/`:-` marker; Spark indents each
+    level by 3, so `child.depth == parent.depth + 3` for direct
+    children and a subtree is the maximal run of deeper lines.
+    """
+    tree = plan.split("\n\n")[0]
+    nodes = []
+    for line in tree.splitlines():
+        m = re.search(r"\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        body = re.sub(r"^[\s:+\-]*\*?\s*", "", line)
+        name = body.rsplit("(", 1)[0].strip()
+        depth = max(line.find("+- "), line.find(":- "))
+        nodes.append((int(m.group(1)), name, depth))
+    return nodes
+
+
+def _node_details(plan: str) -> dict[int, str]:
+    """node_id -> its detail block from the formatted-explain body."""
+    details: dict[int, str] = {}
+    for m in re.finditer(r"^\((\d+)\) ([^\n]+)\n((?:(?!^\(\d+\) ).*\n?)*)", plan, re.M):
+        details[int(m.group(1))] = m.group(2) + "\n" + m.group(3)
+    return details
+
+
+def _subtree(nodes, i):
+    """Indices of the subtree rooted at nodes[i] (inclusive)."""
+    d = nodes[i][2]
+    out = [i]
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][2] <= d:
+            break
+        out.append(j)
+    return out
+
+
+def _smj_over_global_agg(nodes, details) -> bool:
+    """A sort-merge/shuffled-hash join whose input subtree contains a
+    global (Keys: []) aggregate — that side is 1 row; broadcast it."""
+    for i, (nid, name, depth) in enumerate(nodes):
+        if not name.startswith(("SortMergeJoin", "ShuffledHashJoin")):
+            continue
+        children = [j for j in _subtree(nodes, i)[1:] if nodes[j][2] == depth + 3]
+        for c in children:
+            for j in _subtree(nodes, c):
+                jname = nodes[j][1]
+                if "Aggregate" not in jname:
+                    continue
+                det = details.get(nodes[j][0], "")
+                km = re.search(r"Keys(?: \[\d+\])?\s*:?\s*\[(.*?)\]", det)
+                if km and km.group(1).strip() == "":
+                    return True
+    return False
+
+
+# bare-attribute comparison against a LITERAL — the shape the parquet
+# reader can evaluate: " l_quantity#12 > 40.0" but not
+# "size(tokens#9) > 5" (function-wrapped) or "a#1 > b#2" (col-col)
+_PUSHABLE_CMP = re.compile(r"[(\s]([a-zA-Z_]\w*#\d+L?) (?:=|>=?|<=?|<=>) [\d'\-]")
+
+# wrappers that sit between a Filter and its scan without changing rows
+_PASS_THROUGH = ("ColumnarToRow", "InputAdapter", "WholeStageCodegen")
+
+
+def _unpushed_selective_scan(nodes, details) -> bool:
+    """Filter with pushable-looking comparisons directly over a parquet
+    scan that pushed no filters at all."""
+    for i, (nid, name, depth) in enumerate(nodes):
+        if not name.startswith("Filter"):
+            continue
+        # descend through single-child pass-through wrappers to the scan
+        cur, cur_depth = i, depth
+        while True:
+            kids = [j for j in _subtree(nodes, cur)[1:] if nodes[j][2] == cur_depth + 3]
+            if len(kids) != 1:
+                cur = None
+                break
+            cur, cur_depth = kids[0], nodes[kids[0]][2]
+            if not nodes[cur][1].startswith(_PASS_THROUGH):
+                break
+        if cur is None or not nodes[cur][1].startswith("Scan parquet"):
+            continue
+        scan_det = details.get(nodes[cur][0], "")
+        pm = re.search(r"PushedFilters: \[(.*?)\]", scan_det)
+        if pm is None or pm.group(1).strip() != "":
+            continue  # pushed something (or not a v1 parquet scan)
+        cond = details.get(nid, "")
+        cm = re.search(r"Condition : (.*)", cond)
+        if not cm:
+            continue
+        scan_cols = set(re.findall(r"([a-zA-Z_]\w*#\d+L?)", scan_det))
+        for attr in _PUSHABLE_CMP.findall(cm.group(1)):
+            if attr in scan_cols:
+                return True
+    return False
+
 
 def lint(name: str, fn, spark) -> list[str]:
     df = fn(spark, SF_DIR)
@@ -60,6 +174,12 @@ def lint(name: str, fn, spark) -> list[str]:
             ):
                 problems.append("global Window (no PARTITION BY)")
                 break
+    nodes = _parse_tree(plan)
+    details = _node_details(plan)
+    if _smj_over_global_agg(nodes, details) and name not in ALLOW_SMJ_GLOBAL_AGG:
+        problems.append("SortMergeJoin over a global-aggregate side (broadcast it)")
+    if _unpushed_selective_scan(nodes, details) and name not in ALLOW_UNPUSHED_FILTER:
+        problems.append("selective Filter on a scan with no pushed filters")
     return problems
 
 
