@@ -1,0 +1,298 @@
+"""Retrieval operators (SURVEY.md §2 C — text analysis / similarity
+search composition): BM25 lexical scoring, reciprocal-rank fusion of
+lexical + vector rankings, and cluster topic labeling (c-TF-IDF).
+
+These are the read-side of an LLM data platform: the same corpus
+statistics that power quality filtering (TF/DF/doc-length) re-used
+for search, and the hybrid-retrieval pattern (BM25 ∪ ANN → RRF) that
+RAG stacks run at serving time.
+
+Scale notes (100 TB): BM25 filters the exploded token stream to the
+|q| query terms BEFORE any aggregate, so the shuffle carries
+O(matching docs × |q|) rows, never the corpus token stream; document
+length comes from `size(split(...))` — no explode at all on that
+branch. DF and avgdl are O(|q|)/O(1) broadcasts. RRF joins two
+top-k lists (k rows each). c-TF-IDF aggregates are
+O(cells × vocabulary).
+
+Reference: Cantido/hematite has no retrieval surface (verified —
+src/*.rs is an event store); this extends the north-star LLM-pipeline
+inventory alongside queries/text.py and queries/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hematite_spark.functions import DUCK_DOT as _DUCK_DOT
+from hematite_spark.functions import DUCK_NORM as _DUCK_NORM
+from hematite_spark.functions import dbl as _dbl
+from hematite_spark.functions import dot as _dot
+from hematite_spark.functions import l2_norm as _norm
+from hematite_spark.functions import norm_text as _norm_text
+from hematite_spark.io import load_table
+
+# Fixed query-term set for the oracle-checkable BM25/RRF entries (the
+# testdata vocabulary is a closed word list; these are mid-frequency
+# terms so scores spread).
+_QUERY_TERMS = ("spark", "join", "window", "hash")
+_K1, _B = 1.2, 0.75
+_RRF_K = 60
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score over _QUERY_TERMS. Token stream is filtered
+    to the query terms before the (doc, term) aggregate; doc length is
+    computed as size(split) with no explode; DF and avgdl broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(_norm_text(), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term")
+    ).where(F.col("term").isin(*_QUERY_TERMS))
+    tc = base.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfc = tc.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    stats = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.size(F.split(_norm_text(), " ")).alias("dl0"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl0").alias("avgdl"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df_cnt") + 0.5) / (F.col("df_cnt") + 0.5) + 1.0)
+    tf_term = (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * tf_term).alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 documents for a fixed query —
+    the lexical retrieval baseline every hybrid RAG stack starts
+    from, as pure relational algebra on the corpus statistics the
+    quality filters already compute."""
+    scored = _bm25_scores(spark, sf_dir)
+    return (
+        scored.select("doc_id", "n_terms_matched", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_BM25_CORE = """
+docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM docs
+),
+tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM base
+  WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY doc_id, dl, term
+),
+dfc AS (SELECT term, count(*) AS df_cnt FROM tc GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+scored AS (
+  SELECT doc_id,
+         sum(ln((n_docs - df_cnt + 0.5) / (df_cnt + 0.5) + 1.0)
+             * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score,
+         count(*)::BIGINT AS n_terms_matched
+  FROM tc JOIN dfc USING (term), stats
+  GROUP BY doc_id
+)"""
+
+BM25_SQL = f"""
+WITH {_BM25_CORE}
+SELECT doc_id, n_terms_matched, round(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    top-50 and the embedding-cosine top-50 (query = vec 0, the same
+    anchor ann_brute_force uses; doc_id ≡ vec_id in the testdata).
+    A doc missing from one list contributes 0 from that list — the
+    standard RRF convention. Top-20 by fused score.
+
+    Scale: each retriever cuts to its top-50 via orderBy().limit()
+    (TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global sort); the rank window then runs over the 50-row
+    result (O(k), allowlisted in plan_lint like ann_recall_curve).
+    The fusion join is broadcast-size regardless of corpus size."""
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm25 = (
+        _bm25_scores(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(w).cast("bigint").alias("bm25_rank"))
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    cos = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", _dbl("embedding").alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv")))).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(w).cast("bigint").alias("cos_rank"))
+    )
+    # Fuse by union + re-aggregate instead of a full-outer join: a
+    # 100-row union then a 100-row hash aggregate — full-outer would
+    # force a SortMergeJoin (broadcast hash joins can't build the
+    # unmatched side of FULL OUTER).
+    contrib = lambda r: (1.0 / (_RRF_K + F.col(r))).alias("contrib")  # noqa: E731
+    both = bm25.select(
+        "doc_id", contrib("bm25_rank"), "bm25_rank", F.lit(None).cast("bigint").alias("cos_rank")
+    ).unionByName(
+        cos.select(
+            "doc_id", contrib("cos_rank"), F.lit(None).cast("bigint").alias("bm25_rank"), "cos_rank"
+        )
+    )
+    return (
+        both.groupBy("doc_id")
+        .agg(
+            F.max("bm25_rank").alias("bm25_rank"),
+            F.max("cos_rank").alias("cos_rank"),
+            F.round(F.sum("contrib"), 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+RRF_SQL = f"""
+WITH {_BM25_CORE},
+bm25 AS (
+  SELECT doc_id, rank::BIGINT AS bm25_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored WHERE doc_id <> 0)
+  WHERE rank <= 50
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cosr AS (
+  SELECT doc_id, rank::BIGINT AS cos_rank FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY {_DUCK_DOT.format(a="ev", b="qv")}
+               / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}) DESC, vec_id) AS rank
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0), q)
+  WHERE rank <= 50
+)
+SELECT doc_id, max(bm25_rank) AS bm25_rank, max(cos_rank) AS cos_rank,
+       round(sum(contrib), 6) AS rrf
+FROM (
+  SELECT doc_id, 1.0 / (60 + bm25_rank) AS contrib, bm25_rank, NULL::BIGINT AS cos_rank FROM bm25
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + cos_rank) AS contrib, NULL::BIGINT AS bm25_rank, cos_rank FROM cosr
+)
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+def cluster_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labeling for embedding clusters (BERTopic's c-TF-IDF
+    shape): assign every doc to its 4-bit sign-bucket cell (the same
+    coarse quantizer the IVF index uses), pool each cell's token
+    counts into one pseudo-document, and score terms by
+    rate × smooth-idf  =  (cnt/cell_tokens) × ln((1+n_cells)/(1+cells_with_term)) + rate
+    keeping the top-3 terms per cell. The "+ rate" term keeps the
+    ranking informative even for terms present in every cell (closed
+    testdata vocabulary ⇒ ln term is often 0).
+
+    Scale: docs⋈embeddings is a 1:1 equi-join on the id (co-partition
+    key); after the (cell, term) aggregate everything is
+    O(cells × vocabulary). The per-cell top-3 window partitions by
+    cell — no global sort."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    cell = (
+        sum(
+            (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(4)
+        )
+        .cast("bigint")
+        .alias("cell")
+    )
+    assign = emb.select(F.col("vec_id").alias("doc_id"), cell)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("term"))
+    ct = (
+        toks.join(assign, "doc_id")
+        .groupBy("cell", "term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # feeds cell totals, term df, and scoring
+    )
+    cell_tot = ct.groupBy("cell").agg(F.sum("cnt").alias("cell_tokens"))
+    term_df = ct.groupBy("term").agg(F.countDistinct("cell").alias("cells_with_term"))
+    n_cells = ct.agg(F.countDistinct("cell").alias("n_cells"))
+    rate = F.col("cnt") / F.col("cell_tokens")
+    score = rate * F.log((1.0 + F.col("n_cells")) / (1.0 + F.col("cells_with_term"))) + rate
+    w = Window.partitionBy("cell").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        ct.join(cell_tot, "cell")
+        .join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(n_cells))
+        .select("cell", "term", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("cell", "rnk", "term", F.round("score", 6).alias("ctfidf"))
+        .orderBy("cell", "rnk")
+    )
+
+
+CLUSTER_TOPICS_SQL = """
+WITH assign AS (
+  SELECT vec_id AS doc_id,
+         CAST((CASE WHEN ev[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN ev[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN ev[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN ev[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS cell
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+ct AS (
+  SELECT cell, term, count(*) AS cnt
+  FROM toks JOIN assign USING (doc_id)
+  GROUP BY cell, term
+),
+cell_tot AS (SELECT cell, sum(cnt) AS cell_tokens FROM ct GROUP BY cell),
+term_df AS (SELECT term, count(DISTINCT cell) AS cells_with_term FROM ct GROUP BY term),
+n AS (SELECT count(DISTINCT cell) AS n_cells FROM ct),
+scored AS (
+  SELECT cell, term,
+         (cnt / CAST(cell_tokens AS DOUBLE))
+           * ln((1.0 + n_cells) / (1.0 + cells_with_term))
+           + (cnt / CAST(cell_tokens AS DOUBLE)) AS score
+  FROM ct JOIN cell_tot USING (cell) JOIN term_df USING (term), n
+)
+SELECT cell, rnk::BIGINT AS rnk, term, round(score, 6) AS ctfidf
+FROM (SELECT cell, term, score,
+             row_number() OVER (PARTITION BY cell ORDER BY score DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY cell, rnk
+"""

@@ -43,6 +43,7 @@ ALLOW_GLOBAL_WINDOW = {
     "revenue_growth_mom",    # lag over O(months) pre-aggregate
     "ann_recall_curve",      # centroid ranking over the O(k)=8 cell table
     "open_orders_timeline",  # running sum over the O(months) pre-aggregate
+    "rrf_fusion",            # rank over the two top-50 TakeOrdered results (O(k))
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
