@@ -1291,3 +1291,199 @@ SELECT * FROM ({unpivot}) ORDER BY nprobe
 
 
 ANN_RECALL_SQL = _recall_sql()
+
+
+# ------------------------------------------------- matryoshka truncation
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: how much of the full-dim
+    (64) cosine ranking survives when vectors are truncated to their
+    first d dims (the MRL serving trick — store one embedding, search
+    a prefix). For query vec 0 and d ∈ {8, 16, 32, 64}: the top-10
+    overlap with the 64-dim ranking and the mean TRUE (64-dim) cosine
+    of the docs the truncated index would have returned — the quality
+    actually delivered at that truncation.
+
+    Scale: one projection computes all four cosines in a single scan
+    (localCheckpoint → four TakeOrderedAndProject top-10s, each a
+    per-partition heap + 10-row merge; no global sort). The audit
+    joins 40-row lists — driver-free, corpus-size-independent."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", _dbl("embedding").alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            *[
+                (
+                    _dot(F.slice("ev", 1, d), F.slice("qv", 1, d))
+                    / (_norm(F.slice("ev", 1, d)) * _norm(F.slice("qv", 1, d)))
+                ).alias(f"cos{d}")
+                for d in _MRL_DIMS
+            ],
+        )
+        .localCheckpoint()
+    )
+    tops = None
+    for d in _MRL_DIMS:
+        t = (
+            scored.orderBy(F.col(f"cos{d}").desc(), "vec_id")
+            .limit(10)
+            .select(
+                F.lit(d).cast("bigint").alias("trunc_dim"),
+                "vec_id",
+                F.col("cos64").alias("full_cos"),
+            )
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    full10 = (
+        scored.orderBy(F.col("cos64").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("in_full"))
+    )
+    return (
+        tops.join(F.broadcast(full10), "vec_id", "left")
+        .groupBy("trunc_dim")
+        .agg(
+            F.sum(F.coalesce(F.col("in_full"), F.lit(0))).cast("bigint").alias("overlap_at_10"),
+            F.round(F.avg("full_cos"), 6).alias("avg_full_cosine"),
+        )
+        .orderBy("trunc_dim")
+    )
+
+
+def _mrl_sql() -> str:
+    cos = lambda d: (  # noqa: E731
+        f"{_DUCK_DOT.format(a=f'ev[1:{d}]', b=f'qv[1:{d}]')}"
+        f" / ({_DUCK_NORM.format(a=f'ev[1:{d}]')} * {_DUCK_NORM.format(a=f'qv[1:{d}]')})"
+    )
+    per_d = "\nUNION ALL\n".join(
+        f"SELECT {d}::BIGINT AS trunc_dim, vec_id, cos64 AS full_cos FROM "
+        f"(SELECT vec_id, cos64 FROM scored ORDER BY cos{d} DESC, vec_id LIMIT 10)"
+        for d in _MRL_DIMS
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, {', '.join(f'{cos(d)} AS cos{d}' for d in _MRL_DIMS)}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0), q),
+tops AS ({per_d}),
+full10 AS (SELECT vec_id, 1 AS in_full FROM scored ORDER BY cos64 DESC, vec_id LIMIT 10)
+SELECT trunc_dim,
+       sum(coalesce(in_full, 0))::BIGINT AS overlap_at_10,
+       round(avg(full_cos), 6) AS avg_full_cosine
+FROM tops LEFT JOIN full10 USING (vec_id)
+GROUP BY trunc_dim
+ORDER BY trunc_dim
+"""
+
+
+MATRYOSHKA_SQL = _mrl_sql()
+
+
+# --------------------------------------- Johnson–Lindenstrauss projection
+
+
+def _jl_signs(d_out: int = 16, d_in: int = 64) -> list:
+    """Deterministic Rademacher projection matrix: sign(j,i) = ±1 from
+    the md5 parity of "j:i". A constant — computed once driver-side,
+    folded into the plan as literals (the matrix is O(d_out × d_in),
+    never data-dependent)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64 → 16 with a
+    deterministic ±1 (Rademacher) matrix, audited on the distance it
+    is supposed to preserve: for the 250 deterministic pairs
+    (2k, 2k+1), the ratio ‖y_a−y_b‖ / ‖x_a−x_b‖ should concentrate
+    around 1. Reports pair count and the ratio's min/avg/max/stddev —
+    the go/no-go check before swapping the 4×-cheaper projected
+    vectors into a downstream ANN index.
+
+    Scale: the projection is 16 fused dot products per row in one
+    scan (matrix folded in as literals); pairing is an equi-join on
+    floor(vec_id/2) — co-partitioned, no broadcast needed; the audit
+    aggregate is one row."""
+    signs = _jl_signs()
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = F.array(
+        *[
+            (
+                _dot(
+                    F.col("ev"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                )
+                / 4.0  # 1/sqrt(d_out): E‖y‖² = ‖x‖²
+            )
+            for j in range(16)
+        ]
+    )
+    base = emb.select(
+        "vec_id",
+        (F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        _dbl("embedding").alias("ev"),
+    ).select("vec_id", "pair_id", "ev", proj.alias("yv"))
+    a = base.where(F.col("vec_id") % 2 == 0).select(
+        "pair_id", F.col("ev").alias("ea"), F.col("yv").alias("ya")
+    )
+    b = base.where(F.col("vec_id") % 2 == 1).select(
+        "pair_id", F.col("ev").alias("eb"), F.col("yv").alias("yb")
+    )
+    diff64 = _norm(F.zip_with("ea", "eb", lambda x, y: x - y))
+    diff16 = _norm(F.zip_with("ya", "yb", lambda x, y: x - y))
+    return (
+        a.join(b, "pair_id")
+        .select((diff16 / diff64).alias("ratio"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.round(F.stddev("ratio"), 6).alias("stddev_ratio"),
+        )
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    y = ", ".join(
+        "("
+        + _DUCK_DOT.format(a="ev", b=f"[{', '.join(str(s) for s in signs[j])}]::DOUBLE[]")
+        + f") / 4.0 AS y{j}"
+        for j in range(16)
+    )
+    d16 = "sqrt(" + " + ".join(f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(16)) + ")"
+    d64 = _DUCK_NORM.format(a="list_transform(list_zip(a.ev, b.ev), p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+    return f"""
+WITH base AS (
+  SELECT vec_id, (vec_id // 2)::BIGINT AS pair_id, ev, {y}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)),
+pairs AS (
+  SELECT {d16} / {d64} AS ratio
+  FROM base a JOIN base b USING (pair_id)
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(min(ratio), 6) AS min_ratio,
+       round(avg(ratio), 6) AS avg_ratio,
+       round(max(ratio), 6) AS max_ratio,
+       round(stddev_samp(ratio), 6) AS stddev_ratio
+FROM pairs
+"""
+
+
+JL_PROJECTION_SQL = _jl_sql()
