@@ -1394,3 +1394,73 @@ def _lsh_sweep_sql() -> str:
 
 
 LSH_SWEEP_SQL = _lsh_sweep_sql()
+
+
+def minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-signature contract for the MinHash index: a
+    per-SOURCE corpus signature (elementwise min over every doc's
+    shingle hashes) computed two ways — directly, and by min-merging
+    per-(source, doc_id-parity-half) partial signatures — must agree
+    hash-for-hash, because min is associative/commutative. This is
+    the property that lets a 100 TB pipeline maintain corpus-level
+    signatures incrementally: new shards produce partial signatures
+    and the index merge is an elementwise min, never a rebuild
+    (same contract family as agg_incremental_merge).
+
+    Output per source: halves merged, how many of the 8 hash lanes
+    agree (contract: all 8), and the merged signature's first lane for
+    value-checking."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    sh = _shingles_df(spark, sf_dir).withColumn("h", F.md5("sh")).join(docs, "doc_id")
+    lanes = [F.substring("h", 1 + 4 * i, 4) for i in range(N_MINHASH)]
+    # partial signatures per (source, half) → min-merge per source
+    partial = sh.withColumn("half", F.col("doc_id") % 2).groupBy("source", "half").agg(
+        *[F.min(lanes[i]).alias(f"p{i}") for i in range(N_MINHASH)]
+    )
+    merged = partial.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_halves"),
+        *[F.min(f"p{i}").alias(f"m{i}") for i in range(N_MINHASH)],
+    )
+    direct = sh.groupBy("source").agg(
+        *[F.min(lanes[i]).alias(f"d{i}") for i in range(N_MINHASH)]
+    )
+    agree = sum(
+        F.when(F.col(f"m{i}") == F.col(f"d{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        merged.join(direct, "source")
+        .select(
+            "source",
+            "n_halves",
+            agree.cast("bigint").alias("lanes_agree"),
+            F.col("m0").alias("sig_lane0"),
+        )
+        .orderBy("source")
+    )
+
+
+_SIG_MERGE_LANES = ", ".join(f"min(substring(md5(sh), {1 + 4 * i}, 4))" for i in range(N_MINHASH))
+
+MINHASH_SIG_MERGE_SQL = (
+    _SHINGLES_CTE
+    + f"""
+, sh AS (
+  SELECT s.doc_id, s.sh, d.source, s.doc_id % 2 AS half
+  FROM shingles s JOIN documents d USING (doc_id)),
+partial AS (
+  SELECT source, half, {", ".join(f"min(substring(md5(sh), {1 + 4 * i}, 4)) AS p{i}" for i in range(N_MINHASH))}
+  FROM sh GROUP BY source, half),
+merged AS (
+  SELECT source, count(*)::BIGINT AS n_halves,
+         {", ".join(f"min(p{i}) AS m{i}" for i in range(N_MINHASH))}
+  FROM partial GROUP BY source),
+direct AS (
+  SELECT source, {", ".join(f"min(substring(md5(sh), {1 + 4 * i}, 4)) AS d{i}" for i in range(N_MINHASH))}
+  FROM sh GROUP BY source)
+SELECT source, n_halves,
+       ({" + ".join(f"CASE WHEN m{i} = d{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))})::BIGINT AS lanes_agree,
+       m0 AS sig_lane0
+FROM merged JOIN direct USING (source)
+ORDER BY source
+"""
+)

@@ -115,3 +115,74 @@ FROM packed
 GROUP BY bucket, seq_id
 ORDER BY bucket, seq_id
 """
+
+
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the inference/eval-side
+    counterpart of pack_sequences: group docs into power-of-2 token-
+    length buckets (8, 16, 32, ...) and report, per bucket, the
+    padding waste of batching within the bucket (pad to the bucket's
+    observed max length)
+    vs batching naively (pad every doc to the global max). The
+    savings column is the reason serving stacks length-bucket.
+
+    Scale: token counts come from size(split) — no explode; the
+    per-bucket aggregate is O(buckets) after a map-side combine; the
+    global max is a 1-row broadcast. One corpus scan total."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        F.size(F.split(_norm_text(), " ")).cast("bigint").alias("n_tokens")
+    )
+    bucketed = per_doc.select(
+        "n_tokens",
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))))
+        .cast("bigint")
+        .alias("bucket_cap"),
+    )
+    gmax = per_doc.agg(F.max("n_tokens").alias("global_max"))
+    return (
+        bucketed.groupBy("bucket_cap")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("bucket_max"),
+        )
+        .withColumn(
+            "bucket_pad", F.col("n_docs") * F.col("bucket_max") - F.col("total_tokens")
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            "bucket_pad",
+            (F.col("n_docs") * F.col("global_max") - F.col("total_tokens")).alias("naive_pad"),
+            F.round(
+                1.0
+                - F.col("bucket_pad")
+                / (F.col("n_docs") * F.col("global_max") - F.col("total_tokens")),
+                6,
+            ).alias("pad_savings"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+LENGTH_BUCKET_SQL = """
+WITH per_doc AS (
+  SELECT len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+  FROM documents),
+bucketed AS (
+  SELECT n_tokens,
+         CAST(pow(2.0, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT) AS bucket_cap
+  FROM per_doc),
+gmax AS (SELECT max(n_tokens) AS global_max FROM per_doc)
+SELECT bucket_cap, n_docs, total_tokens, bucket_pad,
+       (n_docs * global_max - total_tokens)::BIGINT AS naive_pad,
+       round(1.0 - bucket_pad / CAST(n_docs * global_max - total_tokens AS DOUBLE), 6) AS pad_savings
+FROM (
+  SELECT bucket_cap, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS bucket_pad
+  FROM bucketed GROUP BY bucket_cap), gmax
+ORDER BY bucket_cap
+"""

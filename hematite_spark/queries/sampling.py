@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.io import load_table
 
 
@@ -458,4 +459,67 @@ SELECT lang, fold, n_docs, n_chars,
        round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS share_of_lang
 FROM per
 ORDER BY lang, fold
+"""
+
+
+def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe planning table: given per-(lang, source) token
+    counts and a total training budget of 2× the corpus token count,
+    allocate budget per domain under temperature sampling (α = 0.5,
+    same rule as sample_temperature) and report the implied EPOCHS
+    per domain (allocated ÷ available) — the number a pipeline owner
+    reads to spot domains that would repeat too often (up-weighted
+    small domains) before launching a run.
+
+    Scale: per-domain token counts are one map-side-combined
+    aggregate (token counts via size(split), no explode); everything
+    after is O(domains) with 1-row broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_dom = (
+        docs.select(
+            "lang", "source",
+            F.size(F.split(_norm_text(), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tokens").alias("tokens"))
+    )
+    tot = per_dom.agg(F.sum("tokens").alias("corpus_tokens"))
+    w = per_dom.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "tokens", "corpus_tokens",
+        F.sqrt(F.col("tokens") / F.col("corpus_tokens")).alias("w"),
+    )
+    wsum = w.agg(F.sum("w").alias("w_sum"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "source",
+            "tokens",
+            F.round(F.col("w") / F.col("w_sum"), 6).alias("mix_share"),
+            F.floor(F.col("w") / F.col("w_sum") * 2.0 * F.col("corpus_tokens"))
+            .cast("bigint")
+            .alias("allocated_tokens"),
+            F.round(F.col("w") / F.col("w_sum") * 2.0 * F.col("corpus_tokens") / F.col("tokens"), 4)
+            .alias("epochs"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+DATA_MIXTURE_SQL = """
+WITH per_dom AS (
+  SELECT lang, source,
+         sum(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY lang, source),
+tot AS (SELECT sum(tokens)::BIGINT AS corpus_tokens FROM per_dom),
+w AS (SELECT lang, source, tokens, corpus_tokens,
+             sqrt(tokens / CAST(corpus_tokens AS DOUBLE)) AS w
+      FROM per_dom, tot),
+ws AS (SELECT sum(w) AS w_sum FROM w)
+SELECT lang, source, tokens,
+       round(w / w_sum, 6) AS mix_share,
+       CAST(floor(w / w_sum * 2.0 * corpus_tokens) AS BIGINT) AS allocated_tokens,
+       round(w / w_sum * 2.0 * corpus_tokens / tokens, 4) AS epochs
+FROM w, ws
+ORDER BY lang, source
 """

@@ -1626,3 +1626,88 @@ FROM ranked
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: regex-tokens per whitespace
+    word (how many pieces the tokenizer splits a word into — the
+    cross-lingual cost metric that drives per-language token budgets)
+    and chars per regex token (compression). One scan, counts from
+    size()/regexp — no explode, no Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    re_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+    ).cast("bigint")
+    ws_words = F.size(_words()).cast("bigint")
+    return (
+        docs.select("lang", re_tokens.alias("re_tokens"), ws_words.alias("ws_words"),
+                    F.length("text").cast("bigint").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("re_tokens") / F.sum("ws_words"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("re_tokens"), 6).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(sum(re_tokens) / CAST(sum(ws_words) AS DOUBLE), 6) AS fertility,
+       round(sum(n_chars) / CAST(sum(re_tokens) AS DOUBLE), 6) AS chars_per_token
+FROM (
+  SELECT lang,
+         len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens,
+         len(string_split(text, ' '))::BIGINT AS ws_words,
+         length(text)::BIGINT AS n_chars
+  FROM documents)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def source_quality_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes per-source quality calibration: small sources'
+    raw mean quality is noisy, so shrink toward the global mean with
+    pseudo-count k=20 — shrunk = (n·mean + k·global)/(n + k). The
+    ranking a mixture planner should weight by, instead of trusting a
+    3-doc source's lucky mean. Global mean is a 1-row broadcast; the
+    rest is one per-source aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select("source", quality_col().alias("q"))
+    g = per_doc.agg(F.avg("q").alias("gmean"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"), F.avg("q").alias("raw_mean"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_docs",
+            F.round("raw_mean", 6).alias("raw_mean_q"),
+            F.round(
+                (F.col("n_docs") * F.col("raw_mean") + 20.0 * F.col("gmean"))
+                / (F.col("n_docs") + 20.0),
+                6,
+            ).alias("shrunk_mean_q"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_EXPR_SQL = """round(least(1.0, len(w) / 50.0) * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+             * (CASE WHEN len(list_intersect(list_distinct(w),
+                 ['the','a','an','and','or','of','to','in','is','it'])) > 0
+                THEN 1.0 ELSE 0.5 END), 4)"""
+
+SOURCE_SHRINKAGE_SQL = f"""
+WITH per_doc AS (
+  SELECT source, {_QUALITY_EXPR_SQL} AS q
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+g AS (SELECT avg(q) AS gmean FROM per_doc)
+SELECT source, n_docs, round(raw_mean, 6) AS raw_mean_q,
+       round((n_docs * raw_mean + 20.0 * gmean) / (n_docs + 20.0), 6) AS shrunk_mean_q
+FROM (SELECT source, count(*)::BIGINT AS n_docs, avg(q) AS raw_mean
+      FROM per_doc GROUP BY source), g
+ORDER BY source
+"""
