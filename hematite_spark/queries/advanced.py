@@ -3374,3 +3374,84 @@ FROM ranked
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ------------------------------------------------- zone-map pruning audit
+
+
+def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) effectiveness audit: simulate two
+    32-file lake layouts for `orders` — DATE-CLUSTERED (file = order
+    month, the layout a date-partitioned writer produces) and HASH
+    (file = md5(o_orderkey) % 32, the layout an unclustered writer
+    produces) — and, for a 1-month date predicate, count how many
+    files a min/max zone map lets the scanner SKIP. The clustered
+    layout skips ~all files; the hash layout skips none — the
+    measured argument for clustering/z-ordering fact tables on the
+    dominant filter column.
+
+    Scale: two O(rows) aggregates to per-file min/max (32 rows each),
+    then O(files) logic. The audit itself never reads data twice."""
+    orders = load_table(spark, "orders", sf_dir)
+    lo, hi = "1995-03-01", "1995-04-01"
+    layouts = []
+    for name, file_expr in (
+        ("clustered_by_date", F.date_format("o_orderdate", "yyyy-MM")),
+        (
+            "hash_layout",
+            (
+                F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 32
+            ).cast("string"),
+        ),
+    ):
+        zone = (
+            orders.groupBy(file_expr.alias("file_id"))
+            .agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+            .agg(
+                F.lit(name).alias("layout"),
+                F.count("*").cast("bigint").alias("n_files"),
+                F.sum(
+                    F.when(
+                        (F.col("mx") >= F.lit(lo).cast("timestamp"))
+                        & (F.col("mn") < F.lit(hi).cast("timestamp")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("files_scanned"),
+            )
+        )
+        layouts.append(zone)
+    out = layouts[0].unionByName(layouts[1])
+    return out.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        (F.col("n_files") - F.col("files_scanned")).alias("files_skipped"),
+        F.round(1.0 - F.col("files_scanned") / F.col("n_files"), 6).alias("skip_fraction"),
+    ).orderBy("layout")
+
+
+ZONE_MAP_SQL = """
+WITH clustered AS (
+  SELECT 'clustered_by_date' AS layout, count(*)::BIGINT AS n_files,
+         sum(CASE WHEN mx >= TIMESTAMP '1995-03-01' AND mn < TIMESTAMP '1995-04-01'
+             THEN 1 ELSE 0 END)::BIGINT AS files_scanned
+  FROM (SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+               min(o_orderdate) AS mn, max(o_orderdate) AS mx
+        FROM orders GROUP BY 1)),
+hashed AS (
+  SELECT 'hash_layout' AS layout, count(*)::BIGINT AS n_files,
+         sum(CASE WHEN mx >= TIMESTAMP '1995-03-01' AND mn < TIMESTAMP '1995-04-01'
+             THEN 1 ELSE 0 END)::BIGINT AS files_scanned
+  FROM (SELECT (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 32)::VARCHAR AS file_id,
+               min(o_orderdate) AS mn, max(o_orderdate) AS mx
+        FROM orders GROUP BY 1))
+SELECT layout, n_files, files_scanned,
+       (n_files - files_scanned)::BIGINT AS files_skipped,
+       round(1.0 - files_scanned / CAST(n_files AS DOUBLE), 6) AS skip_fraction
+FROM (SELECT * FROM clustered UNION ALL SELECT * FROM hashed)
+ORDER BY layout
+"""

@@ -1487,3 +1487,70 @@ FROM pairs
 
 
 JL_PROJECTION_SQL = _jl_sql()
+
+
+# ------------------------------------------------ label-centroid outliers
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel / out-of-distribution detection: distance of every
+    vector to its own label's centroid, z-scored within the label;
+    report the top-20 outliers — the candidates a training-data
+    curation pass re-labels or drops.
+
+    Scale: centroids via one (label, pos) explode-aggregate
+    (O(labels × dim) rows), re-assembled into per-label arrays and
+    BROADCAST into a single scan that computes distance; the per-label
+    mean/std of distances is a second O(labels) broadcast. Top-20 via
+    TakeOrderedAndProject. No driver round-trip, no pairwise joins."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select("vec_id", "label", _dbl("embedding").alias("ev"))
+    cent = (
+        base.select("label", F.posexplode("ev").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    dist = _norm(F.zip_with("ev", "cv", lambda a, b: a - b))
+    with_d = base.join(F.broadcast(cent), "label").select("vec_id", "label", dist.alias("d"))
+    stats = with_d.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev("d").alias("sigma")
+    )
+    return (
+        with_d.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("d", 6).alias("dist_to_centroid"),
+            F.round((F.col("d") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos, avg(x) AS c
+    FROM (SELECT label, unnest(ev) AS x, generate_subscripts(ev, 1) AS pos FROM base)
+    GROUP BY label, pos)
+  GROUP BY label),
+with_d AS (
+  SELECT vec_id, base.label,
+         {_DUCK_NORM.format(a="list_transform(list_zip(ev, cv), p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")} AS d
+  FROM base JOIN cent ON base.label = cent.label),
+stats AS (SELECT label, avg(d) AS mu, stddev_samp(d) AS sigma FROM with_d GROUP BY label)
+SELECT vec_id, with_d.label, round(d, 6) AS dist_to_centroid,
+       round((d - mu) / sigma, 6) AS z
+FROM with_d JOIN stats ON with_d.label = stats.label
+ORDER BY z DESC, vec_id
+LIMIT 20
+"""

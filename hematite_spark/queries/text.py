@@ -1711,3 +1711,71 @@ FROM (SELECT source, count(*)::BIGINT AS n_docs, avg(q) AS raw_mean
       FROM per_doc GROUP BY source), g
 ORDER BY source
 """
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold planning table: bucket the quality score into
+    deciles of its own distribution (exact ntile over the per-doc
+    score) and report per-decile doc/token mass plus the CUMULATIVE
+    share of tokens kept if the filter cut at that decile — the table
+    a pipeline owner reads to pick the quality cutoff that hits a
+    token budget.
+
+    Scale note: exact ntile needs a global sort of (score) — fine for
+    the planning table computed on a SAMPLE; the docstring-documented
+    100 TB variant swaps ntile for approx_percentile cutpoints
+    broadcast into a stateless bucketing filter (same shape as
+    quantile_bins_price's documented scale path)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        quality_col().alias("q"),
+        F.size(F.split(_norm_text(), " ")).cast("bigint").alias("n_tokens"),
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.col("q"), F.col("n_tokens"))).cast("bigint")
+    binned = (
+        per_doc.select("q", "n_tokens", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.min("q"), 4).alias("min_q"),
+            F.round(F.max("q"), 4).alias("max_q"),
+        )
+    )
+    tot = per_doc.agg(F.sum("n_tokens").alias("total_tokens"))
+    wcum = Window.orderBy(F.col("decile").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "tokens",
+            "min_q",
+            "max_q",
+            F.round(F.sum("tokens").over(wcum) / F.col("total_tokens"), 6).alias(
+                "kept_token_share_if_cut_here"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+QUALITY_SWEEP_SQL = f"""
+WITH per_doc AS (
+  SELECT {_QUALITY_EXPR_SQL} AS q,
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+  FROM (SELECT text, string_split(text, ' ') AS w FROM documents)),
+binned AS (
+  SELECT decile, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens,
+         round(min(q), 4) AS min_q, round(max(q), 4) AS max_q
+  FROM (SELECT q, n_tokens, ntile(10) OVER (ORDER BY q, n_tokens)::BIGINT AS decile FROM per_doc)
+  GROUP BY decile),
+tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM per_doc)
+SELECT decile, n_docs, tokens, min_q, max_q,
+       round(sum(tokens) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING)
+             / CAST(total_tokens AS DOUBLE), 6) AS kept_token_share_if_cut_here
+FROM binned, tot
+ORDER BY decile
+"""

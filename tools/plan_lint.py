@@ -44,6 +44,7 @@ ALLOW_GLOBAL_WINDOW = {
     "ann_recall_curve",      # centroid ranking over the O(k)=8 cell table
     "open_orders_timeline",  # running sum over the O(months) pre-aggregate
     "rrf_fusion",            # rank over the two top-50 TakeOrdered results (O(k))
+    "quality_threshold_sweep",  # exact ntile planning table; docstring carries the approx_percentile 100 TB variant
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
