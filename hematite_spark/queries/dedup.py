@@ -1464,3 +1464,84 @@ FROM merged JOIN direct USING (source)
 ORDER BY source
 """
 )
+
+
+def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index's quality CONTRACT as a catalog entry: compare
+    the 4×2 band candidate set against exact-Jaccard ≥ 0.5 ground
+    truth (computed via the inverted index — feasible at audit scale,
+    and on a sample at 100 TB) and report TP/FP/FN + precision/
+    recall. This is the number that justifies the banding config in
+    production; lsh_parameter_sweep picks the config, this entry
+    audits the chosen one.
+
+    Scale: ground truth and candidates are both candidate-bounded
+    joins (shingle / band keys); the metric join is pair-keyed; the
+    final report is three 1-row aggregates broadcast-composed."""
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    truth = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(
+            F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")) >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    tp = truth.join(cand, ["doc_a", "doc_b"]).agg(F.count("*").alias("tp"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("tp").cast("bigint").alias("tp"),
+            (F.col("n_candidates") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("n_truth") - F.col("tp")).cast("bigint").alias("fn"),
+            F.round(F.col("tp") / F.col("n_candidates"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+LSH_PR_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({_LSH_BANDS})),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b)) AS tp)
+SELECT n_truth::BIGINT AS n_truth, n_candidates::BIGINT AS n_candidates, tp::BIGINT AS tp,
+       (n_candidates - tp)::BIGINT AS fp, (n_truth - tp)::BIGINT AS fn,
+       round(tp / CAST(n_candidates AS DOUBLE), 6) AS precision,
+       round(tp / CAST(n_truth AS DOUBLE), 6) AS recall
+FROM m
+"""
+)

@@ -1554,3 +1554,78 @@ FROM with_d JOIN stats ON with_d.label = stats.label
 ORDER BY z DESC, vec_id
 LIMIT 20
 """
+
+
+def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval impact of int8 scalar quantization (the companion to
+    embedding_quantize's reconstruction-error contract): run the
+    vec-0 top-10 query against the int8-RECONSTRUCTED database
+    (asymmetric: float query, quantized candidates — the production
+    serving shape) and report the overlap with the exact top-10 plus
+    the true-cosine quality both selections deliver. This is the
+    measurement that clears int8 for a recall target.
+
+    Scale: one scan computes exact and reconstructed cosine side by
+    side (both pure higher-order column math); two
+    TakeOrderedAndProject top-10s; a 20-row audit join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    ev = _dbl("embedding")
+    amax = F.array_max(F.transform(ev, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    rv = F.transform(ev, lambda x: F.floor(x * scale + F.lit(0.5)) / scale)
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", ev.alias("ev"), rv.alias("rv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv")))).alias(
+                "cos_exact"
+            ),
+            (_dot(F.col("rv"), F.col("qv")) / (_norm(F.col("rv")) * _norm(F.col("qv")))).alias(
+                "cos_quant"
+            ),
+        )
+        .localCheckpoint()
+    )
+    top_exact = (
+        scored.orderBy(F.col("cos_exact").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("in_exact"), F.col("cos_exact").alias("ce"))
+    )
+    top_quant = (
+        scored.orderBy(F.col("cos_quant").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.col("cos_exact").alias("cq_true"))
+    )
+    overlap = top_quant.join(F.broadcast(top_exact), "vec_id", "left").agg(
+        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).cast("bigint").alias("overlap_at_10"),
+        F.round(F.avg("cq_true"), 6).alias("avg_true_cos_quant"),
+    )
+    exact_avg = top_exact.agg(F.round(F.avg("ce"), 6).alias("avg_true_cos_exact"))
+    return overlap.crossJoin(F.broadcast(exact_avg)).select(
+        "overlap_at_10", "avg_true_cos_exact", "avg_true_cos_quant"
+    )
+
+
+QUANTIZED_RECALL_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT vec_id, ev,
+         list_transform(ev, x -> floor(x * (127.0 / list_aggregate(list_transform(ev, y -> abs(y)), 'max')) + 0.5)
+                               / (127.0 / list_aggregate(list_transform(ev, y -> abs(y)), 'max'))) AS rv
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0)),
+scored AS (
+  SELECT vec_id,
+         {_DUCK_DOT.format(a="ev", b="qv")} / ({_DUCK_NORM.format(a="ev")} * {_DUCK_NORM.format(a="qv")}) AS cos_exact,
+         {_DUCK_DOT.format(a="rv", b="qv")} / ({_DUCK_NORM.format(a="rv")} * {_DUCK_NORM.format(a="qv")}) AS cos_quant
+  FROM base, q),
+top_exact AS (
+  SELECT vec_id, 1 AS in_exact, cos_exact AS ce FROM scored ORDER BY cos_exact DESC, vec_id LIMIT 10),
+top_quant AS (
+  SELECT vec_id, cos_exact AS cq_true FROM scored ORDER BY cos_quant DESC, vec_id LIMIT 10)
+SELECT (SELECT sum(coalesce(in_exact, 0)) FROM top_quant LEFT JOIN top_exact USING (vec_id))::BIGINT AS overlap_at_10,
+       (SELECT round(avg(ce), 6) FROM top_exact) AS avg_true_cos_exact,
+       (SELECT round(avg(cq_true), 6) FROM top_quant) AS avg_true_cos_quant
+"""
