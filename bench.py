@@ -70,6 +70,10 @@ HEADLINE = [
     "rolling_distinct_users",
     "dedup_keeper_selection",
     "sql_recursive_hierarchy",
+    "bm25_retrieval",
+    "rrf_fusion",
+    "embedding_label_outliers",
+    "lsh_precision_recall",
 ]
 
 
