@@ -1545,3 +1545,83 @@ SELECT n_truth::BIGINT AS n_truth, n_candidates::BIGINT AS n_candidates, tp::BIG
 FROM m
 """
 )
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the LSH candidate graph: score NON-edges by
+    common-neighbor count and neighbor-set Jaccard (the classical
+    two-hop heuristics) — in a dedup pipeline these are the pairs a
+    band config *almost* caught: high-scoring non-edges are where a
+    human reviews the banding threshold or an extra band is added.
+    Top-20 predicted links.
+
+    Scale: the two-hop join is edge ⋈ edge on the shared endpoint —
+    cost Σ deg(v)², the standard triangle/path-counting bound, so the
+    hub treatment from graph_degree_distribution (cap or sample
+    super-nodes) is the guard; existing edges are removed by an
+    anti-join on the pair key; the per-node degree side is O(nodes)
+    and broadcast."""
+    edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # undirected adjacency (both directions) for the two-hop walk
+    adj = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = adj.groupBy("doc_a").agg(F.count("*").alias("deg")).withColumnRenamed("doc_a", "node")
+    l, r = adj.alias("l"), adj.alias("r")
+    two_hop = (
+        l.join(r, F.col("l.doc_b") == F.col("r.doc_a"))
+        .where(F.col("l.doc_a") < F.col("r.doc_b"))
+        .groupBy(F.col("l.doc_a").alias("doc_a"), F.col("r.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    preds = two_hop.join(edges, ["doc_a", "doc_b"], "left_anti")
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        preds.join(F.broadcast(da), F.col("doc_a") == F.col("da.node"))
+        .join(F.broadcast(db), F.col("doc_b") == F.col("db.node"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("da.deg") + F.col("db.deg") - F.col("common_neighbors")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), F.col("neighbor_jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+LINK_PREDICTION_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs),
+edges AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b),
+adj AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+deg AS (SELECT doc_a AS node, count(*) AS deg FROM adj GROUP BY doc_a),
+two_hop AS (
+  SELECT l.doc_a AS doc_a, r.doc_b AS doc_b, count(*) AS common_neighbors
+  FROM adj l JOIN adj r ON l.doc_b = r.doc_a
+  WHERE l.doc_a < r.doc_b
+  GROUP BY l.doc_a, r.doc_b),
+preds AS (
+  SELECT t.* FROM two_hop t
+  ANTI JOIN edges e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+SELECT p.doc_a, p.doc_b, common_neighbors::BIGINT AS common_neighbors,
+       round(common_neighbors / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 6) AS neighbor_jaccard
+FROM preds p
+JOIN deg da ON p.doc_a = da.node
+JOIN deg db ON p.doc_b = db.node
+ORDER BY common_neighbors DESC, neighbor_jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+)

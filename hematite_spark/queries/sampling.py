@@ -523,3 +523,94 @@ SELECT lang, source, tokens,
 FROM w, ws
 ORDER BY lang, source
 """
+
+
+def curriculum_phase_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over sources: rank sources by their
+    empirical-Bayes shrunk quality (the trustworthy ranking from
+    source_quality_shrinkage), walk the ranking best-first
+    accumulating token mass, and assign training phases by cumulative
+    share — phase 1 = the cleanest third of tokens (early training),
+    phase 3 = the noisy tail (late, after the model can absorb it).
+    The per-source table a curriculum data-loader consumes.
+
+    Scale: everything after the per-source aggregate is O(sources);
+    the running-sum window over that pre-aggregate is allowlisted like
+    revenue_growth_mom's O(months) window."""
+    from pyspark.sql import Window
+
+    from hematite_spark.queries.text import quality_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = (
+        docs.select(
+            "source",
+            quality_col().alias("q"),
+            F.size(F.split(_norm_text(), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.avg("q").alias("raw_mean"),
+        )
+    )
+    g = per_src.agg(
+        (F.sum(F.col("raw_mean") * F.col("n_docs")) / F.sum("n_docs")).alias("gmean"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+    shrunk = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "total_tokens",
+        ((F.col("n_docs") * F.col("raw_mean") + 20.0 * F.col("gmean")) / (F.col("n_docs") + 20.0)).alias(
+            "sq"
+        ),
+    )
+    w = Window.orderBy(F.col("sq").desc(), F.col("source")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("tokens").over(w) / F.col("total_tokens")
+    return (
+        shrunk.select(
+            "source",
+            "tokens",
+            F.round("sq", 6).alias("shrunk_q"),
+            F.round(cum, 6).alias("cum_token_share"),
+            F.when(cum <= 1.0 / 3, 1).when(cum <= 2.0 / 3, 2).otherwise(3).cast("bigint").alias(
+                "phase"
+            ),
+        )
+        .orderBy(F.col("shrunk_q").desc(), "source")
+    )
+
+
+CURRICULUM_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         round(least(1.0, len(w) / 50.0) * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+             * (CASE WHEN len(list_intersect(list_distinct(w),
+                 ['the','a','an','and','or','of','to','in','is','it'])) > 0
+                THEN 1.0 ELSE 0.5 END), 4) AS q,
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+  FROM (SELECT source, text, string_split(text, ' ') AS w FROM documents)),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens, avg(q) AS raw_mean
+  FROM per_doc GROUP BY source),
+g AS (SELECT sum(raw_mean * n_docs) / sum(n_docs) AS gmean, sum(tokens)::BIGINT AS total_tokens
+      FROM per_src),
+shrunk AS (
+  SELECT source, n_docs, tokens, total_tokens,
+         (n_docs * raw_mean + 20.0 * gmean) / (n_docs + 20.0) AS sq
+  FROM per_src, g),
+cum AS (
+  SELECT source, tokens, sq,
+         sum(tokens) OVER (ORDER BY sq DESC, source ROWS UNBOUNDED PRECEDING)
+           / CAST(total_tokens AS DOUBLE) AS c
+  FROM shrunk)
+SELECT source, tokens, round(sq, 6) AS shrunk_q, round(c, 6) AS cum_token_share,
+       (CASE WHEN c <= 1.0/3 THEN 1 WHEN c <= 2.0/3 THEN 2 ELSE 3 END)::BIGINT AS phase
+FROM cum
+ORDER BY shrunk_q DESC, source
+"""

@@ -45,6 +45,7 @@ ALLOW_GLOBAL_WINDOW = {
     "open_orders_timeline",  # running sum over the O(months) pre-aggregate
     "rrf_fusion",            # rank over the two top-50 TakeOrdered results (O(k))
     "quality_threshold_sweep",  # exact ntile planning table; docstring carries the approx_percentile 100 TB variant
+    "curriculum_phase_assignment",  # running sum over the O(sources) pre-aggregate
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
