@@ -1625,3 +1625,167 @@ ORDER BY common_neighbors DESC, neighbor_jaccard DESC, doc_a, doc_b
 LIMIT 20
 """
 )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit at SOURCE granularity: for every source pair,
+    the containment |shared distinct shingles| / |smaller side's
+    shingles| — the "who scraped whom" matrix that catches mirror
+    sites and re-crawls before doc-level dedup spends effort on them.
+    Top-20 most-overlapping pairs.
+
+    Scale: the join key is the shingle (the inverted index again) but
+    over DISTINCT (source, shingle) — vocabulary × sources, far
+    smaller than the doc-level pair space; per-source sizes are an
+    O(sources) broadcast."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    src_sh = (
+        _shingles_df(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", "sh")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = src_sh.alias("a"), src_sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("common").cast("bigint").alias("common_shingles"),
+            F.round(F.col("common") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy(F.col("containment").desc(), "source_a", "source_b")
+        .limit(20)
+    )
+
+
+SOURCE_OVERLAP_SQL = (
+    _SHINGLES_CTE
+    + """
+, src_sh AS (
+  SELECT DISTINCT d.source, s.sh
+  FROM shingles s JOIN documents d USING (doc_id)),
+sizes AS (SELECT source, count(*) AS n_sh FROM src_sh GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS common
+  FROM src_sh a JOIN src_sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b, common::BIGINT AS common_shingles,
+       round(common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+FROM common
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+ORDER BY containment DESC, source_a, source_b
+LIMIT 20
+"""
+)
+
+
+def lsh_band_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well does matching-band COUNT rank true duplicates among
+    LSH candidates? AUC of n_bands (1..4) against exact-Jaccard ≥ 0.5
+    truth, computed as the tie-corrected Mann–Whitney U — and because
+    the score takes only 4 values, U is a 4×4 cross-product of the
+    per-score positive/negative COUNTS: two tiny aggregates and a
+    16-row join, no rank window, no global sort at ANY scale. The
+    companion to lsh_precision_recall: that entry grades the
+    candidate SET, this one grades the candidate ORDERING (can we
+    verify high-band pairs first and early-exit?)."""
+    cand = lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    truth = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")) >= 0.5
+            ).alias("is_dup"),
+        )
+    )
+    labeled = cand.join(truth, ["doc_a", "doc_b"], "left").select(
+        "n_bands", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
+    )
+    dist = labeled.groupBy("n_bands").agg(
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("neg"),
+    ).localCheckpoint()
+    p, n = dist.alias("p"), dist.alias("n")
+    u = p.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.when(F.col("p.n_bands") > F.col("n.n_bands"), F.col("p.pos") * F.col("n.neg"))
+            .when(F.col("p.n_bands") == F.col("n.n_bands"), 0.5 * F.col("p.pos") * F.col("n.neg"))
+            .otherwise(F.lit(0.0))
+        ).alias("u")
+    )
+    tot = dist.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    return (
+        tot.crossJoin(F.broadcast(u))
+        .select(
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+        )
+    )
+
+
+LSH_AUC_SQL = (
+    _MINHASH_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs),
+cand AS (
+  SELECT doc_a, doc_b, count(*) AS n_bands
+  FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT doc_a, doc_b,
+         common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5 AS is_dup
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id),
+labeled AS (
+  SELECT n_bands, coalesce(is_dup, false) AS is_dup
+  FROM cand LEFT JOIN truth USING (doc_a, doc_b)),
+dist AS (
+  SELECT n_bands,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS neg
+  FROM labeled GROUP BY n_bands),
+u AS (
+  SELECT sum(CASE WHEN p.n_bands > n.n_bands THEN p.pos * n.neg
+                  WHEN p.n_bands = n.n_bands THEN 0.5 * p.pos * n.neg
+                  ELSE 0.0 END) AS u
+  FROM dist p CROSS JOIN dist n),
+tot AS (SELECT sum(pos) AS n_pos, sum(neg) AS n_neg FROM dist)
+SELECT n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+       round(u / (n_pos * n_neg), 6) AS auc
+FROM tot, u
+"""
+)
