@@ -263,3 +263,111 @@ def test_approx_quantile_bins_error_bound(spark):
         assert abs(r.n_rows - n / 10) <= 0.25 * n / 10, (r.bin, r.n_rows, n / 10)
     los = [r.lo for r in rows]
     assert los == sorted(los)
+
+
+def test_lsh_precision_recall_contract(spark):
+    """The 4x2 banding must recall nearly all exact-Jaccard >= 0.5
+    pairs (the s-curve puts them well above the band-match knee) with
+    non-degenerate precision; tp is bounded by both sides."""
+    from hematite_spark.queries.dedup import lsh_precision_recall
+
+    r = lsh_precision_recall(spark, SF_DIR).collect()[0]
+    assert r.tp <= r.n_truth and r.tp <= r.n_candidates
+    assert r.recall >= 0.9, r
+    assert r.precision > 0, r
+
+
+def test_lsh_band_auc_contract(spark):
+    """Band count must rank true duplicates at least as well as
+    chance (AUC >= 0.5) over the candidate set."""
+    from hematite_spark.queries.dedup import lsh_band_auc
+
+    r = lsh_band_auc(spark, SF_DIR).collect()[0]
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert 0.5 <= r.auc <= 1.0, r
+
+
+def test_matryoshka_overlap_monotone(spark):
+    """At d=64 the truncated ranking IS the full ranking (overlap 10,
+    and it delivers the best possible true cosine); shorter prefixes
+    are bounded by it. (Strict monotonicity across prefixes only holds
+    for MRL-trained embeddings, not the synthetic random ones.)"""
+    from hematite_spark.queries.similarity import matryoshka_truncation
+
+    rows = {r.trunc_dim: r for r in matryoshka_truncation(spark, SF_DIR).collect()}
+    assert rows[64].overlap_at_10 == 10
+    best = rows[64].avg_full_cosine
+    for d in (8, 16, 32):
+        assert 0 <= rows[d].overlap_at_10 <= 10
+        assert rows[d].avg_full_cosine <= best + 1e-9, (d, rows[d])
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    """Rademacher 64->16 must preserve pair distances in expectation:
+    mean ratio near 1, spread bounded (JL concentration)."""
+    from hematite_spark.queries.similarity import jl_random_projection
+
+    r = jl_random_projection(spark, SF_DIR).collect()[0]
+    assert 0.85 < r.avg_ratio < 1.15, r
+    assert r.stddev_ratio < 0.3, r
+    assert r.min_ratio > 0.3 and r.max_ratio < 2.0, r
+
+
+def test_quantized_recall_bounded_by_exact(spark):
+    """The int8 selection can never deliver better true cosine than
+    the exact selection, and int8 should preserve most of top-10."""
+    from hematite_spark.queries.similarity import quantized_ann_recall
+
+    r = quantized_ann_recall(spark, SF_DIR).collect()[0]
+    assert r.avg_true_cos_quant <= r.avg_true_cos_exact + 1e-9
+    assert r.overlap_at_10 >= 8, r
+
+
+def test_minhash_signature_merge_all_lanes_agree(spark):
+    """Mergeability contract: min-merged partial signatures must equal
+    the directly computed signature in every lane, for every source."""
+    from hematite_spark.queries.dedup import minhash_signature_merge
+
+    for r in minhash_signature_merge(spark, SF_DIR).collect():
+        assert r.lanes_agree == 8, r
+
+
+def test_zone_map_clustered_beats_hash(spark):
+    """Zone maps must make the date-clustered layout skip strictly
+    more files than the hash layout for a date predicate."""
+    from hematite_spark.queries.advanced import zone_map_pruning_audit
+
+    rows = {r.layout: r for r in zone_map_pruning_audit(spark, SF_DIR).collect()}
+    assert rows["clustered_by_date"].skip_fraction > rows["hash_layout"].skip_fraction
+    assert rows["clustered_by_date"].skip_fraction >= 0.8
+    # at sf0.001 a handful of ~5-row hash files can happen to miss the
+    # month entirely; the layout still skips far less than clustering
+    assert rows["hash_layout"].skip_fraction <= 0.5
+
+
+def test_curriculum_phases_ordered_by_quality(spark):
+    """Walking the shrunk-quality ranking, phase labels must be
+    non-decreasing and quality non-increasing."""
+    from hematite_spark.queries.sampling import curriculum_phase_assignment
+
+    rows = sorted(
+        curriculum_phase_assignment(spark, SF_DIR).collect(), key=lambda r: r.cum_token_share
+    )
+    assert all(a.phase <= b.phase for a, b in zip(rows, rows[1:]))
+    assert all(a.shrunk_q >= b.shrunk_q for a, b in zip(rows, rows[1:]))
+
+
+def test_rrf_fusion_bounds(spark):
+    """RRF scores must equal the sum of the two rank contributions and
+    be bounded by the best possible (rank 1 in both lists)."""
+    from hematite_spark.queries.retrieval import rrf_fusion
+
+    rows = rrf_fusion(spark, SF_DIR).collect()
+    assert rows, "fusion must return results"
+    best = 2.0 / 61
+    for r in rows:
+        assert r.rrf <= best + 1e-9
+        expected = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf - round(expected, 6)) < 1e-9, r
