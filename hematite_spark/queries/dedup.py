@@ -1475,9 +1475,11 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production; lsh_parameter_sweep picks the config, this entry
     audits the chosen one.
 
-    Scale: ground truth and candidates are both candidate-bounded
-    joins (shingle / band keys); the metric join is pair-keyed; the
-    final report is three 1-row aggregates broadcast-composed."""
+    Scale: ONE checkpointed shingle scan feeds both sides (ground
+    truth and the minhash/band candidate build — the corpus is never
+    shingled twice); both are candidate-bounded joins (shingle / band
+    keys); the metric join is pair-keyed; the final report is three
+    1-row aggregates broadcast-composed."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1495,7 +1497,33 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # candidate pairs from the SAME shingle scan (mirrors
+    # lsh_candidate_pairs, minus its independent shingle build)
+    hashed = sh.withColumn("h", F.md5("sh"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 1 + 4 * s, 4)).alias(f"mh{s}") for s in range(N_MINHASH)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
+            for b in range(N_MINHASH // 2)
+        ],
+    ).localCheckpoint()
+    pair_frames = []
+    for bnd in range(N_MINHASH // 2):
+        l, r = bands.alias("l"), bands.alias("r")
+        pair_frames.append(
+            l.join(
+                r,
+                (F.col(f"l.band{bnd}") == F.col(f"r.band{bnd}"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        )
+    cand = pair_frames[0]
+    for pf in pair_frames[1:]:
+        cand = cand.unionByName(pf)
+    cand = cand.distinct()
     tp = truth.join(cand, ["doc_a", "doc_b"]).agg(F.count("*").alias("tp"))
     nt = truth.agg(F.count("*").alias("n_truth"))
     nc = cand.agg(F.count("*").alias("n_candidates"))
