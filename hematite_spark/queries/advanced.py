@@ -3455,3 +3455,90 @@ SELECT layout, n_files, files_scanned,
 FROM (SELECT * FROM clustered UNION ALL SELECT * FROM hashed)
 ORDER BY layout
 """
+
+
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    companion to attribution_last_touch that spreads each purchase's
+    credit across its WHOLE 3-day touch path: 40% to the first touch,
+    40% to the last, the remaining 20% split evenly over the middle
+    touches (single-touch paths take 100%, two-touch paths 50/50).
+    Reported as credited revenue by touch type — the budget-allocation
+    table.
+
+    Scale: same bounded (user ⨝ 3-day-range) join as last-touch — the
+    pair space is per-user activity in the window, partitioned on
+    user; position ranks are per-purchase windows (the partition key),
+    and the final rollup is O(touch types)."""
+    ev = load_table(spark, "events", sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purch.join(touch, "user_id").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    wp = W.partitionBy("purchase_id")
+    asc = F.row_number().over(wp.orderBy(F.col("t_ts").asc(), F.col("touch_id").asc()))
+    n = F.count("*").over(wp)
+    ranked = joined.select(
+        "purchase_id", "purchase_value", "touch_type", asc.alias("pos"), n.alias("n_touch")
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when((F.col("n_touch") == 2), F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_touch"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("n_touch") - 2))
+    )
+    return (
+        ranked.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(F.sum(credit * F.col("purchase_value")), 4).alias("credited_revenue"),
+            F.round(F.sum(credit), 4).alias("credited_conversions"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+ATTRIBUTION_POSITION_SQL = """
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')),
+joined AS (
+  SELECT p.purchase_id, p.purchase_value, t.touch_type, t.t_ts, t.touch_id
+  FROM purch p JOIN touch t USING (user_id)
+  WHERE t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 3 DAY),
+ranked AS (
+  SELECT purchase_id, purchase_value, touch_type,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts ASC, touch_id ASC) AS pos,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touch
+  FROM joined),
+credited AS (
+  SELECT touch_type, purchase_value,
+         CASE WHEN n_touch = 1 THEN 1.0
+              WHEN n_touch = 2 THEN 0.5
+              WHEN pos = 1 THEN 0.4
+              WHEN pos = n_touch THEN 0.4
+              ELSE 0.2 / (n_touch - 2) END AS credit
+  FROM ranked)
+SELECT touch_type, count(*)::BIGINT AS n_touches,
+       round(sum(credit * purchase_value), 4) AS credited_revenue,
+       round(sum(credit), 4) AS credited_conversions
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
