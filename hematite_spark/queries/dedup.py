@@ -1817,3 +1817,97 @@ SELECT n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
 FROM tot, u
 """
 )
+
+
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (b = 1): keep only the LOWEST bit of
+    each 16-bit minhash lane — a 16× smaller signature — and audit
+    what that costs: for every LSH candidate pair, the 1-bit
+    similarity estimate 2·(bit-agreement − ½) (the b=1 unbiasing for
+    a ~uniform value distribution) against the exact shingle Jaccard.
+    Reports pair count, mean absolute estimation error, and both
+    means — the storage/accuracy trade table for signature sizing.
+
+    Scale: the bit extraction is free (same signature build); the
+    audit join is candidate-bounded; the report is a 1-row
+    aggregate."""
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    hashed = sh.withColumn("h", F.md5("sh"))
+    # full 16-bit lanes AND their low bits from one aggregate
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 1 + 4 * s, 4)).alias(f"mh{s}") for s in range(N_MINHASH)]
+    )
+    bit = lambda s: F.conv(F.substring(F.col(f"mh{s}"), 4, 1), 16, 10).cast("long") % 2  # noqa: E731
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= 0.3)  # audit the candidate-similar region
+    )
+    ga = sigs.select(F.col("doc_id").alias("doc_a"), *[bit(s).alias(f"ba{s}") for s in range(N_MINHASH)])
+    gb = sigs.select(F.col("doc_id").alias("doc_b"), *[bit(s).alias(f"bb{s}") for s in range(N_MINHASH)])
+    agree = sum(
+        F.when(F.col(f"ba{s}") == F.col(f"bb{s}"), 1).otherwise(0) for s in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    est = 2.0 * (agree - 0.5)
+    return (
+        jac.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("jaccard", est.alias("est"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_exact_jaccard"),
+            F.round(F.avg("est"), 6).alias("mean_bbit_estimate"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias("mean_abs_err"),
+        )
+    )
+
+
+_BBIT_BIT = "(strpos('0123456789abcdef', substring(mh{s}, 4, 1)) - 1) % 2"
+
+MINHASH_BBIT_SQL = (
+    _MINHASH_CTE
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT doc_a, doc_b,
+         common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.3),
+bits AS (
+  SELECT doc_id, {", ".join(f"({_BBIT_BIT.format(s=s)}) AS b{s}" for s in range(N_MINHASH))}
+  FROM sigs),
+paired AS (
+  SELECT jaccard,
+         2.0 * (({" + ".join(f"CASE WHEN ga.b{s} = gb.b{s} THEN 1 ELSE 0 END" for s in range(N_MINHASH))})
+                / {float(N_MINHASH)} - 0.5) AS est
+  FROM jac
+  JOIN bits ga ON jac.doc_a = ga.doc_id
+  JOIN bits gb ON jac.doc_b = gb.doc_id)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(avg(jaccard), 6) AS mean_exact_jaccard,
+       round(avg(est), 6) AS mean_bbit_estimate,
+       round(avg(abs(est - jaccard)), 6) AS mean_abs_err
+FROM paired
+"""
+)

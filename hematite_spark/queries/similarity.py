@@ -1629,3 +1629,81 @@ SELECT (SELECT sum(coalesce(in_exact, 0)) FROM top_quant LEFT JOIN top_exact USI
        (SELECT round(avg(ce), 6) FROM top_exact) AS avg_true_cos_exact,
        (SELECT round(avg(cq_true), 6) FROM top_quant) AS avg_true_cos_quant
 """
+
+
+def quality_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation audit: does the TEXT quality score agree
+    with EMBEDDING-space typicality? Joins each doc's rule-based
+    quality to its distance-from-label-centroid and reports, per
+    label, the Pearson correlation plus both means — a strong
+    negative correlation says the cheap text rules already find the
+    embedding outliers; near-zero says the two filters are
+    complementary and BOTH belong in the funnel.
+
+    Scale: centroids via the same (label, pos) explode-aggregate
+    broadcast as embedding_label_outliers; the docs⋈embeddings join
+    is 1:1 on the id; the correlation is one O(labels) aggregate."""
+    from hematite_spark.queries.text import quality_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select("vec_id", "label", _dbl("embedding").alias("ev"))
+    cent = (
+        base.select("label", F.posexplode("ev").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    dist = _norm(F.zip_with("ev", "cv", lambda a, b: a - b))
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("vec_id"), quality_col().alias("q")
+    )
+    joined = (
+        base.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", dist.alias("d"))
+        .join(docs, "vec_id")
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.corr("q", "d"), 6).alias("quality_dist_corr"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+            F.round(F.avg("d"), 6).alias("mean_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+QUALITY_EMB_CORR_SQL = f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos, avg(x) AS c
+    FROM (SELECT label, unnest(ev) AS x, generate_subscripts(ev, 1) AS pos FROM base)
+    GROUP BY label, pos)
+  GROUP BY label),
+dists AS (
+  SELECT vec_id, base.label,
+         {_DUCK_NORM.format(a="list_transform(list_zip(ev, cv), p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")} AS d
+  FROM base JOIN cent ON base.label = cent.label),
+q AS (
+  SELECT doc_id AS vec_id,
+         round(least(1.0, len(w) / 50.0) * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+             * (CASE WHEN len(list_intersect(list_distinct(w),
+                 ['the','a','an','and','or','of','to','in','is','it'])) > 0
+                THEN 1.0 ELSE 0.5 END), 4) AS q
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+SELECT label, count(*)::BIGINT AS n_docs,
+       round(corr(q, d), 6) AS quality_dist_corr,
+       round(avg(q), 6) AS mean_quality,
+       round(avg(d), 6) AS mean_dist
+FROM dists JOIN q USING (vec_id)
+GROUP BY label
+ORDER BY label
+"""
