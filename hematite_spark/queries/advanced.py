@@ -1152,33 +1152,74 @@ PROFILE_SQL = "\nUNION ALL\n".join(
 ) + "\nORDER BY column_name"
 
 
+_FUZZY_W = 64  # sorted-neighborhood half-width (bucket size)
+
+
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by blocked fuzzy match: for every part, the
-    closest OTHER part by name edit distance, searched only within
-    the name's last-word block — the record-linkage shape (block →
-    compare → best match) that keeps fuzzy matching off the O(n²)
-    cliff. Blocking turns the cross join into an equi-join on the
-    block key; at 100 TB the block is the partition key, and a hot
-    block composes with the same salting/banding used elsewhere.
-    levenshtein() is JVM-side in Spark and native in DuckDB — the
-    identical metric, so best-match verdicts are value-checked.
-    Ties break on (distance, partner key)."""
+    """Entity resolution by blocked SORTED-NEIGHBORHOOD fuzzy match:
+    for every part, the closest OTHER part by name edit distance,
+    searched among its ±64 name-sorted neighbors WITHIN the name's
+    last-word block — the record-linkage shape (block → sort →
+    windowed compare → best match). Plain blocking alone is a scale
+    trap: a fixed-cardinality block key makes the pair space grow
+    QUADRATICALLY with the corpus (measured by tools/scale_slope.py:
+    124× wall on 10× data before this neighborhood bound). The
+    sorted-neighborhood band caps pairs at O(n·w) regardless of block
+    size; the band itself is the bucketed equi-join trick from
+    join_band_inequality (each row probes its own rank-bucket and
+    both neighbors — never block²). levenshtein() is JVM-side in
+    Spark and native in DuckDB — the identical metric, so best-match
+    verdicts are value-checked. Ties break on (distance, partner
+    key)."""
     part = load_table(spark, "part", sf_dir)
-    v = part.select(
+    w_rank = W.partitionBy("blk").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+    v = (
+        part.select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .localCheckpoint()  # ranked once; feeds both sides of the band join
+    )
+    # probe side: each row addresses its own rank-bucket and both
+    # neighbors; build side keyed by its single bucket
+    probe = v.select(
         "p_partkey",
         "p_name",
-        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        "blk",
+        "rnk",
+        F.explode(
+            F.array(
+                (F.floor(F.col("rnk") / _FUZZY_W) - 1),
+                F.floor(F.col("rnk") / _FUZZY_W),
+                (F.floor(F.col("rnk") / _FUZZY_W) + 1),
+            )
+        ).alias("bkt"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") != F.col("b.p_partkey")),
-    ).select(
-        F.col("a.p_partkey").alias("p_partkey"),
-        F.col("a.p_name").alias("p_name"),
-        F.col("b.p_partkey").alias("match_key"),
-        F.col("b.p_name").alias("match_name"),
-        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint").alias("distance"),
+    build = v.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+        F.col("blk").alias("b_blk"),
+        F.col("rnk").alias("b_rnk"),
+        F.floor(F.col("rnk") / _FUZZY_W).alias("b_bkt"),
+    )
+    pairs = (
+        probe.join(
+            build,
+            (F.col("blk") == F.col("b_blk")) & (F.col("bkt") == F.col("b_bkt")),
+        )
+        .where(
+            (F.col("p_partkey") != F.col("match_key"))
+            & (F.abs(F.col("rnk") - F.col("b_rnk")) <= _FUZZY_W)
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "match_key",
+            "match_name",
+            F.levenshtein(F.col("p_name"), F.col("match_name")).cast("bigint").alias("distance"),
+        )
     )
     w_best = W.partitionBy("p_partkey").orderBy(F.col("distance").asc(), F.col("match_key").asc())
     return (
@@ -1189,13 +1230,20 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FUZZY_MATCH_SQL = """
+FUZZY_MATCH_SQL = f"""
 WITH v AS (
-  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk FROM part
+  SELECT p_partkey, p_name, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY p_name ASC, p_partkey ASC)::BIGINT AS rnk
+  FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk FROM part)
+), probe AS (
+  SELECT p_partkey, p_name, blk, rnk, (rnk // {_FUZZY_W}) + d AS bkt
+  FROM v, (SELECT unnest([-1, 0, 1]) AS d)
 ), pairs AS (
   SELECT a.p_partkey, a.p_name, b.p_partkey AS match_key, b.p_name AS match_name,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
-  FROM v a JOIN v b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+  FROM probe a JOIN v b
+    ON a.blk = b.blk AND a.bkt = (b.rnk // {_FUZZY_W})
+  WHERE a.p_partkey <> b.p_partkey AND abs(a.rnk - b.rnk) <= {_FUZZY_W}
 ), best AS (
   SELECT *, row_number() OVER (PARTITION BY p_partkey
                                ORDER BY distance ASC, match_key ASC) AS rn
