@@ -493,15 +493,26 @@ ORDER BY doc_a, doc_b
 )
 
 
+_EMB_TABLES = 4  # hash tables (component ranges t*16 .. t*16+b-1)
+_EMB_MAX_BITS = 16  # per-table plane budget (64-dim / 4 tables)
+_EMB_TARGET_BLOCK = 64.0  # aim blocks at ~this many vectors
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pair docs whose embeddings' cosine
-    ≥ 0.42, blocked by a 4-bit sign bucket (signs of the first 4
-    components) so candidate generation is an equi-join, not an
-    all-pairs cross. Verdict per duplicate: keep the most-similar
-    lower doc_id (row_number over the candidate pairs). At 100 TB the
-    bucket is the shuffle/partition key — the same banding idea as
-    MinHash-LSH, applied to dense vectors (random-hyperplane LSH with
-    axis-aligned planes).
+    ≥ 0.42, candidates from SCALE-ADAPTIVE multi-table random-
+    hyperplane LSH: each of 4 hash tables buckets by the signs of b
+    components (table t uses components t·16+1 … t·16+b), where
+    b = max(4, ⌈log2(n / 64)⌉) is derived from the corpus count INSIDE
+    the plan (a broadcast 1-row aggregate gating each bit's CASE) —
+    so bucket cardinality GROWS with the corpus and the per-table pair
+    space stays ~n·64, never Σblock². A fixed-width bucket key is the
+    quadratic trap tools/scale_slope.py caught in fuzzy_match_parts;
+    this is the dense-vector version of the same fix, and the
+    n-adaptive b applies to every sign-bucket blocker in the family.
+    Multiple tables restore the recall a longer code costs (candidate
+    if ANY table agrees — the banding idea on dense vectors). Verdict
+    per duplicate: keep the most-similar lower doc_id.
 
     `embeddings.vec_id` aligns with `documents.doc_id`; arithmetic is
     float64 left-folds (see similarity module) so Spark and DuckDB
@@ -510,18 +521,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")
-    bucket = sum(
-        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
-    ).cast("bigint")
-    v = emb.select(F.col("vec_id").alias("doc_id"), bucket.alias("bucket"), ev.alias("ev"))
-    a, b = v.alias("a"), v.alias("b")
+    bstats = emb.agg(
+        F.greatest(
+            F.lit(4),
+            F.ceil(F.log2(F.count("*") / F.lit(_EMB_TARGET_BLOCK))).cast("int"),
+        ).alias("b")
+    )
+    base = emb.select(F.col("vec_id").alias("doc_id"), ev.alias("ev")).crossJoin(
+        F.broadcast(bstats)
+    )
+    v = base.select(
+        "doc_id",
+        "ev",
+        *[
+            sum(
+                F.when(
+                    (F.lit(i) < F.col("b"))
+                    & (F.element_at(F.col("ev"), t * _EMB_MAX_BITS + i + 1) >= 0),
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                for i in range(_EMB_MAX_BITS)
+            )
+            .cast("bigint")
+            .alias(f"bkt{t}")
+            for t in range(_EMB_TABLES)
+        ],
+    ).localCheckpoint()  # bucketed once; feeds all table joins
+    cand = None
+    for t in range(_EMB_TABLES):
+        a, b = v.alias("a"), v.alias("b")
+        pt = a.join(
+            b,
+            (F.col(f"a.bkt{t}") == F.col(f"b.bkt{t}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("keep_doc"), F.col("b.doc_id").alias("drop_doc"))
+        cand = pt if cand is None else cand.unionByName(pt)
+    cand = cand.distinct()
+    ea = v.select(F.col("doc_id").alias("keep_doc"), F.col("ev").alias("ea"))
+    eb = v.select(F.col("doc_id").alias("drop_doc"), F.col("ev").alias("eb"))
     pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        cand.join(ea, "keep_doc")
+        .join(eb, "drop_doc")
         .select(
-            F.col("a.doc_id").alias("keep_doc"),
-            F.col("b.doc_id").alias("drop_doc"),
+            "keep_doc",
+            "drop_doc",
             F.round(
-                _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
+                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.42)
@@ -537,21 +581,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EMBEDDING_SQL = """
-WITH v AS (
-  SELECT vec_id AS doc_id,
-         CAST((CASE WHEN ev[1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN ev[2] >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN ev[3] >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN ev[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
-         ev
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+def _emb_bucket_sql(t: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {i} < b AND ev[{t * _EMB_MAX_BITS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_EMB_MAX_BITS)
+    )
+    return f"CAST({terms} AS BIGINT) AS bkt{t}"
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH bs AS (
+  SELECT greatest(4, CAST(ceil(log2(count(*) / {_EMB_TARGET_BLOCK})) AS INT)) AS b
+  FROM embeddings),
+v AS (
+  SELECT vec_id AS doc_id, ev, {", ".join(_emb_bucket_sql(t) for t in range(_EMB_TABLES))}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs
+), cand AS (
+  {" UNION ".join(
+      f'''SELECT a.doc_id AS keep_doc, b.doc_id AS drop_doc
+      FROM v a JOIN v b ON a.bkt{t} = b.bkt{t} AND a.doc_id < b.doc_id'''
+      for t in range(_EMB_TABLES))}
 ), pairs AS (
-  SELECT a.doc_id AS keep_doc, b.doc_id AS drop_doc,
-         round(list_reduce(list_transform(list_zip(a.ev, b.ev), p -> p[1] * p[2]), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(a.ev, x -> x * x), (acc, x) -> acc + x))
-                * sqrt(list_reduce(list_transform(b.ev, x -> x * x), (acc, x) -> acc + x))), 6) AS cosine
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  SELECT keep_doc, drop_doc,
+         round(list_reduce(list_transform(list_zip(ea.ev, eb.ev), p -> p[1] * p[2]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(ea.ev, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(eb.ev, x -> x * x), (acc, x) -> acc + x))), 6) AS cosine
+  FROM cand
+  JOIN v ea ON cand.keep_doc = ea.doc_id
+  JOIN v eb ON cand.drop_doc = eb.doc_id
 )
 SELECT drop_doc, keep_doc, cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY drop_doc ORDER BY cosine DESC, keep_doc) AS rn
