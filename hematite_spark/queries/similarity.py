@@ -155,26 +155,56 @@ ORDER BY bucket
 """
 
 
+def _adaptive_b(emb: DataFrame):
+    """Plane count for sign-bucket blockers, derived from the corpus
+    count INSIDE the plan (1-row broadcast): b = max(4, ⌈log2(n/64)⌉)
+    so bucket cardinality grows with the corpus and blocks stay ~64
+    wide. A FIXED-width bucket key makes the pair space Σblock² —
+    quadratic in the corpus (the scale_slope-measured trap fixed in
+    fuzzy_match_parts and dedup_embedding_cosine)."""
+    return emb.agg(
+        F.greatest(F.lit(4), F.ceil(F.log2(F.count("*") / F.lit(64.0))).cast("int")).alias("b")
+    )
+
+
+def _adaptive_bucket(ev, max_bits: int = 16):
+    """Sign bucket over the first `b` components, bits gated on the
+    in-plan `b` column."""
+    return (
+        sum(
+            F.when(
+                (F.lit(i) < F.col("b")) & (F.element_at(ev, i + 1) >= 0), F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(max_bits)
+        ).cast("bigint")
+    )
+
+
+_DUCK_ADAPTIVE_BS = (
+    "bs AS (SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS b FROM embeddings)"
+)
+_DUCK_ADAPTIVE_BUCKET = "CAST(" + " + ".join(
+    f"(CASE WHEN {i} < b AND ev[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+) + " AS BIGINT)"
+
+
 def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity self-join: pairs with cosine ≥ 0.3 within the same
     (label, sign-bucket) block. The composite key bounds the pair
     space twice over: label alone leaves a hot label degrading to
-    O(block²) at 100 TB, so the 4-bit random-hyperplane sign bucket
-    (same axis-aligned LSH as dedup_embedding_cosine) subdivides every
-    label into ≤16 cells — the join stays a pure equi-join on both
-    keys and the largest cell, not the largest label, caps pair
-    growth. Recall: high-cosine pairs agree on most hyperplane signs,
-    so same-bucket captures the overwhelming share of high-cosine
-    pairs (threshold chosen so the result is non-empty on the
-    synthetic corpus — the operator contract is the threshold join);
-    multi-probe over hamming-1 neighbor buckets is the recall knob at
-    scale (same policy as ann_ivf_search's probe list)."""
+    O(block²) at 100 TB, and the sign bucket is SCALE-ADAPTIVE —
+    b = max(4, ⌈log2(n/64)⌉) planes derived from the corpus count
+    inside the plan (see _adaptive_b) — so cell cardinality grows
+    with the corpus and pair growth stays ~n·64 per label, never
+    Σcell². The join stays a pure equi-join on both keys. Recall:
+    high-cosine pairs agree on most hyperplane signs; multi-probe
+    over hamming-1 neighbor buckets is the recall knob at scale
+    (same policy as ann_ivf_search's probe list)."""
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")
-    bucket = sum(
-        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
-    ).cast("bigint")
-    v = emb.select("vec_id", "label", bucket.alias("bucket"), ev.alias("ev"))
+    v = emb.crossJoin(F.broadcast(_adaptive_b(emb))).select(
+        "vec_id", "label", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev")
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(
@@ -197,14 +227,10 @@ def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMILARITY_JOIN_SQL = f"""
-WITH v AS (
-  SELECT vec_id, label,
-         CAST((CASE WHEN ev[1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN ev[2] >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN ev[3] >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN ev[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
-         ev
-  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings))
+WITH {_DUCK_ADAPTIVE_BS},
+v AS (
+  SELECT vec_id, label, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings), bs)
 SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
              / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
@@ -753,8 +779,10 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept only when cosine < 0.1 — the "easy negative" floor that
     keeps false negatives out of the batch.
 
-    Scale design: positives come from the equi-join on the 4-bit
-    sign bucket (never all-pairs); negatives are a self-join on a
+    Scale design: positives come from the equi-join on the SCALE-
+    ADAPTIVE sign bucket (b = max(4, ⌈log2(n/64)⌉) planes from the
+    in-plan corpus count — see _adaptive_b; candidate volume stays
+    ~n·64, never Σblock²); negatives are a self-join on a
     COMPUTED key (id + stride mod n) — one shuffle each, both keyed.
     No RNG anywhere: the same pairs mine on any cluster, any day —
     reproducible batches, diffable across pipeline versions. Returns
@@ -763,14 +791,15 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hematite_spark.functions import dbl as _dbl2
 
     emb = load_table(spark, "embeddings", sf_dir)
-    v = emb.select(
-        "vec_id",
-        _dbl2("embedding").alias("ev"),
-        sum(
-            (F.when(F.element_at(_dbl2("embedding"), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-            for i in range(4)
-        ).cast("bigint").alias("bucket"),
-    ).localCheckpoint()
+    v = (
+        emb.crossJoin(F.broadcast(_adaptive_b(emb)))
+        .select(
+            "vec_id",
+            _dbl2("embedding").alias("ev"),
+            _adaptive_bucket(_dbl2("embedding")).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
     cos = lambda a, b: F.round(
         _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), 6
     )
@@ -810,13 +839,10 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAIR_MINING_SQL = f"""
-WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS ev,
-         ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-        + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-        + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-        + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)) AS bucket
-  FROM embeddings
+WITH {_DUCK_ADAPTIVE_BS},
+v AS (
+  SELECT vec_id, ev, {_DUCK_ADAPTIVE_BUCKET} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs
 ), n AS (SELECT count(*) AS n FROM v),
 pos AS (
   SELECT 'positive' AS label,
