@@ -130,7 +130,9 @@ def main() -> None:
         "metric": "headline_suite_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        # 2 decimals on the wire (chars are budgeted — see the guard
+        # below); full precision stays in timings for the slope math
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -151,9 +153,6 @@ def main() -> None:
         ratios = {
             n: round(timings[n] / small[n], 2) for n in headline if small.get(n)
         }
-        out["sf_ratio"] = ratios
-        out["slope_sf"] = 0.01
-        out["slope_queries"] = small
         # noise guard: a ratio only means something when the small-sf
         # run is beyond scheduler noise
         risks = [
@@ -162,6 +161,13 @@ def main() -> None:
             if small[n] >= 0.2 and ratios[n] > 15.0
         ]
         out["scale_risks"] = risks
+        # The per-query slope tables (38 entries x 2 dicts) pushed the
+        # round-3 stdout line past the driver's 2000-char tail capture
+        # and BENCH_r03.json recorded parsed=null — so the detail goes
+        # to a side file and only the (normally empty) risk list stays
+        # on the wire.
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SLOPE.json"), "w") as f:
+            json.dump({"slope_sf": 0.01, "sf_ratio": ratios, "slope_queries": small}, f, indent=1)
         for r in risks:
             print(f"# SCALE RISK: {r}", file=sys.stderr)
         if not risks:
@@ -227,7 +233,18 @@ def main() -> None:
             prev_total = prev.get("value")
             prev_s = f"{prev_total:.2f}s" if isinstance(prev_total, (int, float)) else "n/a"
             print(f"# no regressions vs previous bench ({prev_s} total)", file=sys.stderr)
-    print(json.dumps(out))
+    # Hard guard on the wire-line size: the driver keeps only the last
+    # ~2000 chars of combined output, so the JSON line must fit there
+    # with margin. If the headline suite ever grows the line past the
+    # budget, spill the per-query map to a side file rather than let
+    # the driver record parsed=null again.
+    line = json.dumps(out)
+    if len(line) > 1800:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        out["queries"] = {"_spilled_to": "BENCH_DETAIL.json"}
+        line = json.dumps(out)
+    print(line)
 
 
 def _latest_prev_bench(sf) -> dict | None:

@@ -1593,8 +1593,15 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").cast("bigint").alias("tp"),
             (F.col("n_candidates") - F.col("tp")).cast("bigint").alias("fp"),
             (F.col("n_truth") - F.col("tp")).cast("bigint").alias("fn"),
-            F.round(F.col("tp") / F.col("n_candidates"), 6).alias("precision"),
-            F.round(F.col("tp") / F.col("n_truth"), 6).alias("recall"),
+            # zero-guard (round-3 advisor): an empty candidate or truth
+            # set is a degenerate-but-legal banding outcome — report an
+            # explicit 0.0, not NULL
+            F.when(F.col("n_candidates") > 0, F.round(F.col("tp") / F.col("n_candidates"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+            F.when(F.col("n_truth") > 0, F.round(F.col("tp") / F.col("n_truth"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
         )
     )
 
@@ -1625,8 +1632,8 @@ m AS (
          (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b)) AS tp)
 SELECT n_truth::BIGINT AS n_truth, n_candidates::BIGINT AS n_candidates, tp::BIGINT AS tp,
        (n_candidates - tp)::BIGINT AS fp, (n_truth - tp)::BIGINT AS fn,
-       round(tp / CAST(n_candidates AS DOUBLE), 6) AS precision,
-       round(tp / CAST(n_truth AS DOUBLE), 6) AS recall
+       coalesce(round(tp / CAST(nullif(n_candidates, 0) AS DOUBLE), 6), 0.0) AS precision,
+       coalesce(round(tp / CAST(nullif(n_truth, 0) AS DOUBLE), 6), 0.0) AS recall
 FROM m
 """
 )
@@ -1644,8 +1651,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost Σ deg(v)², the standard triangle/path-counting bound, so the
     hub treatment from graph_degree_distribution (cap or sample
     super-nodes) is the guard; existing edges are removed by an
-    anti-join on the pair key; the per-node degree side is O(nodes)
-    and broadcast."""
+    anti-join on the pair key; the per-node degree table is O(nodes) —
+    NOT broadcast-hinted (round-3 advisor: at 100 TB the node count
+    exceeds broadcast limits), so it joins as a node-keyed equi-join
+    and AQE may still choose broadcast when the measured size allows."""
     edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     # undirected adjacency (both directions) for the two-hop walk
     adj = edges.unionByName(
@@ -1662,8 +1671,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = two_hop.join(edges, ["doc_a", "doc_b"], "left_anti")
     da, db = deg.alias("da"), deg.alias("db")
     return (
-        preds.join(F.broadcast(da), F.col("doc_a") == F.col("da.node"))
-        .join(F.broadcast(db), F.col("doc_b") == F.col("db.node"))
+        preds.join(da, F.col("doc_a") == F.col("da.node"))
+        .join(db, F.col("doc_b") == F.col("db.node"))
         .select(
             "doc_a",
             "doc_b",

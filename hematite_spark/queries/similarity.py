@@ -167,9 +167,17 @@ def _adaptive_b(emb: DataFrame):
     )
 
 
-def _adaptive_bucket(ev, max_bits: int = 16):
+def _adaptive_bucket(ev, max_bits: int = 32):
     """Sign bucket over the first `b` components, bits gated on the
-    in-plan `b` column."""
+    in-plan `b` column.
+
+    `max_bits` is a hard ceiling on subdivision: above n ≈ 64·2^max_bits
+    vectors the buckets stop splitting and pair growth reverts toward
+    quadratic (the round-3 advisor's catch — the old cap of 16 bits
+    saturated at ~4.2M vectors). At 32 of the 64 embedding components
+    the cap sits at ~2.7e11 vectors — beyond the 100 TB design point —
+    and the unused upper components remain available for multi-table
+    probing (see dedup_embedding_cosine's multi-table variant)."""
     return (
         sum(
             F.when(
@@ -184,7 +192,7 @@ _DUCK_ADAPTIVE_BS = (
     "bs AS (SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS b FROM embeddings)"
 )
 _DUCK_ADAPTIVE_BUCKET = "CAST(" + " + ".join(
-    f"(CASE WHEN {i} < b AND ev[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    f"(CASE WHEN {i} < b AND ev[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
 ) + " AS BIGINT)"
 
 

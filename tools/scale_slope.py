@@ -32,6 +32,11 @@ FLAG_RATIO = 15.0  # 10x data + modest log/overhead factors
 MIN_BIG_SEC = 0.5  # ratios of sub-half-second walls are scheduler noise
 
 
+def _dir_key(sf_dir: str) -> str:
+    """'/root/testdata/sf0.01' -> 'sf0_01_s'."""
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + "_s"
+
+
 def run(spark, fn, sf_dir) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -65,7 +70,10 @@ def main(names) -> int:
             risks.append(name)
             continue
         ratio = round(big / small, 2) if small > 0 else None
-        out[name] = {"sf001_s": round(small, 3), "sf01_s": round(big, 3), "ratio": ratio}
+        # keys derived from the actual dir names so the labels can't
+        # drift from the measurement again (round-3 advisor: the old
+        # sf001_s/sf01_s names read as one scale factor too small)
+        out[name] = {_dir_key(SMALL_DIR): round(small, 3), _dir_key(BIG_DIR): round(big, 3), "ratio": ratio}
         if ratio is not None and ratio > FLAG_RATIO and big >= MIN_BIG_SEC:
             risks.append(f"{name}: {ratio}x on 10x data")
         print(f"{name}: {small:.2f}s -> {big:.2f}s ({ratio}x)", flush=True)
