@@ -263,9 +263,14 @@ def _latest_prev_bench(sf) -> dict | None:
         except (OSError, ValueError):
             continue
         # the driver's record wraps this script's JSON line in "parsed"
-        if "parsed" in data and isinstance(data["parsed"], dict):
+        if "parsed" in data:
+            # a parsed=null record (e.g. BENCH_r03: wire line overran
+            # the tail capture) has a top-level "sf" too — skip it
+            # rather than compare against an empty query map
+            if not isinstance(data["parsed"], dict):
+                continue
             data = data["parsed"]
-        if data.get("sf") != sf:
+        if data.get("sf") != sf or not data.get("queries"):
             continue
         if best is None or int(m.group(1)) > best[0]:
             best = (int(m.group(1)), data)
