@@ -74,6 +74,9 @@ HEADLINE = [
     "rrf_fusion",
     "embedding_label_outliers",
     "lsh_precision_recall",
+    "ann_ivfpq_search",
+    "knn_graph_build",
+    "mlm_masking_plan",
 ]
 
 

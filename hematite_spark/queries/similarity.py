@@ -1741,3 +1741,242 @@ FROM dists JOIN q USING (vec_id)
 GROUP BY label
 ORDER BY label
 """
+
+
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ end-to-end search — the production ANN serving path that
+    ann_ivf_search (coarse routing) and ann_pq_adc (compressed
+    scoring) each exhibit half of: (1) coarse-quantize every vector to
+    its nearest of 8 deterministic centroids, (2) probe the nprobe=2
+    cells nearest the query, (3) inside the probed cells score CODES
+    ONLY — 4 PQ codebook ids per vector, ADC lookup against a
+    broadcast 8x4 table — to shortlist 50 candidates, (4) exact-cosine
+    rerank of the shortlist to the final top-10.
+
+    This is the FAISS IVFPQ + refine topology on DataFrames. At
+    100 TB: cell id is the partition key, so the probe list IS the
+    partition-pruning predicate (2/8 of the corpus scanned); inside a
+    cell only 4-byte codes are read (16x less I/O than float32
+    vectors); full vectors are fetched for just the 50-row shortlist —
+    a point-lookup join, the only stage that touches raw embeddings.
+    Everything is deterministic (struct-min tie-breaks), so the DuckDB
+    oracle replays the whole cascade value-for-value; the recall gate
+    vs brute force lives in the unit tests."""
+    from pyspark.sql import Window as W
+
+    from hematite_spark.functions import cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", _dbl("embedding").alias("e"))
+    cents = v.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    q = v.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    sqdist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", sqdist(F.col("ce"), F.col("qe")).alias("dq"))
+        .orderBy("dq", "cid")
+        .limit(2)
+        .select(F.col("cid").alias("cell"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "cid")
+    assigned = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", F.col("cid").alias("cell"), sqdist(F.col("e"), F.col("ce")).alias("d"))
+        .withColumn("rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell")))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "e", "cell")
+    )
+    probed = assigned.join(F.broadcast(probe), "cell", "left_semi")
+    # PQ encode the probed cells only (4 x 16-dim subspaces, 8 codes)
+    sub_d = [
+        F.expr(
+            f"aggregate(zip_with(slice(e, {16 * s + 1}, 16), slice(ce, {16 * s + 1}, 16),"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        ).alias(f"d{s}")
+        for s in range(4)
+    ]
+    pair = probed.crossJoin(F.broadcast(cents)).select("vec_id", "cell", "cid", *sub_d)
+    codes = pair.groupBy("vec_id", "cell").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("cid")))
+            .getField("cid")
+            .alias(f"code{s}")
+            for s in range(4)
+        ]
+    )
+    lut = cents.crossJoin(F.broadcast(q)).select(
+        "cid",
+        *[
+            F.expr(
+                f"aggregate(zip_with(slice(qe, {16 * s + 1}, 16), slice(ce, {16 * s + 1}, 16),"
+                " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            ).alias(f"qd{s}")
+            for s in range(4)
+        ],
+    )
+    scored = codes
+    for s in range(4):
+        scored = scored.join(
+            F.broadcast(lut.select(F.col("cid").alias(f"code{s}"), f"qd{s}")), f"code{s}"
+        )
+    shortlist = (
+        scored.select(
+            "vec_id",
+            "cell",
+            F.round(F.sqrt(F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")), 6).alias(
+                "approx_dist"
+            ),
+        )
+        .orderBy("approx_dist", "vec_id")
+        .limit(50)
+    )
+    # exact rerank: fetch full vectors for the 50-row shortlist only
+    return (
+        shortlist.join(v, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            "approx_dist",
+            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT cid AS cell FROM cents, q
+  ORDER BY {_DUCK_SQDIST.format(a="ce", b="qe")}, cid
+  LIMIT 2),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a="v.e", b="c.ce")}, c.cid) AS rn
+    FROM v CROSS JOIN cents c
+    WHERE v.vec_id <> 0)
+  WHERE rn = 1),
+probed AS (
+  SELECT * FROM assigned WHERE cell IN (SELECT cell FROM probe)),
+pair AS (
+  SELECT p.vec_id, p.cell, c.cid,
+         {", ".join(_pq_d2("p.e", "c.ce", s) + f" AS d{s}" for s in range(4))}
+  FROM probed p CROSS JOIN cents c),
+codes AS (
+  SELECT vec_id, cell,
+         {", ".join(f"(min(struct_pack(d := d{s}, cid := cid))).cid AS code{s}" for s in range(4))}
+  FROM pair GROUP BY vec_id, cell),
+lut AS (
+  SELECT cid,
+         {", ".join(_pq_d2("qe", "c.ce", s) + f" AS qd{s}" for s in range(4))}
+  FROM cents c CROSS JOIN q),
+shortlist AS (
+  SELECT vec_id, cell, round(sqrt(l0.qd0 + l1.qd1 + l2.qd2 + l3.qd3), 6) AS approx_dist
+  FROM codes
+  {" ".join(f"JOIN lut l{s} ON l{s}.cid = codes.code{s}" for s in range(4))}
+  ORDER BY approx_dist, vec_id
+  LIMIT 50)
+SELECT s.vec_id, s.cell, s.approx_dist,
+       round({_DUCK_DOT.format(a="v.e", b="qe")}
+             / ({_DUCK_NORM.format(a="v.e")} * {_DUCK_NORM.format(a="qe")}), 6) AS cosine
+FROM shortlist s JOIN v ON v.vec_id = s.vec_id CROSS JOIN q
+ORDER BY cosine DESC, s.vec_id
+LIMIT 10
+"""
+
+
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the sign-bucket blocks — the input
+    structure for graph-based curation (SemDeDup-style cluster pruning,
+    label propagation, NN-descent refinement, graph-ANN serving): each
+    vector keeps its k=3 nearest same-bucket neighbors by cosine, and
+    the audit marks which edges are RECIPROCAL (mutual k-NN — the
+    high-precision subset graph algorithms prefer to trust).
+
+    Scale design: candidate generation is the SCALE-ADAPTIVE sign-
+    bucket self-join (b = max(4, ⌈log2(n/64)⌉) planes from the in-plan
+    corpus count, blocks stay ~64 wide — pair space ~n·64, never n²);
+    top-k per node is a bucket-partitioned window, state O(k) per
+    node after the rank filter; reciprocity is one self-join of the
+    O(n·k) edge list on the reversed pair key. NN-descent iterations
+    (join the edge list to itself to propose neighbor-of-neighbor
+    candidates) reuse exactly this shape. Summarized per node for the
+    first 20 vec_ids so the graph itself is value-checked."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    v = emb.crossJoin(F.broadcast(_adaptive_b(emb))).select(
+        "vec_id", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(
+            _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    edges = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("recip"))
+    marked = edges.join(rev, ["src", "dst"], "left")
+    return (
+        marked.groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("k_found"),
+            F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+            F.max("cosine").alias("best_cosine"),
+            F.sum(F.coalesce(F.col("recip"), F.lit(0))).cast("bigint").alias("n_reciprocal"),
+        )
+        .where(F.col("src") < 20)
+        .select(
+            F.col("src").alias("vec_id"), "k_found", "mean_cosine", "best_cosine", "n_reciprocal"
+        )
+        .orderBy("vec_id")
+    )
+
+
+KNN_GRAPH_SQL = f"""
+WITH {_DUCK_ADAPTIVE_BS},
+v AS (
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+edges AS (
+  SELECT src, dst, cosine
+  FROM (SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM cand)
+  WHERE rn <= 3),
+marked AS (
+  SELECT e.src, e.dst, e.cosine, CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+  FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src)
+SELECT src AS vec_id, count(*)::BIGINT AS k_found,
+       round(avg(cosine), 6) AS mean_cosine, max(cosine) AS best_cosine,
+       sum(recip)::BIGINT AS n_reciprocal
+FROM marked
+WHERE src < 20
+GROUP BY src
+ORDER BY vec_id
+"""

@@ -1779,3 +1779,163 @@ SELECT decile, n_docs, tokens, min_q, max_q,
 FROM binned, tot
 ORDER BY decile
 """
+
+
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM masking plan (the BERT/T5-style pretraining
+    prep step): every whitespace token draws a stable md5 uniform from
+    (doc_id, position, token); tokens with u < 15% of the hash space
+    are selected for corruption, and a second hash byte splits the
+    selected set 80/10/10 into [MASK] / random-replacement / keep-as-is
+    — the standard MLM recipe, with NO RNG anywhere, so the same
+    corpus masks identically on any cluster, any day (reproducible
+    pretraining batches, diffable across pipeline versions).
+
+    Output per source: token/masking accounting — the table a batch
+    builder consumes to size epochs and verify corruption rates.
+
+    100 TB: one embarrassingly-parallel scan (split + posexplode +
+    hash per token); the only shuffle is the O(sources) final
+    aggregate. The 15%/80/10/10 thresholds are hash-space constants,
+    not sampled rates, so rates converge per the law of large numbers
+    and the audit columns prove it."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(_norm_text(), " ")).alias("i", "tok"),
+    ).select(
+        "source",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id"), (F.col("i") + 1).cast("string"), F.col("tok"))
+        ).alias("h"),
+    )
+    u = F.conv(F.substring("h", 1, 4), 16, 10).cast("bigint")  # 0..65535
+    r = F.conv(F.substring("h", 5, 2), 16, 10).cast("bigint")  # 0..255
+    sel = u < 9830  # 15% of 65536
+    return (
+        toks.select(
+            "source",
+            sel.cast("long").alias("m"),
+            (sel & (r < 204)).cast("long").alias("mt"),
+            (sel & (r >= 204) & (r < 230)).cast("long").alias("rd"),
+            (sel & (r >= 230)).cast("long").alias("kp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("m").cast("bigint").alias("n_masked"),
+            F.sum("mt").cast("bigint").alias("n_mask_token"),
+            F.sum("rd").cast("bigint").alias("n_random"),
+            F.sum("kp").cast("bigint").alias("n_keep"),
+            F.round(F.sum("m") / F.count("*"), 4).alias("mask_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+MLM_MASKING_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         md5(doc_id || ':' || i || ':' || w[i]) AS h
+  FROM (SELECT doc_id, source, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+flags AS (
+  SELECT source,
+         ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+        + (strpos('0123456789abcdef', h[2]) - 1) * 256
+        + (strpos('0123456789abcdef', h[3]) - 1) * 16
+        + (strpos('0123456789abcdef', h[4]) - 1)) AS u,
+         ((strpos('0123456789abcdef', h[5]) - 1) * 16
+        + (strpos('0123456789abcdef', h[6]) - 1)) AS r
+  FROM toks)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN u < 9830 THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+       sum(CASE WHEN u < 9830 AND r < 204 THEN 1 ELSE 0 END)::BIGINT AS n_mask_token,
+       sum(CASE WHEN u < 9830 AND r >= 204 AND r < 230 THEN 1 ELSE 0 END)::BIGINT AS n_random,
+       sum(CASE WHEN u < 9830 AND r >= 230 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       round(sum(CASE WHEN u < 9830 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS mask_frac
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+def eval_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram coverage — the inverse of corpus_decontaminate:
+    instead of removing eval overlap from train, this audits how much
+    of the EVAL split's content the train corpus has seen at all. For
+    every eval doc's distinct word-3-grams, the fraction present in
+    the train split's distinct 3-gram vocabulary; low coverage flags
+    eval sets that are out-of-domain for the corpus (novelty, not
+    contamination). Splits reuse split_train_test's stable doc_id hash
+    (train < 80, eval >= 90) so membership matches the split operator
+    exactly. Reported per source: micro (ngram-weighted) and macro
+    (per-doc average) coverage.
+
+    Shape at scale: the train distinct-shingle set is vocabulary-
+    scale; one equi-join on the shingle key against the (small) eval
+    side — the same topology as decontamination with build/probe
+    sides swapped, so at 100 TB the eval shingles broadcast and the
+    train vocabulary streams."""
+    from hematite_spark.queries.dedup import _shingles_df
+    from hematite_spark.queries.sampling import _hash_pct
+
+    sh = _shingles_df(spark, sf_dir, k=3)
+    h = _hash_pct(F.col("doc_id"))
+    train_sh = sh.where(h < 80).select("sh").distinct().withColumn("hit", F.lit(1))
+    ev = sh.where(h >= 90)
+    per_doc = (
+        ev.join(train_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("c"),
+        )
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_docs"),
+            F.sum("n").cast("bigint").alias("n_eval_ngrams"),
+            F.sum("c").cast("bigint").alias("n_covered"),
+            F.round(F.sum("c") / F.sum("n"), 6).alias("coverage_micro"),
+            F.round(F.avg(F.col("c") / F.col("n")), 6).alias("coverage_macro"),
+        )
+        .orderBy("source")
+    )
+
+
+from hematite_spark.queries.sampling import _DUCK_HASH_PCT as _COV_HASH_SQL
+
+_COV_HASH = _COV_HASH_SQL.format(k="doc_id::VARCHAR")
+
+EVAL_COVERAGE_SQL = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+), train AS (
+  SELECT DISTINCT sh FROM shingles WHERE {_COV_HASH} < 80
+), ev AS (
+  SELECT doc_id, sh FROM shingles WHERE {_COV_HASH} >= 90
+), per_doc AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM ev e LEFT JOIN train t ON e.sh = t.sh
+  GROUP BY e.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_eval_docs,
+       sum(n)::BIGINT AS n_eval_ngrams, sum(c)::BIGINT AS n_covered,
+       round(sum(c) / CAST(sum(n) AS DOUBLE), 6) AS coverage_micro,
+       round(avg(c / CAST(n AS DOUBLE)), 6) AS coverage_macro
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""

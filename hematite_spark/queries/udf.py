@@ -258,3 +258,108 @@ SELECT event_id, event_type,
 FROM events
 ORDER BY event_id
 """
+
+
+def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with the mergeable-
+    partial contract, per event type over distinct users. The sketch is
+    the K smallest 32-bit hashes of the distinct key set; the estimate
+    is (K-1) / normalized kth minimum. Partials (here: user-parity
+    halves; in production: shards/days) keep only their own K smallest
+    hashes, and a union-then-rank merge reproduces the direct sketch
+    EXACTLY — the property that lets 100 TB pipelines answer
+    "distinct users across any union of shards" from O(K) state per
+    shard, no recount (same contract family as minhash_signature_merge
+    and agg_incremental_merge).
+
+    Scale note: the per-type ranking windows here run over the distinct
+    hash set to exhibit BOTH paths; production maintains only the
+    partial path, where each shard's window is shard-local and the
+    merge ranks |shards|*K rows. K=8 keeps the contract satisfiable at
+    sf0.001 (15 users/type); the estimate is deliberately coarse — the
+    value-checked columns are the contract (kth hashes agree) and the
+    relative error, identical in both engines by construction (md5)."""
+    from pyspark.sql.window import Window
+
+    K = 8
+    ev = load_table(spark, "events", sf_dir)
+    h32 = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    hashes = ev.select("event_type", h32.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth_direct = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == K)
+        .select("event_type", F.col("h").alias("kth_direct"))
+    )
+    # partial path: per (type, half) keep the K smallest, merge by
+    # union + distinct + re-rank — O(K) state per partial
+    ph = ev.select(
+        "event_type", (F.col("user_id") % 2).alias("half"), h32.alias("h")
+    ).distinct()
+    wp = Window.partitionBy("event_type", "half").orderBy("h")
+    kmin = (
+        ph.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= K)
+        .select("event_type", "h")
+        .distinct()
+    )
+    kth_merged = (
+        kmin.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == K)
+        .select("event_type", F.col("h").alias("kth_merged"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    est = F.round(F.lit(float(K - 1)) * F.lit(4294967296.0) / F.col("kth_direct"), 4)
+    return (
+        exact.join(kth_direct, "event_type")
+        .join(kth_merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "kth_direct",
+            "kth_merged",
+            (F.col("kth_direct") == F.col("kth_merged")).alias("merge_agrees"),
+            est.alias("est_distinct"),
+            F.round(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_H32 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[{i + 1}]) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+KMV_SKETCH_MERGE_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, CAST({_KMV_H32} AS BIGINT) AS h FROM events),
+direct AS (
+  SELECT event_type, h AS kth_direct
+  FROM (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hashes)
+  WHERE rn = 8),
+ph AS (
+  SELECT DISTINCT event_type, user_id % 2 AS half, CAST({_KMV_H32} AS BIGINT) AS h FROM events),
+kmin AS (
+  SELECT DISTINCT event_type, h
+  FROM (SELECT event_type, h, row_number() OVER (PARTITION BY event_type, half ORDER BY h) AS rn FROM ph)
+  WHERE rn <= 8),
+merged AS (
+  SELECT event_type, h AS kth_merged
+  FROM (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM kmin)
+  WHERE rn = 8),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users FROM events GROUP BY event_type)
+SELECT event_type, exact_users, kth_direct, kth_merged,
+       kth_direct = kth_merged AS merge_agrees,
+       round(7.0 * 4294967296.0 / kth_direct, 4) AS est_distinct,
+       round(abs(round(7.0 * 4294967296.0 / kth_direct, 4) - exact_users) / exact_users, 4) AS rel_err
+FROM exact JOIN direct USING (event_type) JOIN merged USING (event_type)
+ORDER BY event_type
+"""

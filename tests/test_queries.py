@@ -371,3 +371,80 @@ def test_rrf_fusion_bounds(spark):
             1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0
         )
         assert abs(r.rrf - round(expected, 6)) < 1e-9, r
+
+
+def test_kmv_merge_contract(spark):
+    """Mergeability contract: the kth-minimum hash from union-merged
+    per-half partials must equal the directly computed kth minimum for
+    every event type, and the estimate must be a sane distinct-count
+    proxy (within 4x either way at these tiny scales)."""
+    from hematite_spark.queries.udf import kmv_sketch_merge
+
+    rows = kmv_sketch_merge(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.merge_agrees, r
+        assert r.kth_direct == r.kth_merged
+        assert r.est_distinct > 0
+        assert r.est_distinct / r.exact_users < 4 and r.exact_users / r.est_distinct < 4, r
+
+
+def test_mlm_masking_rates(spark):
+    """Hash-space thresholds must produce ~15% masking with the
+    80/10/10 corruption split, and the accounting must be exact
+    (n_masked = mask_token + random + keep)."""
+    from hematite_spark.queries.text import mlm_masking_plan
+
+    rows = mlm_masking_plan(spark, SF_DIR).collect()
+    n = sum(r.n_tokens for r in rows)
+    m = sum(r.n_masked for r in rows)
+    mt = sum(r.n_mask_token for r in rows)
+    rd = sum(r.n_random for r in rows)
+    kp = sum(r.n_keep for r in rows)
+    assert m == mt + rd + kp
+    assert 0.10 < m / n < 0.20, (m, n)
+    assert 0.7 < mt / m < 0.9, (mt, m)
+
+
+def test_ivfpq_shortlist_recall(spark):
+    """The IVFPQ cascade's top-10 must share most of its members with
+    exact brute-force top-10 restricted to the probed cells — PQ with
+    8 codes per subspace is coarse, but the exact rerank of a 50-row
+    shortlist recovers ranking quality; and approx_dist must be
+    non-negative."""
+    from hematite_spark.queries.similarity import ann_ivf_search, ann_ivfpq_search
+
+    pq_top = ann_ivfpq_search(spark, SF_DIR).collect()
+    assert len(pq_top) == 10
+    assert all(r.approx_dist >= 0 for r in pq_top)
+    # ann_ivf_search = exact scoring over the same probed cells
+    exact_top = {r.vec_id for r in ann_ivf_search(spark, SF_DIR).collect()}
+    overlap = len({r.vec_id for r in pq_top} & exact_top)
+    assert overlap >= 6, (overlap, pq_top)
+
+
+def test_knn_graph_contract(spark):
+    """Every node keeps at most k=3 neighbors, reciprocal count is
+    bounded by k_found, and cosines are valid."""
+    from hematite_spark.queries.similarity import knn_graph_build
+
+    rows = knn_graph_build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.k_found <= 3
+        assert 0 <= r.n_reciprocal <= r.k_found
+        assert -1.000001 <= r.mean_cosine <= r.best_cosine <= 1.000001
+
+
+def test_eval_coverage_bounds(spark):
+    """Coverage fractions live in [0, 1] and covered counts are
+    bounded by totals; the synthetic corpus's shared vocabulary should
+    put micro coverage well above zero."""
+    from hematite_spark.queries.text import eval_ngram_coverage
+
+    rows = eval_ngram_coverage(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_eval_ngrams
+        assert 0.0 <= r.coverage_micro <= 1.0 and 0.0 <= r.coverage_macro <= 1.0
+    assert sum(r.n_covered for r in rows) > 0

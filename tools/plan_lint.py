@@ -97,21 +97,45 @@ def _subtree(nodes, i):
 
 
 def _smj_over_global_agg(nodes, details) -> bool:
-    """A sort-merge/shuffled-hash join whose input subtree contains a
-    global (Keys: []) aggregate — that side is 1 row; broadcast it."""
+    """A sort-merge/shuffled-hash join whose input SIDE is a global
+    (Keys: []) aggregate — that side is 1 row; broadcast it.
+
+    Only the side's effective root counts: we descend through
+    row-preserving wrappers (Sort/Exchange/Project/Filter/codegen
+    shims) and flag if we land on a keys-[] aggregate. A global
+    aggregate buried deeper — e.g. already broadcast into the side's
+    pipeline (the scale-adaptive `b` pattern), or feeding another
+    join below — does NOT make the SMJ wrong, and the earlier
+    whole-subtree scan false-positived on exactly that (knn_graph's
+    O(n·k) edge-list self-join)."""
+    _THROUGH = (
+        "Sort", "Exchange", "AQEShuffleRead", "Project", "Filter",
+        "ColumnarToRow", "InputAdapter", "WholeStageCodegen", "Coalesce",
+    )
     for i, (nid, name, depth) in enumerate(nodes):
         if not name.startswith(("SortMergeJoin", "ShuffledHashJoin")):
             continue
         children = [j for j in _subtree(nodes, i)[1:] if nodes[j][2] == depth + 3]
         for c in children:
-            for j in _subtree(nodes, c):
-                jname = nodes[j][1]
-                if "Aggregate" not in jname:
-                    continue
-                det = details.get(nodes[j][0], "")
-                km = re.search(r"Keys(?: \[\d+\])?\s*:?\s*\[(.*?)\]", det)
-                if km and km.group(1).strip() == "":
-                    return True
+            cur = c
+            while True:
+                cname = nodes[cur][1]
+                if "Aggregate" in cname:
+                    det = details.get(nodes[cur][0], "")
+                    km = re.search(r"Keys(?: \[\d+\])?\s*:?\s*\[(.*?)\]", det)
+                    if km and km.group(1).strip() == "":
+                        return True
+                    break
+                if not cname.startswith(_THROUGH):
+                    break
+                kids = [
+                    j
+                    for j in _subtree(nodes, cur)[1:]
+                    if nodes[j][2] == nodes[cur][2] + 3
+                ]
+                if len(kids) != 1:
+                    break
+                cur = kids[0]
     return False
 
 
