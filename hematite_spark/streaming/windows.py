@@ -336,3 +336,62 @@ def stateful_latest_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_distinct_stream(df: DataFrame, key_col: str = "event_type", id_col: str = "user_id", k: int = 8) -> DataFrame:
+    """Streaming KMV distinct-count sketch: per key, maintain the K
+    smallest 32-bit md5 hashes of the id column across micro-batches
+    (applyInPandasWithState; state = one sorted K-list per key, O(K)
+    bytes). Each batch emits the key's current kth-minimum and the
+    (K-1)/kth estimate. Mergeability makes this the streaming twin of
+    the batch kmv_sketch_merge operator (queries/udf.py): the final
+    state after any micro-batch split equals the batch sketch over
+    the union — asserted in tests/test_streaming.py.
+
+    At scale the state shards by key across executors and never
+    grows; this is the pattern for 'distinct users per key, live'
+    without unbounded dropDuplicates state."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    # hash JVM-side so the stream and the batch twin agree bit-for-bit
+    h32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    hashed = df.select(F.col(key_col), h32.alias("h"))
+    key_type = df.schema[key_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("n_tracked", T.LongType()),
+            T.StructField("kth_min", T.LongType()),
+            T.StructField("est_distinct", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("kmin", T.ArrayType(T.LongType()))])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        kmin = list(state.get[0]) if state.exists else []
+        seen = set(kmin)
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"])
+        kmin = sorted(seen)[:k]
+        state.update((kmin,))
+        kth = kmin[k - 1] if len(kmin) >= k else None
+        est = round((k - 1) * 4294967296.0 / kth, 4) if kth else float(len(kmin))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_tracked": [len(kmin)],
+                "kth_min": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

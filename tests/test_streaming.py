@@ -502,3 +502,39 @@ def test_stateful_latest_state_matches_batch_projection(spark, tmp_path):
     assert len(merged) == len(batch) == len(final)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.last_value_s - merged.last_value_b).abs().max() < 1e-9
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch kappa contract: the streaming KMV state after
+    two micro-batches (events split mid-history, so cross-batch merge
+    is exercised) must reproduce the batch kmv_sketch_merge kth-minimum
+    hash per event type, estimate and all."""
+    import json as _json
+
+    from hematite_spark.streaming import kmv_distinct_stream
+    from hematite_spark.queries.udf import kmv_sketch_merge
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    rows = [r.asDict() for r in ev.collect()]
+    cut = len(rows) // 2
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        with open(src / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    base = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = _run_to_memory(spark, kmv_distinct_stream(base), "kmv_stream", mode="update")
+    emitted = out.toPandas()
+    # update mode re-emits per batch; the final state is the last emission
+    final = emitted.groupby("event_type").tail(1).set_index("event_type")
+    batch = {r.event_type: r for r in kmv_sketch_merge(spark, sf_dir).collect()}
+    assert set(final.index) == set(batch)
+    for et, b in batch.items():
+        assert int(final.loc[et, "kth_min"]) == b.kth_direct, et
+        assert abs(float(final.loc[et, "est_distinct"]) - b.est_distinct) < 1e-6, et
