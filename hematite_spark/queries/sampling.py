@@ -614,3 +614,54 @@ SELECT source, tokens, round(sq, 6) AS shrunk_q, round(c, 6) AS cum_token_share,
 FROM cum
 ORDER BY shrunk_q DESC, source
 """
+
+
+def domain_cap_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb-style curation rule
+    'no more than N documents per domain/source': within each source,
+    docs are ranked by a stable md5 hash (a deterministic uniform
+    shuffle, so the kept subset is unbiased and reproducible) and only
+    the first CAP=30 survive. Reported per source: kept/dropped counts
+    and the kept share of characters — the inputs to rebalancing the
+    mixture after capping.
+
+    100 TB: one window partitioned BY SOURCE (never global) over a
+    (source, doc_id) projection; at real scale the hot-domain skew is
+    exactly what the cap removes, and AQE skew-split handles the rank
+    computation for mega-domains. The selection predicate is stateless
+    given (source, doc_id), so the capped set is stable under corpus
+    growth in unaffected domains."""
+    CAP = 30
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("rk") <= CAP).cast("long")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("rk") > CAP).cast("long")).cast("bigint").alias("n_dropped"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= CAP, F.col("n_chars")).otherwise(F.lit(0)))
+                / F.sum("n_chars"),
+                6,
+            ).alias("kept_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_CAP_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rk <= 30 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rk > 30 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       round(sum(CASE WHEN rk <= 30 THEN n_chars ELSE 0 END) / CAST(sum(n_chars) AS DOUBLE), 6) AS kept_char_share
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

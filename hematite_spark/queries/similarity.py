@@ -1898,23 +1898,11 @@ LIMIT 10
 """
 
 
-def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph construction over the sign-bucket blocks — the input
-    structure for graph-based curation (SemDeDup-style cluster pruning,
-    label propagation, NN-descent refinement, graph-ANN serving): each
-    vector keeps its k=3 nearest same-bucket neighbors by cosine, and
-    the audit marks which edges are RECIPROCAL (mutual k-NN — the
-    high-precision subset graph algorithms prefer to trust).
-
-    Scale design: candidate generation is the SCALE-ADAPTIVE sign-
-    bucket self-join (b = max(4, ⌈log2(n/64)⌉) planes from the in-plan
-    corpus count, blocks stay ~64 wide — pair space ~n·64, never n²);
-    top-k per node is a bucket-partitioned window, state O(k) per
-    node after the rank filter; reciprocity is one self-join of the
-    O(n·k) edge list on the reversed pair key. NN-descent iterations
-    (join the edge list to itself to propose neighbor-of-neighbor
-    candidates) reuse exactly this shape. Summarized per node for the
-    first 20 vec_ids so the graph itself is value-checked."""
+def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3):
+    """Directed k-NN edge list over the scale-adaptive sign-bucket
+    blocks (shared by knn_graph_build and hubness_audit): per vector,
+    its k highest-cosine same-bucket neighbors. Columns (src, dst,
+    cosine, rn)."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1934,7 +1922,27 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    edges = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the sign-bucket blocks — the input
+    structure for graph-based curation (SemDeDup-style cluster pruning,
+    label propagation, NN-descent refinement, graph-ANN serving): each
+    vector keeps its k=3 nearest same-bucket neighbors by cosine, and
+    the audit marks which edges are RECIPROCAL (mutual k-NN — the
+    high-precision subset graph algorithms prefer to trust).
+
+    Scale design: candidate generation is the SCALE-ADAPTIVE sign-
+    bucket self-join (b = max(4, ⌈log2(n/64)⌉) planes from the in-plan
+    corpus count, blocks stay ~64 wide — pair space ~n·64, never n²);
+    top-k per node is a bucket-partitioned window, state O(k) per
+    node after the rank filter; reciprocity is one self-join of the
+    O(n·k) edge list on the reversed pair key. NN-descent iterations
+    (join the edge list to itself to propose neighbor-of-neighbor
+    candidates) reuse exactly this shape. Summarized per node for the
+    first 20 vec_ids so the graph itself is value-checked."""
+    edges = _knn_edges(spark, sf_dir, k=3)
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("recip"))
     marked = edges.join(rev, ["src", "dst"], "left")
     return (
@@ -1979,4 +1987,122 @@ FROM marked
 WHERE src < 20
 GROUP BY src
 ORDER BY vec_id
+"""
+
+
+def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN hubness audit — the high-dimensional pathology metric: in
+    high dimensions a few 'hub' vectors appear in everyone's neighbor
+    lists (in-degree ≫ k) while 'anti-hubs' appear in none (in-degree
+    0), which silently skews dedup verdicts and retrieval diversity.
+    Reports the in-degree HISTOGRAM of the k=3 NN graph, including the
+    in_degree=0 bin (nodes never chosen as anyone's neighbor), plus
+    each bin's share — the curve a curation pipeline watches when the
+    embedding model or index geometry changes.
+
+    Scale: in-degree is one count aggregate over the O(n·k) edge list;
+    the zero bin is total-minus-appearing via two broadcast scalars.
+    No new pair joins beyond the shared _knn_edges build."""
+    edges = _knn_edges(spark, sf_dir, k=3)
+    emb = load_table(spark, "embeddings", sf_dir)
+    indeg = edges.groupBy(F.col("dst").alias("vec_id")).agg(F.count("*").alias("in_degree"))
+    hist = indeg.groupBy("in_degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    totals = emb.agg(F.count("*").alias("n_total"))
+    chosen = indeg.agg(F.count("*").alias("n_chosen"))
+    zero = (
+        totals.crossJoin(F.broadcast(chosen))
+        .select(
+            F.lit(0).cast("bigint").alias("in_degree"),
+            (F.col("n_total") - F.col("n_chosen")).cast("bigint").alias("n_nodes"),
+        )
+        .where(F.col("n_nodes") > 0)
+    )
+    full = hist.select(F.col("in_degree").cast("bigint"), "n_nodes").unionByName(zero)
+    total_nodes = emb.agg(F.count("*").alias("nt"))
+    return (
+        full.crossJoin(F.broadcast(total_nodes))
+        .select(
+            "in_degree",
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("nt"), 6).alias("share"),
+        )
+        .orderBy("in_degree")
+    )
+
+
+HUBNESS_SQL = f"""
+WITH {_DUCK_ADAPTIVE_BS},
+v AS (
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+edges AS (
+  SELECT src, dst
+  FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM cand)
+  WHERE rn <= 3),
+indeg AS (SELECT dst AS vec_id, count(*) AS in_degree FROM edges GROUP BY dst),
+hist AS (SELECT in_degree::BIGINT AS in_degree, count(*)::BIGINT AS n_nodes FROM indeg GROUP BY in_degree),
+tot AS (SELECT count(*) AS n_total FROM embeddings),
+zero AS (
+  SELECT 0::BIGINT AS in_degree, (n_total - (SELECT count(*) FROM indeg))::BIGINT AS n_nodes
+  FROM tot
+  WHERE n_total > (SELECT count(*) FROM indeg))
+SELECT in_degree, n_nodes,
+       round(n_nodes / CAST((SELECT n_total FROM tot) AS DOUBLE), 6) AS share
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM zero)
+ORDER BY in_degree
+"""
+
+
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance audit: per-cell occupancy of the
+    scale-adaptive sign-bucket quantizer vs the uniform target, with a
+    split/merge/ok recommendation per cell (split when a cell holds
+    >2x the average — probe cost and skew; merge when <0.25x — wasted
+    routing entries). This is the rebalancing decision table a 100 TB
+    vector index runs nightly: cell id is the partition key, so 'split'
+    literally means repartitioning hot partitions (add a plane bit for
+    that cell), and the audit is ONE groupBy over the assignment scan
+    plus a broadcast of the 1-row average."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    v = emb.crossJoin(F.broadcast(_adaptive_b(emb))).select(
+        "vec_id", _adaptive_bucket(ev).alias("bucket")
+    )
+    cells = v.groupBy("bucket").agg(F.count("*").cast("bigint").alias("n_vectors"))
+    avg = cells.agg(F.avg("n_vectors").alias("avg_n"))
+    return (
+        cells.crossJoin(F.broadcast(avg))
+        .select(
+            "bucket",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("avg_n"), 4).alias("ratio_to_avg"),
+            F.when(F.col("n_vectors") > 2 * F.col("avg_n"), F.lit("split"))
+            .when(F.col("n_vectors") < 0.25 * F.col("avg_n"), F.lit("merge"))
+            .otherwise(F.lit("ok"))
+            .alias("action"),
+        )
+        .orderBy("bucket")
+    )
+
+
+IVF_CELL_BALANCE_SQL = f"""
+WITH {_DUCK_ADAPTIVE_BS},
+v AS (
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
+cells AS (SELECT bucket, count(*)::BIGINT AS n_vectors FROM v GROUP BY bucket),
+a AS (SELECT avg(n_vectors) AS avg_n FROM cells)
+SELECT bucket, n_vectors,
+       round(n_vectors / avg_n, 4) AS ratio_to_avg,
+       CASE WHEN n_vectors > 2 * avg_n THEN 'split'
+            WHEN n_vectors < 0.25 * avg_n THEN 'merge'
+            ELSE 'ok' END AS action
+FROM cells, a
+ORDER BY bucket
 """

@@ -448,3 +448,45 @@ def test_eval_coverage_bounds(spark):
         assert 0 <= r.n_covered <= r.n_eval_ngrams
         assert 0.0 <= r.coverage_micro <= 1.0 and 0.0 <= r.coverage_macro <= 1.0
     assert sum(r.n_covered for r in rows) > 0
+
+
+def test_domain_cap_contract(spark):
+    """Cap accounting: kept <= 30 per source, kept+dropped = docs,
+    char share in (0, 1]."""
+    from hematite_spark.queries.sampling import domain_cap_sampling
+
+    rows = domain_cap_sampling(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= 30 and r.n_kept + r.n_dropped == r.n_docs
+        assert 0 < r.kept_char_share <= 1.0
+
+
+def test_hubness_histogram_complete(spark):
+    """Every vector lands in exactly one in-degree bin (shares sum to
+    1, node counts sum to the corpus size)."""
+    from hematite_spark.queries.similarity import hubness_audit
+    from hematite_spark.io import load_table
+
+    rows = hubness_audit(spark, SF_DIR).collect()
+    n_total = load_table(spark, "embeddings", SF_DIR).count()
+    assert sum(r.n_nodes for r in rows) == n_total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert all(r.in_degree >= 0 for r in rows)
+
+
+def test_ivf_cell_balance_partition(spark):
+    """Cells partition the corpus; actions follow the ratio rule."""
+    from hematite_spark.queries.similarity import ivf_cell_balance_audit
+    from hematite_spark.io import load_table
+
+    rows = ivf_cell_balance_audit(spark, SF_DIR).collect()
+    n_total = load_table(spark, "embeddings", SF_DIR).count()
+    assert sum(r.n_vectors for r in rows) == n_total
+    for r in rows:
+        if r.ratio_to_avg > 2.0:
+            assert r.action == "split"
+        elif r.ratio_to_avg < 0.25:
+            assert r.action == "merge"
+        else:
+            assert r.action == "ok"
