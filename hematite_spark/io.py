@@ -348,3 +348,42 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """CSV ingest with an EXPLICIT schema — the interchange-format
+    source a pipeline meets at its edges (vendor drops, exports,
+    spreadsheets). Schema inference is deliberately not offered: at
+    100 TB `inferSchema` is a full extra pass over the data, and a
+    drifting inferred type (an all-digit id column becoming BIGINT in
+    one delivery and STRING in the next) silently corrupts joins.
+    PERMISSIVE mode + a `_corrupt` rescue column make bad rows data
+    instead of job failures — the reconciliation_report operator is
+    the downstream audit.
+
+    Columnar pushdown note: CSV supports predicate pushdown but not
+    column pruning at the byte level (rows are parsed whole) — the
+    first job after a CSV ingest should be a parquet rewrite
+    (write_events_lake / write_training_shards)."""
+    reader = (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: `mergeSchema` unions
+    the footer schemas of every file, so files written before a column
+    existed read as NULL for it — the lake reality when a pipeline
+    adds columns over time (quality scores, new provenance fields).
+
+    At 100 TB merging footers across millions of files is itself a
+    job; production fixes the contract in a table format or a
+    registered schema and uses this only for discovery/backfill —
+    which is why the default read path (load_table) pins schemas."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -182,3 +182,57 @@ def test_write_training_shards_reproducible_and_ordered(spark, tmp_path):
     # a different seed is a genuinely different permutation
     m3 = write_training_shards(docs, str(tmp_path / "s3"), n_shards=4, seed="other").collect()
     assert [r.asDict() for r in m3] != [r.asDict() for r in m1]
+
+
+def test_csv_roundtrip_typed(spark, tmp_path):
+    """Events slice -> CSV with header -> typed re-ingest: values
+    survive, no corrupt rows; a malformed row lands in _corrupt
+    instead of failing the job."""
+    from hematite_spark.io import load_table, read_csv_typed
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(200)
+    )
+    dst = str(tmp_path / "ev_csv")
+    ev.coalesce(1).write.option("header", "true").csv(dst)
+    back = read_csv_typed(
+        spark, dst, "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    # Spark disallows queries that prune down to ONLY the corrupt
+    # column on a raw CSV scan — materialize rows, then inspect
+    back_rows = back.orderBy("event_id").collect()
+    assert all(r._corrupt is None for r in back_rows)
+    a = [tuple(r) for r in ev.collect()]
+    b = [tuple(r)[:-1] for r in back_rows]
+    assert a == b
+    # malformed delivery: a row with a non-numeric id is rescued, not fatal
+    bad = str(tmp_path / "bad_csv")
+    import os
+    os.makedirs(bad)
+    with open(bad + "/d.csv", "w") as f:
+        f.write("event_id,user_id,event_type,value\nnot_a_number,1,click,2.0\n7,2,view,1.5\n")
+    rb = read_csv_typed(
+        spark, bad, "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    rows = {r.event_id: r for r in rb.collect()}
+    assert rows[7]._corrupt is None and rows[7].event_type == "view"
+    assert None in rows and rows[None]._corrupt is not None
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Files written before a column existed read as NULL for it under
+    mergeSchema; the shared columns stay typed."""
+    from hematite_spark.io import read_parquet_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(base + "/f1")
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id bigint, name string, quality double"
+    ).write.parquet(base + "/f2")
+    df = read_parquet_evolving(spark, base + "/f*")
+    assert set(df.columns) == {"id", "name", "quality"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].quality is None and abs(rows[2].quality - 0.9) < 1e-12
