@@ -2106,3 +2106,114 @@ SELECT bucket, n_vectors,
 FROM cells, a
 ORDER BY bucket
 """
+
+
+def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the k-NN graph — the
+    classic cheap-label-expansion pass (propagate sparse human labels
+    to the unlabeled corpus along embedding-similarity edges): seeds
+    are the vectors with vec_id % 5 == 0 (simulating 20% labeled
+    data), everyone else starts unlabeled; two unrolled supersteps of
+    'adopt the majority label among labeled neighbors' (ties broken by
+    smaller label — deterministic), labeled nodes never change.
+
+    Scale: each superstep is one equi-join of the O(n·k) undirected
+    edge list against the current label table (node-keyed) + one
+    (node, label) count aggregate + one per-node argmax window —
+    the BSP pattern shared with dedup_connected_components, state
+    O(n) per superstep, lineage cut irrelevant at 2 fixed steps.
+    Output: per final label, node counts split seeded/propagated,
+    plus the still-unlabeled row (label -1)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    edges = _knn_edges(spark, sf_dir, k=3).select("src", "dst")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, F.col("label").cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("lbl"),
+    )
+    cur = nodes
+    for _ in range(2):
+        votes = (
+            und.join(cur.select(F.col("vec_id").alias("dst"), F.col("lbl").alias("nlbl")), "dst")
+            .where(F.col("nlbl").isNotNull())
+            .groupBy(F.col("src").alias("vec_id"), F.col("nlbl"))
+            .agg(F.count("*").alias("n"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("n").desc(), F.col("nlbl").asc())
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("nlbl").alias("voted"))
+        )
+        cur = (
+            cur.join(best, "vec_id", "left")
+            .select("vec_id", F.coalesce(F.col("lbl"), F.col("voted")).alias("lbl"))
+        )
+    seeded = F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0)
+    return (
+        cur.select(F.coalesce(F.col("lbl"), F.lit(-1)).alias("final_label"), seeded.alias("s"))
+        .groupBy("final_label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("s").cast("bigint").alias("n_seeded"),
+            (F.count("*") - F.sum("s")).cast("bigint").alias("n_propagated"),
+        )
+        .orderBy("final_label")
+    )
+
+
+LABEL_PROP_SQL = f"""
+WITH {_DUCK_ADAPTIVE_BS},
+v AS (
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
+               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+knn AS (
+  SELECT src, dst
+  FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM cand)
+  WHERE rn <= 3),
+und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+n0 AS (
+  SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label::BIGINT ELSE NULL END AS lbl
+  FROM embeddings),
+v1 AS (
+  SELECT u.src AS vec_id, n.lbl AS nlbl, count(*) AS n
+  FROM und u JOIN n0 n ON n.vec_id = u.dst
+  WHERE n.lbl IS NOT NULL GROUP BY u.src, n.lbl),
+b1 AS (
+  SELECT vec_id, nlbl AS voted
+  FROM (SELECT vec_id, nlbl, row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, nlbl ASC) AS rn FROM v1)
+  WHERE rn = 1),
+n1 AS (
+  SELECT n0.vec_id, coalesce(n0.lbl, b1.voted) AS lbl
+  FROM n0 LEFT JOIN b1 ON b1.vec_id = n0.vec_id),
+v2 AS (
+  SELECT u.src AS vec_id, n.lbl AS nlbl, count(*) AS n
+  FROM und u JOIN n1 n ON n.vec_id = u.dst
+  WHERE n.lbl IS NOT NULL GROUP BY u.src, n.lbl),
+b2 AS (
+  SELECT vec_id, nlbl AS voted
+  FROM (SELECT vec_id, nlbl, row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, nlbl ASC) AS rn FROM v2)
+  WHERE rn = 1),
+n2 AS (
+  SELECT n1.vec_id, coalesce(n1.lbl, b2.voted) AS lbl
+  FROM n1 LEFT JOIN b2 ON b2.vec_id = n1.vec_id)
+SELECT coalesce(lbl, -1) AS final_label,
+       count(*)::BIGINT AS n_nodes,
+       sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_seeded,
+       (count(*) - sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END))::BIGINT AS n_propagated
+FROM n2
+GROUP BY coalesce(lbl, -1)
+ORDER BY final_label
+"""

@@ -490,3 +490,21 @@ def test_ivf_cell_balance_partition(spark):
             assert r.action == "merge"
         else:
             assert r.action == "ok"
+
+
+def test_label_propagation_conserves_seeds(spark):
+    """Seeds never change labels (every seeded node counts under its
+    own label), total nodes are conserved, and propagation strictly
+    reduces the unlabeled pool vs the 20% seeding."""
+    from hematite_spark.queries.similarity import label_propagation_step
+    from hematite_spark.io import load_table
+
+    rows = label_propagation_step(spark, SF_DIR).collect()
+    emb = load_table(spark, "embeddings", SF_DIR)
+    n_total = emb.count()
+    n_seeds = emb.where("vec_id % 5 = 0").count()
+    assert sum(r.n_nodes for r in rows) == n_total
+    assert sum(r.n_seeded for r in rows) == n_seeds
+    unlabeled = next((r.n_nodes for r in rows if r.final_label == -1), 0)
+    assert unlabeled < n_total - n_seeds
+    assert sum(r.n_propagated for r in rows if r.final_label >= 0) > 0
