@@ -1939,3 +1939,84 @@ FROM per_doc JOIN documents USING (doc_id)
 GROUP BY source
 ORDER BY source
 """
+
+
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the one-table 'datasheet' a corpus ships
+    with: volume (docs, whitespace tokens), rule-based quality mean,
+    language mix (distinct langs, dominant lang + its share), and the
+    exact-duplicate rate (1 − distinct normalized fingerprints /
+    docs). Composes the catalog's own signals — quality_col and the
+    dedup_exact fingerprint — so the card always agrees with the
+    operators that act on those signals.
+
+    Scale: two aggregates — one pass per source over the corpus
+    (counts, tokens, quality, distinct fingerprints via one hash agg)
+    and one O(sources × langs) language-mix table reduced by a
+    per-source argmax window. Nothing wider than (source) shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = _words()
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        quality_col().alias("q"),
+        F.md5(_norm_text()).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 6).alias("exact_dup_rate"),
+    )
+    from pyspark.sql import Window as W
+
+    lang_mix = base.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    wl = W.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top = (
+        lang_mix.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return (
+        per_source.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_n") / F.col("n_docs"), 6).alias("top_lang_share"),
+            "exact_dup_rate",
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DATA_CARD_SQL = rf"""
+WITH base AS (
+  SELECT source, lang,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         {_QUALITY_EXPR_SQL} AS q,
+         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+  FROM (SELECT source, lang, text, string_split(text, ' ') AS w FROM documents)),
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         round(avg(q), 6) AS mean_quality,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
+  FROM base GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang, n AS top_n
+  FROM (SELECT source, lang, count(*) AS n,
+               row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rn
+        FROM base GROUP BY source, lang)
+  WHERE rn = 1)
+SELECT source, n_docs, total_tokens, mean_quality, n_langs, top_lang,
+       round(top_n / CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
+       exact_dup_rate
+FROM per_source JOIN top USING (source)
+ORDER BY source
+"""

@@ -508,3 +508,19 @@ def test_label_propagation_conserves_seeds(spark):
     unlabeled = next((r.n_nodes for r in rows if r.final_label == -1), 0)
     assert unlabeled < n_total - n_seeds
     assert sum(r.n_propagated for r in rows if r.final_label >= 0) > 0
+
+
+def test_source_data_card_consistency(spark):
+    """The card must agree with the operators it composes: doc totals
+    match the corpus, dup rate in [0,1), top-lang share in (0,1],
+    langs >= 1."""
+    from hematite_spark.queries.text import source_data_card
+    from hematite_spark.io import load_table
+
+    rows = source_data_card(spark, SF_DIR).collect()
+    docs = load_table(spark, "documents", SF_DIR)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.exact_dup_rate < 1
+        assert 0 < r.top_lang_share <= 1
+        assert r.n_langs >= 1 and r.total_tokens > 0
