@@ -2217,3 +2217,74 @@ FROM n2
 GROUP BY coalesce(lbl, -1)
 ORDER BY final_label
 """
+
+
+def quantizer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-retraining migration plan: when the coarse quantizer is
+    retrained (centroid set A = vec_id<8 → set B = vec_id 8..15), how
+    many vectors move from which old cell to which new cell? The
+    contingency table is the migration cost estimate — off-diagonal
+    mass is data that must physically move partitions at reindex time,
+    and rows that scatter across many new cells flag centroid drift.
+
+    Scale: two argmin assignments (each a broadcast of 8 centroids +
+    a per-vector struct-min aggregate — no window, no shuffle beyond
+    the final O(cells²) count), so the audit costs two corpus scans
+    regardless of index size. Deterministic tie-breaks keep both
+    engines cell-identical."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", _dbl("embedding").alias("e"))
+    sqdist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    def assign(lo: int, hi: int, out: str) -> DataFrame:
+        cents = v.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+        return (
+            v.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(sqdist(F.col("e"), F.col("ce")).alias("d"), F.col("cid").alias("cid")))
+                .getField("cid")
+                .alias(out)
+            )
+        )
+
+    a = assign(0, 8, "cell_old")
+    b = assign(8, 16, "cell_new")
+    total = v.agg(F.count("*").alias("nt"))
+    return (
+        a.join(b, "vec_id")
+        .groupBy("cell_old", "cell_new")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell_old",
+            "cell_new",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("nt"), 6).alias("share"),
+        )
+        .orderBy("cell_old", "cell_new")
+    )
+
+
+QUANTIZER_MIGRATION_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ca AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id >= 8 AND vec_id < 16),
+a AS (
+  SELECT vec_id, (min(struct_pack(d := {_DUCK_SQDIST.format(a="v.e", b="c.ce")}, cid := c.cid))).cid AS cell_old
+  FROM v CROSS JOIN ca c GROUP BY vec_id),
+b AS (
+  SELECT vec_id, (min(struct_pack(d := {_DUCK_SQDIST.format(a="v.e", b="c.ce")}, cid := c.cid))).cid AS cell_new
+  FROM v CROSS JOIN cb c GROUP BY vec_id),
+tot AS (SELECT count(*) AS nt FROM v)
+SELECT cell_old, cell_new, count(*)::BIGINT AS n_vectors,
+       round(count(*) / CAST((SELECT nt FROM tot) AS DOUBLE), 6) AS share
+FROM a JOIN b USING (vec_id)
+GROUP BY cell_old, cell_new
+ORDER BY cell_old, cell_new
+"""

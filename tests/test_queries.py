@@ -524,3 +524,17 @@ def test_source_data_card_consistency(spark):
         assert 0 <= r.exact_dup_rate < 1
         assert 0 < r.top_lang_share <= 1
         assert r.n_langs >= 1 and r.total_tokens > 0
+
+
+def test_quantizer_migration_partitions_corpus(spark):
+    """Every vector lands in exactly one (old, new) cell pair; shares
+    sum to 1; cells come from the right centroid id ranges."""
+    from hematite_spark.queries.similarity import quantizer_migration_matrix
+    from hematite_spark.io import load_table
+
+    rows = quantizer_migration_matrix(spark, SF_DIR).collect()
+    n_total = load_table(spark, "embeddings", SF_DIR).count()
+    assert sum(r.n_vectors for r in rows) == n_total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 <= r.cell_old < 8 and 8 <= r.cell_new < 16
