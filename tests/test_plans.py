@@ -439,3 +439,90 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_normalized_exact",
+        "kmv_sketch_merge",
+        "ann_ivfpq_search",
+        "mlm_masking_plan",
+        "eval_ngram_coverage",
+        "knn_graph_build",
+        "domain_cap_sampling",
+        "hubness_audit",
+        "ivf_cell_balance_audit",
+        "label_propagation_step",
+        "source_data_card",
+        "quantizer_migration_matrix",
+    ],
+)
+def test_round4_ops_no_cartesian(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_ivfpq_lut_and_centroids_broadcast(spark):
+    """The PQ LUT and centroid joins must all be broadcasts (codes
+    never shuffle to meet the 32-cell table), and the final top-k is
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "ann_ivfpq_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 4 code-lookup joins
+
+
+def test_normalized_dedup_keyed_shuffles_only(spark):
+    """Digest dedup shuffles only on keys: the (fp, raw_fp) partial +
+    fp merge exchanges of the countDistinct rewrite plus the final
+    range sort — never a single-partition funnel; map-side partials
+    present."""
+    plan = plan_of(spark, "dedup_normalized_exact")
+    body = plan.split("== Physical Plan ==")[1]
+    assert body.count("Exchange ") <= 3, plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_mlm_masking_single_scan_single_agg(spark):
+    """One corpus scan, one (source) aggregate — nothing else
+    shuffles; the per-token hashing stays in the projection."""
+    import re
+
+    plan = plan_of(spark, "mlm_masking_plan")
+    body = plan.split("== Physical Plan ==")[1]
+    # detail headers only — the tree section repeats each node name
+    assert len(re.findall(r"^\(\d+\) Scan parquet", body, re.M)) == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_lint_smj_rule_ignores_broadcast_global_agg_downstream(spark):
+    """Refined rule: an SMJ whose sides merely CONTAIN an already-
+    broadcast global aggregate deeper in the pipeline (the scale-
+    adaptive `b` pattern) must NOT be flagged."""
+    import pyspark.sql.functions as F
+
+    pl = _lint_mods()
+
+    def hit(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        return pl._smj_over_global_agg(pl._parse_tree(plan), pl._node_details(plan))
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet").select("l_orderkey", "l_quantity")
+    tot = li.agg(F.max("l_quantity").alias("qmax"))
+    # enrich both sides with the broadcast 1-row aggregate, then
+    # self-join on the key — the join itself is legitimate
+    enriched = li.crossJoin(F.broadcast(tot)).withColumn(
+        "qn", F.col("l_quantity") / F.col("qmax")
+    ).select("l_orderkey", "qn")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert not hit(enriched.join(enriched.withColumnRenamed("qn", "qn2"), "l_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
