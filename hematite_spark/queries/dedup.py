@@ -580,9 +580,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(F.col("vec_id").alias("doc_id"), ev.alias("ev")).crossJoin(
         F.broadcast(bstats)
     )
-    v = base.select(
+    # norm hoisted to a scalar column once per vector — the verify
+    # join then scores each candidate with one dot fold + a scalar
+    # divide (bit-identical values to the naive per-pair norms)
+    v = base.withColumn("nrm", _norm(F.col("ev"))).select(
         "doc_id",
         "ev",
+        "nrm",
         *[
             sum(
                 F.when(
@@ -606,17 +610,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("a.doc_id").alias("keep_doc"), F.col("b.doc_id").alias("drop_doc"))
         cand = pt if cand is None else cand.unionByName(pt)
     cand = cand.distinct()
-    ea = v.select(F.col("doc_id").alias("keep_doc"), F.col("ev").alias("ea"))
-    eb = v.select(F.col("doc_id").alias("drop_doc"), F.col("ev").alias("eb"))
+    ea = v.select(F.col("doc_id").alias("keep_doc"), F.col("ev").alias("ea"), F.col("nrm").alias("na"))
+    eb = v.select(F.col("doc_id").alias("drop_doc"), F.col("ev").alias("eb"), F.col("nrm").alias("nb"))
     pairs = (
         cand.join(ea, "keep_doc")
         .join(eb, "drop_doc")
         .select(
             "keep_doc",
             "drop_doc",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
-            ).alias("cosine"),
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.42)
     )
@@ -644,7 +646,9 @@ WITH bs AS (
   SELECT greatest(4, CAST(ceil(log2(count(*) / {_EMB_TARGET_BLOCK})) AS INT)) AS b
   FROM embeddings),
 v AS (
-  SELECT vec_id AS doc_id, ev, {", ".join(_emb_bucket_sql(t) for t in range(_EMB_TABLES))}
+  SELECT vec_id AS doc_id, ev,
+         sqrt(list_reduce(list_transform(ev, x -> x * x), (acc, x) -> acc + x)) AS nrm,
+         {", ".join(_emb_bucket_sql(t) for t in range(_EMB_TABLES))}
   FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs
 ), cand AS (
   {" UNION ".join(
@@ -654,8 +658,7 @@ v AS (
 ), pairs AS (
   SELECT keep_doc, drop_doc,
          round(list_reduce(list_transform(list_zip(ea.ev, eb.ev), p -> p[1] * p[2]), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(ea.ev, x -> x * x), (acc, x) -> acc + x))
-                * sqrt(list_reduce(list_transform(eb.ev, x -> x * x), (acc, x) -> acc + x))), 6) AS cosine
+               / (ea.nrm * eb.nrm), 6) AS cosine
   FROM cand
   JOIN v ea ON cand.keep_doc = ea.doc_id
   JOIN v eb ON cand.drop_doc = eb.doc_id

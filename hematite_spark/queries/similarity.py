@@ -210,8 +210,12 @@ def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same policy as ann_ivf_search's probe list)."""
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")
-    v = emb.crossJoin(F.broadcast(_adaptive_b(emb))).select(
-        "vec_id", "label", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev")
+    # norm hoisted to a scalar column: pair score = one dot fold + a
+    # scalar divide (see _knn_edges) — bit-identical values
+    v = (
+        emb.crossJoin(F.broadcast(_adaptive_b(emb)))
+        .select("vec_id", "label", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev"))
+        .withColumn("nrm", _norm(F.col("ev")))
     )
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -226,7 +230,7 @@ def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
+                _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm")), 6
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.3)
@@ -237,14 +241,12 @@ def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_JOIN_SQL = f"""
 WITH {_DUCK_ADAPTIVE_BS},
 v AS (
-  SELECT vec_id, label, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  SELECT vec_id, label, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev, {_DUCK_NORM.format(a="ev")} AS nrm
   FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings), bs)
 SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-             / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+       round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-             / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) >= 0.3
+WHERE round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) >= 0.3
 ORDER BY label, vec_a, vec_b
 """
 
@@ -799,6 +801,9 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hematite_spark.functions import dbl as _dbl2
 
     emb = load_table(spark, "embeddings", sf_dir)
+    # norm hoisted to a scalar column (checkpointed with the vector)
+    # so every pair — positive block pairs AND stride negatives —
+    # scores with one dot fold + a scalar divide (see _knn_edges)
     v = (
         emb.crossJoin(F.broadcast(_adaptive_b(emb)))
         .select(
@@ -806,15 +811,16 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dbl2("embedding").alias("ev"),
             _adaptive_bucket(_dbl2("embedding")).alias("bucket"),
         )
+        .withColumn("nrm", _norm(F.col("ev")))
         .localCheckpoint()
     )
-    cos = lambda a, b: F.round(
-        _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), 6
+    cos = lambda pa, pb: F.round(
+        _dot(F.col(pa + ".ev"), F.col(pb + ".ev")) / (F.col(pa + ".nrm") * F.col(pb + ".nrm")), 6
     )
     a, b = v.alias("a"), v.alias("b")
     pos = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(cos("a.ev", "b.ev").alias("cosine"))
+        .select(cos("a", "b").alias("cosine"))
         .where(F.col("cosine") >= 0.42)
         .withColumn("label", F.lit("positive"))
     )
@@ -829,7 +835,7 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = (
         withpartner.join(b, F.col("b.vec_id") == F.col("a.partner"))
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(cos("a.ev", "b.ev").alias("cosine"))
+        .select(cos("a", "b").alias("cosine"))
         .where(F.col("cosine") < 0.1)
         .withColumn("label", F.lit("negative"))
     )
@@ -849,18 +855,16 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_MINING_SQL = f"""
 WITH {_DUCK_ADAPTIVE_BS},
 v AS (
-  SELECT vec_id, ev, {_DUCK_ADAPTIVE_BUCKET} AS bucket
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev, {_DUCK_NORM.format(a="ev")} AS nrm
   FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs
 ), n AS (SELECT count(*) AS n FROM v),
 pos AS (
   SELECT 'positive' AS label,
-         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) AS cosine
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
 neg AS (
   SELECT 'negative' AS label,
-         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) AS cosine
   FROM v a JOIN v b ON b.vec_id = (a.vec_id + (SELECT n // 2 + 13 FROM n)) % (SELECT n FROM n)
   WHERE a.vec_id < b.vec_id),
 pairs AS (
@@ -1907,8 +1911,16 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3):
 
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")
-    v = emb.crossJoin(F.broadcast(_adaptive_b(emb))).select(
-        "vec_id", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev")
+    # norm precomputed ONCE per vector as a SCALAR column: the pair
+    # score is then one dot fold + one scalar divide — the naive
+    # cosine re-folds both norms per PAIR (~2x block-width redundant
+    # folds per vector). Values are bit-identical to the naive form
+    # (same dot, same na*nb multiply, same divide), so the oracle is
+    # unchanged beyond hoisting nrm into the vector CTE.
+    v = (
+        emb.crossJoin(F.broadcast(_adaptive_b(emb)))
+        .select("vec_id", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev"))
+        .withColumn("nrm", _norm(F.col("ev")))
     )
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
@@ -1918,7 +1930,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3):
         F.col("a.vec_id").alias("src"),
         F.col("b.vec_id").alias("dst"),
         F.round(
-            _dot(F.col("a.ev"), F.col("b.ev")) / (_norm(F.col("a.ev")) * _norm(F.col("b.ev"))), 6
+            _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm")), 6
         ).alias("cosine"),
     )
     w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
@@ -1964,12 +1976,11 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_SQL = f"""
 WITH {_DUCK_ADAPTIVE_BS},
 v AS (
-  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev, {_DUCK_NORM.format(a="ev")} AS nrm
   FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
 cand AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) AS cosine
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 edges AS (
   SELECT src, dst, cosine
@@ -2033,12 +2044,11 @@ def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 HUBNESS_SQL = f"""
 WITH {_DUCK_ADAPTIVE_BS},
 v AS (
-  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev, {_DUCK_NORM.format(a="ev")} AS nrm
   FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
 cand AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) AS cosine
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 edges AS (
   SELECT src, dst
@@ -2171,12 +2181,11 @@ def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 LABEL_PROP_SQL = f"""
 WITH {_DUCK_ADAPTIVE_BS},
 v AS (
-  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev
+  SELECT vec_id, {_DUCK_ADAPTIVE_BUCKET} AS bucket, ev, {_DUCK_NORM.format(a="ev")} AS nrm
   FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs),
 cand AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         round({_DUCK_DOT.format(a="a.ev", b="b.ev")}
-               / ({_DUCK_NORM.format(a="a.ev")} * {_DUCK_NORM.format(a="b.ev")}), 6) AS cosine
+         round({_DUCK_DOT.format(a="a.ev", b="b.ev")} / (a.nrm * b.nrm), 6) AS cosine
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 knn AS (
   SELECT src, dst
