@@ -363,3 +363,166 @@ SELECT event_type, exact_users, kth_direct, kth_merged,
 FROM exact JOIN direct USING (event_type) JOIN merged USING (event_type)
 ORDER BY event_type
 """
+
+
+def cms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=32 buckets) over per-user event
+    counts, with the mergeable-partial contract — the frequency-sketch
+    member of the mergeable family (KMV = distinct, MinHash = Jaccard,
+    HLL = distinct-approx, GK = quantiles). Each of the d hash rows
+    maps user_id to one of w counters; a cell is the sum of counts of
+    every user landing there, and the point estimate for a user is the
+    MIN over its d cells — an overestimate by construction (collisions
+    only ever add), never an underestimate.
+
+    Contract columns: partials built per user-parity half (in
+    production: per shard/day) and merged by cell-wise SUM must equal
+    the directly-built sketch cell-for-cell (`cells_mismatch` = 0) —
+    counters are associative, so shards stream O(d*w) ints each and
+    the coordinator never replays raw events. `never_underestimates`
+    pins the one-sided CMS error bound on the heaviest user per type.
+
+    100 TB: state is d*w*|types| counters regardless of row count;
+    the scan is one hash-aggregate with map-side combine, the merge
+    shuffles |shards|*d*w rows, and the top-user probe joins a
+    broadcast 3-row key set against the cell table. The streaming twin
+    (streaming/windows.py cms_counters) maintains the same cells
+    incrementally."""
+    from pyspark.sql.window import Window
+
+    d_rows, width = 4, 32
+    ev = load_table(spark, "events", sf_dir).select("event_type", "user_id")
+
+    def _bucket(i: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return h % width
+
+    long = ev.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), _bucket(i).alias("bucket"))
+                    for i in range(d_rows)
+                ]
+            )
+        ).alias("ib"),
+    ).select(
+        "event_type", "user_id", F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket")
+    ).localCheckpoint()  # feeds direct cells, partial cells and the
+    # top-user probe — materialize the hash fan-out once
+
+    direct = long.groupBy("event_type", "i", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    merged = (
+        long.withColumn("half", F.col("user_id") % 2)
+        .groupBy("event_type", "half", "i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("event_type", "i", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    audit = (
+        direct.alias("d")
+        .join(merged.alias("m"), ["event_type", "i", "bucket"], "full_outer")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("d.cnt").eqNullSafe(F.col("m.cnt")), 0).otherwise(1)
+            ).cast("bigint").alias("cells_mismatch"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+    )
+    cnts = ev.groupBy("event_type", "user_id").agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("exact_cnt"), "user_id")
+    top = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("top_user"), "exact_cnt")
+    )
+    est = (
+        top.alias("t")
+        .join(
+            long.alias("l"),
+            (F.col("l.event_type") == F.col("t.event_type"))
+            & (F.col("l.user_id") == F.col("t.top_user")),
+        )
+        .select("t.event_type", "t.top_user", "t.exact_cnt", "l.i", "l.bucket")
+        .distinct()
+        .join(direct, ["event_type", "i", "bucket"])
+        .groupBy("event_type", "top_user", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.join(audit, "event_type")
+        .select(
+            "event_type",
+            "top_user",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+            "cells_mismatch",
+            "n_cells",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _h32_sql(expr: str) -> str:
+    """First 8 hex chars of md5(expr) as a bigint — DuckDB twin of
+    conv(substring(md5(x),1,8),16,10)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', md5({expr})[{i + 1}]) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
+_CMS_LONG = " UNION ALL ".join(
+    f"SELECT event_type, user_id, {i} AS i, "
+    + f"CAST({_h32_sql(repr(str(i) + ':') + ' || CAST(user_id AS VARCHAR)')} AS BIGINT) % 32 AS bucket FROM ev"
+    for i in range(4)
+)
+
+CMS_SKETCH_MERGE_SQL = f"""
+WITH ev AS (SELECT event_type, user_id FROM events),
+long AS ({_CMS_LONG}),
+direct AS (
+  SELECT event_type, i, bucket, count(*)::BIGINT AS cnt
+  FROM long GROUP BY event_type, i, bucket),
+merged AS (
+  SELECT event_type, i, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT event_type, user_id % 2 AS half, i, bucket, count(*) AS cnt
+        FROM long GROUP BY event_type, half, i, bucket)
+  GROUP BY event_type, i, bucket),
+audit AS (
+  SELECT coalesce(d.event_type, m.event_type) AS event_type,
+         sum(CASE WHEN d.cnt IS NOT DISTINCT FROM m.cnt THEN 0 ELSE 1 END)::BIGINT AS cells_mismatch,
+         count(*)::BIGINT AS n_cells
+  FROM direct d FULL OUTER JOIN merged m
+    ON d.event_type = m.event_type AND d.i = m.i AND d.bucket = m.bucket
+  GROUP BY coalesce(d.event_type, m.event_type)),
+top AS (
+  SELECT event_type, user_id AS top_user, exact_cnt
+  FROM (SELECT event_type, user_id, count(*)::BIGINT AS exact_cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn
+        FROM ev GROUP BY event_type, user_id)
+  WHERE rn = 1),
+est AS (
+  SELECT event_type, top_user, exact_cnt, min(cnt) AS cms_est
+  FROM (SELECT DISTINCT t.event_type, t.top_user, t.exact_cnt, l.i, l.bucket
+        FROM top t JOIN long l ON l.event_type = t.event_type AND l.user_id = t.top_user)
+  JOIN direct USING (event_type, i, bucket)
+  GROUP BY event_type, top_user, exact_cnt)
+SELECT event_type, top_user, exact_cnt, cms_est,
+       cms_est >= exact_cnt AS never_underestimates,
+       cells_mismatch, n_cells
+FROM est JOIN audit USING (event_type)
+ORDER BY event_type
+"""

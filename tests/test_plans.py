@@ -446,6 +446,7 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
     [
         "dedup_normalized_exact",
         "kmv_sketch_merge",
+        "cms_sketch_merge",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

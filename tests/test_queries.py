@@ -389,6 +389,22 @@ def test_kmv_merge_contract(spark):
         assert r.est_distinct / r.exact_users < 4 and r.exact_users / r.est_distinct < 4, r
 
 
+def test_cms_merge_contract(spark):
+    """CMS mergeability + one-sided error: partials merged by
+    cell-wise sum must equal the directly-built sketch cell-for-cell,
+    and the point estimate for the heaviest user per type must never
+    underestimate its exact count."""
+    from hematite_spark.queries.udf import cms_sketch_merge
+
+    rows = cms_sketch_merge(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.cells_mismatch == 0, r
+        assert r.never_underestimates, r
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.n_cells <= 4 * 32, r
+
+
 def test_mlm_masking_rates(spark):
     """Hash-space thresholds must produce ~15% masking with the
     80/10/10 corruption split, and the accounting must be exact
