@@ -3590,3 +3590,119 @@ FROM credited
 GROUP BY touch_type
 ORDER BY touch_type
 """
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-type event counts via the
+    Laplace mechanism (sensitivity 1, epsilon 0.5 → scale 2), with the
+    noise drawn from a DETERMINISTIC hash-uniform so the release is
+    reproducible and oracle-checkable: u = (h16(event_type)+0.5)/2^16,
+    noise = -scale·sign(u-½)·ln(1-2|u-½|) (inverse-CDF sampling).
+    `within_bound` pins the mechanism's tail contract — |noise| ≤
+    scale·ln(1/δ) at δ=0.005 — which holds for every released count
+    unless the hash-uniform lands in the 1% tail (it does not, for
+    these 5 types; the column makes the release auditable either way).
+
+    100 TB: one hash-aggregate (map-side combine) produces O(types)
+    rows; the noise arithmetic is per-released-row, not per-event.
+    Real deployments swap the seeded-uniform for a CSPRNG — the
+    mechanism, sensitivity accounting, and bound audit are identical."""
+    eps = 0.5
+    scale = 1.0 / eps
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 4), 16, 10
+    ).cast("bigint")
+    u = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    half = F.abs(u - 0.5)
+    noise = (
+        F.lit(-scale)
+        * F.signum(u - 0.5)
+        * F.log(F.greatest(F.lit(1.0) - 2.0 * half, F.lit(1e-12)))
+    )
+    bound = scale * 5.2983173665480363  # ln(1/0.005)
+    return (
+        counts.select(
+            "event_type",
+            "exact_cnt",
+            F.round(F.col("exact_cnt") + noise, 0).cast("bigint").alias("noisy_cnt"),
+            F.round(F.abs(noise), 4).alias("abs_noise"),
+            (F.abs(noise) <= F.lit(bound)).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DP_NOISY_SQL = """
+WITH counts AS (
+  SELECT event_type, count(*)::BIGINT AS exact_cnt FROM events GROUP BY event_type),
+noised AS (
+  SELECT event_type, exact_cnt,
+         -2.0 * sign(u - 0.5) * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS noise
+  FROM (SELECT event_type, exact_cnt,
+               (((strpos('0123456789abcdef', md5('dp:' || event_type)[1]) - 1) * 4096
+               + (strpos('0123456789abcdef', md5('dp:' || event_type)[2]) - 1) * 256
+               + (strpos('0123456789abcdef', md5('dp:' || event_type)[3]) - 1) * 16
+               + (strpos('0123456789abcdef', md5('dp:' || event_type)[4]) - 1)) + 0.5)
+               / 65536.0 AS u
+        FROM counts))
+SELECT event_type, exact_cnt,
+       CAST(round(exact_cnt + noise, 0) AS BIGINT) AS noisy_cnt,
+       round(abs(noise), 4) AS abs_noise,
+       abs(noise) <= 10.5966347330960726::DOUBLE AS within_bound
+FROM noised
+ORDER BY event_type
+"""
+
+
+def score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for a fixed
+    scoring rule — the audit a learned quality/safety classifier gets
+    before its scores gate a training corpus. The 'model' is a frozen
+    logistic on the event value (score = σ((value-50)/15)) predicting
+    the purchase outcome; rows are 10 equal-width score bins with
+    observed positive rate, per-bin |gap|, and the overall ECE
+    (Σ n_b/N·gap_b) repeated on every row for single-table reads.
+
+    100 TB: one pass computes (bin, n, Σscore, Σy) via hash aggregate;
+    the ECE is a second aggregate over ≤10 rows broadcast back — no
+    per-event state, no shuffle wider than the 10 bins."""
+    ev = load_table(spark, "events", sf_dir)
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50.0) / 15.0)), 6
+    )
+    scored = ev.select(
+        score.alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    ).withColumn("bin", F.least(F.lit(9), F.floor(F.col("score") * 10)).cast("int"))
+    bins = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("y"), 6).alias("frac_positive"),
+    ).withColumn(
+        "gap", F.round(F.abs(F.col("mean_score") - F.col("frac_positive")), 6)
+    )
+    ece = bins.agg(
+        F.round(F.sum(F.col("n") * F.col("gap")) / F.sum("n"), 6).alias("ece")
+    )
+    return bins.crossJoin(F.broadcast(ece)).orderBy("bin")
+
+
+CALIBRATION_ECE_SQL = """
+WITH scored AS (
+  SELECT round(1.0 / (1.0 + exp(-(value - 50.0) / 15.0)), 6) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+bins AS (
+  SELECT CAST(least(9, floor(score * 10)) AS INT) AS bin,
+         count(*)::BIGINT AS n,
+         round(avg(score), 6) AS mean_score,
+         round(avg(y), 6) AS frac_positive,
+         round(abs(round(avg(score), 6) - round(avg(y), 6)), 6) AS gap
+  FROM scored GROUP BY 1),
+ece AS (SELECT round(sum(n * gap) / sum(n), 6) AS ece FROM bins)
+SELECT bin, n, mean_score, frac_positive, gap, ece
+FROM bins CROSS JOIN ece
+ORDER BY bin
+"""

@@ -2297,3 +2297,78 @@ FROM a JOIN b USING (vec_id)
 GROUP BY cell_old, cell_new
 ORDER BY cell_old, cell_new
 """
+
+
+def hnsw_layer_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layer assignment (Malkov & Yashunin 2018): each vector
+    draws level = floor(-ln(u)·mL) with mL = 1/ln(M), M = 16, from a
+    DETERMINISTIC hash-uniform on vec_id — the index-build step that
+    decides which nodes appear in the sparse upper navigation layers.
+    Output is the per-level census against the geometric law the
+    search-complexity guarantees rest on: P(level=l) = p^l(1-p) with
+    p = 1/M, plus `decay_ok` pinning that each level is ≤ n/M of the
+    one below within noise (3σ binomial slack), and cum_share rising
+    to 1 at level 0.
+
+    100 TB: the assignment is one stateless column expression (the
+    classic build parallelizes by partitioning on level-0 cells and
+    broadcasting the tiny upper layers — here the census is one
+    O(levels) hash aggregate); nothing shuffles but the ≤5-row
+    result."""
+    m = 16.0
+    ml = 1.0 / 2.772588722239781  # 1/ln(16)
+    v = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hnsw:"), F.col("vec_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    lvl = F.floor(-F.log(u) * F.lit(ml)).cast("int")
+    from pyspark.sql import Window as W
+
+    tot = v.count()  # O(1) metadata-scale count; census denominators
+    levels = v.select(lvl.alias("level")).groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    p = 1.0 / m
+    expected = F.round(F.lit(float(tot)) * F.pow(F.lit(p), F.col("level")) * F.lit(1 - p), 2)
+    win = W.orderBy(F.col("level").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        levels.select(
+            "level",
+            "n_nodes",
+            expected.alias("expected_n"),
+            F.round(F.sum("n_nodes").over(win) / F.lit(float(tot)), 6).alias("cum_share"),
+            (
+                F.col("n_nodes")
+                <= expected / F.lit(1 - p) + 3.0 * F.sqrt(expected / F.lit(1 - p)) + F.lit(3.0)
+            ).alias("decay_ok"),
+        )
+        .orderBy("level")
+    )
+
+
+HNSW_LAYER_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         (((strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[1]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[2]) - 1) * 256
+         + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[3]) - 1) * 16
+         + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[4]) - 1)) + 0.5)
+         / 65536.0 AS u
+  FROM embeddings),
+lv AS (
+  SELECT CAST(floor(-ln(u) / ln(16)) AS INT) AS level FROM v),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM lv),
+census AS (
+  SELECT level, count(*)::BIGINT AS n_nodes FROM lv GROUP BY level)
+SELECT level, n_nodes,
+       round(nt * power(1.0/16, level) * (15.0/16), 2) AS expected_n,
+       round(sum(n_nodes) OVER (ORDER BY level DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / nt, 6) AS cum_share,
+       n_nodes <= nt * power(1.0/16, level) * (15.0/16) / (15.0/16)
+                  + 3.0 * sqrt(nt * power(1.0/16, level)) + 3.0 AS decay_ok
+FROM census CROSS JOIN tot
+ORDER BY level
+"""

@@ -2020,3 +2020,340 @@ SELECT source, n_docs, total_tokens, mean_quality, n_langs, top_lang,
 FROM per_source JOIN top USING (source)
 ORDER BY source
 """
+
+
+# Domain gazetteer for dictionary-based entity tagging — in a real
+# pipeline this is the (country/org/product) lexicon shipped with the
+# corpus; keyed to the synthetic corpus vocabulary so matches are
+# non-degenerate at every sf.
+_GAZETTEER = [
+    ("customer", "actor"),
+    ("supplier", "actor"),
+    ("order", "artifact"),
+    ("part", "artifact"),
+    ("line", "artifact"),
+    ("table", "storage"),
+    ("column", "storage"),
+    ("row", "storage"),
+    ("spark", "engine"),
+    ("stream", "engine"),
+    ("batch", "engine"),
+    ("query", "engine"),
+]
+
+
+def gazetteer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based entity tagging (gazetteer NER): explode the
+    corpus into tokens and equi-join them against a broadcast entity
+    lexicon, producing the per-entity mention census — total mentions,
+    document frequency, corpus share, and mentions-per-matching-doc.
+    The cheap, exact first pass real NER pipelines run before any
+    model: at 100 TB the lexicon (10^4-10^6 entries) broadcasts to
+    every executor, the token explode is embarrassingly parallel, and
+    the only shuffle is the O(entities) aggregate. Doc frequency uses
+    one distinct-aggregate on (entity, doc_id) — partial-combined
+    map-side, never a row-level distinct."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # O(1) metadata count for the share column
+    gaz = spark.createDataFrame(_GAZETTEER, "entity string, entity_type string")
+    tokens = docs.select("doc_id", F.explode(_words()).alias("entity"))
+    hits = tokens.join(F.broadcast(gaz), "entity")
+    return (
+        hits.groupBy("entity", "entity_type")
+        .agg(
+            F.count("*").cast("bigint").alias("mentions"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .select(
+            "entity",
+            "entity_type",
+            "mentions",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6).alias("docs_share"),
+            F.round(F.col("mentions") / F.col("doc_freq"), 6).alias("mentions_per_doc"),
+        )
+        .orderBy("entity")
+    )
+
+
+_GAZETTEER_VALUES = ", ".join(f"('{e}', '{t}')" for e, t in _GAZETTEER)
+
+GAZETTEER_SQL = f"""
+WITH gaz(entity, entity_type) AS (VALUES {_GAZETTEER_VALUES}),
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS entity FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+hits AS (
+  SELECT t.doc_id, g.entity, g.entity_type
+  FROM tokens t JOIN gaz g USING (entity))
+SELECT entity, entity_type,
+       count(*)::BIGINT AS mentions,
+       count(DISTINCT doc_id)::BIGINT AS doc_freq,
+       round(count(DISTINCT doc_id) / (SELECT n_docs FROM n), 6) AS docs_share,
+       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 6) AS mentions_per_doc
+FROM hits
+GROUP BY entity, entity_type
+ORDER BY entity
+"""
+
+
+def skipgram_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style training-pair planning: per-token frequency
+    subsampling (Mikolov keep-prob √(t/f)+t/f, t=10⁻³, decided by a
+    deterministic per-occurrence hash-uniform), skip-gram pair
+    generation over a ±2 window on the surviving tokens, and the
+    unigram^0.75 negative-sampling distribution — the full per-token
+    plan (freq, keep-prob, center/context pair counts, p_neg) a
+    data-parallel embedding trainer shards by.
+
+    100 TB: the vocabulary table (10⁵-10⁶ rows) broadcasts; the pair
+    step is a doc_id-keyed band self-join where each row meets ≤2
+    forward partners — shuffle is one exchange on doc_id, never a
+    cross product; everything else is hash aggregates with map-side
+    combine."""
+    t = 1e-3
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(_words()).alias("p", "token")
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "token")
+    freq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("n_tok"))
+    tot = freq.agg(F.sum("n_tok").cast("double").alias("n_total"))
+    f = F.col("n_tok") / F.col("n_total")
+    vocab = freq.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_tok",
+        F.least(F.lit(1.0), F.sqrt(F.lit(t) / f) + F.lit(t) / f).alias("keep_p"),
+    )
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"), F.col("token"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = (
+        toks.join(F.broadcast(vocab), "token")
+        .where(u16 < F.col("keep_p") * 65536.0)
+        .select("doc_id", "i", "token")
+    )
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") > F.col("a.i"))
+            & (F.col("b.i") <= F.col("a.i") + 2),
+        )
+        .select(F.col("a.token").alias("center"), F.col("b.token").alias("context"))
+    )
+    n_center = pairs.groupBy(F.col("center").alias("token")).agg(
+        F.count("*").cast("bigint").alias("n_center")
+    )
+    n_context = pairs.groupBy(F.col("context").alias("token")).agg(
+        F.count("*").cast("bigint").alias("n_context")
+    )
+    z = n_context.agg(F.sum(F.pow(F.col("n_context"), 0.75)).alias("z"))
+    return (
+        vocab.join(n_center, "token", "left")
+        .join(n_context, "token", "left")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "token",
+            "n_tok",
+            F.round("keep_p", 6).alias("keep_p"),
+            F.coalesce("n_center", F.lit(0)).cast("bigint").alias("n_center"),
+            F.coalesce("n_context", F.lit(0)).cast("bigint").alias("n_context"),
+            F.round(
+                F.coalesce(F.pow(F.col("n_context"), 0.75) / F.col("z"), F.lit(0.0)), 6
+            ).alias("p_neg"),
+        )
+        .orderBy("token")
+    )
+
+
+SKIPGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, i, w[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+freq AS (SELECT token, count(*)::BIGINT AS n_tok FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS n_total FROM freq),
+vocab AS (
+  SELECT token, n_tok,
+         least(1.0, sqrt(0.001 / (n_tok / n_total)) + 0.001 / (n_tok / n_total)) AS keep_p
+  FROM freq CROSS JOIN tot),
+hashed AS (
+  SELECT doc_id, i, token, md5(doc_id || ':' || i || ':' || token) AS h FROM toks),
+kept AS (
+  SELECT t.doc_id, t.i, t.token
+  FROM hashed t JOIN vocab v USING (token)
+  WHERE ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+       + (strpos('0123456789abcdef', h[2]) - 1) * 256
+       + (strpos('0123456789abcdef', h[3]) - 1) * 16
+       + (strpos('0123456789abcdef', h[4]) - 1)) < v.keep_p * 65536.0),
+pairs AS (
+  SELECT a.token AS center, b.token AS context
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
+nc AS (SELECT center AS token, count(*)::BIGINT AS n_center FROM pairs GROUP BY 1),
+nx AS (SELECT context AS token, count(*)::BIGINT AS n_context FROM pairs GROUP BY 1),
+z AS (SELECT sum(power(n_context, 0.75)) AS z FROM nx)
+SELECT v.token, v.n_tok, round(v.keep_p, 6) AS keep_p,
+       coalesce(nc.n_center, 0)::BIGINT AS n_center,
+       coalesce(nx.n_context, 0)::BIGINT AS n_context,
+       round(coalesce(power(nx.n_context, 0.75) / z.z, 0.0), 6) AS p_neg
+FROM vocab v
+LEFT JOIN nc ON v.token = nc.token
+LEFT JOIN nx ON v.token = nx.token
+CROSS JOIN z
+ORDER BY v.token
+"""
+
+
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection audit — the scrubbing pass a corpus gets before
+    training: regex detectors for emails, phone numbers, IPv4
+    addresses, and 16-digit card-like sequences, with real Luhn
+    checksum validation separating card CANDIDATES from valid numbers
+    (the precision lever every PII pipeline needs — digit runs are
+    common, valid checksums are not). The synthetic corpus carries no
+    PII, so a deterministic doc_id-keyed fixture injects each class
+    into a known slice of docs (mirrored exactly in the oracle) — the
+    operator under test is the detector stack, the injection is the
+    ground truth.
+
+    100 TB: detectors are stateless column regexes fused into one
+    codegen'd projection (one text pass, all four classes); the Luhn
+    check runs as a higher-order array expression on the ≤few
+    candidates per doc — no Python, no explode. Only the O(sources)
+    aggregate shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), s(did), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad(s(did % 10000), 4, "0"),
+                F.lit("-"),
+                F.lpad(s((did * 7) % 10000), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" card 4"), F.lpad(s((did * 271828) % 1000000000000000), 15, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 17 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                s(did % 256),
+                F.lit("."),
+                s(F.floor(did / 256) % 256),
+                F.lit("."),
+                s(did % 200 + 1),
+            ),
+        ).otherwise(""),
+    )
+    hits = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(aug, F.lit(r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"), 0)).alias("emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(r"555-[0-9]{4}-[0-9]{4}"), 0)).alias("phones"),
+        F.size(
+            F.regexp_extract_all(aug, F.lit(r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"), 0)
+        ).alias("ipv4s"),
+        F.regexp_extract_all(aug, F.lit("[0-9]{16}"), 0).alias("cards"),
+    ).select(
+        "source",
+        "emails",
+        "phones",
+        "ipv4s",
+        F.size("cards").alias("card_candidates"),
+        F.expr(
+            """aggregate(cards, 0, (acc, c) -> acc + IF(
+                 aggregate(transform(split(reverse(c), ''), (ch, i) ->
+                   CASE WHEN i % 2 = 1
+                        THEN IF(int(ch) * 2 > 9, int(ch) * 2 - 9, int(ch) * 2)
+                        ELSE int(ch) END),
+                   0, (a, x) -> a + x) % 10 = 0, 1, 0))"""
+        ).alias("cards_luhn_valid"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("emails") + F.col("phones") + F.col("ipv4s") + F.col("card_candidates"))
+                    > 0
+                ).cast("int")
+            ).cast("bigint").alias("docs_with_pii"),
+            F.sum("emails").cast("bigint").alias("n_emails"),
+            F.sum("phones").cast("bigint").alias("n_phones"),
+            F.sum("ipv4s").cast("bigint").alias("n_ipv4"),
+            F.sum("card_candidates").cast("bigint").alias("n_card_candidates"),
+            F.sum("cards_luhn_valid").cast("bigint").alias("n_cards_luhn_valid"),
+        )
+        .select(
+            "*",
+            F.round(F.col("docs_with_pii") / F.col("n_docs"), 6).alias("pii_doc_share"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCAN_SQL = r"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' card 4' || lpad(CAST((doc_id * 271828) % 1000000000000000 AS VARCHAR), 15, '0') ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(CAST(floor(doc_id / 256) AS BIGINT) % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END AS t
+  FROM documents),
+hits AS (
+  SELECT source,
+         len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS emails,
+         len(regexp_extract_all(t, '555-[0-9]{4}-[0-9]{4}')) AS phones,
+         len(regexp_extract_all(t, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ipv4s,
+         regexp_extract_all(t, '[0-9]{16}') AS cards
+  FROM aug),
+scored AS (
+  SELECT source, emails, phones, ipv4s,
+         len(cards) AS card_candidates,
+         coalesce(list_sum(list_transform(cards, c -> CASE WHEN
+           list_sum(list_transform(generate_series(1, 16), i -> CASE
+             WHEN i % 2 = 0
+             THEN CASE WHEN CAST(c[17 - i] AS INT) * 2 > 9
+                       THEN CAST(c[17 - i] AS INT) * 2 - 9
+                       ELSE CAST(c[17 - i] AS INT) * 2 END
+             ELSE CAST(c[17 - i] AS INT) END)) % 10 = 0
+           THEN 1 ELSE 0 END)), 0) AS cards_luhn_valid
+  FROM hits)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN emails + phones + ipv4s + card_candidates > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       sum(emails)::BIGINT AS n_emails,
+       sum(phones)::BIGINT AS n_phones,
+       sum(ipv4s)::BIGINT AS n_ipv4,
+       sum(card_candidates)::BIGINT AS n_card_candidates,
+       sum(cards_luhn_valid)::BIGINT AS n_cards_luhn_valid,
+       round(sum(CASE WHEN emails + phones + ipv4s + card_candidates > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS pii_doc_share
+FROM scored
+GROUP BY source
+ORDER BY source
+"""

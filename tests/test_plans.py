@@ -447,6 +447,12 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "dedup_normalized_exact",
         "kmv_sketch_merge",
         "cms_sketch_merge",
+        "dp_noisy_counts",
+        "score_calibration_ece",
+        "hnsw_layer_assign",
+        "gazetteer_entity_match",
+        "skipgram_sampling_plan",
+        "pii_scan_documents",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

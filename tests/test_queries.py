@@ -554,3 +554,87 @@ def test_quantizer_migration_partitions_corpus(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert 0 <= r.cell_old < 8 and 8 <= r.cell_new < 16
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The Laplace release must perturb without destroying utility:
+    every |noise| within the 99.5% tail bound column's claim, noisy
+    counts within ±11 of exact (scale 2 → bound ≈10.6), and at least
+    one type actually perturbed (noise is not degenerate zero)."""
+    from hematite_spark.queries.advanced import dp_noisy_counts
+
+    rows = dp_noisy_counts(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.within_bound for r in rows)
+    assert all(abs(r.noisy_cnt - r.exact_cnt) <= 11 for r in rows)
+    assert any(r.noisy_cnt != r.exact_cnt for r in rows)
+
+
+def test_calibration_ece_accounting(spark):
+    """ECE must equal the n-weighted mean of per-bin gaps, every bin's
+    frac_positive in [0,1], and bin populations cover all events."""
+    from hematite_spark.queries.advanced import score_calibration_ece
+
+    rows = score_calibration_ece(spark, SF_DIR).collect()
+    n = sum(r.n for r in rows)
+    ece = sum(r.n * r.gap for r in rows) / n
+    assert abs(rows[0].ece - round(ece, 6)) < 2e-6
+    for r in rows:
+        assert 0.0 <= r.frac_positive <= 1.0
+        assert abs(r.gap - round(abs(r.mean_score - r.frac_positive), 6)) < 2e-6
+
+
+def test_hnsw_layers_geometric(spark):
+    """Level census: level 0 holds the vast majority (p=1/16), counts
+    strictly decrease by level, and cum_share reaches 1.0 at level 0."""
+    from hematite_spark.queries.similarity import hnsw_layer_assign
+
+    rows = {r.level: r for r in hnsw_layer_assign(spark, SF_DIR).collect()}
+    assert 0 in rows
+    assert rows[0].cum_share == 1.0
+    assert all(r.decay_ok for r in rows.values())
+    levels = sorted(rows)
+    for a, b in zip(levels, levels[1:]):
+        assert rows[b].n_nodes < rows[a].n_nodes
+
+
+def test_gazetteer_matches_are_exact(spark):
+    """Every gazetteer entity present in the corpus is found, doc_freq
+    ≤ mentions, and docs_share in (0, 1]."""
+    from hematite_spark.queries.text import gazetteer_entity_match
+
+    rows = gazetteer_entity_match(spark, SF_DIR).collect()
+    assert {r.entity for r in rows} >= {"customer", "table", "spark", "query"}
+    for r in rows:
+        assert r.doc_freq <= r.mentions
+        assert 0.0 < r.docs_share <= 1.0
+
+
+def test_skipgram_plan_distributions(spark):
+    """p_neg sums to ~1 over the vocab, frequent tokens get keep_p < 1
+    (subsampled), rare tokens keep_p == 1, and pair counts are
+    consistent (total centers == total contexts)."""
+    from hematite_spark.queries.text import skipgram_sampling_plan
+
+    rows = skipgram_sampling_plan(spark, SF_DIR).collect()
+    assert abs(sum(r.p_neg for r in rows) - 1.0) < 1e-3
+    assert sum(r.n_center for r in rows) == sum(r.n_context for r in rows)
+    top = max(rows, key=lambda r: r.n_tok)
+    assert top.keep_p < 1.0
+
+
+def test_pii_luhn_separates_candidates(spark):
+    """The detector must find every injected class (the fixture hits a
+    known doc slice), and Luhn-valid cards must be a strict subset of
+    candidates (the 16-digit fixture is mostly checksum-invalid)."""
+    from hematite_spark.queries.text import pii_scan_documents
+
+    rows = pii_scan_documents(spark, SF_DIR).collect()
+    tot = lambda c: sum(getattr(r, c) for r in rows)
+    assert tot("n_emails") > 0
+    assert tot("n_phones") > 0
+    assert tot("n_ipv4") > 0
+    assert tot("n_card_candidates") > 0
+    assert tot("n_cards_luhn_valid") < tot("n_card_candidates")
+    for r in rows:
+        assert r.docs_with_pii <= r.n_docs

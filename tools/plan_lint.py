@@ -46,6 +46,7 @@ ALLOW_GLOBAL_WINDOW = {
     "rrf_fusion",            # rank over the two top-50 TakeOrdered results (O(k))
     "quality_threshold_sweep",  # exact ntile planning table; docstring carries the approx_percentile 100 TB variant
     "curriculum_phase_assignment",  # running sum over the O(sources) pre-aggregate
+    "hnsw_layer_assign",  # cum_share over the O(levels)≤5 census rows
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
