@@ -296,3 +296,86 @@ FROM (SELECT cell, term, score,
 WHERE rnk <= 3
 ORDER BY cell, rnk
 """
+
+
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG context assembly — the retrieval stack composed
+    into the artifact the generator actually consumes: BM25 top-5
+    docs → 32-token non-overlapping chunks with provenance → chunks
+    ranked by query-term hits (ties: bm25 desc, doc, chunk) → greedy
+    pack into a 96-token context budget. Output is the context
+    MANIFEST: per candidate chunk its rank, term hits, token count,
+    running total, and whether it made the budget — the audit trail
+    for 'why was this passage in the prompt'.
+
+    100 TB: the doc side is the TakeOrdered(5) BM25 head, so chunking
+    and ranking run on O(k) rows — the window is over ≤5 docs' chunks
+    (allowlisted global window over a top-k pre-aggregate); the corpus
+    pass is the same single BM25 scan bm25_retrieval runs."""
+    from pyspark.sql import Window as W
+
+    top = (
+        _bm25_scores(spark, sf_dir)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(5)
+    )
+    docs = load_table(spark, "documents", sf_dir).join(F.broadcast(top), "doc_id")
+    toks = docs.select(
+        "doc_id", "bm25", F.posexplode(F.split(_norm_text(), " ")).alias("pos", "term")
+    )
+    chunks = (
+        toks.withColumn("chunk_id", F.floor(F.col("pos") / 32).cast("int"))
+        .groupBy("doc_id", "bm25", "chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("term").isin(*_QUERY_TERMS).cast("int")).cast("bigint").alias(
+                "term_hits"
+            ),
+        )
+    )
+    rw = W.orderBy(
+        F.col("term_hits").desc(), F.col("bm25").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    ranked = chunks.withColumn("rank", F.row_number().over(rw)).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(rw.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return ranked.select(
+        "rank",
+        "doc_id",
+        "chunk_id",
+        "bm25",
+        "term_hits",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= 96).alias("included"),
+    ).orderBy("rank")
+
+
+RAG_CONTEXT_SQL = f"""
+WITH {_BM25_CORE},
+top AS (
+  SELECT doc_id, round(score, 6) AS bm25
+  FROM scored ORDER BY bm25 DESC, doc_id LIMIT 5),
+toks AS (
+  SELECT d.doc_id, t.bm25, i - 1 AS pos, w[i] AS term
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents) d
+  JOIN top t USING (doc_id),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+chunks AS (
+  SELECT doc_id, bm25, CAST(floor(pos / 32) AS INT) AS chunk_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ('spark', 'join', 'window', 'hash') THEN 1 ELSE 0 END)::BIGINT AS term_hits
+  FROM toks GROUP BY doc_id, bm25, 3),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER w AS INT) AS rank,
+         CAST(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM chunks
+  WINDOW w AS (ORDER BY term_hits DESC, bm25 DESC, doc_id, chunk_id))
+SELECT rank, doc_id, chunk_id, bm25, term_hits, n_tokens, cum_tokens,
+       cum_tokens <= 96 AS included
+FROM ranked
+ORDER BY rank
+"""

@@ -2372,3 +2372,216 @@ SELECT level, n_nodes,
 FROM census CROSS JOIN tot
 ORDER BY level
 """
+
+
+def hnsw_two_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer coarse-to-fine search over the hash-leveled hierarchy
+    hnsw_layer_assign builds — the HNSW navigation pattern: greedy
+    entry through the sparse upper layer (level ≥ 1, ~n/16 nodes),
+    then exact cosine top-10 restricted to the entry node's sign-
+    bucket cell and the query's cell, each widened by its hamming-1
+    shell (the 'edges' of the navigation graph — 4 single-bit-flip
+    neighbor cells per center, ≤10 of 16 cells total — the ef>1
+    beam). Deterministic ties
+    (distance, vec_id), so the oracle replays it value-for-value; the
+    recall gate vs ann_brute_force lives in the unit tests.
+
+    100 TB: the upper layer is a FILTERED SCAN (level ≥ 1 prunes 15/16
+    of rows — with level as a partition column it is partition
+    pruning) reduced by one TakeOrdered(1); the fine stage probes ≤10
+    of 16 bucket-partitions (entry + query cells and their hamming-1
+    shells). Nothing broadcasts but the query vector and the ≤10-row
+    probe list."""
+    from pyspark.sql import Window as W  # noqa: F401  (symmetry with siblings)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hnsw:"), F.col("vec_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    level = F.floor(-F.log(u) / F.lit(2.772588722239781)).cast("int")
+    bucket = sum(
+        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
+    ).cast("bigint")
+    v = emb.select(
+        "vec_id", "label", ev.alias("ev"), level.alias("level"), bucket.alias("bucket")
+    )
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("bucket").alias("q_bucket")
+    )
+    sqdist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    entry = (
+        v.where((F.col("level") >= 1) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("entry_vec_id"),
+            F.col("bucket").alias("entry_bucket"),
+            sqdist(F.col("ev"), F.col("qv")).alias("dq"),
+        )
+        .orderBy("dq", "entry_vec_id")
+        .limit(1)
+        .select("entry_vec_id", "entry_bucket")
+    )
+    from hematite_spark.functions import cosine
+
+    return (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(entry))
+        .crossJoin(F.broadcast(q))
+        .where(
+            (F.col("bucket") == F.col("q_bucket"))
+            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(1))
+            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(2))
+            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(4))
+            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(8))
+            | (F.col("bucket") == F.col("entry_bucket"))
+            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(1))
+            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(2))
+            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(4))
+            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(8))
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            "entry_vec_id",
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+HNSW_SEARCH_SQL = f"""
+WITH v0 AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+         CAST(floor(-ln((((strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[1]) - 1) * 4096
+                        + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[2]) - 1) * 256
+                        + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[3]) - 1) * 16
+                        + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[4]) - 1)) + 0.5)
+                       / 65536.0) / ln(16)) AS INT) AS level,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings),
+q AS (SELECT ev AS qv, bucket AS q_bucket FROM v0 WHERE vec_id = 0),
+entry AS (
+  SELECT vec_id AS entry_vec_id, bucket AS entry_bucket
+  FROM v0 CROSS JOIN q
+  WHERE level >= 1 AND vec_id <> 0
+  ORDER BY {_DUCK_SQDIST.format(a="ev", b="qv")}, vec_id
+  LIMIT 1)
+SELECT vec_id, label, bucket, entry_vec_id,
+       round(list_reduce(list_transform(list_zip(ev, qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x) / (sqrt(list_reduce(list_transform(ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))), 6) AS cosine
+FROM v0 CROSS JOIN entry CROSS JOIN q
+WHERE vec_id <> 0 AND (bucket = q_bucket
+       OR bucket = xor(q_bucket, 1) OR bucket = xor(q_bucket, 2)
+       OR bucket = xor(q_bucket, 4) OR bucket = xor(q_bucket, 8)
+       OR bucket = entry_bucket
+       OR bucket = xor(entry_bucket, 1) OR bucket = xor(entry_bucket, 2)
+       OR bucket = xor(entry_bucket, 4) OR bucket = xor(entry_bucket, 8))
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def kcenter_coreset_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) coreset seeding —
+    the diversity-first subset selection used to seed clusterings and
+    to pick maximally-covering exemplars for data curation: start from
+    vec_id 0, then 3× add the vector FARTHEST from the current seed
+    set (2-approximation of the k-center optimum). Output is the
+    per-seed coverage report: cell population, cell radius (max
+    min-distance of members), and mean min-distance — the 'how well do
+    4 exemplars cover the corpus' table.
+
+    100 TB: each traversal step is one corpus scan against a ≤k-row
+    BROADCAST seed set reduced by TakeOrdered(1) — the chain is lazy
+    (agg → broadcast → agg), no driver round-trip, k scans total; the
+    final assignment reuses the same broadcast. Ties deterministic on
+    (distance desc, vec_id), so the oracle unrolls the recursion as
+    CTEs value-for-value."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", _dbl("embedding").alias("ev"))
+    sqd = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    seeds = v.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+    for _ in range(3):
+        mind = (
+            v.crossJoin(F.broadcast(seeds))
+            .groupBy("vec_id")
+            .agg(F.min(sqd(F.col("ev"), F.col("sv"))).alias("mind"))
+        )
+        nxt = (
+            v.join(mind, "vec_id")
+            .orderBy(F.col("mind").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv"))
+        )
+        seeds = seeds.unionByName(nxt)
+    from pyspark.sql import Window as W
+
+    assigned = (
+        v.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "seed_id", sqd(F.col("ev"), F.col("sv")).alias("d"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "seed_id"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("seed_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assigned"),
+            F.round(F.sqrt(F.max("d")), 6).alias("cell_radius"),
+            F.round(F.avg(F.sqrt(F.col("d"))), 6).alias("mean_dist"),
+        )
+        .orderBy("seed_id")
+    )
+
+
+_KC_D = _DUCK_SQDIST.format(a="ev", b="sv")
+
+KCENTER_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+s0 AS (SELECT vec_id AS seed_id, ev AS sv FROM v WHERE vec_id = 0),
+n1 AS (
+  SELECT v.vec_id AS seed_id, v.ev AS sv
+  FROM v JOIN (SELECT vec_id, min({_KC_D}) AS mind
+               FROM v CROSS JOIN s0 GROUP BY vec_id) m USING (vec_id)
+  ORDER BY m.mind DESC, v.vec_id LIMIT 1),
+s1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM n1),
+n2 AS (
+  SELECT v.vec_id AS seed_id, v.ev AS sv
+  FROM v JOIN (SELECT v.vec_id, min({_KC_D}) AS mind
+               FROM v CROSS JOIN s1 GROUP BY v.vec_id) m USING (vec_id)
+  ORDER BY m.mind DESC, v.vec_id LIMIT 1),
+s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM n2),
+n3 AS (
+  SELECT v.vec_id AS seed_id, v.ev AS sv
+  FROM v JOIN (SELECT v.vec_id, min({_KC_D}) AS mind
+               FROM v CROSS JOIN s2 GROUP BY v.vec_id) m USING (vec_id)
+  ORDER BY m.mind DESC, v.vec_id LIMIT 1),
+s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM n3),
+assigned AS (
+  SELECT vec_id, seed_id, d
+  FROM (SELECT v.vec_id, s.seed_id, {_KC_D} AS d,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KC_D}, s.seed_id) AS rn
+        FROM v CROSS JOIN s3 s)
+  WHERE rn = 1)
+SELECT seed_id, count(*)::BIGINT AS n_assigned,
+       round(sqrt(max(d)), 6) AS cell_radius,
+       round(avg(sqrt(d)), 6) AS mean_dist
+FROM assigned
+GROUP BY seed_id
+ORDER BY seed_id
+"""

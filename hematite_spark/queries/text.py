@@ -2357,3 +2357,107 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+def cdc_chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/backup-dedup trick
+    applied to corpus text): a chunk boundary falls BEFORE token i
+    wherever h(token_{i-1}, token_i) ≡ 0 (mod 8) — boundaries depend
+    only on local content, so an insertion reshuffles one chunk, not
+    every downstream fixed-width chunk (the failure mode of stride
+    chunking that CDC exists to fix). Chunks are fingerprinted and
+    deduplicated cross-doc; the per-source report gives chunk-count,
+    mean width (expected ≈ the modulus, 8), and the duplicate-chunk
+    rate — the substring-level redundancy signal at chunk granularity.
+
+    100 TB: boundary detection is a per-doc lag + running-sum window
+    (doc_id-partitioned, never global); chunk assembly is one
+    (doc, chunk) aggregate ordered by position; the dedup census is
+    one fingerprint hash-aggregate. Three doc/fp-keyed shuffles, all
+    with map-side combine."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(_words()).alias("pos", "token")
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lag("token", 1).over(dw), F.col("token"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    flagged = toks.select(
+        "doc_id",
+        "source",
+        "pos",
+        "token",
+        F.when(F.lag("token", 1).over(dw).isNull(), F.lit(0))
+        .when(h16 % 8 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    chunked = flagged.withColumn("chunk_id", F.sum("boundary").over(dw))
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+            )
+        ).alias("fp"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_chunk_tokens"),
+            F.countDistinct("fp").cast("bigint").alias("distinct_chunks"),
+            F.round(F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 6).alias(
+                "dup_chunk_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CDC_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, i AS pos, w[i] AS token,
+         CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+flagged AS (
+  SELECT doc_id, source, pos, token,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN (((strpos('0123456789abcdef', md5(prev || ':' || token)[1]) - 1) * 4096
+                   + (strpos('0123456789abcdef', md5(prev || ':' || token)[2]) - 1) * 256
+                   + (strpos('0123456789abcdef', md5(prev || ':' || token)[3]) - 1) * 16
+                   + (strpos('0123456789abcdef', md5(prev || ':' || token)[4]) - 1)) % 8) = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM toks),
+chunked AS (
+  SELECT doc_id, source, pos, token,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         count(*)::BIGINT AS n_tokens,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+  FROM chunked GROUP BY doc_id, source, chunk_id)
+SELECT source,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       round(avg(n_tokens), 4) AS mean_chunk_tokens,
+       count(DISTINCT fp)::BIGINT AS distinct_chunks,
+       round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_rate
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""

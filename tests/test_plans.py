@@ -453,6 +453,10 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "gazetteer_entity_match",
         "skipgram_sampling_plan",
         "pii_scan_documents",
+        "hnsw_two_layer_search",
+        "kcenter_coreset_seed",
+        "cdc_chunk_boundaries",
+        "rag_context_assembly",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -638,3 +638,72 @@ def test_pii_luhn_separates_candidates(spark):
     assert tot("n_cards_luhn_valid") < tot("n_card_candidates")
     for r in rows:
         assert r.docs_with_pii <= r.n_docs
+
+
+def test_hnsw_search_recall_vs_brute_force(spark):
+    """Two-layer navigation quality gate: the ≤10-of-16-cell beam
+    (a superset of the multiprobe operator's 5-cell shell) must
+    recover ≥5 of the exact top-10, and every reported cosine must
+    equal the brute-force value for that vector."""
+    from hematite_spark.queries.similarity import ann_brute_force, hnsw_two_layer_search
+
+    exact = {r.vec_id: r.cosine for r in ann_brute_force(spark, SF_DIR).collect()}
+    hnsw = {r.vec_id: r.cosine for r in hnsw_two_layer_search(spark, SF_DIR).collect()}
+    assert len(hnsw) == 10
+    overlap = set(exact) & set(hnsw)
+    assert len(overlap) >= 5, f"hnsw recall {len(overlap)}/10 too low"
+    for vid in overlap:
+        assert abs(exact[vid] - hnsw[vid]) < 1e-9
+
+
+def test_kcenter_covers_all_vectors(spark):
+    """Coverage contract: 4 distinct seeds, every vector assigned to
+    exactly one cell (populations sum to corpus size), each cell's
+    radius bounds its mean, and vec_id 0 anchors the traversal."""
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.similarity import kcenter_coreset_seed
+
+    rows = kcenter_coreset_seed(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    assert 0 in {r.seed_id for r in rows}
+    n = load_table(spark, "embeddings", SF_DIR).count()
+    assert sum(r.n_assigned for r in rows) == n
+    for r in rows:
+        assert r.mean_dist <= r.cell_radius + 1e-9
+
+
+def test_cdc_chunks_reconstruct_docs(spark):
+    """Accounting: chunk token totals must reproduce corpus token
+    totals per source, mean width near the modulus 8, and the dup
+    rate in [0, 1)."""
+    from pyspark.sql import functions as F
+    from hematite_spark.functions import words
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.text import cdc_chunk_boundaries
+
+    rows = cdc_chunk_boundaries(spark, SF_DIR).collect()
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.sum(F.size(words())).alias("n")).collect()
+    }
+    for r in rows:
+        assert abs(r.mean_chunk_tokens * r.n_chunks - toks[r.source]) < 0.5 * r.n_chunks
+        assert 2.0 < r.mean_chunk_tokens < 32.0
+        assert 0.0 <= r.dup_chunk_rate < 1.0
+
+
+def test_rag_context_budget_respected(spark):
+    """Greedy packing contract: included chunks are a rank prefix,
+    their token total is ≤ 96, the first excluded chunk would
+    overflow, and ranks are dense from 1."""
+    from hematite_spark.queries.retrieval import rag_context_assembly
+
+    rows = rag_context_assembly(spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    included = [r for r in rows if r.included]
+    excluded = [r for r in rows if not r.included]
+    assert included and included[-1].cum_tokens <= 96
+    if excluded:
+        assert excluded[0].rank == included[-1].rank + 1
+        assert excluded[0].cum_tokens > 96

@@ -47,6 +47,7 @@ ALLOW_GLOBAL_WINDOW = {
     "quality_threshold_sweep",  # exact ntile planning table; docstring carries the approx_percentile 100 TB variant
     "curriculum_phase_assignment",  # running sum over the O(sources) pre-aggregate
     "hnsw_layer_assign",  # cum_share over the O(levels)≤5 census rows
+    "rag_context_assembly",  # rank+pack over the BM25 top-5 docs' chunks (O(k))
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
