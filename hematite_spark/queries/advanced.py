@@ -3706,3 +3706,192 @@ SELECT bin, n, mean_score, frac_positive, gap, ece
 FROM bins CROSS JOIN ece
 ORDER BY bin
 """
+
+
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the Iceberg/Delta-style 'what changed between
+    snapshot T1 and T2' audit, computed from the event log: each
+    snapshot is the last-writer-wins state per (user, event_type) as
+    of its cutoff (T1 = Jan 15, T2 = Jan 25), and the diff classifies
+    every key as added (new in T2), changed (value moved), or
+    unchanged — the reconciliation table an incremental consumer
+    checks before trusting a CDC feed. (Removed is structurally zero
+    for an append-only log and is reported to prove it.)
+
+    100 TB: each snapshot is one (user, event_type)-keyed max-struct
+    aggregate over a ts-pruned scan (the cutoff predicate pushes to
+    the reader); the diff is a single co-keyed full-outer join —
+    both sides share the same partitioning, so AQE plans one
+    exchange per side and the classification is a projection."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts", "value")
+
+    def snap(cutoff: str):
+        return (
+            ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id", "event_type")
+            .agg(F.max(F.struct("ts", "value")).alias("s"))
+            .select("user_id", "event_type", F.col("s.value").alias("value"))
+        )
+
+    a, b = snap("2024-01-15"), snap("2024-01-25")
+    diff = a.alias("a").join(
+        b.alias("b"), ["user_id", "event_type"], "full_outer"
+    ).select(
+        "event_type",
+        F.when(F.col("a.value").isNull(), F.lit("added"))
+        .when(F.col("b.value").isNull(), F.lit("removed"))
+        .when(F.col("a.value") != F.col("b.value"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return (
+        diff.groupBy("event_type")
+        .pivot("change", ["added", "removed", "changed", "unchanged"])
+        .count()
+        .na.fill(0)
+        .select(
+            "event_type",
+            F.col("added").cast("bigint").alias("n_added"),
+            F.col("removed").cast("bigint").alias("n_removed"),
+            F.col("changed").cast("bigint").alias("n_changed"),
+            F.col("unchanged").cast("bigint").alias("n_unchanged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH snap_a AS (
+  SELECT user_id, event_type, (max(struct_pack(ts := ts, value := value))).value AS value
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id, event_type),
+snap_b AS (
+  SELECT user_id, event_type, (max(struct_pack(ts := ts, value := value))).value AS value
+  FROM events WHERE ts < TIMESTAMP '2024-01-25' GROUP BY user_id, event_type),
+diff AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         CASE WHEN a.value IS NULL THEN 'added'
+              WHEN b.value IS NULL THEN 'removed'
+              WHEN a.value <> b.value THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM snap_a a FULL OUTER JOIN snap_b b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type)
+SELECT event_type,
+       sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+FROM diff
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring rebalance audit — the shard-topology
+    change every stateful service (and every bucketed lake layout)
+    eventually faces: place 4 shards × 8 virtual nodes on a md5 ring,
+    assign every user key to its clockwise successor vnode, then add
+    shard 4 and measure exactly which keys move. The contract the ring
+    exists for: moved fraction ≈ 1/(n+1) (here ~20%), and — unlike
+    mod-N hashing, where adding a shard moves ~80% of keys — every
+    move lands on the NEW shard (old shards only shed).
+
+    100 TB: vnode rings are O(shards × vnodes) broadcasts; assignment
+    is a stateless min-over-32-candidates column expression fused into
+    one projection — no join, no shuffle until the O(shards) census."""
+    ev = load_table(spark, "events", sf_dir).select("user_id").distinct()
+
+    def ring(n_shards: int):
+        # vnode position: md5('vn:<shard>:<replica>') first 8 hex → bigint
+        return [
+            (
+                int(__import__("hashlib").md5(f"vn:{s}:{r}".encode()).hexdigest()[:8], 16),
+                s,
+            )
+            for s in range(n_shards)
+            for r in range(8)
+        ]
+
+    key_pos = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+    def assign(n_shards: int):
+        vnodes = sorted(ring(n_shards))
+        # clockwise successor: smallest vnode position ≥ key, wrapping
+        # to the ring's first vnode — expressed as a fused CASE chain
+        expr = F.lit(vnodes[0][1])  # wrap default
+        for pos, shard in reversed(vnodes):
+            expr = F.when(key_pos <= pos, F.lit(shard)).otherwise(expr)
+        return expr.cast("int")
+
+    keys = ev.select(
+        "user_id", assign(4).alias("shard_before"), assign(5).alias("shard_after")
+    )
+    return (
+        keys.groupBy("shard_before")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum((F.col("shard_before") != F.col("shard_after")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.sum(
+                ((F.col("shard_before") != F.col("shard_after")) & (F.col("shard_after") != 4))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_moved_not_to_new"),
+        )
+        .select(
+            "shard_before",
+            "n_keys",
+            "n_moved",
+            F.round(F.col("n_moved") / F.col("n_keys"), 6).alias("moved_frac"),
+            "n_moved_not_to_new",
+        )
+        .orderBy("shard_before")
+    )
+
+
+def _ring_vnodes(n_shards: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    return sorted(
+        (int(hashlib.md5(f"vn:{s}:{r}".encode()).hexdigest()[:8], 16), s)
+        for s in range(n_shards)
+        for r in range(8)
+    )
+
+
+_KEYPOS_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[{i + 1}]) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+
+def _assign_sql(n_shards: int) -> str:
+    vnodes = _ring_vnodes(n_shards)
+    whens = " ".join(f"WHEN kp <= {pos} THEN {shard}" for pos, shard in vnodes)
+    return f"CAST(CASE {whens} ELSE {vnodes[0][1]} END AS INT)"
+
+
+CONSISTENT_HASH_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id FROM events),
+pos AS (
+  SELECT user_id, {_KEYPOS_SQL} AS kp FROM keys),
+assigned AS (
+  SELECT user_id,
+         {_assign_sql(4)} AS shard_before,
+         {_assign_sql(5)} AS shard_after
+  FROM pos)
+SELECT shard_before,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+       round(sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS moved_frac,
+       sum(CASE WHEN shard_before <> shard_after AND shard_after <> 4 THEN 1 ELSE 0 END)::BIGINT AS n_moved_not_to_new
+FROM assigned
+GROUP BY shard_before
+ORDER BY shard_before
+"""

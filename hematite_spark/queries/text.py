@@ -2461,3 +2461,204 @@ FROM chunks
 GROUP BY source
 ORDER BY source
 """
+
+
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-pipeline pass that
+    collapses the same page crawled under cosmetic URL variants:
+    case-folded scheme/host, stripped `www.`, dropped tracking params
+    (`utm_*`, `ref`), dropped fragments, stripped trailing slashes.
+    The corpus carries no URLs, so a deterministic doc_id-keyed
+    fixture appends one per doc — 5 cosmetic variants over a shared
+    page space (mirrored exactly in the oracle), giving known dup
+    groups; the operator under test is the canonicalizer. Output per
+    source: raw-vs-canonical distinct counts, the collapse ratio, and
+    the largest canonical group.
+
+    100 TB: extraction + canonicalization is a fused chain of regexp
+    projections — stateless, codegen'd, one text pass; the census is
+    one (source, canonical) aggregate then one (source) aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    h = lambda salt, mod: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), did.cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % mod
+    )
+    page = h("u:", 8).cast("string")
+    variant = h("v:", 5).cast("int")
+    raw = (
+        F.when(variant == 0, F.concat(F.lit("http://example.com/page/"), page))
+        .when(variant == 1, F.concat(F.lit("HTTP://EXAMPLE.COM/page/"), page))
+        .when(
+            variant == 2,
+            F.concat(F.lit("http://example.com/page/"), page, F.lit("?utm_source=x&utm_medium=y")),
+        )
+        .when(variant == 3, F.concat(F.lit("http://example.com/page/"), page, F.lit("/#frag")))
+        .otherwise(F.concat(F.lit("http://www.example.com/page/"), page, F.lit("?ref=abc")))
+    )
+    rawc = F.col("raw")
+    scheme_host = F.regexp_replace(
+        F.lower(F.regexp_extract(rawc, r"^[a-zA-Z]+://[^/]+", 0)), r"^(https?://)www\.", r"$1"
+    )
+    rest = F.expr("substring(raw, length(regexp_extract(raw, '^[a-zA-Z]+://[^/]+', 0)) + 1)")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(rest, r"#.*$", ""), r"[?&](utm_[a-z]+|ref)=[^&#]*", ""
+    )
+    canonical = F.concat(scheme_host, F.regexp_replace(cleaned, r"/+$", ""))
+    urls = docs.select("source", raw.alias("raw")).select(
+        "source", "raw", canonical.alias("canonical")
+    )
+    groups = urls.groupBy("source", "canonical").agg(F.count("*").alias("group_size"))
+    return (
+        urls.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("raw").cast("bigint").alias("distinct_raw"),
+            F.countDistinct("canonical").cast("bigint").alias("distinct_canonical"),
+        )
+        .join(
+            groups.groupBy("source").agg(
+                F.max("group_size").cast("bigint").alias("max_group_size")
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_urls",
+            "distinct_raw",
+            "distinct_canonical",
+            F.round(F.lit(1.0) - F.col("distinct_canonical") / F.col("distinct_raw"), 6).alias(
+                "collapse_ratio"
+            ),
+            "max_group_size",
+        )
+        .orderBy("source")
+    )
+
+
+URL_CANON_SQL = r"""
+WITH raw_urls AS (
+  SELECT source,
+         CASE hv % 5
+           WHEN 0 THEN 'http://example.com/page/' || (hu % 8)
+           WHEN 1 THEN 'HTTP://EXAMPLE.COM/page/' || (hu % 8)
+           WHEN 2 THEN 'http://example.com/page/' || (hu % 8) || '?utm_source=x&utm_medium=y'
+           WHEN 3 THEN 'http://example.com/page/' || (hu % 8) || '/#frag'
+           ELSE 'http://www.example.com/page/' || (hu % 8) || '?ref=abc'
+         END AS raw
+  FROM (SELECT source,
+               ((strpos('0123456789abcdef', md5('u:' || CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+              + (strpos('0123456789abcdef', md5('u:' || CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+              + (strpos('0123456789abcdef', md5('u:' || CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+              + (strpos('0123456789abcdef', md5('u:' || CAST(doc_id AS VARCHAR))[4]) - 1)) AS hu,
+               ((strpos('0123456789abcdef', md5('v:' || CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+              + (strpos('0123456789abcdef', md5('v:' || CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+              + (strpos('0123456789abcdef', md5('v:' || CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+              + (strpos('0123456789abcdef', md5('v:' || CAST(doc_id AS VARCHAR))[4]) - 1)) AS hv
+        FROM documents)),
+canon AS (
+  SELECT source, raw,
+         regexp_replace(lower(regexp_extract(raw, '^[a-zA-Z]+://[^/]+')),
+                        '^(https?://)www\.', '\1')
+         || regexp_replace(
+              regexp_replace(
+                regexp_replace(substring(raw, length(regexp_extract(raw, '^[a-zA-Z]+://[^/]+')) + 1),
+                               '#.*$', ''),
+                '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+              '/+$', '') AS canonical
+  FROM raw_urls),
+groups AS (
+  SELECT source, canonical, count(*) AS group_size
+  FROM canon GROUP BY source, canonical)
+SELECT c.source,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT raw)::BIGINT AS distinct_raw,
+       count(DISTINCT canonical)::BIGINT AS distinct_canonical,
+       round(1.0 - count(DISTINCT canonical) / CAST(count(DISTINCT raw) AS DOUBLE), 6) AS collapse_ratio,
+       (SELECT CAST(max(group_size) AS BIGINT) FROM groups g WHERE g.source = c.source) AS max_group_size
+FROM canon c
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (discount
+    D = 0.75) — the classical smoothing that backs off not to raw
+    unigram frequency but to CONTINUATION probability (how many
+    distinct contexts a word follows), the property that makes KN the
+    strongest count-based LM and a standard corpus-quality scorer.
+    Emits the top-20 bigrams by smoothed probability with the full
+    decomposition: discounted ML term, backoff weight λ(w1), and
+    continuation probability p_cont(w2).
+
+    100 TB: three vocabulary-scale hash aggregates (bigram counts,
+    context totals + distinct-following via one grouped agg,
+    continuation counts) joined on the word keys — vocabulary tables
+    broadcast; the corpus is scanned once for bigrams."""
+    from pyspark.sql import Window as W
+
+    d = 0.75
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.posexplode(_words()).alias("pos", "w"))
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("doc_id", "pos", F.lag("w", 1).over(dw).alias("w1"), F.col("w").alias("w2"))
+        .where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n_follow"),
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").cast("bigint").alias("n_prec"))
+    n_types = bi.agg(F.count("*").cast("double").alias("n_types"))
+    return (
+        bi.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1"), 6).alias("p_ml_disc"),
+            F.round(F.lit(d) * F.col("n_follow") / F.col("c1"), 6).alias("lambda_w1"),
+            F.round(F.col("n_prec") / F.col("n_types"), 6).alias("p_cont"),
+            F.round(
+                F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+                + (F.lit(d) * F.col("n_follow") / F.col("c1"))
+                * (F.col("n_prec") / F.col("n_types")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("p_kn").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+KNESER_NEY_SQL = """
+WITH toks AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+bi AS (
+  SELECT prev AS w1, tok AS w2, count(*)::BIGINT AS c12
+  FROM toks WHERE prev IS NOT NULL GROUP BY prev, tok),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*)::BIGINT AS n_follow
+  FROM bi GROUP BY w1),
+cont AS (
+  SELECT w2, count(*)::BIGINT AS n_prec FROM bi GROUP BY w2),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bi)
+SELECT w1, w2, c12,
+       round(greatest(c12 - 0.75, 0.0) / c1, 6) AS p_ml_disc,
+       round(0.75 * n_follow / c1, 6) AS lambda_w1,
+       round(n_prec / n_types, 6) AS p_cont,
+       round(greatest(c12 - 0.75, 0.0) / c1
+             + (0.75 * n_follow / c1) * (n_prec / n_types), 6) AS p_kn
+FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+ORDER BY p_kn DESC, w1, w2
+LIMIT 20
+"""

@@ -395,3 +395,78 @@ def kmv_distinct_stream(df: DataFrame, key_col: str = "event_type", id_col: str 
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def welford_moments_stream(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Streaming running moments via Chan's parallel Welford merge:
+    per key, maintain (n, mean, M2) across micro-batches — O(3 doubles)
+    state per key — and emit the running mean/stddev plus a 3σ anomaly
+    count of the CURRENT batch scored against the PRE-batch moments
+    (the live data-quality tripwire; scoring before merging avoids a
+    batch of outliers masking itself). The merge is the same
+    associative moment algebra the batch agg_incremental_merge proves,
+    so the final state after any micro-batch split equals the batch
+    count/avg/stddev_pop — asserted in tests/test_streaming.py.
+
+    At scale the state shards by key; each micro-batch reduces to one
+    (n, mean, M2) triple per key per batch before touching state."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    src = df.select(F.col(key_col), F.col(value_col).cast("double").alias("v"))
+    key_type = df.schema[key_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("stddev_pop", T.DoubleType()),
+            T.StructField("batch_anomalies", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n0, mean0, m20 = state.get if state.exists else (0, 0.0, 0.0)
+        vals = pd.concat([p["v"] for p in pdfs], ignore_index=True)
+        nb = len(vals)
+        anomalies = 0
+        if n0 >= 2:
+            sd0 = (m20 / n0) ** 0.5
+            if sd0 > 0:
+                anomalies = int(((vals - mean0).abs() > 3 * sd0).sum())
+        if nb:
+            mean_b = float(vals.mean())
+            m2_b = float(((vals - mean_b) ** 2).sum())
+            delta = mean_b - mean0
+            n = n0 + nb
+            mean = mean0 + delta * nb / n
+            m2 = m20 + m2_b + delta * delta * n0 * nb / n
+        else:
+            n, mean, m2 = n0, mean0, m20
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "mean": [mean],
+                "stddev_pop": [(m2 / n) ** 0.5 if n else 0.0],
+                "batch_anomalies": [anomalies],
+            }
+        )
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -457,6 +457,10 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "kcenter_coreset_seed",
         "cdc_chunk_boundaries",
         "rag_context_assembly",
+        "snapshot_diff_events",
+        "consistent_hash_rebalance",
+        "url_canonicalize_dedup",
+        "kneser_ney_bigram",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

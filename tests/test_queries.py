@@ -707,3 +707,58 @@ def test_rag_context_budget_respected(spark):
     if excluded:
         assert excluded[0].rank == included[-1].rank + 1
         assert excluded[0].cum_tokens > 96
+
+
+def test_snapshot_diff_append_only_invariants(spark):
+    """Append-only log ⇒ removed must be structurally zero for every
+    type, and between the cutoffs at least some keys changed (the
+    tiny sf0.001 slice has every key active in both windows, so
+    added may legitimately be 0 there)."""
+    from hematite_spark.queries.advanced import snapshot_diff_events
+
+    rows = snapshot_diff_events(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.n_removed == 0 for r in rows)
+    assert sum(r.n_changed for r in rows) > 0
+    assert all(r.n_added + r.n_changed + r.n_unchanged > 0 for r in rows)
+
+
+def test_consistent_hash_moves_only_to_new_shard(spark):
+    """The ring's reason to exist: adding shard 4 moves ~1/5 of keys,
+    every move lands on the new shard, and no shard is emptied."""
+    from hematite_spark.queries.advanced import consistent_hash_rebalance
+
+    rows = consistent_hash_rebalance(spark, SF_DIR).collect()
+    assert {r.shard_before for r in rows} == {0, 1, 2, 3}
+    total = sum(r.n_keys for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert all(r.n_moved_not_to_new == 0 for r in rows)
+    assert 0.05 < moved / total < 0.45  # ≈1/5 up to vnode variance
+    assert all(r.n_keys > r.n_moved for r in rows)
+
+
+def test_url_canonicalization_collapses_variants(spark):
+    """The canonicalizer must collapse cosmetic variants (canonical
+    strictly fewer than raw per source) down to the 8-page space."""
+    from hematite_spark.queries.text import url_canonicalize_dedup
+
+    rows = url_canonicalize_dedup(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.distinct_canonical <= 8
+        assert r.distinct_canonical <= r.distinct_raw
+        assert r.max_group_size >= 1
+    assert any(r.distinct_canonical < r.distinct_raw for r in rows)
+
+
+def test_kneser_ney_probability_axioms(spark):
+    """KN decomposition sanity: p_kn = p_ml_disc + λ·p_cont within
+    rounding, every probability in (0, 1], and the discounted ML term
+    strictly below the raw ML estimate."""
+    from hematite_spark.queries.text import kneser_ney_bigram
+
+    rows = kneser_ney_bigram(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r.p_kn <= 1.0
+        assert 0.0 < r.p_cont <= 1.0
+        assert abs(r.p_kn - (r.p_ml_disc + r.lambda_w1 * r.p_cont)) < 5e-6, r

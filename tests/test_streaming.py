@@ -538,3 +538,53 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
     for et, b in batch.items():
         assert int(final.loc[et, "kth_min"]) == b.kth_direct, et
         assert abs(float(final.loc[et, "est_distinct"]) - b.est_distinct) < 1e-6, et
+
+
+def test_streaming_welford_matches_batch_moments(spark, tmp_path):
+    """Chan-merge contract: running (n, mean, stddev_pop) after two
+    micro-batches (events split mid-history) must equal the batch
+    aggregate per event type; the anomaly counter scores each batch
+    against PRE-batch moments, so batch 1 (no prior state) reports 0."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hematite_spark.streaming import welford_moments_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+    rows = [r.asDict() for r in ev.collect()]
+    cut = len(rows) // 2
+    src = tmp_path / "welford_src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        with open(src / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    base = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = _run_to_memory(
+        spark, welford_moments_stream(base), "welford_stream", mode="update"
+    )
+    emitted = out.toPandas()
+    final = emitted.groupby("event_type").tail(1).set_index("event_type")
+    first = emitted.groupby("event_type").head(1)
+    assert (first.batch_anomalies == 0).all()
+    batch = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev_pop("value").alias("sd"),
+        )
+        .collect()
+    }
+    assert set(final.index) == set(batch)
+    for et, b in batch.items():
+        assert int(final.loc[et, "n"]) == b.n, et
+        assert abs(float(final.loc[et, "mean"]) - b.mean) < 1e-9, et
+        assert abs(float(final.loc[et, "stddev_pop"]) - b.sd) < 1e-9, et
