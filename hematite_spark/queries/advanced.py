@@ -3895,3 +3895,80 @@ FROM assigned
 GROUP BY shard_before
 ORDER BY shard_before
 """
+
+
+def forget_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit — the pre-flight a GDPR/CCPA
+    erasure run executes before touching data: a deterministic forget
+    list (hash(c_custkey) ≡ 0 mod 37 — the request queue), then the
+    FULL transitive closure of rows referencing those subjects:
+    customer rows, their orders, their lineitems. One row per table
+    with total/purge/fraction — the blast-radius report a data-steward
+    signs off on, and the row-count contract the post-delete
+    verification re-runs against zero.
+
+    100 TB: the forget list is a broadcast semi-join pruner at every
+    hop (customers ≪ facts); orders-to-purge stays a key list that
+    broadcasts into the lineitem scan — three scans, no shuffle wider
+    than the O(forget-list) key sets, counts map-side combined."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("forget:"), F.col("c_custkey").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % 37
+    )
+    forget = cust.where(h == 0).select("c_custkey")
+    purge_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    row = lambda name, tot_df, purge_df: (
+        tot_df.agg(F.count("*").cast("bigint").alias("n_rows"))
+        .crossJoin(purge_df.agg(F.count("*").cast("bigint").alias("n_purge")))
+        .select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_purge",
+            F.round(F.col("n_purge") / F.col("n_rows"), 6).alias("purge_frac"),
+        )
+    )
+    return (
+        row("customer", cust, forget)
+        .unionByName(row("orders", orders, purge_orders))
+        .unionByName(
+            row(
+                "lineitem",
+                li,
+                li.join(F.broadcast(purge_orders), li.l_orderkey == purge_orders.o_orderkey, "left_semi"),
+            )
+        )
+        .orderBy("table_name")
+    )
+
+
+FORGET_CASCADE_SQL = """
+WITH forget AS (
+  SELECT c_custkey FROM customer
+  WHERE (((strpos('0123456789abcdef', md5('forget:' || CAST(c_custkey AS VARCHAR))[1]) - 1) * 4096
+        + (strpos('0123456789abcdef', md5('forget:' || CAST(c_custkey AS VARCHAR))[2]) - 1) * 256
+        + (strpos('0123456789abcdef', md5('forget:' || CAST(c_custkey AS VARCHAR))[3]) - 1) * 16
+        + (strpos('0123456789abcdef', md5('forget:' || CAST(c_custkey AS VARCHAR))[4]) - 1)) % 37) = 0),
+purge_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+t AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*)::BIGINT FROM customer) AS n_rows,
+         (SELECT count(*)::BIGINT FROM forget) AS n_purge
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*)::BIGINT FROM orders),
+         (SELECT count(*)::BIGINT FROM purge_orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*)::BIGINT FROM lineitem),
+         (SELECT count(*)::BIGINT FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM purge_orders)))
+SELECT table_name, n_rows, n_purge,
+       round(n_purge / CAST(n_rows AS DOUBLE), 6) AS purge_frac
+FROM t
+ORDER BY table_name
+"""

@@ -296,3 +296,55 @@ FROM chain
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def es_category_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-category projection (the EventStoreDB `$ce-` pattern, an
+    extension beyond the reference): streams (= user_id) roll up into
+    categories (user_id % 10 — the tenant/entity-type prefix a real
+    deployment encodes in the stream name), and each category exposes
+    one merged, totally-ordered feed: stream count, event count, the
+    feed head (last event by (ts, event_id)), and the checkpoint
+    position a catch-up subscription would resume from (= feed
+    length). The projection a CQRS read-model consumer subscribes to
+    instead of N individual streams.
+
+    100 TB: one category-keyed hash aggregate (max-struct head pick +
+    counts, map-side combined); category is the natural partition key
+    of the projected feed, so a subscriber's replay is a partition
+    scan in (ts, event_id) order."""
+    ev = load_table(spark, "events", sf_dir)
+    cat = (F.col("user_id") % 10).alias("category")
+    return (
+        ev.select(
+            cat,
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .groupBy("category")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_streams"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.unix_micros(F.max(F.struct("ts", "event_id")).getField("ts")).alias(
+                "head_ts_us"
+            ),
+            F.max(F.struct("ts", "event_id")).getField("event_id").alias("head_event_id"),
+            F.count("*").cast("bigint").alias("checkpoint_position"),
+        )
+        .orderBy("category")
+    )
+
+
+ES_CATEGORY_SQL = """
+SELECT user_id % 10 AS category,
+       count(DISTINCT user_id)::BIGINT AS n_streams,
+       count(*)::BIGINT AS n_events,
+       epoch_us((max(struct_pack(ts := ts, event_id := event_id))).ts) AS head_ts_us,
+       (max(struct_pack(ts := ts, event_id := event_id))).event_id AS head_event_id,
+       count(*)::BIGINT AS checkpoint_position
+FROM events
+GROUP BY user_id % 10
+ORDER BY category
+"""

@@ -526,3 +526,126 @@ SELECT event_type, top_user, exact_cnt, cms_est,
 FROM est JOIN audit USING (event_type)
 ORDER BY event_type
 """
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit — build an m=1024-bit,
+    k=3 filter over the member set (user_id ≡ 0 mod 3), probe it with
+    every non-member, and compare the MEASURED false-positive rate to
+    the theoretical (1-e^{-kn/m})^k. The sizing contract every
+    Bloom-prefiltered join (bloom_semi_join_reduction) rests on,
+    turned into a checked value: `within_2x` pins measured ≤ 2×
+    theoretical + slack.
+
+    100 TB: the filter is a ≤m-row distinct-position table built by
+    one aggregate and BROADCAST to the probe side (m bits ≪ memory);
+    a probe is positive iff all k positions hit — counted by one
+    semi-join-then-count-equals-k aggregate. No state beyond the m
+    positions; the probe scan is one pass."""
+    m, k = 1024, 3
+    ev = load_table(spark, "events", sf_dir).select("user_id").distinct()
+    member = ev.where(F.col("user_id") % 3 == 0)
+    probe = ev.where(F.col("user_id") % 3 != 0)
+
+    def positions(df):
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(str(i)), F.col("user_id").cast("string")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % m
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(member).select("pos").distinct()
+    hits = (
+        positions(probe)
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") == k)
+    )
+    n_members = member.agg(F.count("*").alias("n")).select(F.col("n").cast("bigint"))
+    n_probes = probe.agg(F.count("*").alias("n")).select(F.col("n").cast("bigint"))
+    n_fp = hits.agg(F.count("*").alias("n")).select(F.col("n").cast("bigint"))
+    n_bits = bits.agg(F.count("*").alias("n")).select(F.col("n").cast("bigint"))
+    out = (
+        n_members.toDF("n_members")
+        .crossJoin(n_probes.toDF("n_probes"))
+        .crossJoin(n_fp.toDF("n_false_positives"))
+        .crossJoin(n_bits.toDF("n_bits_set"))
+    )
+    import math  # noqa: F401  (documentational: theory formula below)
+
+    theo = F.pow(
+        F.lit(1.0) - F.exp(-F.lit(float(k)) * F.col("n_members") / F.lit(float(m))),
+        F.lit(float(k)),
+    )
+    return out.select(
+        "n_members",
+        "n_probes",
+        "n_bits_set",
+        "n_false_positives",
+        F.round(F.col("n_false_positives") / F.col("n_probes"), 6).alias("measured_fpr"),
+        F.round(theo, 6).alias("theoretical_fpr"),
+        (
+            F.col("n_false_positives") / F.col("n_probes")
+            <= F.lit(2.0) * theo + F.lit(0.01)
+        ).alias("within_2x"),
+    )
+
+
+_BLOOM_POS = " UNION ALL ".join(
+    "SELECT user_id, (((strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[1]) - 1) * 268435456"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[2]) - 1) * 16777216"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[3]) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[4]) - 1) * 65536"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[5]) - 1) * 4096"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[6]) - 1) * 256"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[7]) - 1) * 16"
+    " + (strpos('0123456789abcdef', md5('{i}:' || CAST(user_id AS VARCHAR))[8]) - 1)) % 1024) AS pos"
+    " FROM {{src}}".format(i=i)
+    for i in range(3)
+)
+
+BLOOM_FPR_SQL = f"""
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+member AS (SELECT user_id FROM keys WHERE user_id % 3 = 0),
+probe AS (SELECT user_id FROM keys WHERE user_id % 3 <> 0),
+bits AS (SELECT DISTINCT pos FROM ({_BLOOM_POS.format(src="member")})),
+probe_pos AS ({_BLOOM_POS.format(src="probe")}),
+fp AS (
+  SELECT p.user_id
+  FROM probe_pos p JOIN bits b USING (pos)
+  GROUP BY p.user_id
+  HAVING count(*) = 3),
+agg AS (
+  SELECT (SELECT count(*)::BIGINT FROM member) AS n_members,
+         (SELECT count(*)::BIGINT FROM probe) AS n_probes,
+         (SELECT count(*)::BIGINT FROM bits) AS n_bits_set,
+         (SELECT count(*)::BIGINT FROM fp) AS n_false_positives)
+SELECT n_members, n_probes, n_bits_set, n_false_positives,
+       round(n_false_positives / CAST(n_probes AS DOUBLE), 6) AS measured_fpr,
+       round(power(1.0 - exp(-3.0 * n_members / 1024.0), 3.0), 6) AS theoretical_fpr,
+       n_false_positives / CAST(n_probes AS DOUBLE)
+         <= 2.0 * power(1.0 - exp(-3.0 * n_members / 1024.0), 3.0) + 0.01 AS within_2x
+FROM agg
+"""

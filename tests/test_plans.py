@@ -461,6 +461,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "consistent_hash_rebalance",
         "url_canonicalize_dedup",
         "kneser_ney_bigram",
+        "es_category_projection",
+        "bloom_fpr_audit",
+        "forget_cascade_audit",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

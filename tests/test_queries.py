@@ -762,3 +762,43 @@ def test_kneser_ney_probability_axioms(spark):
         assert 0.0 < r.p_kn <= 1.0
         assert 0.0 < r.p_cont <= 1.0
         assert abs(r.p_kn - (r.p_ml_disc + r.lambda_w1 * r.p_cont)) < 5e-6, r
+
+
+def test_category_projection_covers_all_streams(spark):
+    """Category totals must tile the store: stream counts sum to the
+    distinct-user count, event counts to the log size, and every
+    checkpoint equals its feed length."""
+    from pyspark.sql import functions as F
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.eventstore import es_category_projection
+
+    rows = es_category_projection(spark, SF_DIR).collect()
+    ev = load_table(spark, "events", SF_DIR)
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_streams for r in rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.checkpoint_position == r.n_events
+
+
+def test_bloom_fpr_within_theory(spark):
+    """No false negatives by construction; measured FPR must sit near
+    the (1-e^{-kn/m})^k theory (within 2x + slack, as the audit
+    column itself pins)."""
+    from hematite_spark.queries.udf import bloom_fpr_audit
+
+    r = bloom_fpr_audit(spark, SF_DIR).first()
+    assert r.within_2x, r
+    assert r.n_bits_set <= 1024
+    assert 0.0 <= r.measured_fpr <= 1.0
+
+
+def test_forget_cascade_is_transitive(spark):
+    """Blast radius sanity: purge fractions in (0,1), lineitem purge
+    implies orders purge implies customer purge (no orphan hops)."""
+    from hematite_spark.queries.advanced import forget_cascade_audit
+
+    rows = {r.table_name: r for r in forget_cascade_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    assert rows["customer"].n_purge > 0
+    for r in rows.values():
+        assert 0.0 < r.purge_frac < 1.0, r
