@@ -3972,3 +3972,292 @@ SELECT table_name, n_rows, n_purge,
 FROM t
 ORDER BY table_name
 """
+
+
+def gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of a 2-component 1-D Gaussian mixture over
+    event values, per event type — the distributional-modeling member
+    of the ML-on-DataFrames family (k-means = hard assignment, this =
+    soft responsibilities). Deterministic init (μ=25/75, σ=15, π=½);
+    E-step computes responsibilities in a stateless projection, M-step
+    re-estimates (π, μ, σ) as ONE weighted aggregate per type. Emits
+    both components' updated parameters plus the average log-
+    likelihood — the quantity EM provably does not decrease.
+
+    100 TB: the E-step is column algebra fused into the scan; the
+    M-step is a (type)-keyed hash aggregate of 7 weighted sums with
+    map-side combine. Parameters are O(types × 2) rows. Further
+    iterations chain the same lazy agg → broadcast → agg pattern as
+    linear_probe_gd."""
+    mu1, mu2, sd, pi = 25.0, 75.0, 15.0, 0.5
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    c = 0.3989422804014327  # 1/sqrt(2π)
+    pdf = lambda mu: (F.lit(c) / sd) * F.exp(
+        -((F.col("value") - mu) ** 2) / (2.0 * sd * sd)
+    )
+    p1, p2 = pi * pdf(mu1), (1 - pi) * pdf(mu2)
+    base = ev.select("event_type", "value", p1.alias("p1"), p2.alias("p2"))
+    resp = base.select(
+        "event_type",
+        "value",
+        (F.col("p1") / (F.col("p1") + F.col("p2"))).alias("r1"),
+        F.log(F.col("p1") + F.col("p2")).alias("ll"),
+    )
+    agg = resp.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r1").alias("w1"),
+        F.sum(F.col("r1") * F.col("value")).alias("s1"),
+        F.sum(F.col("r1") * F.col("value") * F.col("value")).alias("q1"),
+        F.sum(F.lit(1.0) - F.col("r1")).alias("w2"),
+        F.sum((F.lit(1.0) - F.col("r1")) * F.col("value")).alias("s2"),
+        F.sum((F.lit(1.0) - F.col("r1")) * F.col("value") * F.col("value")).alias("q2"),
+        F.avg("ll").alias("avg_ll"),
+    )
+    new_mu1, new_mu2 = F.col("s1") / F.col("w1"), F.col("s2") / F.col("w2")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("w1") / F.col("n"), 6).alias("pi1"),
+        F.round(new_mu1, 6).alias("mu1"),
+        F.round(F.sqrt(F.col("q1") / F.col("w1") - new_mu1 * new_mu1), 6).alias("sigma1"),
+        F.round(new_mu2, 6).alias("mu2"),
+        F.round(F.sqrt(F.col("q2") / F.col("w2") - new_mu2 * new_mu2), 6).alias("sigma2"),
+        F.round(F.col("avg_ll"), 6).alias("avg_ll"),
+    ).orderBy("event_type")
+
+
+GMM_EM_SQL = """
+WITH base AS (
+  SELECT event_type, value,
+         0.5 * (0.3989422804014327 / 15.0) * exp(-power(value - 25.0, 2) / (2.0 * 15.0 * 15.0)) AS p1,
+         0.5 * (0.3989422804014327 / 15.0) * exp(-power(value - 75.0, 2) / (2.0 * 15.0 * 15.0)) AS p2
+  FROM events),
+resp AS (
+  SELECT event_type, value, p1 / (p1 + p2) AS r1, ln(p1 + p2) AS ll FROM base),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(r1) AS w1, sum(r1 * value) AS s1, sum(r1 * value * value) AS q1,
+         sum(1.0 - r1) AS w2, sum((1.0 - r1) * value) AS s2, sum((1.0 - r1) * value * value) AS q2,
+         avg(ll) AS avg_ll
+  FROM resp GROUP BY event_type)
+SELECT event_type, n,
+       round(w1 / n, 6) AS pi1,
+       round(s1 / w1, 6) AS mu1,
+       round(sqrt(q1 / w1 - (s1 / w1) * (s1 / w1)), 6) AS sigma1,
+       round(s2 / w2, 6) AS mu2,
+       round(sqrt(q2 / w2 - (s2 / w2) * (s2 / w2)), 6) AS sigma2,
+       round(avg_ll, 6) AS avg_ll
+FROM agg
+ORDER BY event_type
+"""
+
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for signup→purchase conversion
+    — time-to-event analytics WITH right-censoring done correctly
+    (users who never purchased are not dropped, they exit the risk
+    set at the end of observation; naive conversion curves that drop
+    them bias the rate upward). Per whole day since each user's first
+    signup: risk set, conversion events, censored exits, hazard
+    d/n, and the KM survival Π(1-hazard) computed as
+    exp(Σ ln(1-h)) so it stays a windowed aggregate.
+
+    100 TB: per-user first-signup/first-purchase is one user-keyed
+    min-struct aggregate; the day table is O(observation-days) and
+    the cumulative product runs over that pre-aggregate (allowlisted
+    global window), not the event log."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    signup = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    horizon = ev.agg(F.max("ts").alias("t_end"))
+    durations = (
+        signup.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNotNull(),
+                F.floor(
+                    (F.unix_timestamp("tp") - F.unix_timestamp("t0")) / 86400
+                ),
+            )
+            .otherwise(
+                F.floor((F.unix_timestamp("t_end") - F.unix_timestamp("t0")) / 86400)
+            )
+            .cast("int")
+            .alias("day"),
+            F.col("tp").isNotNull().alias("converted"),
+        )
+    )
+    per_day = durations.groupBy("day").agg(
+        F.sum(F.col("converted").cast("int")).cast("bigint").alias("n_events"),
+        F.sum((~F.col("converted")).cast("int")).cast("bigint").alias("n_censored"),
+    )
+    from pyspark.sql import Window as W
+
+    wd = W.orderBy("day")
+    tot = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    risk = (
+        per_day.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(
+                    wd.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("hazard", F.col("n_events") / F.col("n_at_risk"))
+        .withColumn(
+            "survival",
+            F.exp(
+                F.sum(F.log(F.greatest(F.lit(1.0) - F.col("hazard"), F.lit(1e-12)))).over(
+                    wd.rowsBetween(W.unboundedPreceding, 0)
+                )
+            ),
+        )
+    )
+    return (
+        risk.where(F.col("day") <= 15)
+        .select(
+            "day",
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.round("hazard", 6).alias("hazard"),
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("day")
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH signup AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+purch AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN signup s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id),
+horizon AS (SELECT max(ts) AS t_end FROM events),
+durations AS (
+  SELECT s.user_id,
+         CAST(CASE WHEN p.tp IS NOT NULL
+              THEN floor((epoch(p.tp) - epoch(s.t0)) / 86400)
+              ELSE floor((epoch(h.t_end) - epoch(s.t0)) / 86400) END AS INT) AS day,
+         p.tp IS NOT NULL AS converted
+  FROM signup s LEFT JOIN purch p USING (user_id) CROSS JOIN horizon h),
+per_day AS (
+  SELECT day,
+         sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS n_events,
+         sum(CASE WHEN converted THEN 0 ELSE 1 END)::BIGINT AS n_censored
+  FROM durations GROUP BY day),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM durations),
+risk AS (
+  SELECT day, n_events, n_censored,
+         n_total - coalesce(sum(n_events + n_censored) OVER
+           (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM per_day CROSS JOIN tot),
+km AS (
+  SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events, n_censored,
+         n_events / CAST(n_at_risk AS DOUBLE) AS hazard,
+         exp(sum(ln(greatest(1.0 - n_events / CAST(n_at_risk AS DOUBLE), 1e-12)))
+             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS survival
+  FROM risk)
+SELECT day, n_at_risk, n_events, n_censored,
+       round(hazard, 6) AS hazard, round(survival, 6) AS survival
+FROM km
+WHERE day <= 15
+ORDER BY day
+"""
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily mean event value,
+    per event type — the drift tripwire a data pipeline runs on its
+    own quality/throughput metrics: S_d = Σ(x̄_day − x̄) peaks at the
+    most likely level-shift day, and the normalized statistic
+    max|S|/(σ_day·√n) is compared to a fixed threshold (1.36, the
+    KS-style 95% line). Output per type: the argmax day, the
+    statistic, and the flag.
+
+    100 TB: the event log reduces to an O(types × days) daily table
+    (one hash aggregate); every window after that is type-partitioned
+    over that pre-aggregate. The final argmax is a max-struct, not a
+    sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("xbar")
+    )
+    wt = W.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "xbar",
+        F.avg("xbar").over(wt).alias("mu"),
+        F.stddev_pop("xbar").over(wt).alias("sd"),
+        F.count("*").over(wt).alias("n_days"),
+    )
+    cusum = stats.withColumn(
+        "s",
+        F.sum(F.col("xbar") - F.col("mu")).over(
+            wt.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    peak = cusum.groupBy("event_type").agg(
+        F.max(F.struct(F.abs(F.col("s")).alias("a"), F.col("day").alias("d"))).alias("p"),
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.max("sd").alias("sd"),
+    )
+    stat = F.col("p.a") / (F.col("sd") * F.sqrt(F.col("n_days")))
+    return peak.select(
+        "event_type",
+        "n_days",
+        F.col("p.d").alias("changepoint_day"),
+        F.round(F.col("p.a"), 6).alias("max_abs_cusum"),
+        F.round(stat, 6).alias("cusum_stat"),
+        (stat > 1.36).alias("shift_detected"),
+    ).orderBy("event_type")
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS xbar
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type, day, xbar,
+         avg(xbar) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(xbar) OVER (PARTITION BY event_type) AS sd,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily),
+cusum AS (
+  SELECT event_type, day, sd, n_days,
+         sum(xbar - mu) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM stats),
+peak AS (
+  SELECT event_type,
+         (max(struct_pack(a := abs(s), d := day))).a AS max_abs_cusum,
+         (max(struct_pack(a := abs(s), d := day))).d AS changepoint_day,
+         CAST(max(n_days) AS BIGINT) AS n_days,
+         max(sd) AS sd
+  FROM cusum GROUP BY event_type)
+SELECT event_type, n_days, changepoint_day,
+       round(max_abs_cusum, 6) AS max_abs_cusum,
+       round(max_abs_cusum / (sd * sqrt(n_days)), 6) AS cusum_stat,
+       max_abs_cusum / (sd * sqrt(n_days)) > 1.36 AS shift_detected
+FROM peak
+ORDER BY event_type
+"""

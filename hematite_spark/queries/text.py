@@ -2662,3 +2662,70 @@ FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
 ORDER BY p_kn DESC, w1, w2
 LIMIT 20
 """
+
+
+def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the rule-based quality
+    score — the batch-effect correction applied before one threshold
+    gates a multi-source corpus (each crawler's quality distribution
+    is shifted; normalizing maps every source onto the GLOBAL
+    distribution so 'top 20%' means the same thing everywhere). Each
+    doc gets its within-source percent-rank, then the global quality
+    value at that rank from a 101-point quantile grid. Per-source
+    report: mean before/after and the after-spread contract — source
+    means converge onto the global distribution.
+
+    100 TB: the within-source rank is a source-partitioned window;
+    the global grid is ONE percentile aggregate (the approx_percentile
+    swap is the documented 100 TB variant) broadcast as a 101-element
+    array; the mapping is element_at — no join."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select("source", quality_col().alias("q"))
+    r = F.percent_rank().over(W.partitionBy("source").orderBy("q"))
+    grid = q.agg(
+        F.percentile("q", F.array(*[F.lit(i / 100.0) for i in range(101)])).alias("g")
+    )
+    mapped = (
+        q.withColumn("r", r)
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "source",
+            "q",
+            F.element_at(F.col("g"), (F.round(F.col("r") * 100) + 1).cast("int")).alias(
+                "q_norm"
+            ),
+        )
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("mean_before"),
+            F.round(F.avg("q_norm"), 6).alias("mean_after"),
+        )
+        .orderBy("source")
+    )
+
+
+QUANTILE_NORM_SQL = f"""
+WITH q AS (
+  SELECT source, {_QUALITY_EXPR_SQL} AS q
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+grid AS (
+  SELECT quantile_cont(q, [{", ".join(str(i / 100.0) for i in range(101))}]) AS g FROM q),
+ranked AS (
+  SELECT source, q,
+         percent_rank() OVER (PARTITION BY source ORDER BY q) AS r
+  FROM q),
+mapped AS (
+  SELECT source, q, g[CAST(round(r * 100) + 1 AS INT)] AS q_norm
+  FROM ranked CROSS JOIN grid)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(q), 6) AS mean_before,
+       round(avg(q_norm), 6) AS mean_after
+FROM mapped
+GROUP BY source
+ORDER BY source
+"""

