@@ -77,6 +77,12 @@ HEADLINE = [
     "ann_ivfpq_search",
     "knn_graph_build",
     "mlm_masking_plan",
+    "pii_scan_documents",
+    "skipgram_sampling_plan",
+    "kcenter_coreset_seed",
+    "cdc_chunk_boundaries",
+    "hnsw_two_layer_search",
+    "kneser_ney_bigram",
 ]
 
 

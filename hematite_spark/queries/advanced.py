@@ -4261,3 +4261,83 @@ SELECT event_type, n_days, changepoint_day,
 FROM peak
 ORDER BY event_type
 """
+
+
+def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-scored off-policy evaluation — grading a
+    new recommendation policy on LOGGED interactions without an A/B
+    test: treat event_type as the logged action, clip(value/100) as
+    the reward, estimate the logging propensities empirically per
+    user cohort (user_id % 4), then score each candidate
+    deterministic policy 'always recommend a' by IPS
+    (Σ 1{a_log=a}·r/p̂) / n, its self-normalized SNIPS variant
+    (robust to propensity misspecification), and the effective
+    sample size that says how much data actually supports the
+    estimate. The standard counterfactual-eval kit (Horvitz-Thompson
+    → SNIPS) as relational algebra.
+
+    100 TB: propensities are an O(cohorts × actions) aggregate
+    broadcast back onto one log scan; each policy's estimate is a
+    filtered aggregate over that scan — no per-row Python, no second
+    pass."""
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.col("event_type").alias("action"),
+        F.least(F.col("value") / 100.0, F.lit(1.0)).alias("reward"),
+    )
+    prop = ev.groupBy("cohort", "action").agg(F.count("*").alias("n_ca"))
+    coh = ev.groupBy("cohort").agg(F.count("*").alias("n_c"))
+    logged = (
+        ev.join(F.broadcast(prop), ["cohort", "action"])
+        .join(F.broadcast(coh), "cohort")
+        .select("cohort", "action", "reward", (F.col("n_ca") / F.col("n_c")).alias("p_log"))
+    )
+    w = F.lit(1.0) / F.col("p_log")
+    per_action = (
+        logged.groupBy(F.col("action").alias("policy_action"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum(w * F.col("reward")).alias("sw_r"),
+            F.sum(w).alias("sw"),
+            F.sum(w * w).alias("sw2"),
+        )
+    )
+    n_total = logged.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        per_action.crossJoin(F.broadcast(n_total))
+        .select(
+            "policy_action",
+            "n_matched",
+            F.round(F.col("sw_r") / F.col("n_total"), 6).alias("ips_value"),
+            F.round(F.col("sw_r") / F.col("sw"), 6).alias("snips_value"),
+            F.round((F.col("sw") * F.col("sw")) / F.col("sw2"), 2).alias("ess"),
+        )
+        .orderBy("policy_action")
+    )
+
+
+IPS_EVAL_SQL = """
+WITH ev AS (
+  SELECT user_id % 4 AS cohort, event_type AS action,
+         least(value / 100.0, 1.0) AS reward
+  FROM events),
+prop AS (SELECT cohort, action, count(*) AS n_ca FROM ev GROUP BY cohort, action),
+coh AS (SELECT cohort, count(*) AS n_c FROM ev GROUP BY cohort),
+logged AS (
+  SELECT e.cohort, e.action, e.reward, n_ca / CAST(n_c AS DOUBLE) AS p_log
+  FROM ev e JOIN prop USING (cohort, action) JOIN coh USING (cohort)),
+per_action AS (
+  SELECT action AS policy_action,
+         count(*)::BIGINT AS n_matched,
+         sum(reward / p_log) AS sw_r,
+         sum(1.0 / p_log) AS sw,
+         sum(1.0 / (p_log * p_log)) AS sw2
+  FROM logged GROUP BY action),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM logged)
+SELECT policy_action, n_matched,
+       round(sw_r / n_total, 6) AS ips_value,
+       round(sw_r / sw, 6) AS snips_value,
+       round((sw * sw) / sw2, 2) AS ess
+FROM per_action CROSS JOIN tot
+ORDER BY policy_action
+"""

@@ -2729,3 +2729,130 @@ FROM mapped
 GROUP BY source
 ORDER BY source
 """
+
+
+def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of PLSA (probabilistic latent semantic
+    analysis) with k=3 topics over the doc-term matrix — the
+    count-based ancestor of LDA and the topic-modeling member of the
+    ML-on-DataFrames family. Deterministic hash init for p(w|z) and
+    p(z|d) (∝ 1 + h mod 7, normalized), one E-step computing
+    p(z|d,w) ∝ p(w|z)p(z|d) fused into the join projection, one
+    M-step re-estimating p(w|z) ∝ Σ_d n(d,w)·p(z|d,w). Emits each
+    topic's top-5 words by updated probability — the human-readable
+    topic table.
+
+    100 TB: the doc-term matrix is the only big relation; p(w|z) is a
+    vocabulary×k broadcast and p(z|d) a doc-keyed equi-join; the
+    topic expansion multiplies rows by k=3 inside the projection and
+    immediately re-aggregates (w,z)-keyed with map-side combine."""
+    from pyspark.sql import Window as W
+
+    k = 3
+    docs = load_table(spark, "documents", sf_dir)
+    dt = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("n_dw"))
+        .localCheckpoint()  # the doc-term matrix feeds 5 branches
+        # (vocab init, doc init, E-step join, both normalizers) —
+        # materialize the one corpus scan instead of replaying it
+        # per branch; at scale this is the persisted DT relation
+    )
+    h = lambda salt, a, b: (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), a.cast("string"), b.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint") % 7 + 1
+    ).cast("double")
+    z = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("z")
+    # init p(w|z): score per (w, z) normalized over the vocabulary
+    wz = dt.select("w").distinct().select("w", z).select(
+        "w", "z", h("pwz", F.col("w"), F.col("z")).alias("s")
+    )
+    wz_norm = wz.groupBy("z").agg(F.sum("s").alias("sz"))
+    pwz = wz.join(F.broadcast(wz_norm), "z").select(
+        "w", "z", (F.col("s") / F.col("sz")).alias("p_wz")
+    )
+    # init p(z|d): normalized over k topics per doc
+    dz = dt.select("doc_id").distinct().select("doc_id", z).select(
+        "doc_id", "z", h("pzd", F.col("doc_id"), F.col("z")).alias("s")
+    )
+    dz_norm = dz.groupBy("doc_id").agg(F.sum("s").alias("sd"))
+    pzd = dz.join(dz_norm, "doc_id").select(
+        "doc_id", "z", (F.col("s") / F.col("sd")).alias("p_zd")
+    )
+    joint = (
+        dt.join(F.broadcast(pwz), "w")
+        .join(pzd, ["doc_id", "z"])
+        .select("doc_id", "w", "z", "n_dw", (F.col("p_wz") * F.col("p_zd")).alias("num"))
+    )
+    denom = joint.groupBy("doc_id", "w").agg(F.sum("num").alias("den"))
+    resp = joint.join(denom, ["doc_id", "w"]).select(
+        "w", "z", (F.col("n_dw") * F.col("num") / F.col("den")).alias("wgt")
+    )
+    new_wz = resp.groupBy("w", "z").agg(F.sum("wgt").alias("m"))
+    new_norm = new_wz.groupBy("z").agg(F.sum("m").alias("mz"))
+    ranked = (
+        new_wz.join(F.broadcast(new_norm), "z")
+        .select("z", "w", (F.col("m") / F.col("mz")).alias("p_raw"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(W.partitionBy("z").orderBy(F.col("p_raw").desc(), F.col("w"))),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+    return ranked.select(
+        F.col("z").alias("topic"),
+        F.col("rnk").alias("rnk"),
+        "w",
+        F.round("p_raw", 6).alias("p_w_z"),
+    ).orderBy("topic", "rnk")
+
+
+_PLSA_H = (
+    "CAST((((strpos('0123456789abcdef', md5({key})[1]) - 1) * 4096"
+    " + (strpos('0123456789abcdef', md5({key})[2]) - 1) * 256"
+    " + (strpos('0123456789abcdef', md5({key})[3]) - 1) * 16"
+    " + (strpos('0123456789abcdef', md5({key})[4]) - 1)) % 7 + 1) AS DOUBLE)"
+)
+
+PLSA_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS n_dw
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w),
+topics AS (SELECT unnest([0, 1, 2]) AS z),
+wz AS (
+  SELECT w, z, {_PLSA_H.format(key="'pwz:' || w || ':' || CAST(z AS VARCHAR)")} AS s
+  FROM (SELECT DISTINCT w FROM dt) CROSS JOIN topics),
+pwz AS (
+  SELECT w, z, s / sum(s) OVER (PARTITION BY z) AS p_wz FROM wz),
+dz AS (
+  SELECT doc_id, z,
+         {_PLSA_H.format(key="'pzd:' || CAST(doc_id AS VARCHAR) || ':' || CAST(z AS VARCHAR)")} AS s
+  FROM (SELECT DISTINCT doc_id FROM dt) CROSS JOIN topics),
+pzd AS (
+  SELECT doc_id, z, s / sum(s) OVER (PARTITION BY doc_id) AS p_zd FROM dz),
+joint AS (
+  SELECT d.doc_id, d.w, p.z, d.n_dw, p.p_wz * q.p_zd AS num
+  FROM dt d JOIN pwz p USING (w) JOIN pzd q ON q.doc_id = d.doc_id AND q.z = p.z),
+denom AS (
+  SELECT doc_id, w, sum(num) AS den FROM joint GROUP BY doc_id, w),
+resp AS (
+  SELECT j.w, j.z, j.n_dw * j.num / dn.den AS wgt
+  FROM joint j JOIN denom dn ON dn.doc_id = j.doc_id AND dn.w = j.w),
+new_wz AS (
+  SELECT w, z, sum(wgt) AS m FROM resp GROUP BY w, z),
+probs AS (
+  SELECT z, w, m / sum(m) OVER (PARTITION BY z) AS p_raw FROM new_wz),
+ranked AS (
+  SELECT z AS topic, w, round(p_raw, 6) AS p_w_z,
+         CAST(row_number() OVER (PARTITION BY z ORDER BY p_raw DESC, w) AS INT) AS rnk
+  FROM probs)
+SELECT topic, rnk, w, p_w_z
+FROM ranked
+WHERE rnk <= 5
+ORDER BY topic, rnk
+"""

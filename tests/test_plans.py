@@ -468,6 +468,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "kaplan_meier_conversion",
         "quantile_normalize_quality",
         "cusum_changepoint",
+        "ips_offline_eval",
+        "plsa_em_step",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -862,3 +862,36 @@ def test_cusum_stat_is_scale_free(spark):
         assert r.cusum_stat >= 0
         assert r.shift_detected == (r.cusum_stat > 1.36)
         assert r.n_days > 20  # January observation window
+
+
+def test_ips_estimates_bounded_and_consistent(spark):
+    """With rewards in [0,1], SNIPS must stay in [0,1]; the sum of
+    each action's matched rows is the log size; ESS never exceeds the
+    matched count scaled by weight spread (≤ n_total)."""
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.advanced import ips_offline_eval
+
+    rows = ips_offline_eval(spark, SF_DIR).collect()
+    n_log = load_table(spark, "events", SF_DIR).count()
+    assert sum(r.n_matched for r in rows) == n_log
+    for r in rows:
+        assert 0.0 <= r.snips_value <= 1.0, r
+        assert r.ips_value >= 0.0
+        assert 0 < r.ess <= n_log + 1
+
+
+def test_plsa_topics_are_distributions(spark):
+    """Per-topic top-5 exists for all 3 topics, probabilities in
+    (0,1), ranks dense 1..5, and topic mass concentrated (top-5 of a
+    ~40-word vocab holds >5/40 of the mass)."""
+    from hematite_spark.queries.text import plsa_em_step
+
+    rows = plsa_em_step(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r.topic, []).append(r)
+        assert 0.0 < r.p_w_z < 1.0
+    for t, rs in by_topic.items():
+        assert [r.rnk for r in rs] == [1, 2, 3, 4, 5]
+        assert sum(r.p_w_z for r in rs) > 0.125
