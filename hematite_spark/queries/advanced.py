@@ -4341,3 +4341,278 @@ SELECT policy_action, n_matched,
 FROM per_action CROSS JOIN tot
 ORDER BY policy_action
 """
+
+
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit — the aggregation trap detector every
+    metrics pipeline should run before a topline trend ships: per
+    event type, the OLS slope of value-vs-day computed (a) pooled
+    over all users and (b) within each user cohort (user_id % 4),
+    then flagged when the pooled slope's sign contradicts the
+    majority of cohort slopes (the mix-shift signature). Slopes are
+    closed-form cov/var aggregates — no iteration.
+
+    100 TB: both levels are single hash aggregates of (n, Σx, Σy,
+    Σxy, Σx²) moment tuples — the cohort level is (type, cohort)-
+    keyed with map-side combine; nothing but O(types × cohorts) rows
+    move."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 4).alias("cohort"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def slope_agg(df, keys):
+        g = df.groupBy(*keys).agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        return g.select(
+            *keys,
+            (
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            ).alias("slope"),
+        )
+
+    pooled = slope_agg(ev, ["event_type"]).withColumnRenamed("slope", "pooled_slope")
+    cohorts = slope_agg(ev, ["event_type", "cohort"])
+    cohort_sum = cohorts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cohorts"),
+        F.sum((F.col("slope") > 0).cast("int")).cast("bigint").alias("n_cohorts_up"),
+    )
+    return (
+        pooled.join(cohort_sum, "event_type")
+        .select(
+            "event_type",
+            F.round("pooled_slope", 6).alias("pooled_slope"),
+            "n_cohorts",
+            "n_cohorts_up",
+            (
+                ((F.col("pooled_slope") > 0) & (F.col("n_cohorts_up") * 2 < F.col("n_cohorts")))
+                | ((F.col("pooled_slope") < 0) & (F.col("n_cohorts_up") * 2 > F.col("n_cohorts")))
+            ).alias("paradox_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SIMPSONS_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id % 4 AS cohort,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         value AS y
+  FROM events),
+pooled AS (
+  SELECT event_type,
+         (sum(x * y) - sum(x) * sum(y) / count(*))
+         / (sum(x * x) - sum(x) * sum(x) / count(*)) AS pooled_slope
+  FROM ev GROUP BY event_type),
+cohorts AS (
+  SELECT event_type, cohort,
+         (sum(x * y) - sum(x) * sum(y) / count(*))
+         / (sum(x * x) - sum(x) * sum(x) / count(*)) AS slope
+  FROM ev GROUP BY event_type, cohort),
+cohort_sum AS (
+  SELECT event_type, count(*)::BIGINT AS n_cohorts,
+         sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END)::BIGINT AS n_cohorts_up
+  FROM cohorts GROUP BY event_type)
+SELECT event_type, round(pooled_slope, 6) AS pooled_slope, n_cohorts, n_cohorts_up,
+       ((pooled_slope > 0 AND n_cohorts_up * 2 < n_cohorts)
+        OR (pooled_slope < 0 AND n_cohorts_up * 2 > n_cohorts)) AS paradox_flag
+FROM pooled JOIN cohort_sum USING (event_type)
+ORDER BY event_type
+"""
+
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform
+    workhorse: adjust each user's experiment-period metric by their
+    PRE-period baseline (θ = cov(pre, post)/var(pre)), shrinking
+    metric variance by ρ² without biasing the mean. Pre-period =
+    Jan 1-14 mean event value per user, post = Jan 15-30; the
+    'experiment' split is the deterministic user hash (A/B by
+    user_id % 2). Output per arm: users, raw mean/variance, CUPED
+    mean/variance, and the variance-reduction share — the number
+    that says how much smaller your experiment can be.
+
+    100 TB: two user-keyed conditional aggregates in ONE scan (pre
+    and post as filtered sums), θ from one global moment aggregate
+    broadcast back, arm summary O(2) rows."""
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("pre"),
+            F.avg(F.when(F.col("ts") >= cut, F.col("value"))).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+        .localCheckpoint()  # O(users) table feeds both θ and the
+        # adjusted projection — one corpus scan, not two
+    )
+    theta_row = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta_row)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "post",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("pre_mean"))).alias("cuped"),
+    )
+    return (
+        adjusted.groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg("post"), 6).alias("raw_mean"),
+            F.round(F.var_pop("post"), 6).alias("raw_var"),
+            F.round(F.avg("cuped"), 6).alias("cuped_mean"),
+            F.round(F.var_pop("cuped"), 6).alias("cuped_var"),
+            F.round(F.lit(1.0) - F.var_pop("cuped") / F.var_pop("post"), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+CUPED_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         avg(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END) AS pre,
+         avg(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END) AS post
+  FROM events GROUP BY user_id),
+valid AS (SELECT * FROM per_user WHERE pre IS NOT NULL AND post IS NOT NULL),
+theta AS (
+  SELECT covar_pop(pre, post) / var_pop(pre) AS theta, avg(pre) AS pre_mean FROM valid),
+adjusted AS (
+  SELECT user_id % 2 AS arm, post,
+         post - theta * (pre - pre_mean) AS cuped
+  FROM valid CROSS JOIN theta)
+SELECT arm, count(*)::BIGINT AS n_users,
+       round(avg(post), 6) AS raw_mean,
+       round(var_pop(post), 6) AS raw_var,
+       round(avg(cuped), 6) AS cuped_mean,
+       round(var_pop(cuped), 6) AS cuped_var,
+       round(1.0 - var_pop(cuped) / var_pop(post), 6) AS var_reduction
+FROM adjusted
+GROUP BY arm
+ORDER BY arm
+"""
+
+
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part catalog — the
+    record-linkage funnel composed the way corpus_pipeline composes
+    the dedup funnel: (1) candidate pairs from the blocked sorted-
+    neighborhood fuzzy match (levenshtein ≤ 2 — typo tolerance —
+    within ±2 name-sorted neighbors of the last-word block: O(n·w)
+    pairs, never block²; the catalog's ground truth is its exact
+    name groups, which the closure must recover without chaining
+    distinct names together),
+    (2) transitive closure into entity clusters (the same size-
+    adaptive CC machinery the dedup family uses — driver union-find
+    small, min-label propagation at scale), (3) canonical-record
+    election per entity (lowest retail price wins, key as tiebreak —
+    the survivorship rule). Output: per-cluster-size census with
+    canonical-record count — the dedup decision table for a master-
+    data pipeline.
+
+    Oracle: the closure re-derives as a recursive CTE; election and
+    census replay relationally. 100 TB: pairs are rank-band
+    equi-joins; the closure touches only O(pairs); election is one
+    min-struct per label."""
+    part = load_table(spark, "part", sf_dir)
+    from pyspark.sql import Window as W2
+
+    w_rank = W2.partitionBy("blk").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+    v = (
+        part.select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .localCheckpoint()
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.rnk") > F.col("a.rnk"))
+            & (F.col("b.rnk") <= F.col("a.rnk") + 2),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_partkey").alias("doc_a"), F.col("b.p_partkey").alias("doc_b")
+        )
+    )
+    from hematite_spark.queries.dedup import _cc_labels
+
+    labels = _cc_labels(spark, pairs)
+    members = v.join(labels, v.p_partkey == labels.node, "left").select(
+        "p_partkey",
+        "p_retailprice",
+        F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity"),
+    )
+    canon = members.groupBy("entity").agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min(F.struct("p_retailprice", "p_partkey")).getField("p_partkey").alias(
+            "canonical_key"
+        ),
+    )
+    return (
+        canon.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.sum("cluster_size").cast("bigint").alias("n_records"),
+            F.countDistinct("canonical_key").cast("bigint").alias("n_canonical"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ER_PIPELINE_SQL = """
+WITH RECURSIVE v AS (
+  SELECT p_partkey, p_name, p_retailprice,
+         string_split(p_name, ' ')[-1] AS blk,
+         CAST(row_number() OVER (PARTITION BY string_split(p_name, ' ')[-1]
+              ORDER BY p_name ASC, p_partkey ASC) AS BIGINT) AS rnk
+  FROM part),
+pairs AS (
+  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+  FROM v a JOIN v b
+    ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s),
+closure AS (
+  SELECT node, min(label) AS label FROM reach GROUP BY node),
+members AS (
+  SELECT p.p_partkey, p.p_retailprice,
+         coalesce(c.label, p.p_partkey) AS entity
+  FROM part p LEFT JOIN closure c ON c.node = p.p_partkey),
+canon AS (
+  SELECT entity, count(*)::BIGINT AS cluster_size,
+         (min(struct_pack(p := p_retailprice, k := p_partkey))).k AS canonical_key
+  FROM members GROUP BY entity)
+SELECT cluster_size,
+       count(*)::BIGINT AS n_entities,
+       CAST(sum(cluster_size) AS BIGINT) AS n_records,
+       count(DISTINCT canonical_key)::BIGINT AS n_canonical
+FROM canon
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""

@@ -470,6 +470,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "cusum_changepoint",
         "ips_offline_eval",
         "plsa_em_step",
+        "simpsons_paradox_audit",
+        "cuped_adjustment",
+        "entity_resolution_pipeline",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -895,3 +895,55 @@ def test_plsa_topics_are_distributions(spark):
     for t, rs in by_topic.items():
         assert [r.rnk for r in rs] == [1, 2, 3, 4, 5]
         assert sum(r.p_w_z for r in rs) > 0.125
+
+
+def test_simpsons_audit_slope_consistency(spark):
+    """Cohort counts must be 4 per type; the flag fires only on a
+    genuine sign contradiction between pooled and majority-cohort
+    slopes."""
+    from hematite_spark.queries.advanced import simpsons_paradox_audit
+
+    rows = simpsons_paradox_audit(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_cohorts == 4
+        majority_up = r.n_cohorts_up * 2 > r.n_cohorts
+        majority_down = r.n_cohorts_up * 2 < r.n_cohorts
+        if r.paradox_flag:
+            assert (r.pooled_slope > 0 and majority_down) or (
+                r.pooled_slope < 0 and majority_up
+            )
+
+
+def test_cuped_reduces_variance_unbiased(spark):
+    """CUPED must not move the mean materially (covariate centered)
+    and must not inflate variance; arms partition the users."""
+    from hematite_spark.queries.advanced import cuped_adjustment
+
+    rows = cuped_adjustment(spark, SF_DIR).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.cuped_var <= r.raw_var * 1.05, r
+        assert abs(r.cuped_mean - r.raw_mean) < 3.0, r
+        assert r.var_reduction > -0.05
+
+
+def test_er_pipeline_recovers_name_groups(spark):
+    """With a ≤2-edit threshold, entities must tile the catalog
+    (records sum to the part count), each entity elects exactly one
+    canonical record, and the closure must NOT merge everything into
+    one blob (entities ≈ distinct names)."""
+    from pyspark.sql import functions as F
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.advanced import entity_resolution_pipeline
+
+    rows = entity_resolution_pipeline(spark, SF_DIR).collect()
+    part = load_table(spark, "part", SF_DIR)
+    n_parts = part.count()
+    n_names = part.select("p_name").distinct().count()
+    assert sum(r.n_records for r in rows) == n_parts
+    for r in rows:
+        assert r.n_canonical == r.n_entities
+    n_entities = sum(r.n_entities for r in rows)
+    assert n_entities <= n_names
+    assert n_entities >= max(2, n_names // 2)
