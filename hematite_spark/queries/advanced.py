@@ -4616,3 +4616,185 @@ FROM canon
 GROUP BY cluster_size
 ORDER BY cluster_size
 """
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the documents table's quasi-identifiers
+    (lang, source, n_chars bucketed to 50) — the privacy release
+    check that pairs with dp_noisy_counts: an equivalence class
+    smaller than k=5 re-identifies its members, so the release either
+    suppresses or generalizes those rows. Output is the class-size
+    histogram bucket census with the violating-row count and the
+    suppression fraction a k=5 release would pay.
+
+    100 TB: one quasi-identifier hash aggregate (map-side combined)
+    then an O(classes) histogram aggregate — class count ≪ rows, and
+    the second aggregate runs on the first's output."""
+    k = 5
+    docs = load_table(spark, "documents", sf_dir)
+    classes = docs.groupBy(
+        "lang", "source", (F.floor(F.col("n_chars") / 50) * 50).alias("chars_bucket")
+    ).agg(F.count("*").cast("bigint").alias("class_size"))
+    bucket = (
+        F.when(F.col("class_size") == 1, F.lit("1"))
+        .when(F.col("class_size") < 5, F.lit("2-4"))
+        .when(F.col("class_size") < 20, F.lit("5-19"))
+        .otherwise(F.lit("20+"))
+    )
+    tot = classes.agg(F.sum("class_size").cast("double").alias("n_rows"))
+    return (
+        classes.select(bucket.alias("size_bucket"), "class_size")
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows_in_bucket"),
+            F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_violating"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "size_bucket",
+            "n_classes",
+            "n_rows_in_bucket",
+            "n_rows_violating",
+            F.round(F.col("n_rows_violating") / F.col("n_rows"), 6).alias(
+                "suppression_frac"
+            ),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+K_ANON_SQL = """
+WITH classes AS (
+  SELECT lang, source, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS chars_bucket,
+         count(*)::BIGINT AS class_size
+  FROM documents GROUP BY lang, source, 3),
+tot AS (SELECT CAST(sum(class_size) AS DOUBLE) AS n_rows FROM classes),
+bucketed AS (
+  SELECT CASE WHEN class_size = 1 THEN '1'
+              WHEN class_size < 5 THEN '2-4'
+              WHEN class_size < 20 THEN '5-19'
+              ELSE '20+' END AS size_bucket,
+         class_size
+  FROM classes)
+SELECT size_bucket,
+       count(*)::BIGINT AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows_in_bucket,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_violating,
+       round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+             / (SELECT n_rows FROM tot), 6) AS suppression_frac
+FROM bucketed
+GROUP BY size_bucket
+ORDER BY size_bucket
+"""
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing an
+    experimentation platform checks before reading any metric: do the
+    arms' user counts match the intended 50/50 split? Chi-square
+    goodness-of-fit per event type (the 'experiment' is the user-hash
+    A/B of cuped_adjustment), with the 1-dof 95% threshold 3.841 —
+    a firing flag means randomization is broken and every downstream
+    metric is suspect.
+
+    100 TB: one (type, arm) count aggregate; the chi-square is O(types)
+    arithmetic on the aggregate."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", (F.col("user_id") % 2).alias("arm"), "user_id"
+    )
+    arms = ev.groupBy("event_type").agg(
+        F.countDistinct(F.when(F.col("arm") == 0, F.col("user_id"))).cast("bigint").alias("n_a"),
+        F.countDistinct(F.when(F.col("arm") == 1, F.col("user_id"))).cast("bigint").alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    exp = n / 2.0
+    chi2 = F.pow(F.col("n_a") - exp, 2) / exp + F.pow(F.col("n_b") - exp, 2) / exp
+    return arms.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    ).orderBy("event_type")
+
+
+SRM_SQL = """
+WITH arms AS (
+  SELECT event_type,
+         count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)::BIGINT AS n_a,
+         count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)::BIGINT AS n_b
+  FROM events GROUP BY event_type)
+SELECT event_type, n_a, n_b,
+       round(power(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+           + power(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 6) AS chi2,
+       (power(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+      + power(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)) > 3.841 AS srm_detected
+FROM arms
+ORDER BY event_type
+"""
+
+
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the time-series
+    cross-validation that replaces a single train/test split: three
+    expanding-window folds (train through Jan 10/15/20, test the
+    following 5 days), each scoring the NAIVE forecast (train-window
+    daily mean) against the test window's actuals, per event type.
+    Output: per (fold, type) MAE and bias — the table that says
+    whether a model beats persistence before anyone ships it.
+
+    100 TB: the event log reduces once to the O(types × days) daily
+    table; each fold is a pair of date-range filtered aggregates over
+    that pre-aggregate — folds share the scan."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("xbar"))
+        .localCheckpoint()  # O(types×days); shared by all folds
+    )
+    folds = []
+    for i, cut in enumerate(("2024-01-11", "2024-01-16", "2024-01-21")):
+        train = daily.where(F.col("day") < F.lit(cut)).groupBy("event_type").agg(
+            F.avg("xbar").alias("forecast")
+        )
+        test = daily.where(
+            (F.col("day") >= F.lit(cut))
+            & (F.col("day") < F.date_add(F.lit(cut).cast("date"), 5))
+        )
+        folds.append(
+            test.join(F.broadcast(train), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.round(F.avg(F.abs(F.col("xbar") - F.col("forecast"))), 6).alias("mae"),
+                F.round(F.avg(F.col("xbar") - F.col("forecast")), 6).alias("bias"),
+            )
+            .select(F.lit(i + 1).alias("fold"), "event_type", "mae", "bias")
+        )
+    out = folds[0]
+    for f in folds[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("fold", "event_type")
+
+
+ROLLING_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS xbar
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+folds(fold, cut) AS (VALUES (1, DATE '2024-01-11'), (2, DATE '2024-01-16'), (3, DATE '2024-01-21')),
+train AS (
+  SELECT f.fold, d.event_type, avg(d.xbar) AS forecast
+  FROM daily d JOIN folds f ON d.day < f.cut
+  GROUP BY f.fold, d.event_type),
+test AS (
+  SELECT f.fold, d.event_type, d.xbar
+  FROM daily d JOIN folds f ON d.day >= f.cut AND d.day < f.cut + 5)
+SELECT t.fold, t.event_type,
+       round(avg(abs(t.xbar - tr.forecast)), 6) AS mae,
+       round(avg(t.xbar - tr.forecast), 6) AS bias
+FROM test t JOIN train tr ON tr.fold = t.fold AND tr.event_type = t.event_type
+GROUP BY t.fold, t.event_type
+ORDER BY t.fold, t.event_type
+"""

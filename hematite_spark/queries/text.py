@@ -2856,3 +2856,86 @@ FROM ranked
 WHERE rnk <= 5
 ORDER BY topic, rnk
 """
+
+
+def speculative_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding draft audit — how often would a cheap
+    bigram draft model's greedy guess match the corpus's actual next
+    token? The acceptance rate that decides whether speculative
+    serving pays off: per source, positions where the corpus-level
+    argmax continuation (the draft) equals the observed next token,
+    plus the implied speedup for a k=4 draft run accepted
+    independently at that rate (E[tokens/step] = (1-α^{k+1})/(1-α)).
+
+    100 TB: the draft table (vocabulary², reduced to one argmax row
+    per context word) broadcasts; scoring is one equi-join on the
+    context word over the corpus bigram stream — no LM inference,
+    pure counting."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source", F.posexplode(_words()).alias("p", "w"))
+    dw = W.partitionBy("doc_id").orderBy("p")
+    bi = toks.select(
+        "source", F.lag("w", 1).over(dw).alias("w1"), F.col("w").alias("w2")
+    ).where(F.col("w1").isNotNull())
+    draft = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("draft"))
+    )
+    scored = bi.join(F.broadcast(draft), "w1").select(
+        "source", (F.col("w2") == F.col("draft")).cast("int").alias("accepted")
+    )
+    alpha = F.col("n_accepted") / F.col("n_positions")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_positions"),
+            F.sum("accepted").cast("bigint").alias("n_accepted"),
+        )
+        .select(
+            "source",
+            "n_positions",
+            "n_accepted",
+            F.round(alpha, 6).alias("acceptance_rate"),
+            F.round((1 - F.pow(alpha, 5)) / (1 - alpha), 6).alias("expected_tokens_per_step"),
+        )
+        .orderBy("source")
+    )
+
+
+SPEC_DRAFT_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, i, w[i] AS tok,
+         CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+bi AS (
+  SELECT source, prev AS w1, tok AS w2 FROM toks WHERE prev IS NOT NULL),
+draft AS (
+  SELECT w1, w2 AS draft
+  FROM (SELECT w1, w2, count(*) AS c,
+               row_number() OVER (PARTITION BY w1 ORDER BY count(*) DESC, w2) AS rn
+        FROM bi GROUP BY w1, w2)
+  WHERE rn = 1),
+scored AS (
+  SELECT b.source, CASE WHEN b.w2 = d.draft THEN 1 ELSE 0 END AS accepted
+  FROM bi b JOIN draft d USING (w1))
+SELECT source,
+       count(*)::BIGINT AS n_positions,
+       CAST(sum(accepted) AS BIGINT) AS n_accepted,
+       round(sum(accepted) / CAST(count(*) AS DOUBLE), 6) AS acceptance_rate,
+       round((1 - power(sum(accepted) / CAST(count(*) AS DOUBLE), 5))
+             / (1 - sum(accepted) / CAST(count(*) AS DOUBLE)), 6) AS expected_tokens_per_step
+FROM scored
+GROUP BY source
+ORDER BY source
+"""

@@ -473,6 +473,10 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "simpsons_paradox_audit",
         "cuped_adjustment",
         "entity_resolution_pipeline",
+        "speculative_draft_acceptance",
+        "k_anonymity_audit",
+        "srm_check",
+        "rolling_origin_backtest",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

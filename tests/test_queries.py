@@ -947,3 +947,57 @@ def test_er_pipeline_recovers_name_groups(spark):
     n_entities = sum(r.n_entities for r in rows)
     assert n_entities <= n_names
     assert n_entities >= max(2, n_names // 2)
+
+
+def test_speculative_acceptance_bounds(spark):
+    """Acceptance in (0,1); expected tokens/step in (1, 5) for k=4 and
+    consistent with the geometric-series formula."""
+    from hematite_spark.queries.text import speculative_draft_acceptance
+
+    rows = speculative_draft_acceptance(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        a = r.acceptance_rate
+        assert 0.0 < a < 1.0
+        assert 1.0 < r.expected_tokens_per_step < 5.0
+        assert abs(r.expected_tokens_per_step - (1 - a**5) / (1 - a)) < 5e-5
+
+
+def test_k_anonymity_rows_tile(spark):
+    """Bucket rows must sum to the corpus; violations only in the
+    sub-k buckets; suppression fractions consistent."""
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.advanced import k_anonymity_audit
+
+    rows = k_anonymity_audit(spark, SF_DIR).collect()
+    n = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_rows_in_bucket for r in rows) == n
+    for r in rows:
+        if r.size_bucket in ("5-19", "20+"):
+            assert r.n_rows_violating == 0
+        else:
+            assert r.n_rows_violating == r.n_rows_in_bucket
+
+
+def test_srm_no_mismatch_on_hash_split(spark):
+    """A clean user-hash split must NOT trip the guardrail (the modulo
+    split is near-50/50 by construction) and counts must be plausible."""
+    from hematite_spark.queries.advanced import srm_check
+
+    rows = srm_check(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_a > 0 and r.n_b > 0
+        assert r.srm_detected == (r.chi2 > 3.841)
+
+
+def test_rolling_backtest_folds_complete(spark):
+    """3 folds × 5 types, MAE non-negative, and |bias| ≤ MAE (bias is
+    the signed version of the same residuals)."""
+    from hematite_spark.queries.advanced import rolling_origin_backtest
+
+    rows = rolling_origin_backtest(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r.mae >= 0.0
+        assert abs(r.bias) <= r.mae + 1e-9
