@@ -4798,3 +4798,159 @@ FROM test t JOIN train tr ON tr.fold = t.fold AND tr.event_type = t.event_type
 GROUP BY t.fold, t.event_type
 ORDER BY t.fold, t.event_type
 """
+
+
+def bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One minorization-maximization step of the Bradley-Terry model
+    — the pairwise-preference ranking aggregator behind LLM eval
+    win-rates and match-making: 'matches' are (day, cohort) arenas
+    where the event type with the higher mean value beats each other
+    type; the MM update s_i ← W_i / Σ_j n_ij/(s_i+s_j) from the
+    uniform init turns the win matrix into strengths, normalized to
+    sum 1. Output per type: wins, matches, the post-step strength,
+    and its rank.
+
+    100 TB: arenas are one (day, cohort, type) aggregate; the pairwise
+    win matrix is an arena-keyed self-join of the O(arenas × types)
+    table (types is small, arenas shard); the MM step is O(types²)
+    arithmetic on the broadcast win matrix."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    arena = ev.groupBy(
+        F.to_date("ts").alias("day"), (F.col("user_id") % 4).alias("cohort"), "event_type"
+    ).agg(F.avg("value").alias("m"))
+    a, b = arena.alias("a"), arena.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.cohort") == F.col("b.cohort"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("i"),
+            F.col("b.event_type").alias("j"),
+            (F.col("a.m") > F.col("b.m")).cast("int").alias("win"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("bigint").alias("n_ij"), F.sum("win").cast("bigint").alias("w_ij"))
+    )
+    # MM update from uniform s=1: s_i' = W_i / Σ_j n_ij/(1+1)
+    upd = matches.groupBy("i").agg(
+        F.sum("w_ij").cast("bigint").alias("wins"),
+        F.sum("n_ij").cast("bigint").alias("matches"),
+        (F.sum("w_ij") / (F.sum("n_ij") / 2.0)).alias("s_raw"),
+    )
+    z = upd.agg(F.sum("s_raw").alias("z"))
+    ranked = (
+        upd.crossJoin(F.broadcast(z))
+        .select(
+            F.col("i").alias("event_type"),
+            "wins",
+            "matches",
+            F.round(F.col("s_raw") / F.col("z"), 6).alias("bt_strength"),
+            (F.col("s_raw") / F.col("z")).alias("_p"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("_p").desc(), F.col("event_type"))).cast("int"),
+        )
+        .drop("_p")
+    )
+    return ranked.orderBy("rank")
+
+
+BRADLEY_TERRY_SQL = """
+WITH arena AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 4 AS cohort, event_type, avg(value) AS m
+  FROM events GROUP BY 1, 2, 3),
+matches AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         count(*)::BIGINT AS n_ij,
+         sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END)::BIGINT AS w_ij
+  FROM arena a JOIN arena b
+    ON a.day = b.day AND a.cohort = b.cohort AND a.event_type <> b.event_type
+  GROUP BY a.event_type, b.event_type),
+upd AS (
+  SELECT i, CAST(sum(w_ij) AS BIGINT) AS wins, CAST(sum(n_ij) AS BIGINT) AS matches,
+         sum(w_ij) / (sum(n_ij) / 2.0) AS s_raw
+  FROM matches GROUP BY i),
+z AS (SELECT sum(s_raw) AS z FROM upd)
+SELECT i AS event_type, wins, matches,
+       round(s_raw / z, 6) AS bt_strength,
+       CAST(row_number() OVER (ORDER BY s_raw / z DESC, i) AS INT) AS rank
+FROM upd CROSS JOIN z
+ORDER BY rank
+"""
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fraud / synthetic-data tripwire: natural multi-scale
+    amounts follow P(d) = log10(1+1/d); a fabricated or truncated
+    column doesn't. Output per leading digit: observed count and
+    share, the Benford expectation, and the per-digit chi-square
+    contribution, plus the total statistic repeated for single-table
+    reads (8-dof 95% threshold 15.507).
+
+    100 TB: first digit is a stateless string expression; one 9-row
+    aggregate, the chi-square a projection over it."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    digits = orders.select(d.alias("digit")).where(F.col("digit") >= 1).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = digits.agg(F.sum("n").cast("double").alias("n_tot"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    per = (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_tot"), 6).alias("observed_share"),
+            F.round(expected, 6).alias("benford_share"),
+            (
+                F.pow(F.col("n") - expected * F.col("n_tot"), 2)
+                / (expected * F.col("n_tot"))
+            ).alias("_chi"),
+        )
+    )
+    chi_tot = per.agg(F.round(F.sum("_chi"), 4).alias("chi2_total"))
+    return (
+        per.crossJoin(F.broadcast(chi_tot))
+        .select(
+            "digit",
+            "n",
+            "observed_share",
+            "benford_share",
+            F.round("_chi", 4).alias("chi2_contrib"),
+            "chi2_total",
+            (F.col("chi2_total") > 15.507).alias("deviates"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS n
+  FROM orders
+  WHERE CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) >= 1
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tot FROM digits),
+per AS (
+  SELECT digit, n,
+         round(n / n_tot, 6) AS observed_share,
+         round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+         power(n - log10(1.0 + 1.0 / digit) * n_tot, 2)
+           / (log10(1.0 + 1.0 / digit) * n_tot) AS chi
+  FROM digits CROSS JOIN tot),
+chi_tot AS (SELECT round(sum(chi), 4) AS chi2_total FROM per)
+SELECT digit, n, observed_share, benford_share,
+       round(chi, 4) AS chi2_contrib, chi2_total,
+       chi2_total > 15.507 AS deviates
+FROM per CROSS JOIN chi_tot
+ORDER BY digit
+"""

@@ -2585,3 +2585,92 @@ FROM assigned
 GROUP BY seed_id
 ORDER BY seed_id
 """
+
+
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 audit of the approximate retrieval stack — the graded
+    metric recall@k can't see: how well does each ANN variant ORDER
+    what it returns? Relevance = exact cosine of the brute-force
+    top-10 (graded, not binary); each variant's returned list is
+    scored by DCG with the log2 position discount against the ideal
+    ordering. One row per variant (ivf, multiprobe, hnsw) with its
+    overlap count and NDCG — the index-tuning table that separates
+    'finds the right vectors' from 'ranks them right'.
+
+    100 TB: every variant's result is already a ≤10-row TakeOrdered
+    head; the audit joins and scores O(k) rows — cost lives in the
+    searches themselves, shared via one pass each."""
+    from pyspark.sql import Window as W
+
+    exact = ann_brute_force(spark, sf_dir).select(
+        "vec_id", F.col("cosine").alias("rel")
+    )
+    ideal = exact.select(
+        "vec_id",
+        "rel",
+        F.row_number().over(W.orderBy(F.col("rel").desc(), F.col("vec_id"))).alias("ipos"),
+    )
+    idcg_row = ideal.agg(
+        F.sum(F.col("rel") / F.log2(F.col("ipos") + 1.0)).alias("idcg")
+    )
+
+    def score(name, df):
+        ranked = df.select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+            .alias("pos"),
+        )
+        hits = ranked.join(exact, "vec_id")
+        return (
+            hits.agg(
+                F.count("*").cast("bigint").alias("overlap"),
+                F.sum(F.col("rel") / F.log2(F.col("pos") + 1.0)).alias("dcg"),
+            )
+            .crossJoin(F.broadcast(idcg_row))
+            .select(
+                F.lit(name).alias("variant"),
+                "overlap",
+                F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+            )
+        )
+
+    out = (
+        score("ivf", ann_ivf_search(spark, sf_dir))
+        .unionByName(score("multiprobe", ann_ivf_multiprobe(spark, sf_dir)))
+        .unionByName(score("hnsw", hnsw_two_layer_search(spark, sf_dir)))
+    )
+    return out.orderBy("variant")
+
+
+NDCG_AUDIT_SQL = f"""
+WITH exact AS (
+  SELECT vec_id, cosine AS rel FROM ({ANN_BRUTE_SQL})),
+ideal AS (
+  SELECT vec_id, rel,
+         row_number() OVER (ORDER BY rel DESC, vec_id) AS ipos
+  FROM exact),
+idcg AS (SELECT sum(rel / log2(ipos + 1.0)) AS idcg FROM ideal),
+ivf AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS pos
+  FROM ({ANN_IVF_SEARCH_SQL})),
+mp AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS pos
+  FROM ({ANN_IVF_MULTIPROBE_SQL})),
+hn AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS pos
+  FROM ({HNSW_SEARCH_SQL})),
+scored AS (
+  SELECT 'ivf' AS variant, count(*)::BIGINT AS overlap,
+         round(sum(e.rel / log2(v.pos + 1.0)) / (SELECT idcg FROM idcg), 6) AS ndcg_at_10
+  FROM ivf v JOIN exact e USING (vec_id)
+  UNION ALL
+  SELECT 'multiprobe', count(*)::BIGINT,
+         round(sum(e.rel / log2(v.pos + 1.0)) / (SELECT idcg FROM idcg), 6)
+  FROM mp v JOIN exact e USING (vec_id)
+  UNION ALL
+  SELECT 'hnsw', count(*)::BIGINT,
+         round(sum(e.rel / log2(v.pos + 1.0)) / (SELECT idcg FROM idcg), 6)
+  FROM hn v JOIN exact e USING (vec_id))
+SELECT variant, overlap, ndcg_at_10 FROM scored ORDER BY variant
+"""

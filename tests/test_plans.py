@@ -477,6 +477,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "k_anonymity_audit",
         "srm_check",
         "rolling_origin_backtest",
+        "bradley_terry_step",
+        "benford_audit",
+        "retrieval_ndcg_audit",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

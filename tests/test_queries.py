@@ -1001,3 +1001,44 @@ def test_rolling_backtest_folds_complete(spark):
     for r in rows:
         assert r.mae >= 0.0
         assert abs(r.bias) <= r.mae + 1e-9
+
+
+def test_bradley_terry_strengths_normalize(spark):
+    """Strengths sum to ~1, ranks dense, and the rank order agrees
+    with raw win rate direction (more wins per match → stronger)."""
+    from hematite_spark.queries.advanced import bradley_terry_step
+
+    rows = bradley_terry_step(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.bt_strength for r in rows) - 1.0) < 1e-3
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    rates = [(r.wins / r.matches, r.rank) for r in rows]
+    best = max(rates)[1]
+    assert best == 1
+
+
+def test_benford_digits_complete(spark):
+    """All nine leading digits present, shares sum to 1, Benford
+    expectations sum to 1, and the flag matches the statistic."""
+    from hematite_spark.queries.advanced import benford_audit
+
+    rows = benford_audit(spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.deviates == (r.chi2_total > 15.507)
+
+
+def test_ndcg_orders_variants_sanely(spark):
+    """NDCG in [0,1]; a variant that returns more of the exact top-10
+    can't have NDCG 0; multiprobe within the wider hnsw beam implies
+    hnsw overlap ≥ multiprobe overlap (superset probe sets)."""
+    from hematite_spark.queries.similarity import retrieval_ndcg_audit
+
+    rows = {r.variant: r for r in retrieval_ndcg_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"ivf", "multiprobe", "hnsw"}
+    for r in rows.values():
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        assert (r.overlap == 0) == (r.ndcg_at_10 == 0.0)
+    assert rows["hnsw"].overlap >= rows["multiprobe"].overlap

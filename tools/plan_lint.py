@@ -49,6 +49,8 @@ ALLOW_GLOBAL_WINDOW = {
     "hnsw_layer_assign",  # cum_share over the O(levels)≤5 census rows
     "rag_context_assembly",  # rank+pack over the BM25 top-5 docs' chunks (O(k))
     "kaplan_meier_conversion",  # KM cumulative product over the O(observation-days) table
+    "bradley_terry_step",  # rank over the O(types)=5 strength table
+    "retrieval_ndcg_audit",  # position windows over three ≤10-row TakeOrdered heads
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
