@@ -5123,3 +5123,184 @@ SELECT column_name, n_rows, ndv,
 FROM t
 ORDER BY column_name
 """
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between each pair of
+    event-type value distributions vs the 'view' baseline — the
+    distribution-shape companion to feature_drift_psi (PSI sees
+    binned mass shifts, KS sees the worst-case CDF gap anywhere).
+    D = max|ECDF_a − ECDF_b| computed by interleaving both samples
+    and running both ECDFs in one ordered pass per pair; the 95%
+    threshold is 1.358·√((n+m)/nm).
+
+    100 TB: the union is (pair)-partitioned, so each window runs
+    within its pair partition; per pair the pass is one sort —
+    at scale the documented swap is binned ECDFs (quantile grid)
+    which turns the sort into a histogram aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    base = ev.where(F.col("event_type") == "view").select(
+        F.col("value").alias("v"), F.lit(1).alias("is_a")
+    )
+    rest = ev.where(F.col("event_type") != "view").select(
+        "event_type", F.col("value").alias("v"), F.lit(0).alias("is_a")
+    )
+    pooled = rest.select("event_type", "v", "is_a").unionByName(
+        rest.select("event_type").distinct().crossJoin(base)
+    )
+    counts = pooled.groupBy("event_type").agg(
+        F.sum("is_a").cast("double").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("double").alias("n_b"),
+    )
+    wp = W.partitionBy("event_type").orderBy("v", "is_a")
+    ecdf = pooled.select(
+        "event_type",
+        "is_a",
+        F.sum("is_a").over(wp).alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).over(wp).alias("cb"),
+    )
+    d = (
+        ecdf.join(F.broadcast(counts), "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")).alias("gap"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_baseline"),
+            F.max("n_b").cast("bigint").alias("n_sample"),
+            F.round(F.max("gap"), 6).alias("ks_d"),
+            F.round(
+                1.358 * F.sqrt((F.max("n_a") + F.max("n_b")) / (F.max("n_a") * F.max("n_b"))),
+                6,
+            ).alias("threshold_95"),
+        )
+    )
+    return d.select(
+        "event_type",
+        "n_baseline",
+        "n_sample",
+        "ks_d",
+        "threshold_95",
+        (F.col("ks_d") > F.col("threshold_95")).alias("drift_detected"),
+    ).orderBy("event_type")
+
+
+KS_TWO_SAMPLE_SQL = """
+WITH base AS (
+  SELECT value AS v, 1 AS is_a FROM events WHERE event_type = 'view'),
+rest AS (
+  SELECT event_type, value AS v, 0 AS is_a FROM events WHERE event_type <> 'view'),
+pooled AS (
+  SELECT event_type, v, is_a FROM rest
+  UNION ALL
+  SELECT t.event_type, base.v, base.is_a
+  FROM (SELECT DISTINCT event_type FROM rest) t CROSS JOIN base),
+counts AS (
+  SELECT event_type, CAST(sum(is_a) AS DOUBLE) AS n_a,
+         CAST(sum(1 - is_a) AS DOUBLE) AS n_b
+  FROM pooled GROUP BY event_type),
+ecdf AS (
+  SELECT event_type,
+         sum(is_a) OVER w AS ca,
+         sum(1 - is_a) OVER w AS cb
+  FROM pooled
+  WINDOW w AS (PARTITION BY event_type ORDER BY v, is_a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+gaps AS (
+  SELECT e.event_type, c.n_a, c.n_b,
+         abs(e.ca / c.n_a - e.cb / c.n_b) AS gap
+  FROM ecdf e JOIN counts c USING (event_type))
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_baseline,
+       CAST(max(n_b) AS BIGINT) AS n_sample,
+       round(max(gap), 6) AS ks_d,
+       round(1.358 * sqrt((max(n_a) + max(n_b)) / (max(n_a) * max(n_b))), 6) AS threshold_95,
+       max(gap) > 1.358 * sqrt((max(n_a) + max(n_b)) / (max(n_a) * max(n_b))) AS drift_detected
+FROM gaps
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock (carryover) transform — marketing-mix
+    modeling's lag structure: today's effective exposure is
+    Σ_{k=0..7} spend_{t−k}·λ^k (λ=0.6), computed as a bounded
+    weighted window over the daily 'view' volume, then correlated
+    (Pearson) with same-day purchase revenue per cohort. Emits per
+    cohort the raw-vs-adstocked correlation — the lift the carryover
+    structure explains beyond same-day spend.
+
+    100 TB: the daily (cohort, day) table is the only state; the
+    8-tap window is cohort-partitioned; correlations are one moment
+    aggregate per cohort."""
+    from pyspark.sql import Window as W
+
+    lam = 0.6
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy((F.col("user_id") % 4).alias("cohort"), F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)).alias(
+                "spend"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("revenue"),
+        )
+    )
+    wc = W.partitionBy("cohort").orderBy("day")
+    adstock = sum(
+        F.coalesce(F.lag("spend", k).over(wc), F.lit(0.0)) * (lam**k) for k in range(8)
+    )
+    scored = daily.withColumn("adstock", adstock)
+    return (
+        scored.groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.corr("spend", "revenue"), 6).alias("corr_raw"),
+            F.round(F.corr("adstock", "revenue"), 6).alias("corr_adstock"),
+        )
+        .select(
+            "cohort",
+            "n_days",
+            "corr_raw",
+            "corr_adstock",
+            (F.col("corr_adstock") > F.col("corr_raw")).alias("carryover_helps"),
+        )
+        .orderBy("cohort")
+    )
+
+
+ADSTOCK_SQL = """
+WITH daily AS (
+  SELECT user_id % 4 AS cohort, CAST(ts AS DATE) AS day,
+         sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS spend,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS revenue
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT cohort, day, spend, revenue,
+         coalesce(lag(spend, 0) OVER w, 0.0) * 1.0
+       + coalesce(lag(spend, 1) OVER w, 0.0) * 0.6
+       + coalesce(lag(spend, 2) OVER w, 0.0) * 0.36
+       + coalesce(lag(spend, 3) OVER w, 0.0) * 0.216
+       + coalesce(lag(spend, 4) OVER w, 0.0) * 0.1296
+       + coalesce(lag(spend, 5) OVER w, 0.0) * 0.07776
+       + coalesce(lag(spend, 6) OVER w, 0.0) * 0.046656
+       + coalesce(lag(spend, 7) OVER w, 0.0) * 0.0279936
+  AS adstock
+  FROM daily
+  WINDOW w AS (PARTITION BY cohort ORDER BY day))
+SELECT cohort, count(*)::BIGINT AS n_days,
+       round(corr(spend, revenue), 6) AS corr_raw,
+       round(corr(adstock, revenue), 6) AS corr_adstock,
+       corr(adstock, revenue) > corr(spend, revenue) AS carryover_helps
+FROM scored
+GROUP BY cohort
+ORDER BY cohort
+"""

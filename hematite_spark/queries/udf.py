@@ -649,3 +649,127 @@ SELECT n_members, n_probes, n_bits_set, n_false_positives,
          <= 2.0 * power(1.0 - exp(-3.0 * n_members / 1024.0), 3.0) + 0.01 AS within_2x
 FROM agg
 """
+
+
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV-style SET OPERATIONS between sketches — the reason
+    mergeable sketches run the lake: estimate |A∪B| and |A∩B| for the
+    'click' vs 'purchase' user sets from two K-minimum-value sketches
+    (K=64) WITHOUT touching raw data twice. Union = KMV of the merged
+    k-minima; intersection = Jaccard (matching hashes in the unioned
+    sketch) × union. Exact counts ride along as the audit: both
+    estimates within the contract factor (`union_ok`/`inter_ok`,
+    within 2× at K=64).
+
+    100 TB: each side reduces to K hashes (one aggregate with
+    map-side top-K combine); the set algebra runs on 2K numbers —
+    a coordinator-side merge, never a re-scan."""
+    k = 64
+    ev = load_table(spark, "events", sf_dir)
+    h32 = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+    def sketch(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .select(h32.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .agg(F.collect_list("h").alias("mins"))
+            .select(F.lit(t).alias("t"), "mins")
+        )
+
+    a, b = sketch("click"), sketch("purchase")
+    both = a.crossJoin(
+        b.select(F.col("mins").alias("mins_b"))
+    ).select(
+        F.array_sort(F.array_distinct(F.concat(F.col("mins"), F.col("mins_b")))).alias("u"),
+        "mins",
+        "mins_b",
+    )
+    ks = F.least(F.size("u"), F.lit(k))
+    kth = F.element_at(F.col("u"), ks)
+    union_est = (ks - 1) * F.lit(4294967296.0) / kth
+    # Jaccard from the merged sketch: of the union's K smallest, the
+    # fraction present in BOTH input sketches
+    head = F.slice(F.col("u"), 1, ks)
+    in_both = F.size(
+        F.filter(
+            head,
+            lambda x: F.array_contains(F.col("mins"), x) & F.array_contains(F.col("mins_b"), x),
+        )
+    )
+    jacc = in_both / ks
+    exact = ev.where(F.col("event_type").isin("click", "purchase")).agg(
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("na"),
+        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias("nb"),
+        F.countDistinct("user_id").alias("n_union"),
+        (
+            F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id")))
+            + F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id")))
+            - F.countDistinct("user_id")
+        ).alias("n_inter"),
+    )
+    est = both.select(
+        F.round(union_est, 2).alias("union_est"),
+        F.round(jacc * union_est, 2).alias("inter_est"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_union").cast("bigint").alias("exact_union"),
+            "union_est",
+            F.col("n_inter").cast("bigint").alias("exact_inter"),
+            "inter_est",
+            (
+                (F.col("union_est") < 2.0 * F.col("n_union"))
+                & (F.col("union_est") > 0.5 * F.col("n_union"))
+            ).alias("union_ok"),
+            (
+                (F.col("inter_est") < 2.0 * F.col("n_inter") + 50.0)
+                & (F.col("inter_est") > 0.25 * F.col("n_inter") - 50.0)
+            ).alias("inter_ok"),
+        )
+    )
+
+
+KMV_SETOPS_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (((strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[1]) - 1) * 268435456
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[2]) - 1) * 16777216
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[3]) - 1) * 1048576
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[4]) - 1) * 65536
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[5]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[6]) - 1) * 256
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[7]) - 1) * 16
+         + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[8]) - 1))) AS hv
+  FROM events WHERE event_type IN ('click', 'purchase')),
+ka AS (SELECT list_sort(list(hv)) AS mins FROM (SELECT hv FROM h WHERE event_type = 'click' ORDER BY hv LIMIT 64)),
+kb AS (SELECT list_sort(list(hv)) AS mins_b FROM (SELECT hv FROM h WHERE event_type = 'purchase' ORDER BY hv LIMIT 64)),
+merged AS (
+  SELECT list_sort(list_distinct(mins || mins_b)) AS u, mins, mins_b
+  FROM ka CROSS JOIN kb),
+est AS (
+  SELECT round((least(len(u), 64) - 1) * 4294967296.0 / u[least(len(u), 64)], 2) AS union_est,
+         round((len(list_filter(u[1:least(len(u), 64)],
+                                x -> list_contains(mins, x) AND list_contains(mins_b, x)))
+                / CAST(least(len(u), 64) AS DOUBLE))
+               * ((least(len(u), 64) - 1) * 4294967296.0 / u[least(len(u), 64)]), 2) AS inter_est
+  FROM merged),
+exact AS (
+  SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS na,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS nb,
+         count(DISTINCT user_id) AS n_union,
+         count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+       + count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+       - count(DISTINCT user_id) AS n_inter
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT CAST(n_union AS BIGINT) AS exact_union, union_est,
+       CAST(n_inter AS BIGINT) AS exact_inter, inter_est,
+       union_est < 2.0 * n_union AND union_est > 0.5 * n_union AS union_ok,
+       inter_est < 2.0 * n_inter + 50.0 AND inter_est > 0.25 * n_inter - 50.0 AS inter_ok
+FROM est CROSS JOIN exact
+"""

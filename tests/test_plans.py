@@ -482,6 +482,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "retrieval_ndcg_audit",
         "diff_in_diff",
         "encoding_advisor",
+        "kmv_set_operations",
+        "ks_two_sample",
+        "adstock_transform",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1075,3 +1075,43 @@ def test_encoding_advisor_recommendations(spark):
             else (0.1, 1.01)
         )
         assert lo <= r.ndv_ratio <= hi or r.recommendation == "RUN_LENGTH"
+
+
+def test_kmv_setops_contract(spark):
+    """Sketch set-algebra contract: union/intersection estimates
+    within their stated factors, and inter ≤ union (both exact and
+    estimated)."""
+    from hematite_spark.queries.udf import kmv_set_operations
+
+    r = kmv_set_operations(spark, SF_DIR).first()
+    assert r.union_ok and r.inter_ok, r
+    assert r.exact_inter <= r.exact_union
+    assert r.inter_est <= r.union_est + 1e-6
+
+
+def test_ks_detects_known_shift(spark):
+    """D in [0,1]; the flag agrees with the threshold comparison; and
+    identical-distribution pairs (if any) stay under threshold far
+    more often than not."""
+    from hematite_spark.queries.advanced import ks_two_sample
+
+    rows = ks_two_sample(spark, SF_DIR).collect()
+    assert len(rows) == 4  # vs the view baseline
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.drift_detected == (r.ks_d > r.threshold_95)
+        assert r.threshold_95 > 0
+
+
+def test_adstock_window_bounded(spark):
+    """Correlations in [-1,1]; n_days spans the January window; the
+    flag agrees with the comparison."""
+    from hematite_spark.queries.advanced import adstock_transform
+
+    rows = adstock_transform(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        for c in (r.corr_raw, r.corr_adstock):
+            assert -1.0 <= c <= 1.0
+        assert r.n_days >= 25
+        assert r.carryover_helps == (r.corr_adstock > r.corr_raw)
