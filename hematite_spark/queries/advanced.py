@@ -5304,3 +5304,148 @@ FROM scored
 GROUP BY cohort
 ORDER BY cohort
 """
+
+
+def fellegi_sunter_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step of the Fellegi-Sunter record-linkage model — the
+    probabilistic layer entity_resolution_pipeline's deterministic
+    threshold lacks: candidate part pairs (same sorted-neighborhood
+    band as the ER funnel) are described by a comparison vector
+    γ = (name_eq, brand_eq, size_eq), and EM estimates per field the
+    m-probability (agreement among true matches) and u-probability
+    (agreement among non-matches) from a deterministic init (m=0.9,
+    u=0.1, λ=0.3). Emits per field the updated m/u and the
+    match-weight log2(m/u) — the scoring table a linker thresholds.
+
+    100 TB: pairs come from the O(n·w) rank-bucket band; the E-step
+    is a stateless projection over pair rows; the M-step is one
+    3-field weighted aggregate."""
+    m0, u0, lam = 0.9, 0.1, 0.3
+    part = load_table(spark, "part", sf_dir)
+    from pyspark.sql import Window as W2
+
+    w_rank = W2.partitionBy("blk").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+    v = (
+        part.select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_size",
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .localCheckpoint()
+    )
+    bw = 4
+    probe = v.select(
+        "p_partkey", "p_name", "p_brand", "p_size", "blk", "rnk",
+        F.explode(
+            F.array(
+                F.floor(F.col("rnk") / bw) - 1,
+                F.floor(F.col("rnk") / bw),
+                F.floor(F.col("rnk") / bw) + 1,
+            )
+        ).alias("bkt"),
+    )
+    build = v.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_size").alias("b_size"),
+        F.col("blk").alias("b_blk"),
+        F.col("rnk").alias("b_rnk"),
+        F.floor(F.col("rnk") / bw).alias("bkt"),
+    )
+    gammas = (
+        probe.join(build, ["bkt"])
+        .where(
+            (F.col("blk") == F.col("b_blk"))
+            & (F.col("b_rnk") > F.col("rnk"))
+            & (F.col("b_rnk") <= F.col("rnk") + 2)
+        )
+        .select(
+            (F.col("p_name") == F.col("b_name")).cast("int").alias("g_name"),
+            (F.col("p_brand") == F.col("b_brand")).cast("int").alias("g_brand"),
+            (F.col("p_size") == F.col("b_size")).cast("int").alias("g_size"),
+        )
+    )
+    # E-step under conditional independence with init (m0, u0, λ)
+    lik = lambda g, p: F.when(F.col(g) == 1, F.lit(p)).otherwise(F.lit(1 - p))
+    pm = lik("g_name", m0) * lik("g_brand", m0) * lik("g_size", m0) * lam
+    pu = lik("g_name", u0) * lik("g_brand", u0) * lik("g_size", u0) * (1 - lam)
+    scored = gammas.select("g_name", "g_brand", "g_size", (pm / (pm + pu)).alias("w"))
+    agg = scored.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("w").alias("sw"),
+        *[
+            F.sum(F.col("w") * F.col(g)).alias(f"m_{g}")
+            for g in ("g_name", "g_brand", "g_size")
+        ],
+        *[
+            F.sum((1 - F.col("w")) * F.col(g)).alias(f"u_{g}")
+            for g in ("g_name", "g_brand", "g_size")
+        ],
+    )
+    rows = []
+    for g, label in (("g_name", "name"), ("g_brand", "brand"), ("g_size", "size")):
+        m_new = F.col(f"m_{g}") / F.col("sw")
+        u_new = F.col(f"u_{g}") / (F.col("n_pairs") - F.col("sw"))
+        rows.append(
+            agg.select(
+                F.lit(label).alias("field"),
+                F.col("n_pairs"),
+                F.round(m_new, 6).alias("m_prob"),
+                F.round(u_new, 6).alias("u_prob"),
+                F.round(F.log2(m_new / u_new), 6).alias("match_weight"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("field")
+
+
+FELLEGI_SUNTER_SQL = """
+WITH v AS (
+  SELECT p_partkey, p_name, p_brand, p_size,
+         string_split(p_name, ' ')[-1] AS blk,
+         CAST(row_number() OVER (PARTITION BY string_split(p_name, ' ')[-1]
+              ORDER BY p_name ASC, p_partkey ASC) AS BIGINT) AS rnk
+  FROM part),
+gammas AS (
+  SELECT CASE WHEN a.p_name = b.p_name THEN 1 ELSE 0 END AS g_name,
+         CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS g_brand,
+         CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g_size
+  FROM v a JOIN v b
+    ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + 2),
+scored AS (
+  SELECT g_name, g_brand, g_size,
+         (CASE WHEN g_name = 1 THEN 0.9 ELSE 0.1 END
+        * CASE WHEN g_brand = 1 THEN 0.9 ELSE 0.1 END
+        * CASE WHEN g_size = 1 THEN 0.9 ELSE 0.1 END * 0.3)
+         / ((CASE WHEN g_name = 1 THEN 0.9 ELSE 0.1 END
+           * CASE WHEN g_brand = 1 THEN 0.9 ELSE 0.1 END
+           * CASE WHEN g_size = 1 THEN 0.9 ELSE 0.1 END * 0.3)
+          + (CASE WHEN g_name = 1 THEN 0.1 ELSE 0.9 END
+           * CASE WHEN g_brand = 1 THEN 0.1 ELSE 0.9 END
+           * CASE WHEN g_size = 1 THEN 0.1 ELSE 0.9 END * 0.7)) AS w
+  FROM gammas),
+agg AS (
+  SELECT count(*)::BIGINT AS n_pairs, sum(w) AS sw,
+         sum(w * g_name) AS m_name, sum(w * g_brand) AS m_brand, sum(w * g_size) AS m_size,
+         sum((1 - w) * g_name) AS u_name, sum((1 - w) * g_brand) AS u_brand, sum((1 - w) * g_size) AS u_size
+  FROM scored)
+SELECT field, n_pairs, m_prob, u_prob, match_weight FROM (
+  SELECT 'name' AS field, n_pairs,
+         round(m_name / sw, 6) AS m_prob,
+         round(u_name / (n_pairs - sw), 6) AS u_prob,
+         round(log2((m_name / sw) / (u_name / (n_pairs - sw))), 6) AS match_weight
+  FROM agg
+  UNION ALL
+  SELECT 'brand', n_pairs, round(m_brand / sw, 6), round(u_brand / (n_pairs - sw), 6),
+         round(log2((m_brand / sw) / (u_brand / (n_pairs - sw))), 6) FROM agg
+  UNION ALL
+  SELECT 'size', n_pairs, round(m_size / sw, 6), round(u_size / (n_pairs - sw), 6),
+         round(log2((m_size / sw) / (u_size / (n_pairs - sw))), 6) FROM agg)
+ORDER BY field
+"""

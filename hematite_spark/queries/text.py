@@ -2939,3 +2939,93 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+def feature_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document embedding — the
+    trainless featurizer that bridges the text and vector families:
+    each token hashes to one of 16 dimensions with a ±1 sign hash
+    (the signed construction that makes collisions unbiased), giving
+    every doc a 16-dim count vector with no vocabulary to build, no
+    state to ship. The audit: exact-duplicate docs must embed
+    identically, so per source the distinct-embedding count equals
+    the distinct-normalized-text count, and mean L2 norm scales with
+    token count.
+
+    100 TB: one explode → (doc, dim) aggregate → 16-column pivot per
+    doc, all map-side combined; no vocabulary broadcast AT ALL — the
+    property that makes feature hashing the scale featurizer."""
+    d = 16
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source", _norm_text().alias("nt"), F.explode(_words()).alias("w"))
+    hdim = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % d
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fs:"), F.col("w"))), 1, 1), 16, 10) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    cells = toks.groupBy("doc_id", "source", "nt", hdim.alias("dim")).agg(
+        F.sum(sign).alias("v")
+    )
+    emb = cells.groupBy("doc_id", "source", "nt").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("sv"),
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2"),
+    ).select(
+        "doc_id",
+        "source",
+        "nt",
+        F.md5(F.to_json(F.col("sv"))).alias("emb_fp"),
+        "l2",
+    )
+    return (
+        emb.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("emb_fp").cast("bigint").alias("distinct_embeddings"),
+            F.countDistinct("nt").cast("bigint").alias("distinct_texts"),
+            F.round(F.avg("l2"), 6).alias("mean_l2"),
+        )
+        .select(
+            "*",
+            (F.col("distinct_embeddings") <= F.col("distinct_texts")).alias("dedup_consistent"),
+        )
+        .orderBy("source")
+    )
+
+
+FEATURE_HASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_replace(trim(text), '\s+', ' ', 'g') AS nt,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents),
+hashed AS (
+  SELECT doc_id, source, nt,
+         (((strpos('0123456789abcdef', md5('fh:' || w)[1]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5('fh:' || w)[2]) - 1) * 256
+         + (strpos('0123456789abcdef', md5('fh:' || w)[3]) - 1) * 16
+         + (strpos('0123456789abcdef', md5('fh:' || w)[4]) - 1)) % 16) AS dim,
+         CASE WHEN (strpos('0123456789abcdef', md5('fs:' || w)[1]) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM toks),
+cells AS (
+  SELECT doc_id, source, nt, dim, sum(sign) AS v
+  FROM hashed GROUP BY doc_id, source, nt, dim),
+emb AS (
+  SELECT doc_id, source, nt,
+         md5(CAST(list_sort(list(struct_pack(dim := dim, v := v))) AS VARCHAR)) AS emb_fp,
+         sqrt(sum(v * v)) AS l2
+  FROM cells GROUP BY doc_id, source, nt)
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT emb_fp)::BIGINT AS distinct_embeddings,
+       count(DISTINCT nt)::BIGINT AS distinct_texts,
+       round(avg(l2), 6) AS mean_l2,
+       count(DISTINCT emb_fp) <= count(DISTINCT nt) AS dedup_consistent
+FROM emb
+GROUP BY source
+ORDER BY source
+"""

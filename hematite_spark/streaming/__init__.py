@@ -3,6 +3,7 @@ from hematite_spark.streaming.corpus import stream_corpus_ingest
 from hematite_spark.streaming.windows import (
     kmv_distinct_stream,
     welford_moments_stream,
+    stream_static_enrichment,
     windowed_counts,
     sliding_windowed_agg,
     session_windowed_agg,
@@ -17,6 +18,7 @@ from hematite_spark.streaming.windows import (
 __all__ = [
     "kmv_distinct_stream",
     "welford_moments_stream",
+    "stream_static_enrichment",
     "stream_append_to_store",
     "stream_events_to_lake",
     "stream_corpus_ingest",

@@ -470,3 +470,26 @@ def welford_moments_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrichment(
+    stream_df: DataFrame, dim_df: DataFrame, key_col: str = "cohort"
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming
+    join in production: each micro-batch equi-joins against a STATIC
+    (or slowly-refreshed) dimension table, which Spark broadcasts per
+    batch with no streaming state at all (unlike stream-stream joins,
+    nothing waits for a watermark). The stream's events pick up their
+    cohort's segment label and aggregate per (segment, event_type) —
+    the live dashboard cut.
+
+    At scale the dim is the broadcast side by construction (it is
+    dimension-sized); re-reading it per batch is what picks up dim
+    updates between batches."""
+    enriched = stream_df.withColumn(key_col, F.col("user_id") % 4).join(
+        F.broadcast(dim_df), key_col
+    )
+    return enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )

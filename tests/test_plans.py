@@ -485,6 +485,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "kmv_set_operations",
         "ks_two_sample",
         "adstock_transform",
+        "feature_hashing_embed",
+        "fellegi_sunter_em_step",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1115,3 +1115,28 @@ def test_adstock_window_bounded(spark):
             assert -1.0 <= c <= 1.0
         assert r.n_days >= 25
         assert r.carryover_helps == (r.corr_adstock > r.corr_raw)
+
+
+def test_feature_hashing_dedup_property(spark):
+    """Identical texts embed identically (the contract column), and
+    norms are positive wherever docs exist."""
+    from hematite_spark.queries.text import feature_hashing_embed
+
+    rows = feature_hashing_embed(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.dedup_consistent
+        assert r.mean_l2 > 0
+        assert r.distinct_embeddings <= r.n_docs
+
+
+def test_fellegi_sunter_weights_separate(spark):
+    """For the name field — the one that defines candidate matches —
+    m must exceed u (positive match weight); probabilities in [0,1]."""
+    from hematite_spark.queries.advanced import fellegi_sunter_em_step
+
+    rows = {r.field: r for r in fellegi_sunter_em_step(spark, SF_DIR).collect()}
+    assert set(rows) == {"name", "brand", "size"}
+    for r in rows.values():
+        assert 0.0 <= r.m_prob <= 1.0 and 0.0 <= r.u_prob <= 1.0
+    assert rows["name"].m_prob > rows["name"].u_prob
+    assert rows["name"].match_weight > 0

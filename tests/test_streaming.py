@@ -588,3 +588,57 @@ def test_streaming_welford_matches_batch_moments(spark, tmp_path):
         assert int(final.loc[et, "n"]) == b.n, et
         assert abs(float(final.loc[et, "mean"]) - b.mean) < 1e-9, et
         assert abs(float(final.loc[et, "stddev_pop"]) - b.sd) < 1e-9, et
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """The per-batch broadcast dim join must produce, in complete
+    mode, exactly the batch join's (segment, type) aggregate — no
+    state, no watermark, dim picked up every batch."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hematite_spark.streaming import stream_static_enrichment
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id", "value"
+    )
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro"), (2, "pro"), (3, "enterprise")], "cohort long, segment string"
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    cut = len(rows) // 2
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        with open(src / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    base = (
+        spark.readStream.schema("event_type string, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_static_enrichment(base, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.segment, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("enrich_out").collect()
+    }
+    want = {
+        (r.segment, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in ev.withColumn("cohort", F.col("user_id") % 4)
+        .join(dim, "cohort")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
