@@ -5449,3 +5449,166 @@ SELECT field, n_pairs, m_prob, u_prob, match_weight FROM (
          round(log2((m_size / sw) / (u_size / (n_pairs - sw))), 6) FROM agg)
 ORDER BY field
 """
+
+
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ε-neighbor self-join via grid blocking — the geohash
+    pattern every spatial engine (Sedona/H3) builds on, expressed as
+    pure relational algebra: deterministic hash coordinates place
+    each user on a 100×100 plane, points bucket into ε-sized grid
+    cells, and each point probes its own cell plus the 8 neighbors —
+    every true ε-pair shares a probed cell (the spatial pigeonhole),
+    so the exact distance filter runs on O(density²·cells), never
+    n². Output: the one-row audit — points, occupied cells, max cell
+    occupancy, candidate pairs, confirmed pairs, mean pair distance.
+
+    100 TB: cell id is the partition key (probe = partition-local);
+    the 9-cell explode is the bounded fan-out; skew shows up in
+    max_cell_points and is handled by subdividing hot cells."""
+    eps = 1.0
+    ev = load_table(spark, "events", sf_dir).select("user_id").distinct()
+    h = lambda salt: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("double")
+        / 65536.0 * 100.0
+    )
+    pts = ev.select(
+        "user_id", h("gx:").alias("x"), h("gy:").alias("y")
+    ).withColumns({"cx": F.floor(F.col("x")), "cy": F.floor(F.col("y"))}).localCheckpoint()
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = pts.select(
+        "user_id",
+        "x",
+        "y",
+        F.explode(
+            F.array(*[F.struct((F.col("cx") + dx).alias("px"), (F.col("cy") + dy).alias("py")) for dx, dy in offsets])
+        ).alias("c"),
+    ).select("user_id", "x", "y", F.col("c.px").alias("cx"), F.col("c.py").alias("cy"))
+    build = pts.select(
+        F.col("user_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"), "cx", "cy"
+    )
+    cand = probe.join(build, ["cx", "cy"]).where(F.col("b_id") > F.col("user_id"))
+    d2 = (F.col("x") - F.col("bx")) ** 2 + (F.col("y") - F.col("by")) ** 2
+    scored = cand.select(d2.alias("d2")).localCheckpoint()
+    cells = pts.groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    summary = (
+        pts.agg(F.count("*").cast("bigint").alias("n_points"))
+        .crossJoin(
+            cells.agg(
+                F.count("*").cast("bigint").alias("n_cells"),
+                F.max("n").cast("bigint").alias("max_cell_points"),
+            )
+        )
+        .crossJoin(scored.agg(F.count("*").cast("bigint").alias("n_candidate_pairs")))
+        .crossJoin(
+            scored.where(F.col("d2") <= eps * eps).agg(
+                F.count("*").cast("bigint").alias("n_matches"),
+                F.round(F.avg(F.sqrt("d2")), 6).alias("mean_match_dist"),
+            )
+        )
+    )
+    return summary
+
+
+GEO_GRID_SQL = """
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (((strpos('0123456789abcdef', md5('gx:' || CAST(user_id AS VARCHAR))[1]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5('gx:' || CAST(user_id AS VARCHAR))[2]) - 1) * 256
+         + (strpos('0123456789abcdef', md5('gx:' || CAST(user_id AS VARCHAR))[3]) - 1) * 16
+         + (strpos('0123456789abcdef', md5('gx:' || CAST(user_id AS VARCHAR))[4]) - 1)) / 65536.0 * 100.0) AS x,
+         (((strpos('0123456789abcdef', md5('gy:' || CAST(user_id AS VARCHAR))[1]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5('gy:' || CAST(user_id AS VARCHAR))[2]) - 1) * 256
+         + (strpos('0123456789abcdef', md5('gy:' || CAST(user_id AS VARCHAR))[3]) - 1) * 16
+         + (strpos('0123456789abcdef', md5('gy:' || CAST(user_id AS VARCHAR))[4]) - 1)) / 65536.0 * 100.0) AS y
+  FROM keys),
+cpts AS (SELECT user_id, x, y, CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy FROM pts),
+probe AS (
+  SELECT p.user_id, p.x, p.y, p.cx + o.dx AS cx, p.cy + o.dy AS cy
+  FROM cpts p CROSS JOIN (
+    VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+cand AS (
+  SELECT power(pr.x - b.x, 2) + power(pr.y - b.y, 2) AS d2
+  FROM probe pr JOIN cpts b ON pr.cx = b.cx AND pr.cy = b.cy AND b.user_id > pr.user_id),
+cells AS (SELECT cx, cy, count(*) AS n FROM cpts GROUP BY cx, cy)
+SELECT (SELECT count(*)::BIGINT FROM cpts) AS n_points,
+       (SELECT count(*)::BIGINT FROM cells) AS n_cells,
+       (SELECT CAST(max(n) AS BIGINT) FROM cells) AS max_cell_points,
+       (SELECT count(*)::BIGINT FROM cand) AS n_candidate_pairs,
+       (SELECT count(*)::BIGINT FROM cand WHERE d2 <= 1.0) AS n_matches,
+       (SELECT round(avg(sqrt(d2)), 6) FROM cand WHERE d2 <= 1.0) AS mean_match_dist
+"""
+
+
+def control_chart_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X̄ control chart over daily event-value subgroups —
+    the SPC (statistical process control) view of pipeline health
+    that complements CUSUM (CUSUM accumulates small drifts; the
+    control chart flags single out-of-limit days): per event type,
+    center line = grand mean, limits = ±3·σ̂/√n̄ with σ̂ pooled from
+    within-day variance, and the count of days breaching the limits.
+
+    100 TB: one (type, day) aggregate (mean, var, n), one type-level
+    roll-up — both map-side combined; limits are arithmetic on the
+    roll-up."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), F.avg("value").alias("xbar"), F.var_pop("value").alias("v")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (F.sum(F.col("xbar") * F.col("n")) / F.sum("n")).alias("center"),
+        F.sqrt(F.sum(F.col("v") * F.col("n")) / F.sum("n")).alias("sigma"),
+        (F.sum("n") / F.count("*")).alias("nbar"),
+    )
+    lim = 3.0 * F.col("sigma") / F.sqrt(F.col("nbar"))
+    flagged = (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(
+            F.abs(F.col("xbar") - F.col("center")) > 3.0 * F.col("sigma") / F.sqrt(F.col("nbar"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_breaches"))
+    )
+    return (
+        stats.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.round("center", 6).alias("center"),
+            F.round(F.col("center") + lim, 6).alias("ucl"),
+            F.round(F.col("center") - lim, 6).alias("lcl"),
+            F.coalesce("n_breaches", F.lit(0)).cast("bigint").alias("n_breaches"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CONTROL_CHART_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         count(*) AS n, avg(value) AS xbar, var_pop(value) AS v
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(xbar * n) / sum(n) AS center,
+         sqrt(sum(v * n) / sum(n)) AS sigma,
+         sum(n) / CAST(count(*) AS DOUBLE) AS nbar
+  FROM daily GROUP BY event_type),
+flagged AS (
+  SELECT d.event_type, count(*)::BIGINT AS n_breaches
+  FROM daily d JOIN stats s USING (event_type)
+  WHERE abs(d.xbar - s.center) > 3.0 * s.sigma / sqrt(s.nbar)
+  GROUP BY d.event_type)
+SELECT s.event_type, s.n_days,
+       round(s.center, 6) AS center,
+       round(s.center + 3.0 * s.sigma / sqrt(s.nbar), 6) AS ucl,
+       round(s.center - 3.0 * s.sigma / sqrt(s.nbar), 6) AS lcl,
+       coalesce(f.n_breaches, 0)::BIGINT AS n_breaches
+FROM stats s LEFT JOIN flagged f USING (event_type)
+ORDER BY s.event_type
+"""

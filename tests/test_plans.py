@@ -487,6 +487,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "adstock_transform",
         "feature_hashing_embed",
         "fellegi_sunter_em_step",
+        "geo_grid_neighbor_join",
+        "control_chart_xbar",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

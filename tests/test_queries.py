@@ -1140,3 +1140,47 @@ def test_fellegi_sunter_weights_separate(spark):
         assert 0.0 <= r.m_prob <= 1.0 and 0.0 <= r.u_prob <= 1.0
     assert rows["name"].m_prob > rows["name"].u_prob
     assert rows["name"].match_weight > 0
+
+
+def test_geo_grid_blocking_is_lossless_locally(spark):
+    """The 9-cell probe must find every ε-pair (brute-force check at
+    sf0.001 scale), and the audit columns must be internally
+    consistent (matches ≤ candidates, cells ≤ points)."""
+    import itertools
+
+    from hematite_spark.queries.advanced import geo_grid_neighbor_join
+    from hematite_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    r = geo_grid_neighbor_join(spark, SF_DIR).first()
+    assert r.n_matches <= r.n_candidate_pairs
+    assert r.n_cells <= r.n_points
+    # brute-force ground truth on the same deterministic coordinates
+    uids = [
+        x.user_id
+        for x in load_table(spark, "events", SF_DIR).select("user_id").distinct().collect()
+    ]
+    import hashlib
+
+    def coord(salt, uid):
+        return int(hashlib.md5(f"{salt}{uid}".encode()).hexdigest()[:4], 16) / 65536.0 * 100.0
+
+    pts = [(coord("gx:", u), coord("gy:", u)) for u in uids]
+    brute = sum(
+        1
+        for (x1, y1), (x2, y2) in itertools.combinations(pts, 2)
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= 1.0
+    )
+    assert r.n_matches == brute
+
+
+def test_control_chart_limits_bracket_center(spark):
+    """UCL > center > LCL for every type, and breaches are a small
+    minority of days (the process is in control by construction)."""
+    from hematite_spark.queries.advanced import control_chart_xbar
+
+    rows = control_chart_xbar(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.lcl < r.center < r.ucl
+        assert r.n_breaches <= r.n_days // 3
