@@ -1184,3 +1184,43 @@ def test_control_chart_limits_bracket_center(spark):
     for r in rows:
         assert r.lcl < r.center < r.ucl
         assert r.n_breaches <= r.n_days // 3
+
+
+def test_luhn_expression_against_reference_impl(spark):
+    """The higher-order-array Luhn used by pii_scan_documents must
+    agree with a reference Python implementation on 400 generated
+    numbers: 200 with the correct check digit appended, 200 with it
+    deliberately broken."""
+    from pyspark.sql import functions as F
+
+    def luhn_check_digit(body: str) -> int:
+        digits = [int(c) for c in body][::-1]
+        total = 0
+        for i, d in enumerate(digits):
+            if i % 2 == 0:  # positions 1,3,5... from the right of the BODY
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return (10 - total % 10) % 10
+
+    rows = []
+    for i in range(200):
+        body = str(7100 + i * 37).zfill(15)
+        good = body + str(luhn_check_digit(body))
+        bad = body + str((luhn_check_digit(body) + 5) % 10)
+        rows.append((good, True))
+        rows.append((bad, False))
+    df = spark.createDataFrame(rows, "card string, expected boolean")
+    got = df.select(
+        "expected",
+        F.expr(
+            """aggregate(transform(split(reverse(card), ''), (ch, i) ->
+                 CASE WHEN i % 2 = 1
+                      THEN IF(int(ch) * 2 > 9, int(ch) * 2 - 9, int(ch) * 2)
+                      ELSE int(ch) END),
+               0, (a, x) -> a + x) % 10 = 0"""
+        ).alias("got"),
+    ).collect()
+    for r in got:
+        assert r.got == r.expected
