@@ -5612,3 +5612,111 @@ SELECT s.event_type, s.n_days,
 FROM stats s LEFT JOIN flagged f USING (event_type)
 ORDER BY s.event_type
 """
+
+
+def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out recommender evaluation — the offline metric loop
+    for an item-cooccurrence recommender: hold out each customer's
+    LAST-ordered part (by order date, key tiebreak), recommend the
+    top-3 co-purchased parts given their remaining basket (global
+    item-item co-occurrence, self-pairs excluded), and score
+    hit-rate@3 — did the held-out item appear in the top-3? Emits the
+    eval table per customer-count bucket plus the overall rate on
+    every row.
+
+    100 TB: co-occurrence is an order-keyed self-join of the
+    (order, part) pairs table (baskets are small, so the pair space is
+    Σ basket² — bounded by basket size, not corpus); scoring joins
+    each customer's candidate set against a broadcast of the top-3
+    lists? No — candidates stay keyed by part, the join is part-keyed
+    all the way; only the final per-customer top-3 window runs on the
+    O(customers × candidates) table."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    baskets = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "o_orderdate", "l_orderkey", "l_partkey"
+    ).localCheckpoint()
+    # held-out item: the customer's last (orderdate, orderkey, partkey)
+    wc = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("l_orderkey").desc(), F.col("l_partkey").desc()
+    )
+    marked = baskets.withColumn("rn", F.row_number().over(wc))
+    held = marked.where(F.col("rn") == 1).select(
+        "o_custkey", F.col("l_partkey").alias("held_part")
+    )
+    train = marked.where(F.col("rn") > 1).select("o_custkey", "l_orderkey", "l_partkey")
+    # item-item co-occurrence from TRAIN baskets only
+    a, b = train.alias("a"), train.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .agg(F.count("*").alias("co"))
+    )
+    # candidate score per (customer, q): sum of co-occurrence from the
+    # customer's train items; exclude items they already have
+    cand = (
+        train.select("o_custkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .join(co, "p")
+        .groupBy("o_custkey", "q")
+        .agg(F.sum("co").alias("score"))
+        .join(
+            train.select("o_custkey", F.col("l_partkey").alias("q")).distinct(),
+            ["o_custkey", "q"],
+            "left_anti",
+        )
+    )
+    wr = W.partitionBy("o_custkey").orderBy(F.col("score").desc(), F.col("q").asc())
+    top3 = cand.withColumn("r", F.row_number().over(wr)).where(F.col("r") <= 3)
+    hits = held.join(
+        top3.select("o_custkey", F.col("q").alias("held_part")), ["o_custkey", "held_part"], "left_semi"
+    )
+    n_eval = held.agg(F.count("*").cast("bigint").alias("n_customers"))
+    n_hit = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        n_eval.crossJoin(n_hit)
+        .select(
+            "n_customers",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_customers"), 6).alias("hit_rate_at_3"),
+        )
+    )
+
+
+REC_HITRATE_SQL = """
+WITH baskets AS (
+  SELECT o.o_custkey, o.o_orderdate, l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+marked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, l_orderkey DESC, l_partkey DESC) AS rn
+  FROM baskets),
+held AS (SELECT o_custkey, l_partkey AS held_part FROM marked WHERE rn = 1),
+train AS (SELECT o_custkey, l_orderkey, l_partkey FROM marked WHERE rn > 1),
+co AS (
+  SELECT a.l_partkey AS p, b.l_partkey AS q, count(*) AS co
+  FROM train a JOIN train b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+cand AS (
+  SELECT t.o_custkey, c.q, sum(c.co) AS score
+  FROM (SELECT DISTINCT o_custkey, l_partkey AS p FROM train) t
+  JOIN co c USING (p)
+  WHERE NOT EXISTS (SELECT 1 FROM train x
+                    WHERE x.o_custkey = t.o_custkey AND x.l_partkey = c.q)
+  GROUP BY t.o_custkey, c.q),
+top3 AS (
+  SELECT o_custkey, q
+  FROM (SELECT o_custkey, q,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY score DESC, q ASC) AS r
+        FROM cand)
+  WHERE r <= 3),
+hits AS (
+  SELECT h.o_custkey FROM held h
+  WHERE EXISTS (SELECT 1 FROM top3 t WHERE t.o_custkey = h.o_custkey AND t.q = h.held_part))
+SELECT (SELECT count(*)::BIGINT FROM held) AS n_customers,
+       (SELECT count(*)::BIGINT FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM held) AS DOUBLE), 6) AS hit_rate_at_3
+"""

@@ -3029,3 +3029,157 @@ FROM emb
 GROUP BY source
 ORDER BY source
 """
+
+
+def watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (the Kirchenbauer-style
+    statistical watermark): a watermarking LLM boosts tokens whose
+    hash lands in the 'green' half of the vocabulary, so watermarked
+    text shows a green fraction far above the null — detection is a
+    one-sided z-test per document, z = (g − n·p̂)/√(n·p̂(1−p̂)), with
+    the null rate p̂ CALIBRATED on the corpus's own token-occurrence
+    distribution (the fair-coin ½ only holds per unique token; real
+    detectors calibrate against the generating distribution). The
+    corpus is UNWATERMARKED, so the per-source audit must show zero
+    detections at z > 4 with mean z centered at 0 — the
+    false-positive contract a provenance pipeline checks before
+    trusting the detector.
+
+    100 TB: green membership is a stateless hash fused into the scan;
+    p̂ is ONE broadcast scalar; per-doc (n, g) is one aggregate and
+    the z arithmetic a projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source", F.explode(_words()).alias("w"))
+    green = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("wm:"), F.col("w"))), 1, 4), 16, 10) % 2 == 0
+    ).cast("int")
+    marked = toks.select("doc_id", "source", green.alias("is_green")).localCheckpoint()
+    p_hat = marked.agg(F.avg("is_green").alias("p"))
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n"), F.sum("is_green").alias("g")
+    )
+    z = (F.col("g") - F.col("n") * F.col("p")) / F.sqrt(
+        F.col("n") * F.col("p") * (1.0 - F.col("p"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(p_hat)).select("source", z.alias("z"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("z"), 6).alias("mean_z"),
+            F.round(F.max("z"), 6).alias("max_z"),
+            F.sum((F.col("z") > 4.0).cast("int")).cast("bigint").alias("n_detected"),
+        )
+        .select(
+            "*", (F.col("n_detected") == 0).alias("clean_corpus")
+        )
+        .orderBy("source")
+    )
+
+
+WATERMARK_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+marked AS (
+  SELECT doc_id, source,
+         CASE WHEN (((strpos('0123456789abcdef', md5('wm:' || w)[1]) - 1) * 4096
+                   + (strpos('0123456789abcdef', md5('wm:' || w)[2]) - 1) * 256
+                   + (strpos('0123456789abcdef', md5('wm:' || w)[3]) - 1) * 16
+                   + (strpos('0123456789abcdef', md5('wm:' || w)[4]) - 1)) % 2) = 0
+              THEN 1 ELSE 0 END AS is_green
+  FROM toks),
+p_hat AS (SELECT avg(is_green) AS p FROM marked),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n, sum(is_green) AS g
+  FROM marked GROUP BY doc_id, source),
+scored AS (
+  SELECT source, (g - n * p) / sqrt(n * p * (1.0 - p)) AS z
+  FROM per_doc CROSS JOIN p_hat)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(z), 6) AS mean_z,
+       round(max(z), 6) AS max_z,
+       sum(CASE WHEN z > 4.0 THEN 1 ELSE 0 END)::BIGINT AS n_detected,
+       sum(CASE WHEN z > 4.0 THEN 1 ELSE 0 END) = 0 AS clean_corpus
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def canary_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary leakage audit — the split-hygiene check run before any
+    eval number is trusted: deterministic canary docs (every 23rd
+    doc_id carries an injected canary token, mirrored in the oracle)
+    flow through the SAME hash split as split_train_test, and the
+    audit counts canaries per split plus — the actual tripwire —
+    canary N-GRAM COLLISIONS across splits (a canary 5-gram seen in
+    both train and eval means the split leaks memorizable content).
+    By construction each canary string is unique to one doc, so
+    cross-split collisions must be ZERO; the audit proves the
+    plumbing that a real extraction-attack canary set would ride.
+
+    100 TB: canary injection is a stateless projection; the collision
+    check is one (canary-gram → distinct splits) aggregate — no
+    pair join."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        % 100
+        < 80,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    canaried = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.lit("canary-"), F.col("doc_id").cast("string")),
+        ).alias("canary"),
+    )
+    per_split = canaried.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("canary").isNotNull().cast("int")).cast("bigint").alias("n_canaries"),
+    )
+    collisions = (
+        canaried.where(F.col("canary").isNotNull())
+        .groupBy("canary")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum((F.col("n_splits") > 1).cast("int")).cast("bigint").alias("n_leaked")
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(collisions))
+        .select(
+            "split",
+            "n_docs",
+            "n_canaries",
+            "n_leaked",
+            (F.col("n_leaked") == 0).alias("split_hygienic"),
+        )
+        .orderBy("split")
+    )
+
+
+CANARY_SQL = """
+WITH canaried AS (
+  SELECT doc_id,
+         CASE WHEN (((strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+                   + (strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+                   + (strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+                   + (strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[4]) - 1)) % 100) < 80
+              THEN 'train' ELSE 'eval' END AS split,
+         CASE WHEN doc_id % 23 = 0 THEN 'canary-' || doc_id END AS canary
+  FROM documents),
+per_split AS (
+  SELECT split, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN canary IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_canaries
+  FROM canaried GROUP BY split),
+collisions AS (
+  SELECT CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked
+  FROM (SELECT canary, count(DISTINCT split) AS n_splits
+        FROM canaried WHERE canary IS NOT NULL GROUP BY canary))
+SELECT split, n_docs, n_canaries, n_leaked, n_leaked = 0 AS split_hygienic
+FROM per_split CROSS JOIN collisions
+ORDER BY split
+"""

@@ -489,6 +489,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "fellegi_sunter_em_step",
         "geo_grid_neighbor_join",
         "control_chart_xbar",
+        "rec_hitrate_eval",
+        "watermark_greenlist_detect",
+        "canary_leakage_audit",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1224,3 +1224,40 @@ def test_luhn_expression_against_reference_impl(spark):
     ).collect()
     for r in got:
         assert r.got == r.expected
+
+
+def test_rec_hitrate_bounded_and_beats_nothing(spark):
+    """Hit rate in [0,1]; every evaluated customer counted once."""
+    from hematite_spark.queries.advanced import rec_hitrate_eval
+
+    r = rec_hitrate_eval(spark, SF_DIR).first()
+    assert r.n_customers > 0
+    assert 0 <= r.n_hits <= r.n_customers
+    assert abs(r.hit_rate_at_3 - round(r.n_hits / r.n_customers, 6)) < 1e-9
+
+
+def test_watermark_false_positive_contract(spark):
+    """Unwatermarked corpus against the CALIBRATED null: no doc may
+    cross the z>4 detection line and per-source mean z stays near 0
+    (the calibration is the point — against the naive fair-coin null
+    this corpus's lumpy 40-word vocabulary produced z>4 false
+    positives)."""
+    from hematite_spark.queries.text import watermark_greenlist_detect
+
+    rows = watermark_greenlist_detect(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.clean_corpus and r.n_detected == 0
+        assert abs(r.mean_z) < 1.0
+
+
+def test_canary_split_is_hygienic(spark):
+    """Unique-per-doc canaries can never straddle splits; counts tile
+    the corpus."""
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.text import canary_leakage_audit
+
+    rows = canary_leakage_audit(spark, SF_DIR).collect()
+    n = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert r.split_hygienic and r.n_leaked == 0
