@@ -5720,3 +5720,280 @@ SELECT (SELECT count(*)::BIGINT FROM held) AS n_customers,
        (SELECT count(*)::BIGINT FROM hits) AS n_hits,
        round((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM held) AS DOUBLE), 6) AS hit_rate_at_3
 """
+
+
+def raking_ipf_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting), one full
+    cycle — the weighting pass that makes an unrepresentative sample
+    match known population margins: cell weights over the
+    (cohort × event_type) table start at 1, scale to hit the cohort
+    margins (uniform ¼ target), then the type margins (uniform ⅕),
+    and the audit reports each margin's worst relative error after
+    the cycle — cohort margins drift slightly once types are fitted
+    (why IPF iterates), type margins are exact by construction.
+
+    100 TB: the sample collapses to the O(cohorts × types)
+    contingency table in one aggregate; every IPF scaling is
+    arithmetic between that table and its two margin projections."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        (F.col("user_id") % 4).alias("cohort"), "event_type"
+    ).agg(F.count("*").cast("double").alias("n")).localCheckpoint()
+    total = cells.agg(F.sum("n").alias("tot"))
+    from pyspark.sql import Window as W
+
+    w1 = (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn("w", (F.col("tot") / 4.0) / F.sum("n").over(W.partitionBy("cohort")))
+    )
+    w2 = w1.withColumn(
+        "w2",
+        F.col("w")
+        * (F.col("tot") / 5.0)
+        / F.sum(F.col("n") * F.col("w")).over(W.partitionBy("event_type")),
+    )
+    audit = w2.select(
+        "cohort",
+        "event_type",
+        "n",
+        F.round("w2", 6).alias("weight"),
+        (F.col("n") * F.col("w2")).alias("wn"),
+        "tot",
+    )
+    coh_err = (
+        audit.groupBy("cohort")
+        .agg(F.sum("wn").alias("m"), F.max("tot").alias("tot"))
+        .agg(
+            F.round(F.max(F.abs(F.col("m") / (F.col("tot") / 4.0) - 1.0)), 6).alias(
+                "max_cohort_margin_err"
+            )
+        )
+    )
+    typ_err = (
+        audit.groupBy("event_type")
+        .agg(F.sum("wn").alias("m"), F.max("tot").alias("tot"))
+        .agg(
+            F.round(F.max(F.abs(F.col("m") / (F.col("tot") / 5.0) - 1.0)), 6).alias(
+                "max_type_margin_err"
+            )
+        )
+    )
+    return (
+        audit.groupBy("cohort")
+        .agg(
+            F.round(F.min("weight"), 6).alias("min_weight"),
+            F.round(F.max("weight"), 6).alias("max_weight"),
+        )
+        .crossJoin(F.broadcast(coh_err))
+        .crossJoin(F.broadcast(typ_err))
+        .orderBy("cohort")
+    )
+
+
+RAKING_SQL = """
+WITH cells AS (
+  SELECT user_id % 4 AS cohort, event_type, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS tot FROM cells),
+w1 AS (
+  SELECT cohort, event_type, n, tot,
+         (tot / 4.0) / sum(n) OVER (PARTITION BY cohort) AS w
+  FROM cells CROSS JOIN tot),
+w2 AS (
+  SELECT cohort, event_type, n, tot,
+         w * (tot / 5.0) / sum(n * w) OVER (PARTITION BY event_type) AS w2
+  FROM w1),
+audit AS (
+  SELECT cohort, event_type, n, round(w2, 6) AS weight, n * w2 AS wn, tot FROM w2),
+coh_err AS (
+  SELECT round(max(abs(m / (tot / 4.0) - 1.0)), 6) AS max_cohort_margin_err
+  FROM (SELECT cohort, sum(wn) AS m, max(tot) AS tot FROM audit GROUP BY cohort)),
+typ_err AS (
+  SELECT round(max(abs(m / (tot / 5.0) - 1.0)), 6) AS max_type_margin_err
+  FROM (SELECT event_type, sum(wn) AS m, max(tot) AS tot FROM audit GROUP BY event_type))
+SELECT cohort, round(min(weight), 6) AS min_weight, round(max(weight), 6) AS max_weight,
+       (SELECT max_cohort_margin_err FROM coh_err) AS max_cohort_margin_err,
+       (SELECT max_type_margin_err FROM typ_err) AS max_type_margin_err
+FROM audit
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index over order totals — the
+    statistic that says whether a value column has power-law tails
+    (α ≤ 2: infinite variance, your mean is a lie; α large: thin
+    tails): α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₎) over the top-k=100 order statistics,
+    per order-priority segment. Reported with the implied
+    finite-variance verdict.
+
+    100 TB: the top-k per segment comes from a TakeOrdered-style
+    per-segment window over a pre-filtered scan (at scale: per-
+    partition top-k then merge); the estimator is one aggregate over
+    O(segments × k) rows."""
+    from pyspark.sql import Window as W
+
+    k = 100
+    orders = load_table(spark, "orders", sf_dir).select("o_orderpriority", "o_totalprice")
+    wseg = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderpriority")
+    )
+    top = orders.withColumn("r", F.row_number().over(wseg)).where(F.col("r") <= k + 1)
+    xk = top.where(F.col("r") == k + 1).select(
+        "o_orderpriority", F.col("o_totalprice").alias("xk")
+    )
+    return (
+        top.where(F.col("r") <= k)
+        .join(F.broadcast(xk), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.round(
+                F.count("*") / F.sum(F.log(F.col("o_totalprice") / F.col("xk"))), 6
+            ).alias("hill_alpha"),
+        )
+        .select(
+            "o_orderpriority",
+            "k_used",
+            "hill_alpha",
+            (F.col("hill_alpha") > 2.0).alias("finite_variance"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+HILL_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderpriority) AS r
+  FROM orders),
+xk AS (
+  SELECT o_orderpriority, o_totalprice AS xk FROM ranked WHERE r = 101)
+SELECT t.o_orderpriority,
+       count(*)::BIGINT AS k_used,
+       round(count(*) / sum(ln(t.o_totalprice / x.xk)), 6) AS hill_alpha,
+       (count(*) / sum(ln(t.o_totalprice / x.xk))) > 2.0 AS finite_variance
+FROM ranked t JOIN xk x USING (o_orderpriority)
+WHERE t.r <= 100
+GROUP BY t.o_orderpriority
+ORDER BY t.o_orderpriority
+"""
+
+
+def shapley_attribution_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the three marketing
+    touch channels (view, click, signup) — the game-theoretic answer
+    to 'which channel deserves the conversion credit', computed in
+    closed form because 3 channels = 2³ coalitions: v(S) = conversion
+    rate of users whose touch set is exactly covered by S, and each
+    channel's Shapley value averages its marginal contribution over
+    all orderings. The additivity audit rides along: Σφ = v(grand) −
+    v(∅).
+
+    100 TB: users collapse to (has_view, has_click, has_signup,
+    converted) — one aggregate; the 8 coalition values and 3 Shapley
+    sums are arithmetic on that 8-row table."""
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("a"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("b"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    # v(S): conversion rate among users whose touches are a subset of S
+    # (users outside S's coverage can't be credited to S)
+    vs = {}
+    cov = lambda mask_a, mask_b, mask_c: (
+        ((F.col("a") <= mask_a) & (F.col("b") <= mask_b) & (F.col("c") <= mask_c)).cast("int")
+    )
+    agg_exprs = []
+    for sa in (0, 1):
+        for sb in (0, 1):
+            for sc in (0, 1):
+                name = f"v{sa}{sb}{sc}"
+                inset = cov(sa, sb, sc)
+                agg_exprs.append(
+                    (
+                        F.sum(F.col("y") * inset) / F.greatest(F.sum(inset), F.lit(1))
+                    ).alias(name)
+                )
+    v = users.agg(*agg_exprs)
+    # Shapley for 3 players: φ_a = Σ_S⊆{b,c} |S|!(2-|S|)!/3! [v(S∪a)-v(S)]
+    w0, w1_, w2_ = 2.0 / 6.0, 1.0 / 6.0, 2.0 / 6.0
+    phi_a = (
+        w0 * (F.col("v100") - F.col("v000"))
+        + w1_ * (F.col("v110") - F.col("v010"))
+        + w1_ * (F.col("v101") - F.col("v001"))
+        + w2_ * (F.col("v111") - F.col("v011"))
+    )
+    phi_b = (
+        w0 * (F.col("v010") - F.col("v000"))
+        + w1_ * (F.col("v110") - F.col("v100"))
+        + w1_ * (F.col("v011") - F.col("v001"))
+        + w2_ * (F.col("v111") - F.col("v101"))
+    )
+    phi_c = (
+        w0 * (F.col("v001") - F.col("v000"))
+        + w1_ * (F.col("v101") - F.col("v100"))
+        + w1_ * (F.col("v011") - F.col("v010"))
+        + w2_ * (F.col("v111") - F.col("v110"))
+    )
+    total = F.col("v111") - F.col("v000")
+    wide = v.select(
+        F.round(phi_a, 6).alias("view"),
+        F.round(phi_b, 6).alias("click"),
+        F.round(phi_c, 6).alias("signup"),
+        F.round(total, 6).alias("total_effect"),
+        (F.abs(phi_a + phi_b + phi_c - total) < 1e-9).alias("additivity_ok"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("channel"), F.col("view").alias("shapley")),
+                F.struct(F.lit("click").alias("channel"), F.col("click").alias("shapley")),
+                F.struct(F.lit("signup").alias("channel"), F.col("signup").alias("shapley")),
+            )
+        ).alias("s"),
+        "total_effect",
+        "additivity_ok",
+    ).select(
+        F.col("s.channel").alias("channel"),
+        F.col("s.shapley").alias("shapley"),
+        "total_effect",
+        "additivity_ok",
+    ).orderBy("channel")
+
+
+SHAPLEY_SQL = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT
+    sum(y * CASE WHEN a <= 0 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v000,
+    sum(y * CASE WHEN a <= 0 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v001,
+    sum(y * CASE WHEN a <= 0 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v010,
+    sum(y * CASE WHEN a <= 0 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v011,
+    sum(y * CASE WHEN a <= 1 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v100,
+    sum(y * CASE WHEN a <= 1 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v101,
+    sum(y * CASE WHEN a <= 1 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v110,
+    sum(y * CASE WHEN a <= 1 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v111
+  FROM users),
+phi AS (
+  SELECT
+    (2.0/6)*(v100 - v000) + (1.0/6)*(v110 - v010) + (1.0/6)*(v101 - v001) + (2.0/6)*(v111 - v011) AS pa,
+    (2.0/6)*(v010 - v000) + (1.0/6)*(v110 - v100) + (1.0/6)*(v011 - v001) + (2.0/6)*(v111 - v101) AS pb,
+    (2.0/6)*(v001 - v000) + (1.0/6)*(v101 - v100) + (1.0/6)*(v011 - v010) + (2.0/6)*(v111 - v110) AS pc,
+    v111 - v000 AS total
+  FROM v)
+SELECT channel, shapley, round(total, 6) AS total_effect,
+       abs(pa + pb + pc - total) < 1e-9 AS additivity_ok
+FROM phi, LATERAL (VALUES ('view', round(pa, 6)), ('click', round(pb, 6)), ('signup', round(pc, 6))) t(channel, shapley)
+ORDER BY channel
+"""

@@ -492,6 +492,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "rec_hitrate_eval",
         "watermark_greenlist_detect",
         "canary_leakage_audit",
+        "raking_ipf_step",
+        "hill_tail_index",
+        "shapley_attribution_3",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

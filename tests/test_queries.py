@@ -1261,3 +1261,39 @@ def test_canary_split_is_hygienic(spark):
     assert sum(r.n_docs for r in rows) == n
     for r in rows:
         assert r.split_hygienic and r.n_leaked == 0
+
+
+def test_raking_hits_type_margins_exactly(spark):
+    """After the type pass, type margins are exact (err ≈ 0); cohort
+    margins drift but stay small; weights positive."""
+    from hematite_spark.queries.advanced import raking_ipf_step
+
+    rows = raking_ipf_step(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.max_type_margin_err < 1e-6
+        assert r.max_cohort_margin_err < 0.25
+        assert 0 < r.min_weight <= r.max_weight
+
+
+def test_hill_alpha_positive(spark):
+    """Tail index positive and the verdict consistent; k respected."""
+    from hematite_spark.queries.advanced import hill_tail_index
+
+    rows = hill_tail_index(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.hill_alpha > 0
+        assert r.k_used <= 100
+        assert r.finite_variance == (r.hill_alpha > 2.0)
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Additivity (efficiency) must hold exactly: Σφ = v(grand)−v(∅),
+    as the audit column asserts; 3 channels reported."""
+    from hematite_spark.queries.advanced import shapley_attribution_3
+
+    rows = shapley_attribution_3(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(r.additivity_ok for r in rows)
+    assert abs(sum(r.shapley for r in rows) - rows[0].total_effect) < 5e-6
