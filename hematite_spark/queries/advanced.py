@@ -5997,3 +5997,205 @@ SELECT channel, shapley, round(total, 6) AS total_effect,
 FROM phi, LATERAL (VALUES ('view', round(pa, 6)), ('click', round(pb, 6)), ('signup', round(pc, 6))) t(channel, shapley)
 ORDER BY channel
 """
+
+
+def huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IRLS step of Huber robust regression (value ~ day, per
+    event type): the plain OLS slope, then one reweighted pass with
+    Huber weights w = min(1, c/|residual|) (c = 20) that down-weights
+    outliers instead of letting them own the fit. Emits both slopes,
+    the share of down-weighted rows, and the slope shift — the
+    robustness audit for any trend a pipeline alerts on.
+
+    100 TB: two moment aggregates over the same scan shape (the OLS
+    pass broadcasts 2 scalars per type back into the reweighted
+    pass); no sorting, no iteration beyond the one documented step."""
+    c = 20.0
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    ols = ev.groupBy("event_type").agg(
+        ((F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.count("*"))
+         / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / F.count("*"))).alias("b_ols"),
+        ((F.sum("y") - (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.count("*"))
+          / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / F.count("*")) * F.sum("x"))
+         / F.count("*")).alias("a_ols"),
+    )
+    resid = ev.join(F.broadcast(ols), "event_type").withColumn(
+        "r", F.col("y") - F.col("a_ols") - F.col("b_ols") * F.col("x")
+    )
+    weighted = resid.withColumn(
+        "w", F.least(F.lit(1.0), F.lit(c) / F.greatest(F.abs("r"), F.lit(1e-9)))
+    )
+    out = weighted.groupBy("event_type").agg(
+        F.max("b_ols").alias("b_ols"),
+        ((F.sum(F.col("w") * F.col("x") * F.col("y"))
+          - F.sum(F.col("w") * F.col("x")) * F.sum(F.col("w") * F.col("y")) / F.sum("w"))
+         / (F.sum(F.col("w") * F.col("x") * F.col("x"))
+            - F.sum(F.col("w") * F.col("x")) * F.sum(F.col("w") * F.col("x")) / F.sum("w"))).alias("b_huber"),
+        (F.sum((F.col("w") < 1.0).cast("int")) / F.count("*")).alias("downweighted_frac"),
+    )
+    return out.select(
+        "event_type",
+        F.round("b_ols", 6).alias("slope_ols"),
+        F.round("b_huber", 6).alias("slope_huber"),
+        F.round("downweighted_frac", 6).alias("downweighted_frac"),
+        F.round(F.abs(F.col("b_huber") - F.col("b_ols")), 6).alias("slope_shift"),
+    ).orderBy("event_type")
+
+
+HUBER_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         value AS y
+  FROM events),
+ols AS (
+  SELECT event_type,
+         (sum(x*y) - sum(x)*sum(y)/count(*)) / (sum(x*x) - sum(x)*sum(x)/count(*)) AS b_ols,
+         (sum(y) - (sum(x*y) - sum(x)*sum(y)/count(*)) / (sum(x*x) - sum(x)*sum(x)/count(*)) * sum(x)) / count(*) AS a_ols
+  FROM ev GROUP BY event_type),
+weighted AS (
+  SELECT e.event_type, e.x, e.y, o.b_ols,
+         least(1.0, 20.0 / greatest(abs(e.y - o.a_ols - o.b_ols * e.x), 1e-9)) AS w
+  FROM ev e JOIN ols o USING (event_type))
+SELECT event_type,
+       round(max(b_ols), 6) AS slope_ols,
+       round((sum(w*x*y) - sum(w*x)*sum(w*y)/sum(w))
+             / (sum(w*x*x) - sum(w*x)*sum(w*x)/sum(w)), 6) AS slope_huber,
+       round(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS downweighted_frac,
+       round(abs((sum(w*x*y) - sum(w*x)*sum(w*y)/sum(w))
+             / (sum(w*x*x) - sum(w*x)*sum(w*x)/sum(w)) - max(b_ols)), 6) AS slope_shift
+FROM weighted
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance check (standardized mean differences) for
+    the user-hash A/B split — the randomization-quality audit that
+    runs WITH srm_check before any effect is read: per pre-period
+    covariate (mean event value, event count, active days), SMD =
+    (x̄_B − x̄_A)/s_pooled; |SMD| < 0.1 is the conventional balance
+    line. A failing covariate means the 'random' split correlates
+    with behavior and every naive comparison is confounded.
+
+    100 TB: one user-level aggregate (3 covariates in one pass), one
+    (arm) moment aggregate per covariate — O(1) output rows."""
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    users = ev.where(F.col("ts") < cut).groupBy("user_id").agg(
+        F.avg("value").alias("mean_value"),
+        F.count("*").cast("double").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("active_days"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    rows = []
+    for cov in ("mean_value", "n_events", "active_days"):
+        agg = users.groupBy("arm").agg(
+            F.avg(cov).alias("m"), F.var_samp(cov).alias("v"), F.count("*").alias("n")
+        )
+        wide = agg.agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+        )
+        smd = (F.col("m1") - F.col("m0")) / F.sqrt((F.col("v0") + F.col("v1")) / 2.0)
+        rows.append(
+            wide.select(
+                F.lit(cov).alias("covariate"),
+                F.round("m0", 6).alias("mean_a"),
+                F.round("m1", 6).alias("mean_b"),
+                F.round(smd, 6).alias("smd"),
+                (F.abs(smd) < 0.1).alias("balanced"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("covariate")
+
+
+COVARIATE_BALANCE_SQL = """
+WITH users AS (
+  SELECT user_id, user_id % 2 AS arm,
+         avg(value) AS mean_value,
+         CAST(count(*) AS DOUBLE) AS n_events,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS active_days
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+per AS (
+  SELECT covariate, arm, avg(val) AS m, var_samp(val) AS v
+  FROM users, LATERAL (VALUES ('mean_value', mean_value), ('n_events', n_events),
+                              ('active_days', active_days)) t(covariate, val)
+  GROUP BY covariate, arm),
+wide AS (
+  SELECT covariate,
+         sum(CASE WHEN arm = 0 THEN m END) AS m0,
+         sum(CASE WHEN arm = 1 THEN m END) AS m1,
+         sum(CASE WHEN arm = 0 THEN v END) AS v0,
+         sum(CASE WHEN arm = 1 THEN v END) AS v1
+  FROM per GROUP BY covariate)
+SELECT covariate, round(m0, 6) AS mean_a, round(m1, 6) AS mean_b,
+       round((m1 - m0) / sqrt((v0 + v1) / 2.0), 6) AS smd,
+       abs((m1 - m0) / sqrt((v0 + v1) / 2.0)) < 0.1 AS balanced
+FROM wide
+ORDER BY covariate
+"""
+
+
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — where the average effect hides
+    the story: the B−A difference at each decile of the outcome
+    (event value) distribution, from exact per-arm quantile grids.
+    A flat QTE profile means a uniform shift; effects concentrated in
+    the upper deciles mean the treatment moves the tail, not the
+    typical user — decisions the mean alone gets wrong.
+
+    100 TB: one exact percentile-array aggregate per arm (the
+    documented scale swap is approx_percentile), then O(deciles)
+    arithmetic between two broadcast 9-element arrays."""
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 2).alias("arm"), "value"
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    grids = ev.groupBy("arm").agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("g")
+    )
+    wide = grids.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("g"))).alias("ga"),
+        F.max(F.when(F.col("arm") == 1, F.col("g"))).alias("gb"),
+    )
+    exploded = wide.select(
+        F.posexplode(
+            F.zip_with(F.col("gb"), F.col("ga"), lambda b, a: b - a)
+        ).alias("i", "qte"),
+        F.col("ga"),
+        F.col("gb"),
+    )
+    return exploded.select(
+        ((F.col("i") + 1) * 10).cast("bigint").alias("percentile"),
+        F.round(F.element_at(F.col("ga"), F.col("i") + 1), 6).alias("control_q"),
+        F.round(F.element_at(F.col("gb"), F.col("i") + 1), 6).alias("treated_q"),
+        F.round("qte", 6).alias("qte"),
+    ).orderBy("percentile")
+
+
+QTE_SQL = """
+WITH grids AS (
+  SELECT user_id % 2 AS arm,
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS g
+  FROM events GROUP BY user_id % 2),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 THEN g END) AS ga,
+         max(CASE WHEN arm = 1 THEN g END) AS gb
+  FROM grids)
+SELECT CAST(i * 10 AS BIGINT) AS percentile,
+       round(ga[i], 6) AS control_q,
+       round(gb[i], 6) AS treated_q,
+       round(gb[i] - ga[i], 6) AS qte
+FROM wide, LATERAL (SELECT unnest(generate_series(1, 9)) AS i)
+ORDER BY percentile
+"""

@@ -495,6 +495,9 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "raking_ipf_step",
         "hill_tail_index",
         "shapley_attribution_3",
+        "huber_irls_step",
+        "covariate_balance_smd",
+        "quantile_treatment_effect",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1297,3 +1297,39 @@ def test_shapley_efficiency_axiom(spark):
     assert len(rows) == 3
     assert all(r.additivity_ok for r in rows)
     assert abs(sum(r.shapley for r in rows) - rows[0].total_effect) < 5e-6
+
+
+def test_huber_bounds_outlier_influence(spark):
+    """Down-weighted fraction in (0,1); both slopes finite; the shift
+    column is the absolute difference."""
+    from hematite_spark.queries.advanced import huber_irls_step
+
+    rows = huber_irls_step(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 < r.downweighted_frac < 1.0
+        assert abs(r.slope_shift - round(abs(r.slope_huber - r.slope_ols), 6)) < 2e-6
+
+
+def test_covariate_balance_on_hash_split(spark):
+    """A hash split of iid users must balance every covariate."""
+    from hematite_spark.queries.advanced import covariate_balance_smd
+
+    rows = covariate_balance_smd(spark, SF_DIR).collect()
+    assert {r.covariate for r in rows} == {"mean_value", "n_events", "active_days"}
+    for r in rows:
+        assert r.balanced == (abs(r.smd) < 0.1)
+
+
+def test_qte_deciles_monotone_in_quantile(spark):
+    """Per-arm quantile grids must be monotone in the percentile and
+    the qte column exactly their difference."""
+    from hematite_spark.queries.advanced import quantile_treatment_effect
+
+    rows = quantile_treatment_effect(spark, SF_DIR).collect()
+    assert [r.percentile for r in rows] == list(range(10, 100, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert b.control_q >= a.control_q
+        assert b.treated_q >= a.treated_q
+    for r in rows:
+        assert abs(r.qte - round(r.treated_q - r.control_q, 6)) < 2e-6
