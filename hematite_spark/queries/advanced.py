@@ -6199,3 +6199,117 @@ SELECT CAST(i * 10 AS BIGINT) AS percentile,
 FROM wide, LATERAL (SELECT unnest(generate_series(1, 9)) AS i)
 ORDER BY percentile
 """
+
+
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with a coverage audit —
+    the distribution-free uncertainty wrapper modern ML serving
+    demands: a base predictor (per-type mean from the train split),
+    nonconformity scores |y − ŷ| on a CALIBRATION split, the
+    conformal quantile q̂ at the ⌈(n+1)(1−α)⌉/n rank (α = 0.1), and
+    the guaranteed-≥90% empirical coverage measured on the held-out
+    TEST split. The three splits are the stateless user-hash split.
+    Conformal's finite-sample guarantee is the contract column.
+
+    100 TB: one pass builds all three splits' aggregates (the
+    predictor and q̂ are O(types) broadcasts); the coverage check is
+    a filtered aggregate over the test partition."""
+    from pyspark.sql import Window as W
+
+    alpha = 0.1
+    ev = load_table(spark, "events", sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cf:"), F.col("event_id").cast("string"))), 1, 4), 16, 10)
+        % 100
+    )
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(h < 50, "train").when(h < 75, "cal").otherwise("test").alias("split"),
+    ).localCheckpoint()
+    pred = tagged.where(F.col("split") == "train").groupBy("event_type").agg(
+        F.avg("value").alias("yhat")
+    )
+    cal = (
+        tagged.where(F.col("split") == "cal")
+        .join(F.broadcast(pred), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+    )
+    wr = W.partitionBy("event_type").orderBy("score")
+    ncal = cal.groupBy("event_type").agg(F.count("*").alias("n_cal"))
+    qsel = (
+        cal.withColumn("r", F.row_number().over(wr))
+        .join(F.broadcast(ncal), "event_type")
+        .where(F.col("r") == F.ceil((F.col("n_cal") + 1) * (1 - alpha)))
+        .select("event_type", F.col("score").alias("qhat"), "n_cal")
+    )
+    test = (
+        tagged.where(F.col("split") == "test")
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qsel), "event_type")
+    )
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.max("n_cal").cast("bigint").alias("n_cal"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(F.max("qhat"), 6).alias("qhat"),
+            F.round(
+                F.avg(
+                    (F.abs(F.col("value") - F.col("yhat")) <= F.col("qhat")).cast("int")
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "*",
+            (
+                F.col("coverage")
+                >= 1
+                - alpha
+                - 2.0 * F.sqrt(alpha * (1 - alpha) / F.col("n_test"))
+            ).alias("coverage_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CONFORMAL_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN h < 50 THEN 'train' WHEN h < 75 THEN 'cal' ELSE 'test' END AS split
+  FROM (SELECT event_type, value,
+               (((strpos('0123456789abcdef', md5('cf:' || CAST(event_id AS VARCHAR))[1]) - 1) * 4096
+               + (strpos('0123456789abcdef', md5('cf:' || CAST(event_id AS VARCHAR))[2]) - 1) * 256
+               + (strpos('0123456789abcdef', md5('cf:' || CAST(event_id AS VARCHAR))[3]) - 1) * 16
+               + (strpos('0123456789abcdef', md5('cf:' || CAST(event_id AS VARCHAR))[4]) - 1)) % 100) AS h
+        FROM events)),
+pred AS (
+  SELECT event_type, avg(value) AS yhat FROM tagged WHERE split = 'train' GROUP BY event_type),
+cal AS (
+  SELECT t.event_type, abs(t.value - p.yhat) AS score
+  FROM tagged t JOIN pred p USING (event_type) WHERE t.split = 'cal'),
+ncal AS (SELECT event_type, count(*) AS n_cal FROM cal GROUP BY event_type),
+ranked AS (
+  SELECT event_type, score, row_number() OVER (PARTITION BY event_type ORDER BY score) AS r
+  FROM cal),
+qsel AS (
+  SELECT r.event_type, r.score AS qhat, n.n_cal
+  FROM ranked r JOIN ncal n USING (event_type)
+  WHERE r.r = ceil((n.n_cal + 1) * 0.9)),
+test AS (
+  SELECT t.event_type, t.value, p.yhat, q.qhat, q.n_cal
+  FROM tagged t JOIN pred p USING (event_type) JOIN qsel q USING (event_type)
+  WHERE t.split = 'test')
+SELECT event_type,
+       CAST(max(n_cal) AS BIGINT) AS n_cal,
+       count(*)::BIGINT AS n_test,
+       round(max(qhat), 6) AS qhat,
+       round(avg(CASE WHEN abs(value - yhat) <= qhat THEN 1 ELSE 0 END), 6) AS coverage,
+       avg(CASE WHEN abs(value - yhat) <= qhat THEN 1 ELSE 0 END)
+         >= 0.9 - 2.0 * sqrt(0.09 / count(*)) AS coverage_ok
+FROM test
+GROUP BY event_type
+ORDER BY event_type
+"""
+

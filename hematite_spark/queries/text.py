@@ -3183,3 +3183,107 @@ SELECT split, n_docs, n_canaries, n_leaked, n_leaked = 0 AS split_hygienic
 FROM per_split CROSS JOIN collisions
 ORDER BY split
 """
+
+
+def judge_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-judge agreement (Cohen's κ) between two rule-based
+    quality judges — the calibration every LLM-judge eval pipeline
+    owes its readers, since raw agreement flatters chance: judge A
+    passes docs above the global median rule-quality score
+    (quality_col), judge B passes docs with below-median top-unigram
+    mass (the repetition detector's signal). κ = (p_o − p_e)/(1 − p_e)
+    per source, with the Landis-Koch band label.
+
+    100 TB: both judges are stateless projections against two
+    broadcast global medians (approx_percentile at scale); κ runs on
+    the O(sources) 2×2 confusion aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(_norm_text(), " ")
+    top_mass = (
+        docs.select("doc_id", "source", F.explode(w).alias("t"))
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "source")
+        .agg((F.max("c") / F.sum("c")).alias("top_mass"))
+    )
+    per_doc = (
+        docs.select("doc_id", quality_col().alias("q"))
+        .join(top_mass, "doc_id")
+        .localCheckpoint()
+    )
+    med = per_doc.agg(
+        F.percentile("q", F.lit(0.5)).alias("mq"),
+        F.percentile("top_mass", F.lit(0.5)).alias("mt"),
+    )
+    judged = per_doc.crossJoin(F.broadcast(med)).select(
+        "source",
+        (F.col("q") > F.col("mq")).cast("int").alias("a"),
+        (F.col("top_mass") < F.col("mt")).cast("int").alias("b"),
+    )
+    conf = judged.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (F.col("na") / F.col("n")) * (F.col("nb") / F.col("n")) + (
+        1 - F.col("na") / F.col("n")
+    ) * (1 - F.col("nb") / F.col("n"))
+    kappa = (po - pe) / (1 - pe)
+    return conf.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+        F.when(kappa > 0.6, "substantial")
+        .when(kappa > 0.2, "fair")
+        .otherwise("slight")
+        .alias("band"),
+    ).orderBy("source")
+
+
+JUDGE_KAPPA_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, source, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks,
+         string_split(text, ' ') AS qw
+  FROM documents),
+top_mass AS (
+  SELECT doc_id, source, max(c) / CAST(sum(c) AS DOUBLE) AS top_mass
+  FROM (SELECT doc_id, source, t, count(*) AS c
+        FROM (SELECT doc_id, source, unnest(toks) AS t FROM w)
+        GROUP BY doc_id, source, t)
+  GROUP BY doc_id, source),
+q AS (
+  SELECT doc_id, {_QUALITY_EXPR_SQL.replace("len(w)", "len(qw)").replace("list_distinct(w)", "list_distinct(qw)")} AS q
+  FROM (SELECT doc_id, qw AS w, qw FROM w)),
+per_doc AS (
+  SELECT t.doc_id, t.source, q.q, t.top_mass
+  FROM top_mass t JOIN q USING (doc_id)),
+med AS (
+  SELECT quantile_cont(q, 0.5) AS mq, quantile_cont(top_mass, 0.5) AS mt FROM per_doc),
+judged AS (
+  SELECT source,
+         CASE WHEN q > mq THEN 1 ELSE 0 END AS a,
+         CASE WHEN top_mass < mt THEN 1 ELSE 0 END AS b
+  FROM per_doc CROSS JOIN med),
+conf AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         sum(a * b) AS n11, sum((1 - a) * (1 - b)) AS n00,
+         sum(a) AS na, sum(b) AS nb
+  FROM judged GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       round((n11 + n00) / n, 6) AS observed_agreement,
+       round((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n), 6) AS chance_agreement,
+       round(((n11 + n00) / n - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+             / (1 - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n))), 6) AS kappa,
+       CASE WHEN ((n11 + n00) / n - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+                 / (1 - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n))) > 0.6 THEN 'substantial'
+            WHEN ((n11 + n00) / n - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+                 / (1 - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n))) > 0.2 THEN 'fair'
+            ELSE 'slight' END AS band
+FROM conf
+ORDER BY source
+"""

@@ -498,6 +498,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "huber_irls_step",
         "covariate_balance_smd",
         "quantile_treatment_effect",
+        "conformal_interval_coverage",
+        "judge_agreement_kappa",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1333,3 +1333,31 @@ def test_qte_deciles_monotone_in_quantile(spark):
         assert b.treated_q >= a.treated_q
     for r in rows:
         assert abs(r.qte - round(r.treated_q - r.control_q, 6)) < 2e-6
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal's finite-sample guarantee: empirical coverage
+    on the held-out test split ≥ 1−α−slack for every type, and q̂
+    positive."""
+    from hematite_spark.queries.advanced import conformal_interval_coverage
+
+    rows = conformal_interval_coverage(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.coverage_ok, r
+        assert r.qhat > 0
+        assert r.n_cal > 0 and r.n_test > 0
+
+
+def test_kappa_below_raw_agreement(spark):
+    """κ must discount chance: κ ≤ observed agreement, κ ∈ [-1, 1],
+    band consistent with value."""
+    from hematite_spark.queries.text import judge_agreement_kappa
+
+    rows = judge_agreement_kappa(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.kappa <= 1.0
+        assert r.kappa <= r.observed_agreement + 1e-9
+        want = "substantial" if r.kappa > 0.6 else "fair" if r.kappa > 0.2 else "slight"
+        assert r.band == want
