@@ -6313,3 +6313,94 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+
+
+def process_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check — the discovery side
+    (event_transition_matrix) grades what DOES happen; this grades it
+    against what SHOULD: a declared process model (signup→view,
+    view→{view, click}, click→{view, click, purchase}, purchase→view,
+    error→anything, anything→error) and, per user trace, the fraction
+    of directly-follows transitions the model allows. Output per
+    event-type pair: observed count, allowed flag, and the summary
+    fitness (allowed transitions / all transitions) repeated for
+    single-table reads — the audit that catches instrumentation bugs
+    and impossible flows.
+
+    100 TB: traces order within user partitions (lag over the
+    user-keyed window); the census is one (from, to) aggregate; the
+    model is a broadcast O(types²) table."""
+    from pyspark.sql import Window as W
+
+    allowed = [
+        ("signup", "view"), ("view", "view"), ("view", "click"),
+        ("click", "view"), ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"),
+    ]
+    # error is a wildcard both ways
+    types = ["view", "click", "purchase", "signup", "error"]
+    allowed = set(allowed) | {("error", t) for t in types} | {(t, "error") for t in types}
+    ev = load_table(spark, "events", sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type", 1).over(wu))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n_observed"))
+    )
+    model = spark.createDataFrame(
+        sorted(allowed), "from_type string, to_type string"
+    ).withColumn("allowed", F.lit(True))
+    scored = trans.join(F.broadcast(model), ["from_type", "to_type"], "left").select(
+        "from_type",
+        "to_type",
+        "n_observed",
+        F.coalesce("allowed", F.lit(False)).alias("allowed"),
+    )
+    fitness = scored.agg(
+        F.round(
+            F.sum(F.when(F.col("allowed"), F.col("n_observed")).otherwise(0))
+            / F.sum("n_observed"),
+            6,
+        ).alias("fitness")
+    )
+    return (
+        scored.crossJoin(F.broadcast(fitness))
+        .orderBy("from_type", "to_type")
+    )
+
+
+_CONFORMANCE_ALLOWED = ", ".join(
+    f"('{a}', '{b}')"
+    for a, b in sorted(
+        {("signup", "view"), ("view", "view"), ("view", "click"),
+         ("click", "view"), ("click", "click"), ("click", "purchase"),
+         ("purchase", "view")}
+        | {("error", t) for t in ["view", "click", "purchase", "signup", "error"]}
+        | {(t, "error") for t in ["view", "click", "purchase", "signup", "error"]}
+    )
+)
+
+CONFORMANCE_SQL = f"""
+WITH trans AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n_observed
+  FROM (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+  WHERE prev IS NOT NULL
+  GROUP BY prev, event_type),
+model(from_type, to_type) AS (VALUES {_CONFORMANCE_ALLOWED}),
+scored AS (
+  SELECT t.from_type, t.to_type, t.n_observed,
+         m.from_type IS NOT NULL AS allowed
+  FROM trans t LEFT JOIN model m
+    ON t.from_type = m.from_type AND t.to_type = m.to_type),
+fitness AS (
+  SELECT round(sum(CASE WHEN allowed THEN n_observed ELSE 0 END)
+               / CAST(sum(n_observed) AS DOUBLE), 6) AS fitness
+  FROM scored)
+SELECT from_type, to_type, n_observed, allowed, fitness
+FROM scored CROSS JOIN fitness
+ORDER BY from_type, to_type
+"""

@@ -2674,3 +2674,101 @@ scored AS (
   FROM hn v JOIN exact e USING (vec_id))
 SELECT variant, overlap, ndcg_at_10 FROM scored ORDER BY variant
 """
+
+
+def vptree_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vantage-point (metric) tree partitioning audit — the third ANN
+    indexing paradigm beside hashing (LSH/sign buckets) and learned
+    cells (IVF): pick a pivot (vec_id 0), split the corpus at the
+    median pivot-distance, then split each half again by its own
+    sub-pivot (min vec_id in the half) — 4 metric cells from 2
+    levels. The audit reports per-cell population, radius spread,
+    and the balance ratio (max/min cell size ≈ 1 when medians split
+    cleanly) — the health check before committing to a metric-tree
+    layout.
+
+    100 TB: each level is one distance projection against a broadcast
+    pivot + a median (approx_percentile at scale) broadcast back; no
+    pair joins anywhere — the tree build is O(levels) corpus scans."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", _dbl("embedding").alias("ev")).localCheckpoint()
+    sqd = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pivot0 = v.where(F.col("vec_id") == 0).select(F.col("ev").alias("pv"))
+    d0 = v.crossJoin(F.broadcast(pivot0)).select(
+        "vec_id", "ev", F.sqrt(sqd(F.col("ev"), F.col("pv"))).alias("d0")
+    )
+    med0 = d0.agg(F.percentile("d0", F.lit(0.5)).alias("m0"))
+    lvl1 = d0.crossJoin(F.broadcast(med0)).select(
+        "vec_id", "ev", "d0", (F.col("d0") <= F.col("m0")).cast("int").alias("side0")
+    ).localCheckpoint()
+    subp = lvl1.groupBy("side0").agg(F.min("vec_id").alias("pid")).select(
+        F.col("side0").alias("p_side"), "pid"
+    )
+    sub_vecs = (
+        lvl1.select(F.col("vec_id").alias("pvid"), F.col("ev").alias("spv"))
+        .join(subp, F.col("pvid") == F.col("pid"))
+        .select("p_side", "spv")
+    )
+    d1 = lvl1.join(F.broadcast(sub_vecs), lvl1.side0 == sub_vecs.p_side).select(
+        "vec_id", "side0", "d0", F.sqrt(sqd(F.col("ev"), F.col("spv"))).alias("d1")
+    )
+    med1 = d1.groupBy("side0").agg(F.percentile("d1", F.lit(0.5)).alias("m1"))
+    cells = d1.join(F.broadcast(med1), "side0").select(
+        "vec_id",
+        "d0",
+        "d1",
+        (F.col("side0") * 2 + (F.col("d1") <= F.col("m1")).cast("int")).alias("cell"),
+    )
+    per_cell = cells.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.min("d1"), 6).alias("min_d"),
+        F.round(F.max("d1"), 6).alias("max_d"),
+    )
+    balance = per_cell.agg(
+        F.round(F.max("n_vectors") / F.min("n_vectors"), 4).alias("balance_ratio")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(balance))
+        .select("cell", "n_vectors", "min_d", "max_d", "balance_ratio")
+        .orderBy("cell")
+    )
+
+
+_VP_SQD = _DUCK_SQDIST
+
+VPTREE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+pivot0 AS (SELECT ev AS pv FROM v WHERE vec_id = 0),
+d0 AS (
+  SELECT vec_id, ev, sqrt({_VP_SQD.format(a="ev", b="pv")}) AS d0
+  FROM v CROSS JOIN pivot0),
+med0 AS (SELECT quantile_cont(d0, 0.5) AS m0 FROM d0),
+lvl1 AS (
+  SELECT vec_id, ev, d0, CASE WHEN d0 <= m0 THEN 1 ELSE 0 END AS side0
+  FROM d0 CROSS JOIN med0),
+subp AS (SELECT side0, min(vec_id) AS pid FROM lvl1 GROUP BY side0),
+sub_vecs AS (
+  SELECT s.side0 AS p_side, l.ev AS spv
+  FROM lvl1 l JOIN subp s ON l.vec_id = s.pid),
+d1 AS (
+  SELECT l.vec_id, l.side0, l.d0, sqrt({_VP_SQD.format(a="l.ev", b="sv.spv")}) AS d1
+  FROM lvl1 l JOIN sub_vecs sv ON l.side0 = sv.p_side),
+med1 AS (SELECT side0, quantile_cont(d1, 0.5) AS m1 FROM d1 GROUP BY side0),
+cells AS (
+  SELECT d.vec_id, d.side0 * 2 + CASE WHEN d.d1 <= m.m1 THEN 1 ELSE 0 END AS cell, d.d1
+  FROM d1 d JOIN med1 m USING (side0)),
+per_cell AS (
+  SELECT cell, count(*)::BIGINT AS n_vectors,
+         round(min(d1), 6) AS min_d, round(max(d1), 6) AS max_d
+  FROM cells GROUP BY cell),
+balance AS (
+  SELECT round(max(n_vectors) / CAST(min(n_vectors) AS DOUBLE), 4) AS balance_ratio
+  FROM per_cell)
+SELECT cell, n_vectors, min_d, max_d, balance_ratio
+FROM per_cell CROSS JOIN balance
+ORDER BY cell
+"""

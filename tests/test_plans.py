@@ -500,6 +500,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "quantile_treatment_effect",
         "conformal_interval_coverage",
         "judge_agreement_kappa",
+        "process_conformance_audit",
+        "vptree_partition_audit",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

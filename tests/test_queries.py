@@ -1361,3 +1361,32 @@ def test_kappa_below_raw_agreement(spark):
         assert r.kappa <= r.observed_agreement + 1e-9
         want = "substantial" if r.kappa > 0.6 else "fair" if r.kappa > 0.2 else "slight"
         assert r.band == want
+
+
+def test_conformance_fitness_accounting(spark):
+    """Fitness = allowed transition mass / total; error transitions
+    always allowed; fitness in (0,1]."""
+    from hematite_spark.queries.advanced import process_conformance_audit
+
+    rows = process_conformance_audit(spark, SF_DIR).collect()
+    total = sum(r.n_observed for r in rows)
+    allowed = sum(r.n_observed for r in rows if r.allowed)
+    assert abs(rows[0].fitness - round(allowed / total, 6)) < 1e-9
+    for r in rows:
+        if "error" in (r.from_type, r.to_type):
+            assert r.allowed
+
+
+def test_vptree_cells_tile_and_balance(spark):
+    """4 cells, populations tile the corpus, median splits keep the
+    balance ratio modest (< 2)."""
+    from hematite_spark.io import load_table
+    from hematite_spark.queries.similarity import vptree_partition_audit
+
+    rows = vptree_partition_audit(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    n = load_table(spark, "embeddings", SF_DIR).count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert rows[0].balance_ratio < 2.0
+    for r in rows:
+        assert r.min_d <= r.max_d
