@@ -6404,3 +6404,201 @@ SELECT from_type, to_type, n_observed, allowed, fitness
 FROM scored CROSS JOIN fitness
 ORDER BY from_type, to_type
 """
+
+
+def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature screen — the model-free relevance
+    test a feature store runs before admitting a feature: I(X;Y)
+    between each candidate (value decile, hour-of-day, day-of-month
+    parity) and the event-type label, from joint histograms:
+    I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), with the normalized variant
+    I/H(Y) (uncertainty coefficient) so features are comparable.
+    Near-zero MI = the feature can't move any classifier; the screen
+    kills it before it costs storage and drift surface.
+
+    100 TB: each feature is one (bucket, label) histogram aggregate;
+    the MI sum is O(buckets × labels) arithmetic over the broadcast
+    joint table."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window as W
+
+    feats = {
+        "value_decile": F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("int"),
+        "hour_of_day": F.hour("ts").cast("int"),
+        "day_parity": (F.dayofmonth("ts") % 2).cast("int"),
+    }
+    rows = []
+    for name, expr in feats.items():
+        joint = ev.groupBy(expr.alias("x"), F.col("event_type").alias("y")).agg(
+            F.count("*").cast("double").alias("nxy")
+        )
+        tot = joint.agg(F.sum("nxy").alias("n"))
+        wx = W.partitionBy("x")
+        wy = W.partitionBy("y")
+        scored = (
+            joint.crossJoin(F.broadcast(tot))
+            .withColumn("px", F.sum("nxy").over(wx) / F.col("n"))
+            .withColumn("py", F.sum("nxy").over(wy) / F.col("n"))
+            .withColumn("pxy", F.col("nxy") / F.col("n"))
+        )
+        mi = scored.agg(
+            F.sum(F.col("pxy") * F.log(F.col("pxy") / (F.col("px") * F.col("py")))).alias(
+                "mi"
+            )
+        )
+        hy = (
+            ev.groupBy("event_type")
+            .agg(F.count("*").cast("double").alias("ny"))
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                (-F.sum((F.col("ny") / F.col("n")) * F.log(F.col("ny") / F.col("n")))).alias(
+                    "hy"
+                )
+            )
+        )
+        rows.append(
+            mi.crossJoin(F.broadcast(hy)).select(
+                F.lit(name).alias("feature"),
+                F.round("mi", 6).alias("mutual_info"),
+                F.round(F.col("mi") / F.col("hy"), 6).alias("uncertainty_coef"),
+                (F.col("mi") / F.col("hy") > 0.001).alias("admit"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("feature")
+
+
+MUTUAL_INFO_SQL = """
+WITH ev AS (
+  SELECT event_type AS y,
+         CAST(least(9, floor(value / 50.0)) AS INT) AS value_decile,
+         CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+         CAST(extract(day FROM ts) % 2 AS INT) AS day_parity
+  FROM events),
+melted AS (
+  SELECT feature, x, y FROM ev,
+  LATERAL (VALUES ('value_decile', value_decile), ('hour_of_day', hour_of_day),
+                  ('day_parity', day_parity)) t(feature, x)),
+joint AS (
+  SELECT feature, x, y, CAST(count(*) AS DOUBLE) AS nxy
+  FROM melted GROUP BY feature, x, y),
+tot AS (SELECT feature, sum(nxy) AS n FROM joint GROUP BY feature),
+scored AS (
+  SELECT j.feature, j.nxy / t.n AS pxy,
+         sum(j.nxy) OVER (PARTITION BY j.feature, j.x) / t.n AS px,
+         sum(j.nxy) OVER (PARTITION BY j.feature, j.y) / t.n AS py
+  FROM joint j JOIN tot t USING (feature)),
+mi AS (
+  SELECT feature, sum(pxy * ln(pxy / (px * py))) AS mi
+  FROM scored GROUP BY feature),
+hy AS (
+  SELECT -sum(p * ln(p)) AS hy
+  FROM (SELECT count(*) / CAST((SELECT count(*) FROM events) AS DOUBLE) AS p
+        FROM events GROUP BY event_type))
+SELECT feature, round(mi, 6) AS mutual_info,
+       round(mi / hy, 6) AS uncertainty_coef,
+       mi / hy > 0.001 AS admit
+FROM mi CROSS JOIN hy
+ORDER BY feature
+"""
+
+
+def boosting_stump_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gradient-boosting round with a decision stump — the
+    tree-family member of the ML-on-DataFrames suite (k-means = hard
+    cells, GMM = soft cells, GD = linear, this = axis-aligned split):
+    fit value ~ day with the best single-threshold stump chosen from
+    the 9 day-decile candidates by SSE (each candidate scored in ONE
+    grouped aggregate, no per-split scan), per event type. Emits the
+    chosen threshold, leaf means, and the variance-explained share —
+    the boosting iteration's building block.
+
+    100 TB: candidate scoring is a (type, candidate) aggregate over a
+    9-way explode of the daily pre-aggregate, never the raw log; the
+    argmin is a max-struct."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    cands = [3.0 * i for i in range(1, 10)]
+    exploded = ev.select(
+        "event_type",
+        "y",
+        "x",
+        F.explode(F.array(*[F.lit(c) for c in cands])).alias("thr"),
+    )
+    per_side = exploded.groupBy("event_type", "thr").agg(
+        F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y"))).alias("sl"),
+        F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y") * F.col("y"))).alias("ql"),
+        F.sum(F.when(F.col("x") <= F.col("thr"), 1).otherwise(0)).cast("double").alias("nl"),
+        F.sum(F.when(F.col("x") > F.col("thr"), F.col("y"))).alias("sr"),
+        F.sum(F.when(F.col("x") > F.col("thr"), F.col("y") * F.col("y"))).alias("qr"),
+        F.sum(F.when(F.col("x") > F.col("thr"), 1).otherwise(0)).cast("double").alias("nr"),
+    ).where((F.col("nl") > 0) & (F.col("nr") > 0))
+    sse = (
+        F.col("ql") - F.col("sl") * F.col("sl") / F.col("nl")
+        + F.col("qr") - F.col("sr") * F.col("sr") / F.col("nr")
+    )
+    scored = per_side.select(
+        "event_type",
+        "thr",
+        sse.alias("sse"),
+        (F.col("sl") / F.col("nl")).alias("left_mean"),
+        (F.col("sr") / F.col("nr")).alias("right_mean"),
+        (F.col("ql") + F.col("qr") - F.pow(F.col("sl") + F.col("sr"), 2) / (F.col("nl") + F.col("nr"))).alias("sse0"),
+    )
+    best = scored.groupBy("event_type").agg(
+        F.min(F.struct(F.col("sse").alias("s"), F.col("thr").alias("t"),
+                       F.col("left_mean").alias("lm"), F.col("right_mean").alias("rm"),
+                       F.col("sse0").alias("s0"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.t").cast("bigint").alias("split_day"),
+        F.round(F.col("b.lm"), 6).alias("left_mean"),
+        F.round(F.col("b.rm"), 6).alias("right_mean"),
+        F.round(F.lit(1.0) - F.col("b.s") / F.col("b.s0"), 6).alias("var_explained"),
+    ).orderBy("event_type")
+
+
+BOOSTING_STUMP_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         value AS y
+  FROM events),
+exploded AS (
+  SELECT event_type, x, y, thr
+  FROM ev, LATERAL (SELECT unnest([3.0,6.0,9.0,12.0,15.0,18.0,21.0,24.0,27.0]) AS thr)),
+per_side AS (
+  SELECT event_type, thr,
+         sum(CASE WHEN x <= thr THEN y END) AS sl,
+         sum(CASE WHEN x <= thr THEN y * y END) AS ql,
+         CAST(sum(CASE WHEN x <= thr THEN 1 ELSE 0 END) AS DOUBLE) AS nl,
+         sum(CASE WHEN x > thr THEN y END) AS sr,
+         sum(CASE WHEN x > thr THEN y * y END) AS qr,
+         CAST(sum(CASE WHEN x > thr THEN 1 ELSE 0 END) AS DOUBLE) AS nr
+  FROM exploded GROUP BY event_type, thr
+  HAVING sum(CASE WHEN x <= thr THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN x > thr THEN 1 ELSE 0 END) > 0),
+scored AS (
+  SELECT event_type, thr,
+         ql - sl * sl / nl + qr - sr * sr / nr AS sse,
+         sl / nl AS left_mean, sr / nr AS right_mean,
+         ql + qr - power(sl + sr, 2) / (nl + nr) AS sse0
+  FROM per_side),
+best AS (
+  SELECT event_type,
+         (min(struct_pack(s := sse, t := thr, lm := left_mean, rm := right_mean, s0 := sse0))) AS b
+  FROM scored GROUP BY event_type)
+SELECT event_type,
+       CAST((b).t AS BIGINT) AS split_day,
+       round((b).lm, 6) AS left_mean,
+       round((b).rm, 6) AS right_mean,
+       round(1.0 - (b).s / (b).s0, 6) AS var_explained
+FROM best
+ORDER BY event_type
+"""

@@ -502,6 +502,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "judge_agreement_kappa",
         "process_conformance_audit",
         "vptree_partition_audit",
+        "mutual_information_screen",
+        "boosting_stump_step",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

@@ -1390,3 +1390,29 @@ def test_vptree_cells_tile_and_balance(spark):
     assert rows[0].balance_ratio < 2.0
     for r in rows:
         assert r.min_d <= r.max_d
+
+
+def test_mutual_information_nonneg_and_orders(spark):
+    """MI ≥ 0 for every feature; the value decile (directly derived
+    from nothing label-related) still ≥ the parity feature only if
+    the data says so — just assert internal consistency and bounds."""
+    from hematite_spark.queries.advanced import mutual_information_screen
+
+    rows = mutual_information_screen(spark, SF_DIR).collect()
+    assert {r.feature for r in rows} == {"value_decile", "hour_of_day", "day_parity"}
+    for r in rows:
+        assert r.mutual_info >= -1e-9
+        assert 0.0 <= r.uncertainty_coef + 1e-9
+        assert r.admit == (r.uncertainty_coef > 0.001)
+
+
+def test_boosting_stump_reduces_sse(spark):
+    """The chosen stump never increases SSE (var_explained ≥ 0) and
+    its threshold is one of the candidates."""
+    from hematite_spark.queries.advanced import boosting_stump_step
+
+    rows = boosting_stump_step(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.var_explained >= -1e-9
+        assert r.split_day in {3 * i for i in range(1, 10)}
