@@ -6602,3 +6602,69 @@ SELECT event_type,
 FROM best
 ORDER BY event_type
 """
+
+
+def retention_ttl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-retention TTL plan — the lake-maintenance pass a
+    compliance policy turns into partition deletes: with a 20-day TTL
+    against the corpus's own reference date (its max event day), each
+    daily partition is classified keep/expire, and the plan reports
+    per status the partition count, row count, byte estimate (payload
+    lengths), and days-to-expiry bounds. The dry-run a steward signs
+    before `DELETE PARTITION` runs — and the same census the storage
+    forecast reads.
+
+    100 TB: one (day) aggregate over the log (map-side combined);
+    the classification is arithmetic against the broadcast reference
+    date. Day is the partition key, so executing the plan is a
+    metadata-only partition drop."""
+    ttl_days = 20
+    ev = load_table(spark, "events", sf_dir)
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.length("props")).cast("bigint").alias("est_bytes"),
+    )
+    classified = per_day.crossJoin(F.broadcast(ref)).select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        F.datediff(F.col("ref_day"), F.col("day")).alias("age_days"),
+        F.when(F.datediff(F.col("ref_day"), F.col("day")) > ttl_days, "expire")
+        .otherwise("keep")
+        .alias("status"),
+    )
+    return (
+        classified.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("est_bytes").cast("bigint").alias("est_bytes"),
+            F.min("age_days").cast("bigint").alias("min_age_days"),
+            F.max("age_days").cast("bigint").alias("max_age_days"),
+        )
+        .orderBy("status")
+    )
+
+
+RETENTION_TTL_SQL = """
+WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+per_day AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
+         CAST(sum(length(props)) AS BIGINT) AS est_bytes
+  FROM events GROUP BY 1),
+classified AS (
+  SELECT day, n_rows, est_bytes,
+         date_diff('day', day, ref_day) AS age_days,
+         CASE WHEN date_diff('day', day, ref_day) > 20 THEN 'expire' ELSE 'keep' END AS status
+  FROM per_day CROSS JOIN ref)
+SELECT status,
+       count(*)::BIGINT AS n_partitions,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(est_bytes) AS BIGINT) AS est_bytes,
+       CAST(min(age_days) AS BIGINT) AS min_age_days,
+       CAST(max(age_days) AS BIGINT) AS max_age_days
+FROM classified
+GROUP BY status
+ORDER BY status
+"""

@@ -3287,3 +3287,53 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
 FROM conf
 ORDER BY source
 """
+
+
+def prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV prefix-cache savings estimate — the serving-side win of
+    prefix dedup: when many prompts share an opening (system prompts,
+    templates, boilerplate), an inference server re-uses the cached KV
+    state for the shared 8-token prefix instead of recomputing it.
+    Per source: distinct prefixes vs docs (the hit rate a
+    prefix-keyed cache would see on this corpus) and the prefill
+    tokens that cache would absorb — the capacity-planning number.
+
+    100 TB: the prefix is a stateless slice+hash fused into the scan;
+    the census is one (source, prefix) aggregate then one (source)
+    roll-up, both map-side combined."""
+    k = 8
+    docs = load_table(spark, "documents", sf_dir)
+    prefix = F.md5(F.concat_ws(" ", F.slice(_words(), 1, k)))
+    per_prefix = docs.select("source", prefix.alias("pfx")).groupBy("source", "pfx").agg(
+        F.count("*").cast("bigint").alias("n_docs_with_pfx")
+    )
+    return (
+        per_prefix.groupBy("source")
+        .agg(
+            F.sum("n_docs_with_pfx").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("distinct_prefixes"),
+            F.round(
+                F.lit(1.0) - F.count("*") / F.sum("n_docs_with_pfx"), 6
+            ).alias("cache_hit_rate"),
+            ((F.sum("n_docs_with_pfx") - F.count("*")) * k).cast("bigint").alias(
+                "prefill_tokens_saved"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+PREFIX_CACHE_SQL = """
+WITH per_prefix AS (
+  SELECT source, md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pfx,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY source, 2)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS distinct_prefixes,
+       round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS cache_hit_rate,
+       CAST((sum(n) - count(*)) * 8 AS BIGINT) AS prefill_tokens_saved
+FROM per_prefix
+GROUP BY source
+ORDER BY source
+"""

@@ -504,6 +504,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "vptree_partition_audit",
         "mutual_information_screen",
         "boosting_stump_step",
+        "prefix_cache_savings",
+        "retention_ttl_plan",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

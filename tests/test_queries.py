@@ -1416,3 +1416,27 @@ def test_boosting_stump_reduces_sse(spark):
     for r in rows:
         assert r.var_explained >= -1e-9
         assert r.split_day in {3 * i for i in range(1, 10)}
+
+
+def test_prefix_cache_accounting(spark):
+    """Hit rate in [0,1); distinct prefixes ≤ docs; tokens saved
+    = (docs − distinct) × 8 exactly."""
+    from hematite_spark.queries.text import prefix_cache_savings
+
+    rows = prefix_cache_savings(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.0 <= r.cache_hit_rate < 1.0
+        assert r.distinct_prefixes <= r.n_docs
+        assert r.prefill_tokens_saved == (r.n_docs - r.distinct_prefixes) * 8
+
+
+def test_retention_plan_tiles_log(spark):
+    """Keep + expire partitions tile the observation window; expire
+    ages all exceed the 20-day TTL, keep ages do not."""
+    from hematite_spark.queries.advanced import retention_ttl_plan
+
+    rows = {r.status: r for r in retention_ttl_plan(spark, SF_DIR).collect()}
+    assert "keep" in rows
+    assert rows["keep"].min_age_days >= 0 and rows["keep"].max_age_days <= 20
+    if "expire" in rows:
+        assert rows["expire"].min_age_days > 20
