@@ -3337,3 +3337,118 @@ FROM per_prefix
 GROUP BY source
 ORDER BY source
 """
+
+
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit for a fixed-size tokenizer vocabulary —
+    the sizing decision tokenizer_fertility feeds: with the vocabulary
+    capped at the top-30 corpus tokens by frequency, what fraction of
+    TOKEN OCCURRENCES per source falls out of vocabulary, and what
+    character-fallback expansion factor would OOV tokens pay (each
+    OOV token re-tokenizes to its characters)? The per-source table a
+    multilingual budget review reads next to fertility.
+
+    100 TB: the vocabulary is one frequency aggregate reduced by
+    TakeOrdered(30) and broadcast; the audit is one token-stream pass
+    with an anti-join-free IN check via the broadcast join."""
+    vocab_k = 30
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(_words()).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_k)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "w", "left").select(
+        "source",
+        "w",
+        F.coalesce("in_vocab", F.lit(0)).alias("iv"),
+        F.length("w").alias("len"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.lit(1) - F.col("iv")).cast("bigint").alias("n_oov"),
+            F.round(F.avg(F.lit(1.0) - F.col("iv")), 6).alias("oov_rate"),
+            F.round(
+                (F.sum(F.col("iv")) + F.sum((F.lit(1) - F.col("iv")) * F.col("len")))
+                / F.count("*"),
+                6,
+            ).alias("fallback_expansion"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_OOV_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
+                 ORDER BY c DESC, w LIMIT 30)),
+scored AS (
+  SELECT t.source, t.w,
+         CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS iv,
+         length(t.w) AS len
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       CAST(sum(1 - iv) AS BIGINT) AS n_oov,
+       round(avg(1.0 - iv), 6) AS oov_rate,
+       round((sum(iv) + sum((1 - iv) * len)) / CAST(count(*) AS DOUBLE), 6) AS fallback_expansion
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning margin sampling — the labeling-budget
+    allocator: with the rule-quality score as the model confidence
+    and its global median as the decision boundary, the docs WORTH a
+    human label are the ones nearest the boundary (maximal
+    disagreement, minimal margin). Per source: the margin
+    distribution and the count inside the 10%-band 'send to
+    labeling' window — plus the window's doc share, which is the
+    labeling spend this policy commits.
+
+    100 TB: the boundary is one broadcast median (approx_percentile
+    at scale); margins are a stateless projection; the census one
+    source aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("source", quality_col().alias("q")).localCheckpoint()
+    med = scored.agg(F.percentile("q", F.lit(0.5)).alias("m"))
+    margins = scored.crossJoin(F.broadcast(med)).select(
+        "source", F.abs(F.col("q") - F.col("m")).alias("margin")
+    )
+    return (
+        margins.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("margin"), 6).alias("mean_margin"),
+            F.sum((F.col("margin") <= 0.05).cast("int")).cast("bigint").alias("n_to_label"),
+            F.round(F.avg((F.col("margin") <= 0.05).cast("double")), 6).alias("label_share"),
+        )
+        .orderBy("source")
+    )
+
+
+UNCERTAINTY_SQL = f"""
+WITH scored AS (
+  SELECT source, {_QUALITY_EXPR_SQL} AS q
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+med AS (SELECT quantile_cont(q, 0.5) AS m FROM scored),
+margins AS (
+  SELECT source, abs(q - m) AS margin FROM scored CROSS JOIN med)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(margin), 6) AS mean_margin,
+       sum(CASE WHEN margin <= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_to_label,
+       round(avg(CASE WHEN margin <= 0.05 THEN 1.0 ELSE 0.0 END), 6) AS label_share
+FROM margins
+GROUP BY source
+ORDER BY source
+"""

@@ -506,6 +506,8 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "boosting_stump_step",
         "prefix_cache_savings",
         "retention_ttl_plan",
+        "vocab_oov_audit",
+        "uncertainty_margin_sample",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

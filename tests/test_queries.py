@@ -1440,3 +1440,27 @@ def test_retention_plan_tiles_log(spark):
     assert rows["keep"].min_age_days >= 0 and rows["keep"].max_age_days <= 20
     if "expire" in rows:
         assert rows["expire"].min_age_days > 20
+
+
+def test_oov_audit_consistency(spark):
+    """OOV rate = n_oov/n_tokens; fallback expansion ≥ 1 only when
+    OOV tokens are longer than 1 char; rates in [0,1)."""
+    from hematite_spark.queries.text import vocab_oov_audit
+
+    rows = vocab_oov_audit(spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r.oov_rate - round(r.n_oov / r.n_tokens, 6)) < 1e-9
+        assert 0.0 <= r.oov_rate < 1.0
+        assert r.fallback_expansion >= 1.0 or r.n_oov == 0
+
+
+def test_margin_sample_budget(spark):
+    """Label share in [0,1]; counts consistent; mean margin
+    non-negative."""
+    from hematite_spark.queries.text import uncertainty_margin_sample
+
+    rows = uncertainty_margin_sample(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.0 <= r.label_share <= 1.0
+        assert abs(r.label_share - round(r.n_to_label / r.n_docs, 6)) < 1e-9
+        assert r.mean_margin >= 0.0
