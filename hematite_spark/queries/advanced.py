@@ -6668,3 +6668,83 @@ FROM classified
 GROUP BY status
 ORDER BY status
 """
+
+
+def durbin_watson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation audit of the daily trend
+    residuals — the diagnostic that says whether the OLS trend's
+    error bars can be believed (DW ≈ 2: independent residuals;
+    DW → 0: positive autocorrelation, the variance is understated and
+    every 'significant' trend is suspect): per event type, fit
+    value ~ day on the daily means, then DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over
+    the day-ordered residual series.
+
+    100 TB: the log reduces once to the O(types × days) daily table;
+    the OLS fit is a moment aggregate broadcast back; the DW lag runs
+    inside type partitions of that pre-aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double").alias("x")
+    ).agg(F.avg("value").alias("y"))
+    ols = daily.groupBy("event_type").agg(
+        ((F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.count("*"))
+         / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / F.count("*"))).alias("b"),
+        ((F.sum("y") - (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.count("*"))
+          / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / F.count("*")) * F.sum("x"))
+         / F.count("*")).alias("a"),
+    )
+    resid = daily.join(F.broadcast(ols), "event_type").select(
+        "event_type", "x", (F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("e")
+    )
+    wt = W.partitionBy("event_type").orderBy("x")
+    diffed = resid.withColumn("de", F.col("e") - F.lag("e", 1).over(wt))
+    return (
+        diffed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")), 6).alias(
+                "dw"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "dw",
+            F.when(F.col("dw") < 1.5, "positive_autocorr")
+            .when(F.col("dw") > 2.5, "negative_autocorr")
+            .otherwise("independent")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DURBIN_WATSON_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         avg(value) AS y
+  FROM events GROUP BY event_type, 2),
+ols AS (
+  SELECT event_type,
+         (sum(x*y) - sum(x)*sum(y)/count(*)) / (sum(x*x) - sum(x)*sum(x)/count(*)) AS b,
+         (sum(y) - (sum(x*y) - sum(x)*sum(y)/count(*)) / (sum(x*x) - sum(x)*sum(x)/count(*)) * sum(x)) / count(*) AS a
+  FROM daily GROUP BY event_type),
+resid AS (
+  SELECT d.event_type, d.x, d.y - o.a - o.b * d.x AS e
+  FROM daily d JOIN ols o USING (event_type)),
+diffed AS (
+  SELECT event_type, e,
+         e - lag(e) OVER (PARTITION BY event_type ORDER BY x) AS de
+  FROM resid)
+SELECT event_type, count(*)::BIGINT AS n_days,
+       round(sum(de * de) / sum(e * e), 6) AS dw,
+       CASE WHEN sum(de * de) / sum(e * e) < 1.5 THEN 'positive_autocorr'
+            WHEN sum(de * de) / sum(e * e) > 2.5 THEN 'negative_autocorr'
+            ELSE 'independent' END AS verdict
+FROM diffed
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -508,6 +508,7 @@ def test_lint_smj_over_global_agg_fires_on_real_plan(spark):
         "retention_ttl_plan",
         "vocab_oov_audit",
         "uncertainty_margin_sample",
+        "durbin_watson_audit",
         "ann_ivfpq_search",
         "mlm_masking_plan",
         "eval_ngram_coverage",

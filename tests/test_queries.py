@@ -1464,3 +1464,19 @@ def test_margin_sample_budget(spark):
         assert 0.0 <= r.label_share <= 1.0
         assert abs(r.label_share - round(r.n_to_label / r.n_docs, 6)) < 1e-9
         assert r.mean_margin >= 0.0
+
+
+def test_durbin_watson_range_and_verdict(spark):
+    """DW lives in [0,4]; verdict bands agree with the statistic."""
+    from hematite_spark.queries.advanced import durbin_watson_audit
+
+    rows = durbin_watson_audit(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.dw <= 4.0
+        want = (
+            "positive_autocorr" if r.dw < 1.5
+            else "negative_autocorr" if r.dw > 2.5
+            else "independent"
+        )
+        assert r.verdict == want
