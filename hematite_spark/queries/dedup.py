@@ -561,8 +561,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the dense-vector version of the same fix, and the
     n-adaptive b applies to every sign-bucket blocker in the family.
     Multiple tables restore the recall a longer code costs (candidate
-    if ANY table agrees — the banding idea on dense vectors). Verdict
-    per duplicate: keep the most-similar lower doc_id.
+    if ANY table agrees — the banding idea on dense vectors), and each
+    table additionally probes its HAMMING-1 neighborhood: every vector
+    also looks up the b buckets that differ in exactly one sign bit
+    (multiprobe LSH), so a near-duplicate pair straddling a single
+    hyperplane in every table is still found. Probe fan-out is b+1
+    keys per vector per table — pair space ~n·64·(b+1), a log(n)
+    factor, not a quadratic. Verdict per duplicate: keep the
+    most-similar lower doc_id.
 
     `embeddings.vec_id` aligns with `documents.doc_id`; arithmetic is
     float64 left-folds (see similarity module) so Spark and DuckDB
@@ -587,6 +593,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ev",
         "nrm",
+        "b",
         *[
             sum(
                 F.when(
@@ -603,10 +610,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # bucketed once; feeds all table joins
     cand = None
     for t in range(_EMB_TABLES):
-        a, b = v.alias("a"), v.alias("b")
+        # multiprobe: each vector's own bucket plus its b hamming-1
+        # flips; the probe list is the equi-join key, so candidates
+        # within hamming ≤1 of any table's signature are recovered
+        # without widening the bucket itself
+        probes = v.select(
+            F.col("doc_id"),
+            F.expr(
+                f"explode(concat(array(bkt{t}), "
+                f"transform(sequence(0, b - 1), i -> bkt{t} ^ shiftleft(1L, i))))"
+            ).alias("probe"),
+        )
+        a, b = probes.alias("a"), v.alias("b")
         pt = a.join(
             b,
-            (F.col(f"a.bkt{t}") == F.col(f"b.bkt{t}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.probe") == F.col(f"b.bkt{t}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("keep_doc"), F.col("b.doc_id").alias("drop_doc"))
         cand = pt if cand is None else cand.unionByName(pt)
     cand = cand.distinct()
@@ -646,14 +664,18 @@ WITH bs AS (
   SELECT greatest(4, CAST(ceil(log2(count(*) / {_EMB_TARGET_BLOCK})) AS INT)) AS b
   FROM embeddings),
 v AS (
-  SELECT vec_id AS doc_id, ev,
+  SELECT vec_id AS doc_id, ev, b,
          sqrt(list_reduce(list_transform(ev, x -> x * x), (acc, x) -> acc + x)) AS nrm,
          {", ".join(_emb_bucket_sql(t) for t in range(_EMB_TABLES))}
   FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), bs
 ), cand AS (
   {" UNION ".join(
       f'''SELECT a.doc_id AS keep_doc, b.doc_id AS drop_doc
-      FROM v a JOIN v b ON a.bkt{t} = b.bkt{t} AND a.doc_id < b.doc_id'''
+      FROM (SELECT doc_id,
+                   unnest(list_prepend(bkt{t},
+                          list_transform(range(0, b), i -> xor(bkt{t}, 1::BIGINT << i)))) AS probe
+            FROM v) a
+      JOIN v b ON a.probe = b.bkt{t} AND a.doc_id < b.doc_id'''
       for t in range(_EMB_TABLES))}
 ), pairs AS (
   SELECT keep_doc, drop_doc,

@@ -211,6 +211,40 @@ def test_lsh_recall_against_ground_truth(spark):
         assert recall_all >= 0.5, f"overall recall {recall_all}"
 
 
+def test_embedding_cosine_dedup_recall_vs_exact(spark):
+    """Approximate-operator quality gate (VERDICT r4 item 3): the
+    multi-table sign-bucket blocker with hamming-1 multiprobe must
+    recover >= 0.75 of the docs that exact all-pairs cosine flags as
+    duplicates (cosine >= 0.42 against some lower doc_id). Before the
+    multiprobe addition the measured multi-table recall was 0.50."""
+    from pyspark.sql import functions as F
+
+    from hematite_spark.functions import dbl, dot, l2_norm
+    from hematite_spark.queries.dedup import dedup_embedding_cosine
+    from hematite_spark.queries.relational import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        F.col("vec_id").alias("doc_id"), dbl("embedding").alias("ev")
+    ).withColumn("nrm", l2_norm(F.col("ev")))
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.round(
+                dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            )
+            >= 0.42
+        )
+        .select(F.col("b.doc_id").alias("drop_doc"))
+        .distinct()
+    )
+    exact_drops = {r.drop_doc for r in exact.collect()}
+    found_drops = {r.drop_doc for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+    assert exact_drops, "fixture should contain near-duplicate embeddings"
+    recall = len(found_drops & exact_drops) / len(exact_drops)
+    assert recall >= 0.75, f"duplicate-doc recall {recall:.3f} < 0.75"
+
+
 def test_cc_distributed_path_matches_driver_path(spark, monkeypatch):
     """dedup_connected_components picks driver-side union-find for
     small candidate graphs; force the distributed label-propagation
