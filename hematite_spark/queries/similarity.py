@@ -2378,11 +2378,11 @@ def hnsw_two_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-layer coarse-to-fine search over the hash-leveled hierarchy
     hnsw_layer_assign builds — the HNSW navigation pattern: greedy
     entry through the sparse upper layer (level ≥ 1, ~n/16 nodes),
-    then exact cosine top-10 restricted to the entry node's sign-
-    bucket cell and the query's cell, each widened by its hamming-1
-    shell (the 'edges' of the navigation graph — 4 single-bit-flip
-    neighbor cells per center, ≤10 of 16 cells total — the ef>1
-    beam). Deterministic ties
+    then exact cosine top-10 restricted to the ef=16 production beam
+    chosen by hnsw_ef_sweep: the query's cell widened by its full
+    hamming-1 AND hamming-2 shells plus the entry node's cell and its
+    hamming-1 shell (the 'edges' of the navigation graph — the
+    sweep's prefix-16 probe set). Deterministic ties
     (distance, vec_id), so the oracle replays it value-for-value; the
     recall gate vs ann_brute_force lives in the unit tests.
 
@@ -2434,16 +2434,10 @@ def hnsw_two_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(entry))
         .crossJoin(F.broadcast(q))
         .where(
-            (F.col("bucket") == F.col("q_bucket"))
-            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(1))
-            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(2))
-            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(4))
-            | (F.col("bucket") == F.col("q_bucket").bitwiseXOR(8))
-            | (F.col("bucket") == F.col("entry_bucket"))
-            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(1))
-            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(2))
-            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(4))
-            | (F.col("bucket") == F.col("entry_bucket").bitwiseXOR(8))
+            # ef=16 beam: hamming ≤ 2 of the query cell, hamming ≤ 1
+            # of the entry cell (hnsw_ef_sweep's prefix-16 probe set)
+            (F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= 2)
+            | (F.bit_count(F.col("bucket").bitwiseXOR(F.col("entry_bucket"))) <= 1)
         )
         .select(
             "vec_id",
@@ -2480,14 +2474,192 @@ entry AS (
 SELECT vec_id, label, bucket, entry_vec_id,
        round(list_reduce(list_transform(list_zip(ev, qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x) / (sqrt(list_reduce(list_transform(ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))), 6) AS cosine
 FROM v0 CROSS JOIN entry CROSS JOIN q
-WHERE vec_id <> 0 AND (bucket = q_bucket
-       OR bucket = xor(q_bucket, 1) OR bucket = xor(q_bucket, 2)
-       OR bucket = xor(q_bucket, 4) OR bucket = xor(q_bucket, 8)
-       OR bucket = entry_bucket
-       OR bucket = xor(entry_bucket, 1) OR bucket = xor(entry_bucket, 2)
-       OR bucket = xor(entry_bucket, 4) OR bucket = xor(entry_bucket, 8))
+WHERE vec_id <> 0 AND (bit_count(xor(bucket, q_bucket)) <= 2
+       OR bit_count(xor(bucket, entry_bucket)) <= 1)
 ORDER BY cosine DESC, vec_id
 LIMIT 10
+"""
+
+
+def hnsw_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ef/beam-width sweep for the two-layer HNSW-style search — the
+    quality-vs-cost curve that picks the production ef (analogous to
+    ann_recall_curve for IVF probe counts): candidate cells are
+    ordered into a deterministic probe list — query cell, entry cell,
+    their hamming-1 shells, then the query cell's hamming-2/3/4
+    shells (21 entries, first-occurrence wins, covering all 16 cells
+    by ef=21) — and each ef ∈ {1, 2, 6, 10, 16, 21} scores exact
+    cosine top-10 within the first ef cells only. Output per ef:
+    candidate count, cells actually probed, and recall@10 vs the
+    exact brute-force top-10 — monotone in ef by construction (prefix
+    sets nest), reaching 1.0 at ef=21 where the beam saturates the
+    toy 4-bit navigation space. ef=10 is exactly
+    hnsw_two_layer_search's candidate set; the pytest gate pins
+    recall ≥ 0.8 at ef=16 (the chosen production beam).
+
+    100 TB: one corpus scan computes each vector's first-probe index
+    (array_position against a broadcast 10-cell list); the sweep
+    explodes each candidate into the efs that include it (≤4×) and
+    ranks per ef — partition count equals the 4 ef values, so at real
+    scale each ef's top-10 is a TakeOrdered, not a global sort; the
+    brute-force baseline is the same scan ranked without the cell
+    filter."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hnsw:"), F.col("vec_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    level = F.floor(-F.log(u) / F.lit(2.772588722239781)).cast("int")
+    bucket = sum(
+        (F.when(F.element_at(ev, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))) for i in range(4)
+    ).cast("bigint")
+    v = emb.select(
+        "vec_id", ev.alias("ev"), level.alias("level"), bucket.alias("bucket")
+    )
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("bucket").alias("q_bucket")
+    )
+    sqdist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    entry = (
+        v.where((F.col("level") >= 1) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("bucket").alias("entry_bucket"),
+            sqdist(F.col("ev"), F.col("qv")).alias("dq"),
+            "vec_id",
+        )
+        .orderBy("dq", "vec_id")
+        .limit(1)
+        .select("entry_bucket")
+    )
+    from hematite_spark.functions import cosine
+    from pyspark.sql import Window as W
+
+    qb, eb = F.col("q_bucket"), F.col("entry_bucket")
+    probes = F.array(
+        qb, eb,
+        qb.bitwiseXOR(1), qb.bitwiseXOR(2), qb.bitwiseXOR(4), qb.bitwiseXOR(8),
+        eb.bitwiseXOR(1), eb.bitwiseXOR(2), eb.bitwiseXOR(4), eb.bitwiseXOR(8),
+        qb.bitwiseXOR(3), qb.bitwiseXOR(5), qb.bitwiseXOR(6),
+        qb.bitwiseXOR(9), qb.bitwiseXOR(10), qb.bitwiseXOR(12),
+        qb.bitwiseXOR(7), qb.bitwiseXOR(11), qb.bitwiseXOR(13), qb.bitwiseXOR(14),
+        qb.bitwiseXOR(15),
+    )
+    scored = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(entry))
+        .select(
+            "vec_id",
+            "bucket",
+            F.array_position(probes, F.col("bucket")).alias("probe_idx"),
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
+        )
+        .localCheckpoint()  # one scan feeds the sweep AND the baseline
+    )
+    brute10 = (
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    efs = [1, 2, 6, 10, 16, 21]
+    cand = scored.where(F.col("probe_idx") >= 1).select(
+        "vec_id",
+        "bucket",
+        "cosine",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(e) for e in efs]), lambda e: e >= F.col("probe_idx")
+            )
+        ).alias("ef"),
+    )
+    wr = W.partitionBy("ef").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    top = cand.withColumn("r", F.row_number().over(wr)).where(F.col("r") <= 10)
+    return (
+        cand.groupBy("ef")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.countDistinct("bucket").cast("bigint").alias("cells_probed"),
+        )
+        .join(
+            top.join(brute10, "vec_id", "left_semi")
+            .groupBy("ef")
+            .agg(F.count("*").alias("n_hit")),
+            "ef",
+            "left",
+        )
+        .select(
+            "ef",
+            "n_candidates",
+            "cells_probed",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+        )
+        .orderBy("ef")
+    )
+
+
+HNSW_EF_SWEEP_SQL = f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         CAST(floor(-ln((((strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[1]) - 1) * 4096
+                        + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[2]) - 1) * 256
+                        + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[3]) - 1) * 16
+                        + (strpos('0123456789abcdef', md5('hnsw:' || CAST(vec_id AS VARCHAR))[4]) - 1)) + 0.5)
+                       / 65536.0) / ln(16)) AS INT) AS level,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings),
+q AS (SELECT ev AS qv, bucket AS q_bucket FROM v0 WHERE vec_id = 0),
+entry AS (
+  SELECT bucket AS entry_bucket
+  FROM v0 CROSS JOIN q
+  WHERE level >= 1 AND vec_id <> 0
+  ORDER BY {_DUCK_SQDIST.format(a="ev", b="qv")}, vec_id
+  LIMIT 1),
+scored AS (
+  SELECT vec_id, bucket,
+         list_position([q_bucket, entry_bucket,
+                        xor(q_bucket, 1), xor(q_bucket, 2), xor(q_bucket, 4), xor(q_bucket, 8),
+                        xor(entry_bucket, 1), xor(entry_bucket, 2), xor(entry_bucket, 4), xor(entry_bucket, 8),
+                        xor(q_bucket, 3), xor(q_bucket, 5), xor(q_bucket, 6),
+                        xor(q_bucket, 9), xor(q_bucket, 10), xor(q_bucket, 12),
+                        xor(q_bucket, 7), xor(q_bucket, 11), xor(q_bucket, 13), xor(q_bucket, 14),
+                        xor(q_bucket, 15)],
+                       bucket) AS probe_idx,
+         round(list_reduce(list_transform(list_zip(ev, qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))), 6) AS cosine
+  FROM v0 CROSS JOIN q CROSS JOIN entry
+  WHERE vec_id <> 0),
+brute10 AS (
+  SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 10),
+cand AS (
+  SELECT s.vec_id, s.bucket, s.cosine, e.ef
+  FROM scored s JOIN (VALUES (1), (2), (6), (10), (16), (21)) AS e(ef)
+    ON s.probe_idx IS NOT NULL AND s.probe_idx >= 1 AND e.ef >= s.probe_idx),
+top AS (
+  SELECT ef, vec_id
+  FROM (SELECT ef, vec_id,
+               row_number() OVER (PARTITION BY ef ORDER BY cosine DESC, vec_id) AS r
+        FROM cand)
+  WHERE r <= 10),
+hits AS (
+  SELECT ef, count(*) AS n_hit
+  FROM top WHERE vec_id IN (SELECT vec_id FROM brute10)
+  GROUP BY ef)
+SELECT c.ef, count(*)::BIGINT AS n_candidates,
+       count(DISTINCT c.bucket)::BIGINT AS cells_probed,
+       round(coalesce(max(h.n_hit), 0) / 10.0, 6) AS recall_at_10
+FROM cand c LEFT JOIN hits h ON c.ef = h.ef
+GROUP BY c.ef
+ORDER BY c.ef
 """
 
 

@@ -675,19 +675,40 @@ def test_pii_luhn_separates_candidates(spark):
 
 
 def test_hnsw_search_recall_vs_brute_force(spark):
-    """Two-layer navigation quality gate: the ≤10-of-16-cell beam
-    (a superset of the multiprobe operator's 5-cell shell) must
-    recover ≥5 of the exact top-10, and every reported cosine must
-    equal the brute-force value for that vector."""
+    """Two-layer navigation quality gate (tightened per VERDICT r4
+    item 5): the ef=16 beam chosen by hnsw_ef_sweep (query cell's
+    hamming-2 ball ∪ entry cell's hamming-1 ball) must recover ≥8 of
+    the exact top-10, and every reported cosine must equal the
+    brute-force value for that vector."""
     from hematite_spark.queries.similarity import ann_brute_force, hnsw_two_layer_search
 
     exact = {r.vec_id: r.cosine for r in ann_brute_force(spark, SF_DIR).collect()}
     hnsw = {r.vec_id: r.cosine for r in hnsw_two_layer_search(spark, SF_DIR).collect()}
     assert len(hnsw) == 10
     overlap = set(exact) & set(hnsw)
-    assert len(overlap) >= 5, f"hnsw recall {len(overlap)}/10 too low"
+    assert len(overlap) >= 8, f"hnsw recall {len(overlap)}/10 too low"
     for vid in overlap:
         assert abs(exact[vid] - hnsw[vid]) < 1e-9
+
+
+def test_hnsw_ef_sweep_curve(spark):
+    """The ef sweep's recall@10 must be monotone non-decreasing in ef
+    (prefix probe sets nest), reach 1.0 at ef=21 (the probe list
+    saturates the 16-cell space), and hold ≥0.8 at the chosen
+    production beam ef=16 — the quantitative basis for the ≥8/10
+    gate on hnsw_two_layer_search."""
+    from hematite_spark.queries.similarity import hnsw_ef_sweep
+
+    rows = sorted(hnsw_ef_sweep(spark, SF_DIR).collect(), key=lambda r: r.ef)
+    assert [r.ef for r in rows] == [1, 2, 6, 10, 16, 21]
+    recalls = [r.recall_at_10 for r in rows]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    by_ef = {r.ef: r for r in rows}
+    assert by_ef[21].recall_at_10 == 1.0
+    assert by_ef[21].cells_probed == 16
+    assert by_ef[16].recall_at_10 >= 0.8, f"ef=16 recall {by_ef[16].recall_at_10}"
+    for r in rows:
+        assert r.n_candidates <= by_ef[21].n_candidates
 
 
 def test_kcenter_covers_all_vectors(spark):
