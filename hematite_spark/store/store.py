@@ -62,11 +62,6 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, ClassVar, Iterable
 
-try:  # POSIX advisory locks; absent on non-POSIX platforms
-    import fcntl
-except ImportError:  # pragma: no cover
-    fcntl = None  # type: ignore[assignment]
-
 import pyarrow as pa
 import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
@@ -75,6 +70,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hematite_spark.schema import REQUIRED_ATTRS
+from hematite_spark.store.locks import LockProvider, resolve_lock_provider
 
 
 # ---------------------------------------------------------------- errors
@@ -248,7 +244,11 @@ class EventStore:
     parquet table."""
 
     def __init__(
-        self, spark: SparkSession, root: str, auto_compact_files: int | None = None
+        self,
+        spark: SparkSession,
+        root: str,
+        auto_compact_files: int | None = None,
+        lock_provider: "LockProvider | str | None" = None,
     ):
         """`auto_compact_files`: when set, an append that leaves a
         stream with at least this many files triggers an inline
@@ -256,10 +256,17 @@ class EventStore:
         amortized while reads stay bounded at O(threshold) files. At
         cluster scale this becomes the async compaction job; inline
         is the single-node policy (matching the reference's
-        single-node envelope)."""
+        single-node envelope).
+
+        `lock_provider`: the cross-instance writer lock — ``'flock'``,
+        ``'lease'`` (O_EXCL TTL lease for filesystems where flock is
+        advisory-unreliable), a ``LockProvider`` instance, or the
+        default ``'auto'`` (flock where fcntl exists, lease
+        elsewhere). See hematite_spark/store/locks.py."""
         self.spark = spark
         self.root = root
         self.auto_compact_files = auto_compact_files
+        self._lock_provider = resolve_lock_provider(lock_provider)
         os.makedirs(root, exist_ok=True)
         self._locks: dict[tuple[str, str], threading.RLock] = {}
         self._locks_guard = threading.Lock()
@@ -304,43 +311,37 @@ class EventStore:
 
     @contextmanager
     def _interprocess_lock(self, user_id: str, stream_id: str):
-        """Cross-instance writer serialization: an exclusive flock on
-        ``<stream_dir>/.lock``. This is the per-stream lock service
-        the multi-writer OCC contract requires — two EventStore
-        instances (processes) on shared storage serialize their
-        append/compact/delete critical sections here, the same way
-        the reference serializes per stream with its tokio mutex
-        (reference server.rs:58,184) but across process boundaries.
+        """Cross-instance writer serialization via the pluggable
+        ``LockProvider`` (flock on POSIX by default; O_EXCL TTL lease
+        where flock is advisory-unreliable — see store/locks.py). This
+        is the per-stream lock service the multi-writer OCC contract
+        requires — two EventStore instances (processes) on shared
+        storage serialize their append/compact/delete critical
+        sections here, the same way the reference serializes per
+        stream with its tokio mutex (reference server.rs:58,184) but
+        across process boundaries.
 
         MUST be called with the stream's in-process RLock held (it
         guards the reentrancy depth map, and orders in-process
         waiters before the cross-process wait). Reentrant within a
         holder: append → auto-compact re-enters without re-locking.
         At cluster scale the same role is played by a lock service
-        or a Delta-style transaction log; flock is the shared-
-        filesystem member of that family. No-op where fcntl is
-        unavailable (non-POSIX)."""
+        or a Delta-style transaction log; the providers here are the
+        shared-filesystem members of that family."""
         key = (user_id, stream_id)
-        if fcntl is None or self._flock_depth.get(key, 0) > 0:
-            self._flock_depth[key] = self._flock_depth.get(key, 0) + 1
+        if self._flock_depth.get(key, 0) > 0:
+            self._flock_depth[key] += 1
             try:
                 yield
             finally:
                 self._flock_depth[key] -= 1
             return
-        d = self._stream_dir(user_id, stream_id)
-        os.makedirs(d, exist_ok=True)
-        fd = os.open(os.path.join(d, ".lock"), os.O_CREAT | os.O_RDWR, 0o644)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with self._lock_provider.exclusive(self._stream_dir(user_id, stream_id)):
             self._flock_depth[key] = 1
             try:
                 yield
             finally:
                 self._flock_depth[key] = 0
-                fcntl.flock(fd, fcntl.LOCK_UN)
-        finally:
-            os.close(fd)
 
     def _refresh_if_changed(self, user_id: str, stream_id: str) -> None:
         """Drop caches when the directory no longer matches them —

@@ -341,15 +341,19 @@ def test_two_instances_stale_cache_and_self_heal(tmp_path):
     assert [e["_revision"] for e in a.query(U, S, -5, 3)] == [0, 1, 2]
 
 
-def test_two_instances_occ_serialized_by_file_lock(tmp_path):
+@pytest.mark.parametrize("provider", ["flock", "lease"])
+def test_two_instances_occ_serialized_by_file_lock(tmp_path, provider):
     """Executable contract for the cluster-scale multi-writer claim
-    (closes VERDICT r2 item 3): the per-stream flock + on-disk
-    refresh serialize appends ACROSS EventStore instances, so a
-    second writer's stale exact-revision gate now raises the OCC
-    conflict instead of double-assigning a revision."""
+    (closes VERDICT r2 item 3; VERDICT r4 item 4 runs it against BOTH
+    lock-provider family members — the lease member never touches
+    fcntl, so this is the flock-disabled path): the per-stream
+    cross-instance lock + on-disk refresh serialize appends ACROSS
+    EventStore instances, so a second writer's stale exact-revision
+    gate now raises the OCC conflict instead of double-assigning a
+    revision."""
     root = str(tmp_path / "shared")
-    a = EventStore(None, root)
-    b = EventStore(None, root)
+    a = EventStore(None, root, lock_provider=provider)
+    b = EventStore(None, root, lock_provider=provider)
     a.append(U, S, [minimal_event(f"a{i}", source="A") for i in range(10)])
     assert b.revision(U, S) == 10  # both instances now see revision 10
     # interleaved writers: a advances the stream to 11...
@@ -365,27 +369,31 @@ def test_two_instances_occ_serialized_by_file_lock(tmp_path):
     assert revs == list(range(12))  # gapless, no double-assigned revision
 
 
-def _append_worker(root, n, source):
+def _append_worker(root, n, source, provider="flock"):
     """Module-level so multiprocessing can pickle it (spawn-safe)."""
     from hematite_spark.store.store import EventStore
 
-    store = EventStore(None, root)
+    store = EventStore(None, root, lock_provider=provider)
     for i in range(n):
         store.append(U, S, minimal_event(f"{source}-{i}", source=source))
 
 
-def test_two_processes_append_concurrently_gapless(tmp_path):
-    """The flock contract under REAL process concurrency: two OS
-    processes hammer unconditional appends at the same stream; the
-    interprocess lock must serialize them into one gapless,
-    collision-free revision sequence."""
+@pytest.mark.parametrize("provider", ["flock", "lease"])
+def test_two_processes_append_concurrently_gapless(tmp_path, provider):
+    """The cross-instance lock contract under REAL process
+    concurrency, for BOTH provider family members (flock and the
+    fcntl-free O_EXCL lease): two OS processes hammer unconditional
+    appends at the same stream; the interprocess lock must serialize
+    them into one gapless, collision-free revision sequence."""
     import multiprocessing as mp
 
     root = str(tmp_path / "shared")
-    EventStore(None, root).append(U, S, minimal_event("seed", source="seed"))
+    EventStore(None, root, lock_provider=provider).append(
+        U, S, minimal_event("seed", source="seed")
+    )
     ctx = mp.get_context("fork")
     procs = [
-        ctx.Process(target=_append_worker, args=(root, 15, name))
+        ctx.Process(target=_append_worker, args=(root, 15, name, provider))
         for name in ("procA", "procB")
     ]
     for p in procs:
