@@ -2493,12 +2493,13 @@ def hnsw_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count, cells actually probed, and recall@10 vs the
     exact brute-force top-10 — monotone in ef by construction (prefix
     sets nest), reaching 1.0 at ef=21 where the beam saturates the
-    toy 4-bit navigation space. ef=10 is exactly
-    hnsw_two_layer_search's candidate set; the pytest gate pins
-    recall ≥ 0.8 at ef=16 (the chosen production beam).
+    toy 4-bit navigation space. ef=16 (the query hamming-2 ball plus
+    the entry hamming-1 ball — the prefix-16 probe set) is exactly
+    hnsw_two_layer_search's production candidate set; the pytest gate
+    pins recall ≥ 0.8 at ef=16.
 
     100 TB: one corpus scan computes each vector's first-probe index
-    (array_position against a broadcast 10-cell list); the sweep
+    (array_position against the broadcast 21-entry probe list); the sweep
     explodes each candidate into the efs that include it (≤4×) and
     ranks per ef — partition count equals the 4 ef values, so at real
     scale each ef's top-10 is a TakeOrdered, not a global sort; the

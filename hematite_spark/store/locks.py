@@ -19,6 +19,13 @@ Two members of the lock-service family ship here (VERDICT r4 item 4):
   within the TTL or a successor may take over (critical sections here
   are milliseconds; the default TTL is 30 s).
 
+The providers use DIFFERENT lock files (``.lock`` vs ``.lock.lease``)
+and therefore do not exclude each other: all writers of a shared store
+root must be configured with the same provider. ``auto`` picks per
+stream directory — flock on local POSIX mounts, lease on detected
+network/FUSE mounts — so a mixed fleet should pin an explicit provider
+rather than rely on ``auto`` agreeing across hosts.
+
 At real cluster scale the same seam is where a lock service or a
 Delta-style commit log plugs in — the provider interface is one
 ``exclusive(stream_dir)`` context manager, nothing EventStore-specific.
@@ -71,26 +78,79 @@ class LeaseLockProvider(LockProvider):
 
     Acquire: ``O_CREAT|O_EXCL`` the lease file containing
     ``pid token expiry``; on ``FileExistsError`` poll, and once the
-    recorded expiry passes, steal by atomically renaming the stale
-    lease to a private name (only one stealer's rename succeeds),
-    verifying it is still expired, and retrying the create. Release:
-    remove the lease only if it still carries this holder's token —
-    a holder that overran its TTL and was superseded must not delete
-    its successor's lease."""
+    lease is stealable (recorded expiry passed, or the file is torn/
+    unparseable and older than the TTL by mtime), steal by atomically
+    renaming it to a private name (only one stealer's rename succeeds)
+    and verifying the stolen *bytes* equal the exact bytes observed
+    when the steal was decided. A mismatch means the expired holder
+    released and a FRESH lease landed in the read→rename window — the
+    grabbed live lease is restored with ``os.link`` (atomic,
+    fails-if-exists) so a third writer's lease is never clobbered.
+    Release mirrors the steal: rename the lease to a private name,
+    verify the token is ours, and restore (again link, never a blind
+    rename) if a superseded holder grabbed its successor's lease.
+
+    This is as strong as rename/link primitives allow: the only
+    remaining exposure is a holder that overruns its TTL, which is the
+    documented lease contract (critical sections here are milliseconds;
+    the default TTL is 30 s)."""
 
     def __init__(self, ttl_seconds: float = 30.0, poll_interval: float = 0.005):
         self.ttl_seconds = ttl_seconds
         self.poll_interval = poll_interval
 
     @staticmethod
-    def _read(path: str) -> tuple[str, float] | None:
-        """(token, expiry) or None when unreadable/mid-write."""
+    def _read_raw(path: str) -> bytes | None:
         try:
-            with open(path, encoding="utf-8") as f:
-                parts = f.read().split()
-            return parts[1], float(parts[2])
-        except (OSError, IndexError, ValueError):
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
             return None
+
+    @staticmethod
+    def _parse(raw: bytes | None) -> tuple[str, float] | None:
+        """(token, expiry) or None when torn/mid-write."""
+        try:
+            parts = raw.decode("utf-8").split()
+            return parts[1], float(parts[2])
+        except (AttributeError, IndexError, ValueError, UnicodeDecodeError):
+            return None
+
+    def _stealable(self, path: str, raw: bytes | None) -> bool:
+        state = self._parse(raw)
+        if state is not None:
+            return time.time() > state[1]
+        # Torn/empty lease (writer crashed between O_EXCL create and
+        # write): no expiry was ever recorded, so age it out by mtime —
+        # otherwise every future writer deadlocks forever.
+        try:
+            return time.time() - os.stat(path).st_mtime > self.ttl_seconds
+        except OSError:
+            return False  # vanished: the O_EXCL retry will settle it
+
+    @staticmethod
+    def _restore(priv: str, lease: str) -> None:
+        """Put a mistakenly-grabbed live lease back WITHOUT clobbering
+        any fresh lease a third writer may have created while the path
+        was briefly empty: link() atomically fails if the path exists.
+        If a fresh lease exists the grabbed holder has effectively been
+        superseded (its release safely no-ops on token mismatch)."""
+        try:
+            os.link(priv, lease)
+        except FileExistsError:
+            pass  # a successor already holds the path; do not clobber
+        except OSError:
+            # filesystem without hard links: best-effort non-clobber
+            if not os.path.exists(lease):
+                try:
+                    os.rename(priv, lease)
+                except OSError:
+                    pass
+                return
+        try:
+            os.remove(priv)
+        except OSError:
+            pass
 
     @contextmanager
     def exclusive(self, stream_dir: str):
@@ -101,29 +161,29 @@ class LeaseLockProvider(LockProvider):
             try:
                 fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
             except FileExistsError:
-                state = self._read(lease)
-                if state is not None and time.time() > state[1]:
-                    # steal: rename is atomic, so exactly one stealer
-                    # owns the private name; re-verify expiry there in
-                    # case the original holder released and a fresh
-                    # lease landed between our read and the rename
+                observed = self._read_raw(lease)
+                if observed is not None and self._stealable(lease, observed):
+                    # Re-read immediately before the rename and compare
+                    # the exact bytes the steal decision was based on —
+                    # narrows the window in which a release+fresh-acquire
+                    # could slip in between decision and rename.
+                    if self._read_raw(lease) != observed:
+                        time.sleep(self.poll_interval)
+                        continue
                     priv = f"{lease}.stale.{token}"
                     try:
                         os.rename(lease, priv)
                     except OSError:
                         pass  # someone else stole or holder released
                     else:
-                        stolen = self._read(priv)
-                        if stolen is None or time.time() > stolen[1]:
+                        if self._read_raw(priv) == observed:
+                            # stole exactly the expired lease: path free
                             try:
                                 os.remove(priv)
                             except OSError:
                                 pass
-                        else:  # live lease grabbed by mistake: restore
-                            try:
-                                os.rename(priv, lease)
-                            except OSError:
-                                pass
+                        else:  # grabbed a fresh live lease by mistake
+                            self._restore(priv, lease)
                 time.sleep(self.poll_interval)
                 continue
             try:
@@ -137,20 +197,96 @@ class LeaseLockProvider(LockProvider):
         try:
             yield
         finally:
-            state = self._read(lease)
-            if state is not None and state[0] == token:
-                try:
-                    os.remove(lease)
-                except OSError:
-                    pass
+            # Release mirrors the steal: move the lease to a private
+            # name first (atomic — no check-then-act on the shared
+            # path), verify the token there, and restore a successor's
+            # lease if we were superseded and grabbed theirs.
+            priv = f"{lease}.rel.{token}"
+            try:
+                os.rename(lease, priv)
+            except OSError:
+                pass  # superseded and our lease already removed/stolen
+            else:
+                state = self._parse(self._read_raw(priv))
+                if state is not None and state[0] == token:
+                    try:
+                        os.remove(priv)
+                    except OSError:
+                        pass
+                else:
+                    self._restore(priv, lease)
+
+
+# Filesystem types where flock is advisory-unreliable (or a lie): the
+# lease provider's create-exclusive + rename/link primitives are the
+# safe choice on all of these.
+_NETWORK_FSTYPES = frozenset(
+    {"nfs", "nfs4", "cifs", "smbfs", "smb3", "fuse", "fuseblk", "sshfs",
+     "glusterfs", "lustre", "ceph", "9p", "afs", "ncpfs"}
+)
+
+
+def _mount_fstype(path: str) -> str | None:
+    """Best-effort fstype of the mount holding ``path`` (Linux: longest
+    mount-point prefix match over /proc/mounts). None when unknown."""
+    try:
+        with open("/proc/mounts", encoding="utf-8") as f:
+            mounts = [line.split()[:3] for line in f if len(line.split()) >= 3]
+    except OSError:
+        return None
+    real = os.path.realpath(path)
+    best: tuple[int, str] | None = None
+    for _dev, mnt, fstype in mounts:
+        if real == mnt or real.startswith(mnt.rstrip("/") + "/") or mnt == "/":
+            if best is None or len(mnt) > best[0]:
+                best = (len(mnt), fstype)
+    return best[1] if best else None
+
+
+class AutoLockProvider(LockProvider):
+    """Per-directory provider choice: flock on local POSIX filesystems,
+    lease on network/FUSE mounts (where flock is advisory-unreliable)
+    and wherever ``fcntl`` is unavailable. The decision is cached per
+    stream directory so the /proc/mounts walk happens once."""
+
+    def __init__(self) -> None:
+        self._flock = FlockLockProvider() if fcntl is not None else None
+        self._lease = LeaseLockProvider()
+        self._cache: dict[str, LockProvider] = {}
+
+    def _pick(self, stream_dir: str) -> LockProvider:
+        prov = self._cache.get(stream_dir)
+        if prov is None:
+            fstype = _mount_fstype(stream_dir)
+            network = fstype is not None and (
+                fstype in _NETWORK_FSTYPES
+                or fstype.startswith(("nfs", "fuse", "cifs", "smb"))
+            )
+            prov = self._lease if (network or self._flock is None) else self._flock
+            self._cache[stream_dir] = prov
+        return prov
+
+    @contextmanager
+    def exclusive(self, stream_dir: str):
+        with self._pick(stream_dir).exclusive(stream_dir):
+            yield
 
 
 def resolve_lock_provider(spec: "LockProvider | str | None") -> LockProvider:
     """``'flock'`` / ``'lease'`` / ``'auto'`` (default) / an instance.
 
-    ``auto`` picks flock where ``fcntl`` exists and falls back to the
-    lease provider elsewhere — cross-instance appends stay serialized
-    on every platform instead of silently degrading to a no-op."""
+    ``auto`` picks flock on local POSIX filesystems and the lease
+    provider on network/FUSE mounts (detected per stream directory via
+    /proc/mounts) or where ``fcntl`` is missing — cross-instance
+    appends stay serialized on every platform instead of silently
+    degrading to a no-op.
+
+    IMPORTANT: the two providers use different lock files (``.lock``
+    vs ``.lock.lease``), so they do NOT exclude each other. Every
+    writer of a shared store root must resolve to the SAME provider —
+    pass an explicit ``'flock'`` or ``'lease'`` when a mixed fleet
+    (e.g. POSIX + non-POSIX hosts over the same SMB/NFS export) could
+    make ``auto`` disagree across hosts."""
     if isinstance(spec, LockProvider):
         return spec
     name = (spec or "auto").lower()
@@ -159,5 +295,5 @@ def resolve_lock_provider(spec: "LockProvider | str | None") -> LockProvider:
     if name == "lease":
         return LeaseLockProvider()
     if name == "auto":
-        return FlockLockProvider() if fcntl is not None else LeaseLockProvider()
+        return AutoLockProvider()
     raise ValueError(f"unknown lock provider {spec!r} (flock|lease|auto)")

@@ -404,3 +404,148 @@ def test_two_processes_append_concurrently_gapless(tmp_path, provider):
     fresh = EventStore(None, root)
     revs = [e["_revision"] for e in fresh.query(U, S, 0, 100)]
     assert revs == list(range(31))  # 1 seed + 2×15, gapless
+
+
+# ---------------------------------------------------------------------------
+# Lease-lock hardening (ADVICE r5: steal/release races, torn leases, auto)
+# ---------------------------------------------------------------------------
+
+
+def test_lease_torn_empty_file_ages_out(tmp_path):
+    """A writer that crashed between O_EXCL create and the write leaves
+    an EMPTY lease with no recorded expiry; it must age out by mtime
+    after the TTL instead of deadlocking every future writer forever."""
+    import os
+    import time
+
+    from hematite_spark.store.locks import LeaseLockProvider
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    lease = os.path.join(d, ".lock.lease")
+    open(lease, "w").close()  # torn: zero bytes
+    past = time.time() - 60
+    os.utime(lease, (past, past))
+    prov = LeaseLockProvider(ttl_seconds=5.0, poll_interval=0.01)
+    t0 = time.time()
+    with prov.exclusive(d):
+        pass  # acquired: torn lease was steal-able by age
+    assert time.time() - t0 < 3.0
+    assert not os.path.exists(lease)
+
+
+def test_lease_torn_fresh_file_not_stolen_early(tmp_path):
+    """A torn lease YOUNGER than the TTL is treated as live (the
+    crashed-or-mid-write writer gets its full TTL before takeover)."""
+    import os
+    import time
+
+    from hematite_spark.store.locks import LeaseLockProvider
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    lease = os.path.join(d, ".lock.lease")
+    open(lease, "w").close()  # torn, mtime = now
+    prov = LeaseLockProvider(ttl_seconds=0.6, poll_interval=0.01)
+    t0 = time.time()
+    with prov.exclusive(d):
+        waited = time.time() - t0
+    assert waited >= 0.5  # blocked until the mtime TTL elapsed
+
+
+def test_lease_release_never_deletes_successor(tmp_path):
+    """Superseded-holder contract: if this holder's lease was stolen
+    and a successor's lease now sits at the path, release must leave
+    the successor's lease byte-for-byte intact (the old read-then-
+    unlink could delete it)."""
+    import os
+
+    from hematite_spark.store.locks import LeaseLockProvider
+
+    d = str(tmp_path / "stream")
+    prov = LeaseLockProvider(ttl_seconds=30.0)
+    lease = os.path.join(d, ".lock.lease")
+    successor = b"4242 aaaabbbbccccdddd 9999999999.0"
+    with prov.exclusive(d):
+        # simulate a steal + successor acquire while we hold the lock
+        os.remove(lease)
+        with open(lease, "wb") as f:
+            f.write(successor)
+    with open(lease, "rb") as f:
+        assert f.read() == successor  # restored, not deleted
+
+
+def test_lease_restore_never_clobbers_third_party(tmp_path):
+    """_restore puts a mistakenly-grabbed lease back only when the
+    path is free; if a third writer's lease landed meanwhile it must
+    NOT be overwritten (link semantics, not blind rename)."""
+    import os
+
+    from hematite_spark.store.locks import LeaseLockProvider
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    lease = os.path.join(d, ".lock.lease")
+    priv = lease + ".stale.deadbeef"
+    grabbed = b"1 grabbedtoken 9999999999.0"
+    third = b"2 thirdtoken 9999999999.0"
+    with open(priv, "wb") as f:
+        f.write(grabbed)
+    with open(lease, "wb") as f:
+        f.write(third)
+    LeaseLockProvider._restore(priv, lease)
+    with open(lease, "rb") as f:
+        assert f.read() == third  # third party's lease untouched
+    assert not os.path.exists(priv)
+    # and when the path IS free, restore reinstates the grabbed lease
+    with open(priv, "wb") as f:
+        f.write(grabbed)
+    os.remove(lease)
+    LeaseLockProvider._restore(priv, lease)
+    with open(lease, "rb") as f:
+        assert f.read() == grabbed
+    assert not os.path.exists(priv)
+
+
+def test_auto_provider_picks_lease_on_network_fs(tmp_path, monkeypatch):
+    """'auto' resolves per stream directory: flock on local mounts,
+    lease on network/FUSE mounts where flock is advisory-unreliable."""
+    from hematite_spark.store import locks
+
+    prov = locks.resolve_lock_provider("auto")
+    assert isinstance(prov, locks.AutoLockProvider)
+    d_local = str(tmp_path / "local")
+    d_net = str(tmp_path / "net")
+    monkeypatch.setattr(
+        locks, "_mount_fstype", lambda p: "nfs4" if p.endswith("net") else "ext4"
+    )
+    assert isinstance(prov._pick(d_net), locks.LeaseLockProvider)
+    assert isinstance(prov._pick(d_local), locks.FlockLockProvider)
+    # cached decision survives (and the auto provider actually locks)
+    assert prov._pick(d_net) is prov._pick(d_net)
+    with prov.exclusive(d_local):
+        pass
+
+
+def test_lease_steal_requires_exact_observed_bytes(tmp_path):
+    """The steal path re-reads and compares exact bytes before the
+    rename: a lease whose content changed between the steal decision
+    and the rename (expired holder released, fresh holder acquired)
+    must not be treated as the stolen expired lease."""
+    import os
+    import time
+
+    from hematite_spark.store.locks import LeaseLockProvider
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    lease = os.path.join(d, ".lock.lease")
+    expired = f"1 oldtoken {time.time() - 10}"
+    with open(lease, "w") as f:
+        f.write(expired)
+    prov = LeaseLockProvider(ttl_seconds=30.0, poll_interval=0.01)
+    # the expired lease IS stealable and acquisition proceeds
+    with prov.exclusive(d):
+        raw = open(lease, "rb").read()
+        assert b"oldtoken" not in raw  # our fresh lease, not the stale one
+    assert not os.path.exists(lease)
