@@ -83,6 +83,14 @@ HEADLINE = [
     "cdc_chunk_boundaries",
     "hnsw_two_layer_search",
     "kneser_ney_bigram",
+    # round-6 widening (VERDICT r4 item 6): the heaviest catalog
+    # families previously unguarded by the per-round regression check
+    "rec_hitrate_eval",
+    "entity_resolution_pipeline",
+    "lsh_band_auc",
+    "source_overlap_matrix",
+    "label_propagation_step",
+    "retrieval_ndcg_audit",
 ]
 
 
