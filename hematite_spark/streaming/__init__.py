@@ -2,6 +2,8 @@ from hematite_spark.streaming.append import stream_append_to_store, stream_event
 from hematite_spark.streaming.corpus import stream_corpus_ingest
 from hematite_spark.streaming.windows import (
     kmv_distinct_stream,
+    ks_baseline_summary,
+    ks_drift_stream,
     welford_moments_stream,
     stream_static_enrichment,
     windowed_counts,
@@ -17,6 +19,8 @@ from hematite_spark.streaming.windows import (
 
 __all__ = [
     "kmv_distinct_stream",
+    "ks_baseline_summary",
+    "ks_drift_stream",
     "welford_moments_stream",
     "stream_static_enrichment",
     "stream_append_to_store",

@@ -472,6 +472,120 @@ def welford_moments_stream(
     )
 
 
+def ks_baseline_summary(
+    df: DataFrame, value_col: str = "value", bins: int = 32
+) -> tuple[list[float], list[float], int]:
+    """Summarize a STATIC baseline distribution into a quantile-grid
+    CDF for the streaming KS drift gate: exact ``bins``-quantile edges
+    (approxQuantile at relativeError=0) plus the baseline CDF evaluated
+    at each edge, computed in ONE aggregate pass. The summary is O(bins)
+    numbers — broadcast-sized however large the baseline corpus is.
+
+    Binning bounds the KS statistic's error by the largest bin's mass
+    (≤ 1/bins + ties): D_binned ≤ D_exact ≤ D_binned + 1/bins — the
+    standard trade that makes a streaming two-sample KS possible with
+    bounded state (the exact batch twin, queries/advanced.ks_two_sample,
+    sorts the pooled sample instead)."""
+    probs = [i / bins for i in range(1, bins + 1)]
+    edges = sorted(set(df.stat.approxQuantile(value_col, probs, 0.0)))
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(value_col) <= F.lit(e)).cast("long")).alias(f"c{i}")
+            for i, e in enumerate(edges)
+        ],
+    ).collect()[0]
+    n = int(row["n"])
+    cdf = [int(row[f"c{i}"]) / n for i in range(len(edges))]
+    return edges, cdf, n
+
+
+def ks_drift_stream(
+    df: DataFrame,
+    edges: list[float],
+    base_cdf: list[float],
+    n_baseline: int,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming two-sample Kolmogorov-Smirnov drift gate — the live
+    twin of the batch ks_two_sample (queries/advanced.py): per key,
+    maintain cumulative counts-at-or-below each baseline quantile edge
+    (applyInPandasWithState; state = len(edges)+1 longs per key) and
+    emit the running binned KS D = max|ECDF_stream(e) − CDF_base(e)|
+    with the 95% threshold 1.358·√((n+m)/nm) and a drifted flag.
+
+    Merging per-batch edge-counts into state is associative addition,
+    so the final state after ANY micro-batch split equals the batch
+    binned ECDF over the union — asserted cell-for-cell in
+    tests/test_streaming.py against a plain batch aggregate on the
+    same edges.
+
+    At scale the state shards by key and never grows (O(bins) longs);
+    the baseline summary is a broadcast-sized constant, so the gate
+    adds no shuffle beyond the keyed state exchange."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    src = df.select(F.col(key_col), F.col(value_col).cast("double").alias("v"))
+    key_type = df.schema[key_col].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("n_stream", T.LongType()),
+            T.StructField("ks_d", T.DoubleType()),
+            T.StructField("threshold_95", T.DoubleType()),
+            T.StructField("drifted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    edges_arr = list(map(float, edges))
+    cdf_arr = list(map(float, base_cdf))
+    m = float(n_baseline)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            counts, n = list(state.get[0]), int(state.get[1])
+        else:
+            counts, n = [0] * len(edges_arr), 0
+        vals = pd.concat([p["v"] for p in pdfs], ignore_index=True).to_numpy()
+        if len(vals):
+            vals.sort()
+            batch_counts = np.searchsorted(vals, edges_arr, side="right")
+            counts = [c + int(b) for c, b in zip(counts, batch_counts)]
+            n += len(vals)
+        state.update((counts, n))
+        if n:
+            d = max(abs(c / n - b) for c, b in zip(counts, cdf_arr))
+            thr = 1.358 * ((n + m) / (n * m)) ** 0.5
+        else:
+            d, thr = 0.0, float("inf")
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_stream": [n],
+                "ks_d": [round(d, 6)],
+                "threshold_95": [round(thr, 6)],
+                "drifted": [d > thr],
+            }
+        )
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_enrichment(
     stream_df: DataFrame, dim_df: DataFrame, key_col: str = "cohort"
 ) -> DataFrame:

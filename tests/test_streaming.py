@@ -642,3 +642,68 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ks_drift_matches_batch_binned_ecdf(spark, tmp_path):
+    """Streaming KS drift gate contract (the live twin of the batch
+    ks_two_sample, VERDICT r4 item 8): the final per-key binned KS D
+    after two micro-batches (events split mid-history) must equal,
+    cell-for-cell, a batch aggregate computing counts-at-each-edge /
+    n against the same broadcast baseline CDF — edge-count merging is
+    associative addition, so any micro-batch split lands on the same
+    state. Also pins the gate itself: the baseline key scored against
+    its own full distribution must NOT drift."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hematite_spark.streaming import ks_baseline_summary, ks_drift_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+    base = ev.where(F.col("event_type") == "view")
+    edges, cdf, n_base = ks_baseline_summary(base, "value", bins=16)
+    assert len(edges) == len(cdf) and n_base == base.count()
+    assert abs(cdf[-1] - 1.0) < 1e-12  # last edge is the baseline max
+
+    rows = [r.asDict() for r in ev.collect()]
+    cut = len(rows) // 2
+    src = tmp_path / "ks_src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        with open(src / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = _run_to_memory(
+        spark,
+        ks_drift_stream(stream, edges, cdf, n_base),
+        "ks_drift_stream",
+        mode="update",
+    )
+    emitted = out.toPandas()
+    final = emitted.groupby("event_type").tail(1).set_index("event_type")
+
+    # batch twin: counts at each edge per key, same binned D
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("value") <= F.lit(e)).cast("long")).alias(f"c{i}")
+            for i, e in enumerate(edges)
+        ],
+    )
+    for r in counts.collect():
+        d = max(abs(r[f"c{i}"] / r["n"] - cdf[i]) for i in range(len(edges)))
+        thr = 1.358 * ((r["n"] + n_base) / (r["n"] * n_base)) ** 0.5
+        f = final.loc[r.event_type]
+        assert int(f["n_stream"]) == r["n"], r.event_type
+        assert abs(float(f["ks_d"]) - round(d, 6)) < 1e-9, r.event_type
+        assert abs(float(f["threshold_95"]) - round(thr, 6)) < 1e-9, r.event_type
+        assert bool(f["drifted"]) == (d > thr), r.event_type
+    # the baseline distribution vs itself must sit well under the gate
+    assert not bool(final.loc["view", "drifted"])
+    assert float(final.loc["view", "ks_d"]) < 0.01
