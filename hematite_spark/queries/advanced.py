@@ -6782,3 +6782,430 @@ FROM diffed
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test of each event type's value
+    distribution against the 'view' baseline — the nonparametric
+    location companion to ks_two_sample (KS sees any CDF gap, U asks
+    specifically 'does one distribution sit higher'). Average ranks
+    are computed from value-group counts + one cumulative window per
+    pair (never a per-row global sort): avg_rank(v) = cnt_below +
+    (cnt_at+1)/2. U = R_base − n_a(n_a+1)/2, z = (U − n_a·n_b/2) /
+    √(n_a·n_b·(n_a+n_b+1)/12) (ties handled by the averaging; no tie
+    variance correction — both engines apply the identical formula).
+
+    100 TB: the pooled table is (pair)-partitioned; the rank pass
+    aggregates to DISTINCT VALUES first, so the window walks value
+    groups, not rows — the same bounded-ECDF trick ks_two_sample
+    uses."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", F.col("value").alias("v"))
+    base = ev.where(F.col("event_type") == "view").select(
+        F.col("v"), F.lit(1).alias("is_a")
+    )
+    rest = ev.where(F.col("event_type") != "view").select(
+        "event_type", "v", F.lit(0).alias("is_a")
+    )
+    pooled = rest.unionByName(rest.select("event_type").distinct().crossJoin(base))
+    g = pooled.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_a").alias("cnt_a")
+    )
+    wv = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = g.select(
+        "event_type",
+        "cnt",
+        "cnt_a",
+        (F.sum("cnt").over(wv) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias("avg_rank"),
+    )
+    res = ranked.groupBy("event_type").agg(
+        F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r_a"),
+        F.sum("cnt_a").cast("double").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("double").alias("n_b"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    z = (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(
+        F.col("n_a") * F.col("n_b") * (F.col("n_a") + F.col("n_b") + 1) / 12.0
+    )
+    return res.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_baseline"),
+        F.col("n_b").cast("bigint").alias("n_sample"),
+        F.round(u, 2).alias("u_baseline"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")
+
+
+MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT value AS v, 1 AS is_a FROM events WHERE event_type = 'view'),
+rest AS (
+  SELECT event_type, value AS v, 0 AS is_a FROM events WHERE event_type <> 'view'),
+pooled AS (
+  SELECT event_type, v, is_a FROM rest
+  UNION ALL
+  SELECT t.event_type, base.v, base.is_a
+  FROM (SELECT DISTINCT event_type FROM rest) t CROSS JOIN base),
+g AS (
+  SELECT event_type, v, count(*) AS cnt, sum(is_a) AS cnt_a
+  FROM pooled GROUP BY event_type, v),
+ranked AS (
+  SELECT event_type, cnt, cnt_a,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM g),
+res AS (
+  SELECT event_type,
+         sum(cnt_a * avg_rank) AS r_a,
+         CAST(sum(cnt_a) AS DOUBLE) AS n_a,
+         CAST(sum(cnt - cnt_a) AS DOUBLE) AS n_b
+  FROM ranked GROUP BY event_type)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_baseline,
+       CAST(n_b AS BIGINT) AS n_sample,
+       round(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_baseline,
+       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 6) AS z_score,
+       abs((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+           / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)) > 1.96 AS significant_95
+FROM res
+ORDER BY event_type
+"""
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order volume per priority:
+    the median of all pairwise day-to-day slopes — immune to the
+    outlier days that wreck an OLS slope. The pair space is the DAILY
+    series squared, which is CALENDAR-bounded (a 100 TB corpus still
+    has ~3k days), so the self-join is data-size-independent after
+    the first aggregate — the scale trick that makes the textbook
+    O(n²) estimator viable.
+
+    100 TB: one groupBy to (priority, day) counts, then a
+    priority-partitioned pair join over the tiny daily table; the
+    median is per-priority over ≤ days²/2 slopes."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.select(
+        "o_orderpriority",
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("slope"),
+    )
+    days = daily.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.median("slope"), 6).alias("ts_slope"),
+        )
+        .join(F.broadcast(days), "o_orderpriority")
+        .select("o_orderpriority", "n_days", "n_pairs", "ts_slope",
+                (F.col("ts_slope") > 0).alias("rising"))
+        .orderBy("o_orderpriority")
+    )
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2),
+pairs AS (
+  SELECT a.o_orderpriority, (b.y - a.y) / (b.x - a.x) AS slope
+  FROM daily a JOIN daily b
+    ON a.o_orderpriority = b.o_orderpriority AND b.x > a.x),
+days AS (
+  SELECT o_orderpriority, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT p.o_orderpriority,
+       CAST(d.n_days AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(p.slope), 6) AS ts_slope,
+       round(median(p.slope), 6) > 0 AS rising
+FROM pairs p JOIN days d USING (o_orderpriority)
+GROUP BY p.o_orderpriority, d.n_days
+ORDER BY p.o_orderpriority
+"""
+
+
+def cooks_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's-distance influence audit for the OLS fit of order total
+    price on customer account balance — the regression-QA pass that
+    surfaces the individual rows that most distort a fitted model
+    (label-noise hunting for value-regression training sets). Simple-
+    regression closed forms make it three aggregate passes, no solver:
+    (1) moments → slope/intercept, (2) SSE → s², (3) per-row leverage
+    h = 1/n + (x−x̄)²/Sxx and D = e²/(2s²)·h/(1−h)²; top 10 by D.
+
+    100 TB: passes 1-2 are single hash aggregates broadcast back as
+    1-row parameter frames (the linear_probe_gd pattern); pass 3 is a
+    map-only projection + TakeOrdered(10) — no shuffle carries rows."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_acctbal").alias("x"), F.col("o_totalprice").alias("y")
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_raw"),
+    )
+    p = d.crossJoin(F.broadcast(st)).withColumn(
+        "sxx", F.col("sxx_raw") - F.col("n") * F.col("xbar") * F.col("xbar")
+    )
+    p = p.withColumn(
+        "b",
+        (F.col("sxy_raw") - F.col("n") * F.col("xbar") * F.col("ybar")) / F.col("sxx"),
+    )
+    p = p.withColumn(
+        "e", F.col("y") - (F.col("ybar") - F.col("b") * F.col("xbar")) - F.col("b") * F.col("x")
+    )
+    sse = p.agg(F.sum(F.col("e") * F.col("e")).alias("sse"))
+    q = p.crossJoin(F.broadcast(sse)).withColumn(
+        "s2", F.col("sse") / (F.col("n") - 2)
+    )
+    q = q.withColumn(
+        "h", 1 / F.col("n") + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar")) / F.col("sxx")
+    )
+    q = q.withColumn(
+        "cooks_d",
+        F.col("e") * F.col("e") / (2 * F.col("s2")) * F.col("h") / ((1 - F.col("h")) * (1 - F.col("h"))),
+    )
+    return q.select(
+        "o_orderkey",
+        F.round("e", 2).alias("residual"),
+        F.round("h", 8).alias("leverage"),
+        F.round("cooks_d", 8).alias("cooks_d"),
+    ).orderBy(F.col("cooks_d").desc(), "o_orderkey").limit(10)
+
+
+COOKS_DISTANCE_SQL = """
+WITH d AS (
+  SELECT o_orderkey, c_acctbal AS x, o_totalprice AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar, avg(y) AS ybar,
+         sum(x * x) AS sxx_raw, sum(x * y) AS sxy_raw
+  FROM d),
+p AS (
+  SELECT d.*, st.n, st.xbar, st.ybar,
+         st.sxx_raw - st.n * st.xbar * st.xbar AS sxx,
+         (st.sxy_raw - st.n * st.xbar * st.ybar)
+           / (st.sxx_raw - st.n * st.xbar * st.xbar) AS b
+  FROM d CROSS JOIN st),
+r AS (
+  SELECT *, y - (ybar - b * xbar) - b * x AS e FROM p),
+sse AS (SELECT sum(e * e) AS sse FROM r),
+q AS (
+  SELECT r.*, sse.sse / (r.n - 2) AS s2,
+         1 / r.n + (r.x - r.xbar) * (r.x - r.xbar) / r.sxx AS h
+  FROM r CROSS JOIN sse)
+SELECT o_orderkey,
+       round(e, 2) AS residual,
+       round(h, 8) AS leverage,
+       round(e * e / (2 * s2) * h / ((1 - h) * (1 - h)), 8) AS cooks_d
+FROM q
+ORDER BY e * e / (2 * s2) * h / ((1 - h) * (1 - h)) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector over each event type's
+    DAILY mean value — the classic online changepoint gate (CUSUM's
+    one-sided cousin, complementing cusum_changepoint which works on
+    totals): m_t = Σ(x_s − x̄_s − δ) with the running mean x̄_s, and
+    PH_t = m_t − min_{s≤t} m_s; the alarm fires when PH exceeds λ.
+    Emits per type the max PH, the first alarm day (null when the
+    series is in control), and the drift verdict.
+
+    100 TB: one groupBy to (type, day) bounds the sequence length by
+    the calendar; the three chained windows share one type-partition
+    shuffle; state per partition is O(1)."""
+    ev = load_table(spark, "events", sf_dir)
+    delta, lam = 0.05, 25.0
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.avg("value").alias("x")
+    )
+    wseq = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s1 = daily.withColumn("xbar", F.avg("x").over(wseq))
+    s2 = s1.withColumn("m", F.sum(F.col("x") - F.col("xbar") - delta).over(wseq))
+    s3 = s2.withColumn("ph", F.col("m") - F.min("m").over(wseq))
+    return (
+        s3.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.max("ph"), 6).alias("max_ph"),
+            F.min(F.when(F.col("ph") > lam, F.col("d"))).alias("alarm_day"),
+            (F.max("ph") > lam).alias("drift_detected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PAGE_HINKLEY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x
+  FROM events GROUP BY 1, 2),
+s1 AS (
+  SELECT *, avg(x) OVER w AS xbar FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s2 AS (
+  SELECT *, sum(x - xbar - 0.05) OVER w AS m FROM s1
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s3 AS (
+  SELECT *, m - min(m) OVER w AS ph FROM s2
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(max(ph), 6) AS max_ph,
+       min(CASE WHEN ph > 25.0 THEN d END) AS alarm_day,
+       max(ph) > 25.0 AS drift_detected
+FROM s3
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def spearman_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations between quantity, extended price,
+    and discount WITHIN each lineitem return-flag segment — the
+    monotone-association matrix (Pearson on average ranks, so ties in
+    the heavily quantized quantity/discount columns are handled
+    exactly). Per-segment because a global per-row rank is a global
+    sort; segment partitioning is both the statistical intent
+    (association within regime) and the scale-safe plan.
+
+    100 TB: the three rank passes share one returnflag-partition
+    shuffle (three in-partition sorts); avg_rank = min_rank +
+    (ties−1)/2 needs one extra count window per column; the final
+    corr is a per-segment moment aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_discount").alias("disc"),
+    )
+    d = li
+    for col in ("q", "p", "disc"):
+        wr = W.partitionBy("l_returnflag").orderBy(col)
+        wt = W.partitionBy("l_returnflag", col)
+        d = d.withColumn(
+            f"r_{col}",
+            F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+        )
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("r_q", "r_p"), 6).alias("rho_qty_price"),
+            F.round(F.corr("r_q", "r_disc"), 6).alias("rho_qty_discount"),
+            F.round(F.corr("r_p", "r_disc"), 6).alias("rho_price_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SPEARMAN_SQL = """
+WITH d AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS r_q,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS r_p,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_discount) - 1) / 2.0 AS r_disc
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(r_q, r_p), 6) AS rho_qty_price,
+       round(corr(r_q, r_disc), 6) AS rho_qty_discount,
+       round(corr(r_p, r_disc), 6) AS rho_price_discount
+FROM d
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def join_skew_diagnoser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis for the fact-table join keys — the
+    pre-flight check that decides salting/AQE-skew-join settings
+    BEFORE a 100 TB join runs: per candidate key, the key-frequency
+    profile (distinct keys, hottest key's row count, skew ratio =
+    max/avg, p99 frequency) and the recommended salt fan-out
+    ceil(max_freq / (rows/32)) — i.e. how many sub-keys the hottest
+    key needs so no shuffle partition exceeds the average load at 32
+    partitions.
+
+    100 TB: each profile is one groupBy(key).count() + a 1-row
+    aggregate — the same partial-aggregated word-count shape as
+    text_vocabulary; nothing here grows with skew itself."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+
+    def prof(df: DataFrame, key: str):
+        freq = df.groupBy(key).agg(F.count(F.lit(1)).alias("f"))
+        return freq.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("f").alias("total_rows"),
+            F.max("f").alias("max_freq"),
+            F.round(F.max("f") / F.avg("f"), 6).alias("skew_ratio"),
+            F.round(F.expr("percentile(f, 0.99)"), 6).alias("p99_freq"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.max("f") / (F.sum("f") / F.lit(32.0))),
+            ).cast("int").alias("recommended_salt"),
+        ).select(F.lit(key).alias("join_key"), "*")
+
+    out = prof(li, "l_orderkey")
+    for df, key in ((li, "l_partkey"), (li, "l_suppkey"), (o, "o_custkey")):
+        out = out.unionByName(prof(df, key))
+    return out.orderBy("join_key")
+
+
+JOIN_SKEW_SQL = """
+WITH p AS (
+  SELECT 'l_orderkey' AS join_key, count(*) AS f FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+  UNION ALL
+  SELECT 'o_custkey', count(*) FROM orders GROUP BY o_custkey)
+SELECT join_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(f) AS BIGINT) AS total_rows,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       round(max(f) / avg(f), 6) AS skew_ratio,
+       round(quantile_cont(f, 0.99), 6) AS p99_freq,
+       CAST(greatest(1, ceil(max(f) / (sum(f) / 32.0))) AS INT) AS recommended_salt
+FROM p
+GROUP BY join_key
+ORDER BY join_key
+"""

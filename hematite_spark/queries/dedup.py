@@ -2052,3 +2052,69 @@ SELECT count(*)::BIGINT AS n_pairs,
 FROM paired
 """
 )
+
+
+def dedup_affix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affix-splice audit: per source, how many ordered document
+    pairs have one doc's last-4-token suffix exactly equal to another
+    doc's first-4-token prefix — the contamination signature of
+    spliced/concatenated corpora (a train doc that ends where an eval
+    doc begins) and of chunking bugs that split one document across
+    two rows. Affixes are md5-keyed, so candidates materialize ONLY
+    via the equi-join on the affix hash — never an all-pairs scan;
+    pair counts attribute to the prefix-side (head) doc's source.
+
+    100 TB: two map-only projections (head hash, tail hash) + one
+    equi-join on a 32-hex key + a per-source count; the per-source
+    docs_checked denominator rides the same single corpus scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(_norm_text(), " ")
+    base = docs.select("doc_id", "source", w.alias("w")).where(F.size("w") >= 8)
+    heads = base.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice("w", 1, 4))).alias("h"),
+    )
+    tails = base.select(
+        F.col("doc_id").alias("tail_doc"),
+        F.md5(F.concat_ws(" ", F.slice("w", -4, 4))).alias("h"),
+    )
+    pairs = tails.join(heads, "h").where(F.col("tail_doc") != F.col("doc_id"))
+    per_source = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("splice_pairs")
+    )
+    checked = base.groupBy("source").agg(F.count(F.lit(1)).alias("docs_checked"))
+    return (
+        checked.join(per_source, "source", "left")
+        .select(
+            "source",
+            "docs_checked",
+            F.coalesce("splice_pairs", F.lit(0)).alias("splice_pairs"),
+        )
+        .orderBy("source")
+    )
+
+
+AFFIX_OVERLAP_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+ok AS (SELECT * FROM base WHERE len(w) >= 8),
+heads AS (
+  SELECT doc_id, source, md5(array_to_string(w[1:4], ' ')) AS h FROM ok),
+tails AS (
+  SELECT doc_id AS tail_doc, md5(array_to_string(w[-4:], ' ')) AS h FROM ok),
+pairs AS (
+  SELECT heads.source FROM tails JOIN heads USING (h)
+  WHERE tail_doc <> heads.doc_id),
+per_source AS (
+  SELECT source, count(*) AS splice_pairs FROM pairs GROUP BY source),
+checked AS (
+  SELECT source, count(*) AS docs_checked FROM ok GROUP BY source)
+SELECT c.source,
+       CAST(c.docs_checked AS BIGINT) AS docs_checked,
+       CAST(coalesce(p.splice_pairs, 0) AS BIGINT) AS splice_pairs
+FROM checked c LEFT JOIN per_source p ON c.source = p.source
+ORDER BY c.source
+"""

@@ -3452,3 +3452,66 @@ FROM margins
 GROUP BY source
 ORDER BY source
 """
+
+
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale token burstiness: per token, the variance-to-mean
+    ratio (VMR) of its per-document count over ALL documents
+    (zero-inflated) — VMR ≈ 1 is Poisson background ('the'),
+    VMR ≫ 1 is a bursty content word that concentrates in few docs.
+    Burstiness separates topical terms from function words without
+    any labels, which is why it feeds stopword lists and DF-cutoff
+    choices for tokenizer/vocab builds. Top 20 bursty tokens with
+    df ≥ 5, all integer-exact arithmetic until the final division.
+
+    100 TB: explode → (token, doc) count → per-token (df, Σc, Σc²)
+    is two partial-aggregated shuffles of integer triples; the doc
+    total N is a broadcast scalar; top-k is TakeOrdered."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(_norm_text()), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    per_doc = toks.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    per_tok = per_doc.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = per_tok.crossJoin(F.broadcast(n_docs))
+    mean = F.col("s1") / F.col("n_docs")
+    vmr = (F.col("s2") / F.col("n_docs") - mean * mean) / mean
+    return (
+        j.where(F.col("df") >= 5)
+        .select(
+            F.col("t").alias("token"),
+            "df",
+            F.col("s1").alias("tf"),
+            F.round(vmr, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "token")
+        .limit(20)
+    )
+
+
+TOKEN_BURSTINESS_SQL = """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+per_doc AS (
+  SELECT t, doc_id, count(*) AS c FROM toks WHERE len(t) > 0 GROUP BY t, doc_id),
+per_tok AS (
+  SELECT t, count(*) AS df, sum(c) AS s1, sum(c * c) AS s2
+  FROM per_doc GROUP BY t)
+SELECT t AS token,
+       CAST(df AS BIGINT) AS df,
+       CAST(s1 AS BIGINT) AS tf,
+       round((s2 / n.n_docs - (s1 / n.n_docs) * (s1 / n.n_docs)) / (s1 / n.n_docs), 6)
+         AS burstiness
+FROM per_tok CROSS JOIN n
+WHERE df >= 5
+ORDER BY burstiness DESC, token
+LIMIT 20
+"""
