@@ -7209,3 +7209,77 @@ FROM p
 GROUP BY join_key
 ORDER BY join_key
 """
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph — the clustering
+    signal behind 'bought-together' communities. Edges are part pairs
+    co-occurring in ≥2 distinct orders (support pruning is the
+    standard co-occurrence sparsifier: it kills the quadratic noise
+    floor of one-off baskets BEFORE any pairwise work, the same role
+    the LSH band key plays for text). Triangles close wedges via one
+    self-join on the shared endpoint plus one membership join back to
+    the edge list — never an all-pairs pass. Emits the edge/wedge/
+    triangle counts and the global clustering coefficient.
+
+    100 TB: basket pair-generation is bounded by orderline count
+    (≤ items² per order, items ≤ 7); the support filter shrinks the
+    edge list orders of magnitude before the wedge join; edges are
+    canonically oriented u<v so each triangle counts exactly once."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    edges = edges.localCheckpoint()  # one support-pruned edge list feeds all three
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    tri = wedges.join(
+        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return ne.crossJoin(nw).crossJoin(nt).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+        .alias("clustering_coeff"),
+    )
+
+
+TRIANGLE_COUNT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= 2),
+wedges AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u),
+tri AS (
+  SELECT 1 FROM wedges w JOIN edges e ON w.x = e.u AND w.z = e.v)
+SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT count(*) FROM wedges)::BIGINT AS n_wedges,
+       (SELECT count(*) FROM tri)::BIGINT AS n_triangles,
+       CASE WHEN (SELECT count(*) FROM wedges) = 0 THEN 0.0
+            ELSE round(3.0 * (SELECT count(*) FROM tri)
+                       / (SELECT count(*) FROM wedges), 6) END
+         AS clustering_coeff
+"""

@@ -379,3 +379,88 @@ SELECT rank, doc_id, chunk_id, bm25, term_hits, n_tokens, cum_tokens,
 FROM ranked
 ORDER BY rank
 """
+
+
+def ql_retrieval_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ=200) —
+    the language-modeling ranking family next to BM25's probabilistic
+    one: score(d) = Σ_{t∈Q} ln((tf_{t,d} + μ·p(t|C)) / (dl_d + μ)),
+    where p(t|C) is the collection unigram probability. Unlike BM25,
+    ABSENT query terms still contribute (the smoothed background
+    mass), so every doc scores over all |Q| terms: the doc-length
+    table cross-joins the broadcast 4-row term table and left-joins
+    the tf table. Top 20, deterministic tie-break.
+
+    100 TB: p(t|C) is a |Q|-row broadcast built from one filtered
+    token pass; the per-doc score is docs × |Q| rows (|Q| constant),
+    one left join + one aggregate; TakeOrdered caps the output."""
+    docs = load_table(spark, "documents", sf_dir)
+    mu = 200.0
+    toks = F.split(_norm_text(), " ")
+    dl = docs.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    hits = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    total = dl.agg(F.sum("dl").alias("n_tokens"))
+    cf = (
+        docs.select(F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("n_tokens")).alias("p_c"))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(hits, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "term",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0.0)) + mu * F.col("p_c"))
+                / (F.col("dl") + mu)
+            ).alias("s"),
+            F.coalesce(F.col("tf"), F.lit(0.0)).alias("tf0"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("ql_score"),
+            F.sum((F.col("tf0") > 0).cast("bigint")).alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.col("ql_score").desc(), "doc_id").limit(20)
+
+
+QL_DIRICHLET_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+hits AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY doc_id, term),
+total AS (SELECT sum(dl) AS n_tokens FROM dl),
+cf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) / total.n_tokens AS p_c
+  FROM (SELECT unnest(toks) AS term FROM d), total
+  WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY term, total.n_tokens),
+scored AS (
+  SELECT dl.doc_id,
+         ln((coalesce(h.tf, 0.0) + 200.0 * cf.p_c) / (dl.dl + 200.0)) AS s,
+         coalesce(h.tf, 0.0) AS tf0
+  FROM dl CROSS JOIN cf
+  LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.term = cf.term)
+SELECT doc_id, round(sum(s), 6) AS ql_score,
+       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_matched
+FROM scored
+GROUP BY doc_id
+ORDER BY ql_score DESC, doc_id
+LIMIT 20
+"""

@@ -2945,3 +2945,165 @@ SELECT cell, n_vectors, min_d, max_d, balance_ratio
 FROM per_cell CROSS JOIN balance
 ORDER BY cell
 """
+
+
+def auc_roc_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of each of the first three RAW embedding dimensions as
+    a one-feature classifier for its same-indexed label — the linear-
+    probe screening that checks whether single coordinates already
+    carry class signal (a cheap representation-quality audit before
+    training a real probe). AUC is computed by the rank formula
+    AUC = (R_pos − n_pos(n_pos+1)/2)/(n_pos·n_neg) with average ranks
+    from score-VALUE groups (the ks_two_sample/mann_whitney bounded-
+    ECDF trick), so there is never a per-row global sort: each probe
+    is its own window partition.
+
+    100 TB: the 3-probe union is probe-partitioned; ranks walk
+    distinct score values; the AUC itself is a 1-row aggregate per
+    probe."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    probes = None
+    for k in (0, 1, 2):
+        p = emb.select(
+            F.lit(k).alias("probe"),
+            F.element_at(ev, k + 1).alias("score"),
+            (F.col("label") == k).cast("int").alias("is_pos"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    g = probes.groupBy("probe", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("cnt_pos")
+    )
+    wv = (
+        W.partitionBy("probe")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = g.select(
+        "probe",
+        "cnt",
+        "cnt_pos",
+        (F.sum("cnt").over(wv) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias("avg_rank"),
+    )
+    res = ranked.groupBy("probe").agg(
+        F.sum(F.col("cnt_pos") * F.col("avg_rank")).alias("r_pos"),
+        F.sum("cnt_pos").cast("double").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cnt_pos")).cast("double").alias("n_neg"),
+    )
+    auc = (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
+        F.col("n_pos") * F.col("n_neg")
+    )
+    return res.select(
+        "probe",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        (F.abs(auc - 0.5) > 0.05).alias("informative"),
+    ).orderBy("probe")
+
+
+AUC_LABEL_PROBE_SQL = """
+WITH probes AS (
+  SELECT k AS probe, CAST(embedding[k + 1] AS DOUBLE) AS score,
+         CASE WHEN label = k THEN 1 ELSE 0 END AS is_pos
+  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+g AS (
+  SELECT probe, score, count(*) AS cnt, sum(is_pos) AS cnt_pos
+  FROM probes GROUP BY probe, score),
+ranked AS (
+  SELECT probe, cnt, cnt_pos,
+         sum(cnt) OVER (PARTITION BY probe ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM g),
+res AS (
+  SELECT probe,
+         sum(cnt_pos * avg_rank) AS r_pos,
+         CAST(sum(cnt_pos) AS DOUBLE) AS n_pos,
+         CAST(sum(cnt - cnt_pos) AS DOUBLE) AS n_neg
+  FROM ranked GROUP BY probe)
+SELECT probe,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc,
+       abs((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) - 0.5) > 0.05
+         AS informative
+FROM res
+ORDER BY probe
+"""
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid geometry audit: each label's centroid
+    vector vs the global centroid — cosine alignment and L2 offset —
+    the drift/collapse check for embedding spaces (labels whose
+    centroid hugs the global mean carry no linear signal; a label far
+    off-axis flags covariate shift between labeled slices).
+
+    100 TB: posexplode → (label, dim) mean is one partial-aggregated
+    shuffle of (label, dim, sum, cnt); the global centroid derives
+    from the same aggregate regrouped (no second corpus pass); the
+    cosine/offset math happens on label-count×dim rows — broadcast
+    scale."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        "label", F.posexplode(_dbl("embedding")).alias("dim", "v")
+    )
+    per_label = dims.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    glob = per_label.groupBy("dim").agg(
+        (F.sum("s") / F.sum("c")).alias("gmean")
+    )
+    j = per_label.select(
+        "label", "dim", (F.col("s") / F.col("c")).alias("lmean")
+    ).join(F.broadcast(glob), "dim")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("lmean") * F.col("gmean"))
+                / (
+                    F.sqrt(F.sum(F.col("lmean") * F.col("lmean")))
+                    * F.sqrt(F.sum(F.col("gmean") * F.col("gmean")))
+                ),
+                6,
+            ).alias("cos_to_global"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("lmean") - F.col("gmean"))
+                        * (F.col("lmean") - F.col("gmean"))
+                    )
+                ),
+                6,
+            ).alias("l2_offset"),
+        )
+        .orderBy("label")
+    )
+
+
+CENTROID_DRIFT_SQL = """
+WITH dims AS (
+  SELECT label, d.i - 1 AS dim, CAST(d.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) d),
+per_label AS (
+  SELECT label, dim, sum(v) AS s, count(*) AS c FROM dims GROUP BY label, dim),
+gcent AS (
+  SELECT dim, sum(s) / sum(c) AS gmean FROM per_label GROUP BY dim),
+j AS (
+  SELECT p.label, p.dim, p.s / p.c AS lmean, g.gmean
+  FROM per_label p JOIN gcent g USING (dim))
+SELECT label,
+       round(sum(lmean * gmean)
+             / (sqrt(sum(lmean * lmean)) * sqrt(sum(gmean * gmean))), 6)
+         AS cos_to_global,
+       round(sqrt(sum((lmean - gmean) * (lmean - gmean))), 6) AS l2_offset
+FROM j
+GROUP BY label
+ORDER BY label
+"""

@@ -3515,3 +3515,205 @@ WHERE df >= 5
 ORDER BY burstiness DESC, token
 LIMIT 20
 """
+
+
+def dsir_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size audit of the DSIR importance weights —
+    the resampling-health check that must precede any importance-
+    weighted mixture: per source, ESS = (Σw)²/Σw² over w =
+    exp(mean log-ratio) of the docs' hashed-bigram features (the
+    exact dsir_importance_weights scoring, audited in aggregate
+    instead of top-k). ESS/n near 1 means the reweighting is mild;
+    near 0 means a few docs dominate and the resample will collapse
+    onto them.
+
+    100 TB: same single bigram pass + 256-row broadcast as DSIR
+    itself; the audit adds only a per-source 3-number aggregate."""
+    B = 256
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
+    grams = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> concat(get(w, i), ' ', get(w, i + 1)))"
+            )
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    feats = grams.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % B).alias("f"),
+    ).localCheckpoint()
+    target = feats.where(F.col("lang") == "en").groupBy("f").agg(F.count("*").alias("ct"))
+    raw = feats.groupBy("f").agg(F.count("*").alias("cr"))
+    totals = feats.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    logratio = (
+        raw.join(target, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + B))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + B))
+            ).alias("lr"),
+        )
+    )
+    wdoc = (
+        feats.join(F.broadcast(logratio), "f")
+        .groupBy("doc_id", "source")
+        .agg(F.exp(F.avg("lr")).alias("w"))
+    )
+    ess = F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w"))
+    return (
+        wdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(ess, 6).alias("ess"),
+            F.round(ess / F.count(F.lit(1)), 6).alias("ess_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_ESS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM d
+), feats AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS f
+  FROM grams WHERE g IS NOT NULL
+), target AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
+raw AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+nt AS (SELECT count(*) AS n FROM feats WHERE lang = 'en'),
+nr AS (SELECT count(*) AS n FROM feats),
+logratio AS (
+  SELECT raw.f,
+         ln((coalesce(ct, 0) + 1.0) / (nt.n + 256)) - ln((cr + 1.0) / (nr.n + 256)) AS lr
+  FROM raw LEFT JOIN target ON raw.f = target.f, nt, nr),
+wdoc AS (
+  SELECT doc_id, source, exp(avg(lr)) AS w
+  FROM feats JOIN logratio USING (f)
+  GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+       round(sum(w) * sum(w) / sum(w * w) / count(*), 6) AS ess_ratio
+FROM wdoc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token entropy profile: unigram entropy H(W), the
+    bigram conditional entropy rate H(W₂|W₁), and their gap (the
+    information one token of context buys) — the corpus-statistics
+    fingerprint that separates natural prose (large gap) from
+    template/boilerplate text (tiny gap: the next token is already
+    determined). H(W₂|W₁) = −Σ p(w₁w₂)·log2(c₁₂/c₁·) from bigram and
+    left-marginal counts, all integer-exact until the final log.
+
+    100 TB: one bigram explode + two hash aggregates per language;
+    entropy sums are per-language 1-row reductions — the word-count
+    shape end to end."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
+    bg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> struct(get(w, i) as w1, get(w, i + 1) as w2))"
+            )
+        ).alias("p"),
+    ).where(F.col("p.w1").isNotNull() & F.col("p.w2").isNotNull())
+    c12 = bg.groupBy("lang", "p.w1", "p.w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    n = c12.groupBy("lang").agg(F.sum("c12").alias("n"))
+    cond = (
+        c12.join(c1, ["lang", "w1"])
+        .join(n, "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c12") / F.col("n"))
+                    * F.log2(F.col("c12") / F.col("c1"))
+                ),
+                6,
+            ).alias("h_bigram_cond"),
+            F.max("n").alias("n_bigrams"),
+        )
+    )
+    uni = (
+        c1.join(n, "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                -F.sum((F.col("c1") / F.col("n")) * F.log2(F.col("c1") / F.col("n"))),
+                6,
+            ).alias("h_unigram")
+        )
+    )
+    return (
+        uni.join(cond, "lang")
+        .select(
+            "lang",
+            "n_bigrams",
+            "h_unigram",
+            "h_bigram_cond",
+            F.round(F.col("h_unigram") - F.col("h_bigram_cond"), 6).alias("context_gain"),
+        )
+        .orderBy("lang")
+    )
+
+
+NGRAM_ENTROPY_SQL = r"""
+WITH d AS (
+  SELECT lang,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                               i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+  FROM d
+), pairs AS (
+  SELECT lang, p.w1 AS w1, p.w2 AS w2 FROM bg
+  WHERE p.w1 IS NOT NULL AND p.w2 IS NOT NULL
+), c12 AS (
+  SELECT lang, w1, w2, count(*) AS c12 FROM pairs GROUP BY lang, w1, w2),
+c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY lang, w1),
+n AS (SELECT lang, sum(c12) AS n FROM c12 GROUP BY lang),
+cond AS (
+  SELECT c12.lang,
+         round(-sum((c12 / n.n) * log2(c12 / c1.c1)), 6) AS h_bigram_cond,
+         max(n.n) AS n_bigrams
+  FROM c12 JOIN c1 USING (lang, w1) JOIN n USING (lang)
+  GROUP BY c12.lang),
+uni AS (
+  SELECT c1.lang, round(-sum((c1 / n.n) * log2(c1 / n.n)), 6) AS h_unigram
+  FROM c1 JOIN n USING (lang)
+  GROUP BY c1.lang)
+SELECT lang,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       h_unigram, h_bigram_cond,
+       round(h_unigram - h_bigram_cond, 6) AS context_gain
+FROM uni JOIN cond USING (lang)
+ORDER BY lang
+"""
