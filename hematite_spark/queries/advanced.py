@@ -7283,3 +7283,186 @@ SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
                        / (SELECT count(*) FROM wedges), 6) END
          AS clustering_coeff
 """
+
+
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test across the event types' value distributions — the gate that
+    must pass before pooled-variance tests (ab_test_analysis) are
+    trustworthy. W = ((N−k)/(k−1))·Σnᵢ(z̄ᵢ−z̄)²/ΣΣ(zᵢⱼ−z̄ᵢ)² with
+    zᵢⱼ = |xᵢⱼ − medianᵢ|; the flag compares W to 2.372 (the F(4,∞)
+    5% critical value for these five groups — fixed constant, same on
+    both engines).
+
+    100 TB: two passes (group medians, then centered moments), both
+    plain hash aggregates; medians broadcast back as a k-row frame."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", F.col("value").alias("x"))
+    med = ev.groupBy("event_type").agg(F.median("x").alias("med"))
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_i"),
+        F.avg("z").alias("zbar_i"),
+        F.sum(F.col("z") * F.col("z")).alias("zsq_i"),
+    )
+    res = grp.agg(
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("n_i") * F.col("zbar_i")).alias("sz"),
+        F.sum(F.col("zsq_i") - F.col("n_i") * F.col("zbar_i") * F.col("zbar_i")).alias(
+            "ss_within"
+        ),
+        F.sum(F.col("n_i") * F.col("zbar_i") * F.col("zbar_i")).alias("nzb2"),
+    )
+    w = (
+        (F.col("n") - F.col("k"))
+        / (F.col("k") - 1)
+        * (F.col("nzb2") - F.col("sz") * F.col("sz") / F.col("n"))
+        / F.col("ss_within")
+    )
+    return res.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(w, 6).alias("w_stat"),
+        (w > 2.372).alias("heteroscedastic"),
+    )
+
+
+LEVENE_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+z AS (
+  SELECT e.event_type, abs(e.value - m.med) AS z
+  FROM events e JOIN med m USING (event_type)),
+grp AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i, avg(z) AS zbar_i,
+         sum(z * z) AS zsq_i
+  FROM z GROUP BY event_type),
+res AS (
+  SELECT sum(n_i) AS n, CAST(count(*) AS DOUBLE) AS k,
+         sum(n_i * zbar_i) AS sz,
+         sum(zsq_i - n_i * zbar_i * zbar_i) AS ss_within,
+         sum(n_i * zbar_i * zbar_i) AS nzb2
+  FROM grp)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(n AS BIGINT) AS n_obs,
+       round((n - k) / (k - 1) * (nzb2 - sz * sz / n) / ss_within, 6) AS w_stat,
+       (n - k) / (k - 1) * (nzb2 - sz * sz / n) / ss_within > 2.372
+         AS heteroscedastic
+FROM res
+"""
+
+
+def bayesian_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian bootstrap confidence interval for each event type's
+    mean value: 32 deterministic replicates draw exponential weights
+    w = −ln(u) from md5(event_id‖rep) uniforms (Rubin's Dirichlet-
+    weight bootstrap — no resampling indices, so it distributes as a
+    pure row-local expression), each replicate computes the weighted
+    mean, and the 2.5%/97.5% quantiles of the 32 replicate means form
+    the CI. Fully reproducible across engines and cluster sizes —
+    df.sample's RNG can never give this.
+
+    100 TB: one explode ×32 (constant), one (type, rep) weighted-mean
+    aggregate, one 32-row quantile per type; no state, no iteration."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").alias("x")
+    )
+    reps = ev.select(
+        "event_type", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+        F.col("event_id"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("event_id"), F.col("rep"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / F.lit(4294967296.0)
+    wtd = reps.withColumn("w", -F.log(u))
+    means = wtd.groupBy("event_type", "rep").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.round(F.avg("m"), 6).alias("boot_mean"),
+            F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BAYES_BOOT_SQL = """
+WITH reps AS (
+  SELECT event_type, value AS x, event_id, unnest(generate_series(0, 31)) AS rep
+  FROM events),
+wtd AS (
+  SELECT event_type, x, rep,
+         -ln((('0x' || substr(md5(event_id || ':' || rep), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0) AS w
+  FROM reps),
+means AS (
+  SELECT event_type, rep, sum(w * x) / sum(w) AS m
+  FROM wtd GROUP BY event_type, rep)
+SELECT event_type,
+       round(avg(m), 6) AS boot_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over the customer
+    market segments: for a fixed budget of 1000 interviews, allocate
+    n_h ∝ N_h·σ_h (population size × within-stratum stddev of account
+    balance) — the design that minimizes the estimator variance —
+    side by side with the naive proportional allocation N_h/N. The
+    delta column shows where optimal sampling over- or under-weights
+    a stratum vs proportional.
+
+    100 TB: one hash aggregate per stratum + a 1-row broadcast of the
+    normalizing sums; allocation math is per-stratum arithmetic."""
+    c = load_table(spark, "customer", sf_dir)
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_pop"),
+        F.stddev_pop("c_acctbal").alias("sigma"),
+    )
+    tot = g.agg(
+        F.sum(F.col("n_pop") * F.col("sigma")).alias("t_ns"),
+        F.sum("n_pop").alias("t_n"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ney = F.round(1000 * F.col("n_pop") * F.col("sigma") / F.col("t_ns")).cast("bigint")
+    prop = F.round(1000 * F.col("n_pop") / F.col("t_n")).cast("bigint")
+    return j.select(
+        "c_mktsegment",
+        F.col("n_pop").cast("bigint").alias("n_pop"),
+        F.round("sigma", 6).alias("sigma"),
+        ney.alias("neyman_alloc"),
+        prop.alias("proportional_alloc"),
+        (ney - prop).alias("delta"),
+    ).orderBy("c_mktsegment")
+
+
+NEYMAN_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS n_pop,
+         stddev_pop(c_acctbal) AS sigma
+  FROM customer GROUP BY c_mktsegment),
+tot AS (SELECT sum(n_pop * sigma) AS t_ns, sum(n_pop) AS t_n FROM g)
+SELECT c_mktsegment,
+       CAST(n_pop AS BIGINT) AS n_pop,
+       round(sigma, 6) AS sigma,
+       CAST(round(1000 * n_pop * sigma / t_ns) AS BIGINT) AS neyman_alloc,
+       CAST(round(1000 * n_pop / t_n) AS BIGINT) AS proportional_alloc,
+       CAST(round(1000 * n_pop * sigma / t_ns) AS BIGINT)
+         - CAST(round(1000 * n_pop / t_n) AS BIGINT) AS delta
+FROM g CROSS JOIN tot
+ORDER BY c_mktsegment
+"""

@@ -665,3 +665,54 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+def gumbel_topk_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Gumbel-top-k sampling plan: within each source,
+    the 3 docs with the largest perturbed log-weights g = ln(weight)
+    − ln(−ln(u)) (weight = n_chars, u a stable md5 uniform) ARE a
+    weighted sample without replacement from that stratum — the
+    Gumbel-max trick, the per-key twin of the global Efraimidis-
+    Spirakis reservoir (sample_weighted_reservoir): same distribution
+    family, but the key is additive in log-space, which is the form
+    curriculum/temperature mixing composes with.
+
+    100 TB: the Gumbel key is a stateless row expression; per-stratum
+    top-3 is a source-partitioned window (per-partition heaps), never
+    a global sort; output size = 3·#sources."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("gum:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / F.lit(4294967296.0)
+    g = F.round(
+        F.log(F.col("n_chars").cast("double")) - F.log(-F.log(u)), 9
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.col("n_chars").alias("weight"), g.alias("gumbel_key")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("gumbel_key").desc(), "doc_id")
+        ),
+    )
+    return ranked.where(F.col("rk") <= 3).orderBy("source", "rk")
+
+
+GUMBEL_TOPK_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars AS weight,
+         round(ln(CAST(n_chars AS DOUBLE))
+               - ln(-ln((('0x' || substr(md5('gum:' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                        / 4294967296.0)), 9) AS gumbel_key
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY gumbel_key DESC, doc_id) AS rk
+  FROM keyed)
+SELECT source, doc_id, weight, gumbel_key, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY source, rk
+"""

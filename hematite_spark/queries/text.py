@@ -3717,3 +3717,148 @@ SELECT lang,
 FROM uni JOIN cond USING (lang)
 ORDER BY lang
 """
+
+
+def capture_recapture_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) estimate of the corpus's TRUE
+    distinct word-3-gram vocabulary from two disjoint source halves —
+    the 'how much unseen content remains' estimator used to decide
+    whether another crawl is worth it: capture A = sources 0-9,
+    capture B = sources 10-19, N̂ = (n_A+1)(n_B+1)/(m+1) − 1 where m
+    is the shingle overlap. The true total (computable here, not at
+    a real frontier) is emitted alongside with the estimator's
+    relative error, so the entry doubles as a bias audit of the
+    closed-population assumption on real text.
+
+    100 TB: distinct-shingle sets per half are two hash aggregates
+    over the shingle key; the overlap is one equi-join on md5 keys.
+    Each half's set is never collected — counts only."""
+    docs = load_table(spark, "documents", sf_dir)
+    half = (
+        F.regexp_replace("source", "src", "").cast("int") < 10
+    ).alias("is_a")
+    w = F.split(F.lower(_norm_text()), " ")
+    sh = docs.withColumn("w", w).select(
+        half,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 3, 0)),"
+                " i -> concat_ws(' ', get(w, i), get(w, i + 1), get(w, i + 2)))"
+            )
+        ).alias("g"),
+    ).where(F.col("g").isNotNull() & (F.length("g") > 0))
+    per = sh.groupBy("g").agg(
+        F.max(F.col("is_a").cast("int")).alias("in_a"),
+        F.max((~F.col("is_a")).cast("int")).alias("in_b"),
+    )
+    res = per.agg(
+        F.sum("in_a").cast("double").alias("n_a"),
+        F.sum("in_b").cast("double").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("double").alias("m"),
+        F.count(F.lit(1)).alias("true_total"),
+    )
+    est = (F.col("n_a") + 1) * (F.col("n_b") + 1) / (F.col("m") + 1) - 1
+    return res.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("m").cast("bigint").alias("overlap"),
+        F.round(est, 2).alias("est_total"),
+        "true_total",
+        F.round((est - F.col("true_total")) / F.col("true_total"), 6).alias("rel_error"),
+    )
+
+
+CAPTURE_RECAPTURE_SQL = r"""
+WITH d AS (
+  SELECT CAST(replace(source, 'src', '') AS INT) < 10 AS is_a,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT is_a,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+  FROM d),
+ok AS (SELECT is_a, g FROM sh WHERE g IS NOT NULL AND len(g) > 0),
+per AS (
+  SELECT g, max(CASE WHEN is_a THEN 1 ELSE 0 END) AS in_a,
+            max(CASE WHEN is_a THEN 0 ELSE 1 END) AS in_b
+  FROM ok GROUP BY g),
+res AS (
+  SELECT CAST(sum(in_a) AS DOUBLE) AS n_a,
+         CAST(sum(in_b) AS DOUBLE) AS n_b,
+         CAST(sum(in_a * in_b) AS DOUBLE) AS m,
+         count(*) AS true_total
+  FROM per)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS overlap,
+       round((n_a + 1) * (n_b + 1) / (m + 1) - 1, 2) AS est_total,
+       CAST(true_total AS BIGINT) AS true_total,
+       round(((n_a + 1) * (n_b + 1) / (m + 1) - 1 - true_total) / true_total, 6)
+         AS rel_error
+FROM res
+"""
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·N^β across sources: each source
+    contributes one (ln N, ln V) point (N tokens, V distinct tokens)
+    and a log-log OLS gives the vocabulary growth exponent β — the
+    corpus statistic that predicts how vocabulary (and tokenizer OOV
+    pressure) grows as the corpus scales, the planning companion to
+    token_zipf_fit (Zipf describes frequency SHAPE; Heaps predicts
+    vocabulary GROWTH).
+
+    100 TB: one explode + per-source (count, count-distinct)
+    aggregate; the regression runs over #sources points — a 1-row
+    reduction."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(_norm_text()), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    per = toks.groupBy("source").agg(
+        F.log(F.count(F.lit(1)).cast("double")).alias("x"),
+        F.log(F.countDistinct("t").cast("double")).alias("y"),
+    )
+    res = per.agg(
+        F.count(F.lit(1)).cast("double").alias("k_pts"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_raw"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_raw"),
+    )
+    sxx = F.col("sxx_raw") - F.col("k_pts") * F.col("xbar") * F.col("xbar")
+    sxy = F.col("sxy_raw") - F.col("k_pts") * F.col("xbar") * F.col("ybar")
+    syy = F.col("syy_raw") - F.col("k_pts") * F.col("ybar") * F.col("ybar")
+    beta = sxy / sxx
+    return res.select(
+        F.col("k_pts").cast("bigint").alias("n_sources"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(F.col("ybar") - beta * F.col("xbar")), 4).alias("k_coef"),
+        F.round(sxy * sxy / (sxx * syy), 6).alias("r2"),
+    )
+
+
+HEAPS_LAW_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+per AS (
+  SELECT source, ln(CAST(count(*) AS DOUBLE)) AS x,
+         ln(CAST(count(DISTINCT t) AS DOUBLE)) AS y
+  FROM toks WHERE len(t) > 0 GROUP BY source),
+res AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k_pts, avg(x) AS xbar, avg(y) AS ybar,
+         sum(x * x) AS sxx_raw, sum(x * y) AS sxy_raw, sum(y * y) AS syy_raw
+  FROM per)
+SELECT CAST(k_pts AS BIGINT) AS n_sources,
+       round((sxy_raw - k_pts * xbar * ybar) / (sxx_raw - k_pts * xbar * xbar), 6) AS beta,
+       round(exp(ybar - (sxy_raw - k_pts * xbar * ybar)
+                        / (sxx_raw - k_pts * xbar * xbar) * xbar), 4) AS k_coef,
+       round((sxy_raw - k_pts * xbar * ybar) * (sxy_raw - k_pts * xbar * ybar)
+             / ((sxx_raw - k_pts * xbar * xbar) * (syy_raw - k_pts * ybar * ybar)), 6)
+         AS r2
+FROM res
+"""
