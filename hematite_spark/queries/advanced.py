@@ -7466,3 +7466,163 @@ SELECT c_mktsegment,
 FROM g CROSS JOIN tot
 ORDER BY c_mktsegment
 """
+
+
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the five event types: F =
+    (SSB/(k−1))/(SSW/(N−k)) plus the η² effect size (SSB/SST) — the
+    parametric counterpart to the rank tests (mann_whitney_u) whose
+    pooled-variance assumption levene_variance_test gates. The flag
+    compares F to 2.372 (F(4,∞) at 5%, fixed constant both engines).
+
+    100 TB: one per-group moment aggregate + a 1-row reduction —
+    nothing touches rows twice."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", F.col("value").alias("x"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_i"),
+        F.avg("x").alias("m_i"),
+        F.sum(F.col("x") * F.col("x")).alias("xsq_i"),
+    )
+    r = g.agg(
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("n_i") * F.col("m_i")).alias("sx"),
+        F.sum(F.col("n_i") * F.col("m_i") * F.col("m_i")).alias("nm2"),
+        F.sum(F.col("xsq_i")).alias("xsq"),
+    )
+    ssb = F.col("nm2") - F.col("sx") * F.col("sx") / F.col("n")
+    sst = F.col("xsq") - F.col("sx") * F.col("sx") / F.col("n")
+    ssw = sst - ssb
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return r.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+        (f_stat > 2.372).alias("significant_5pct"),
+    )
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i, avg(value) AS m_i,
+         sum(value * value) AS xsq_i
+  FROM events GROUP BY event_type),
+r AS (
+  SELECT sum(n_i) AS n, CAST(count(*) AS DOUBLE) AS k,
+         sum(n_i * m_i) AS sx, sum(n_i * m_i * m_i) AS nm2, sum(xsq_i) AS xsq
+  FROM g)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(n AS BIGINT) AS n_obs,
+       round(((nm2 - sx * sx / n) / (k - 1))
+             / ((xsq - nm2) / (n - k)), 6) AS f_stat,
+       round((nm2 - sx * sx / n) / (xsq - sx * sx / n), 6) AS eta_sq,
+       ((nm2 - sx * sx / n) / (k - 1)) / ((xsq - nm2) / (n - k)) > 2.372
+         AS significant_5pct
+FROM r
+"""
+
+
+def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparison of event-type means —
+    what you run AFTER anova_oneway rejects: for each of the 10 type
+    pairs, the mean difference against the honest-significant-
+    difference threshold q·√(MSW/2·(1/nᵢ+1/nⱼ)) with q = 3.858 (the
+    studentized-range 5% critical value for 5 groups, df=∞ — fixed
+    constant both engines). Controls the family-wise error the 10
+    naive t-tests would inflate.
+
+    100 TB: group moments once, MSW as a 1-row broadcast, then a
+    5×5 upper-triangle self-join of the 5-row means table."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", F.col("value").alias("x"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_i"),
+        F.avg("x").alias("m_i"),
+        F.sum(F.col("x") * F.col("x")).alias("xsq_i"),
+    )
+    msw = g.agg(
+        (
+            F.sum(F.col("xsq_i") - F.col("n_i") * F.col("m_i") * F.col("m_i"))
+            / (F.sum("n_i") - F.count(F.lit(1)))
+        ).alias("msw")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).crossJoin(
+        F.broadcast(msw)
+    )
+    diff = F.abs(F.col("a.m_i") - F.col("b.m_i"))
+    hsd = 3.858 * F.sqrt(
+        F.col("msw") / 2.0 * (1.0 / F.col("a.n_i") + 1.0 / F.col("b.n_i"))
+    )
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(hsd, 6).alias("hsd_threshold"),
+        (diff > hsd).alias("significant"),
+    ).orderBy("type_a", "type_b")
+
+
+TUKEY_HSD_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i, avg(value) AS m_i,
+         sum(value * value) AS xsq_i
+  FROM events GROUP BY event_type),
+msw AS (
+  SELECT sum(xsq_i - n_i * m_i * m_i) / (sum(n_i) - count(*)) AS msw FROM g)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(abs(a.m_i - b.m_i), 6) AS mean_diff,
+       round(3.858 * sqrt(msw.msw / 2.0 * (1.0 / a.n_i + 1.0 / b.n_i)), 6)
+         AS hsd_threshold,
+       abs(a.m_i - b.m_i)
+         > 3.858 * sqrt(msw.msw / 2.0 * (1.0 / a.n_i + 1.0 / b.n_i)) AS significant
+FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN msw
+ORDER BY type_a, type_b
+"""
+
+
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount: r_qp·d = (r_qp − r_qd·r_pd)/√((1−r_qd²)(1−r_pd²)) —
+    the confounder-removal step that tells whether the raw
+    quantity-price association survives holding the discount fixed
+    (the column-level cousin of simpsons_paradox_audit's group-level
+    check). Emits the three raw correlations and the partial.
+
+    100 TB: ONE moment aggregate computes all three corr() pairs —
+    a single pass, no joins."""
+    li = load_table(spark, "lineitem", sf_dir)
+    r = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr("l_quantity", "l_extendedprice").alias("r_qp"),
+        F.corr("l_quantity", "l_discount").alias("r_qd"),
+        F.corr("l_extendedprice", "l_discount").alias("r_pd"),
+    )
+    partial = (F.col("r_qp") - F.col("r_qd") * F.col("r_pd")) / F.sqrt(
+        (1 - F.col("r_qd") * F.col("r_qd")) * (1 - F.col("r_pd") * F.col("r_pd"))
+    )
+    return r.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("r_qp", 6).alias("r_qty_price"),
+        F.round("r_qd", 6).alias("r_qty_discount"),
+        F.round("r_pd", 6).alias("r_price_discount"),
+        F.round(partial, 6).alias("partial_qty_price"),
+    )
+
+
+PARTIAL_CORR_SQL = """
+WITH r AS (
+  SELECT count(*) AS n,
+         corr(l_quantity, l_extendedprice) AS r_qp,
+         corr(l_quantity, l_discount) AS r_qd,
+         corr(l_extendedprice, l_discount) AS r_pd
+  FROM lineitem)
+SELECT CAST(n AS BIGINT) AS n,
+       round(r_qp, 6) AS r_qty_price,
+       round(r_qd, 6) AS r_qty_discount,
+       round(r_pd, 6) AS r_price_discount,
+       round((r_qp - r_qd * r_pd)
+             / sqrt((1 - r_qd * r_qd) * (1 - r_pd * r_pd)), 6)
+         AS partial_qty_price
+FROM r
+"""

@@ -1258,3 +1258,45 @@ GROUP BY event_type
 HAVING count(*) > 10
 ORDER BY event_type
 """
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery top-k (Spark 4 SQL surface): each
+    BUILDING-segment customer's two largest orders via a LATERAL
+    (... ORDER BY ... LIMIT 2) — the window-free way to express
+    per-group top-k in pure SQL. Catalyst decorrelates the LATERAL
+    into a ranked join (the same plan the row_number formulation
+    produces), so this entry pins that the lateral authoring surface
+    and the window surface agree result-for-result (the oracle uses
+    the classic row_number form).
+
+    100 TB: decorrelation means no per-customer re-execution — one
+    shuffle on the correlation key, per-key top-2 heaps."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_lat_v")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat_v
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        LIMIT 50
+        """
+    )
+
+
+SQL_LATERAL_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+SELECT c.c_custkey, r.o_orderkey, r.o_totalprice
+FROM customer c JOIN ranked r ON r.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND r.rk <= 2
+ORDER BY c.c_custkey, r.o_totalprice DESC, r.o_orderkey
+LIMIT 50
+"""
