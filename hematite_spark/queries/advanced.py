@@ -7626,3 +7626,218 @@ SELECT CAST(n AS BIGINT) AS n,
          AS partial_qty_price
 FROM r
 """
+
+
+def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step on the support-pruned part
+    co-purchase graph (same ≥2-order edge list as
+    graph_triangle_count): from the uniform start r₀ = 1, r₁(v) =
+    0.15 + 0.85·Σ_{u∼v} r₀(u)/deg(u) — the influence scores that
+    rank 'hub' parts in the bought-together network. One step as a
+    catalog entry (the iterated loop is the label_propagation /
+    linear_probe_gd pattern: alternate join + aggregate to a fixed
+    point); top 10 parts.
+
+    100 TB: degrees are one aggregate; the step is one equi-join on
+    the edge endpoint + one sum per node — BSP superstep as pure
+    dataflow, no driver round-trip."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    contrib = und.join(deg, "u").select("v", (1.0 / F.col("deg")).alias("c"))
+    return (
+        contrib.groupBy("v")
+        .agg(F.round(0.15 + 0.85 * F.sum("c"), 6).alias("rank_1"),
+             F.count(F.lit(1)).cast("bigint").alias("in_neighbors"))
+        .select(F.col("v").alias("part_key"), "in_neighbors", "rank_1")
+        .orderBy(F.col("rank_1").desc(), "part_key")
+        .limit(10)
+    )
+
+
+PAGERANK_STEP_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= 2),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u),
+contrib AS (SELECT und.v, 1.0 / deg.deg AS c FROM und JOIN deg USING (u))
+SELECT v AS part_key,
+       CAST(count(*) AS BIGINT) AS in_neighbors,
+       round(0.15 + 0.85 * sum(c), 6) AS rank_1
+FROM contrib
+GROUP BY v
+ORDER BY rank_1 DESC, part_key
+LIMIT 10
+"""
+
+
+def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of daily order volume per priority at
+    lags 1, 2, 3, 7 — the seasonality fingerprint that picks the
+    differencing/seasonal terms before any forecasting model: each
+    (priority, lag) pair Pearson-correlates the daily count series
+    with itself shifted by exactly `lag` CALENDAR days (a day join,
+    so gaps never misalign the series the way a row-offset lag
+    would).
+
+    100 TB: one groupBy to the daily table (calendar-bounded), a
+    4-lag explode, and a self-join on (priority, day+lag); corr is a
+    per-(priority, lag) moment aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    lags = daily.select(
+        "o_orderpriority", "d", "y",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(7))).alias("lag"),
+    )
+    prev = daily.select(
+        F.col("o_orderpriority").alias("p2"),
+        F.col("d").alias("d2"),
+        F.col("y").alias("y_prev"),
+    )
+    j = lags.join(
+        prev,
+        (F.col("o_orderpriority") == F.col("p2"))
+        & (F.col("d2") == F.date_sub(F.col("d"), F.col("lag"))),
+    )
+    g = j.groupBy("o_orderpriority", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sx"),
+        F.sum("y_prev").alias("sy"),
+        F.sum(F.col("y") * F.col("y_prev")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("sxx"),
+        F.sum(F.col("y_prev") * F.col("y_prev")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    # guarded explicitly (not corr()): a degenerate constant/1-pair
+    # group must yield NULL, identically on both engines
+    acf = F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+    return g.select(
+        "o_orderpriority",
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        acf.alias("acf"),
+    ).orderBy("o_orderpriority", "lag")
+
+
+ACF_LAG_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2),
+lags AS (
+  SELECT daily.*, l.lag
+  FROM daily CROSS JOIN (SELECT unnest([1, 2, 3, 7]) AS lag) l),
+j AS (
+  SELECT a.o_orderpriority, a.lag, a.y, b.y AS y_prev
+  FROM lags a JOIN daily b
+    ON b.o_orderpriority = a.o_orderpriority AND b.d = a.d - a.lag),
+g AS (
+  SELECT o_orderpriority, lag, CAST(count(*) AS DOUBLE) AS n,
+         sum(y) AS sx, sum(y_prev) AS sy, sum(y * y_prev) AS sxy,
+         sum(y * y) AS sxx, sum(y_prev * y_prev) AS syy
+  FROM j GROUP BY o_orderpriority, lag)
+SELECT o_orderpriority, lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+            THEN round((sxy - sx * sy / n)
+                       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+       END AS acf
+FROM g
+ORDER BY o_orderpriority, lag
+"""
+
+
+def ewma_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA one-step-ahead forecast backtest on daily order
+    volume per priority: forecast_t = Σ_{k=1..14} α(1−α)^(k−1)·y_{t−k}
+    normalized over the lags actually present (α = 0.3, calendar-day
+    lags so gaps shrink the kernel instead of misaligning it); emits
+    per-priority MAE/MAPE over all days with ≥7 available lags — the
+    baseline every fancier forecaster must beat.
+
+    100 TB: the daily table is calendar-bounded; the 14-lag explode
+    joins day arithmetic (no ordered window state); the backtest is
+    one aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    alpha = 0.3
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    ks = daily.select(
+        "o_orderpriority", "d", "y",
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("k"),
+    )
+    prev = daily.select(
+        F.col("o_orderpriority").alias("p2"),
+        F.col("d").alias("d2"),
+        F.col("y").alias("y_prev"),
+    )
+    j = ks.join(
+        prev,
+        (F.col("o_orderpriority") == F.col("p2"))
+        & (F.col("d2") == F.date_sub(F.col("d"), F.col("k"))),
+    ).withColumn("w", F.lit(alpha) * F.pow(F.lit(1 - alpha), F.col("k") - 1))
+    fc = j.groupBy("o_orderpriority", "d", "y").agg(
+        (F.sum(F.col("w") * F.col("y_prev")) / F.sum("w")).alias("forecast"),
+        F.count(F.lit(1)).alias("n_lags"),
+    )
+    return (
+        fc.where(F.col("n_lags") >= 7)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("forecast"))), 6).alias("mae"),
+            F.round(
+                F.avg(F.abs(F.col("y") - F.col("forecast")) / F.col("y")), 6
+            ).alias("mape"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+EWMA_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2),
+ks AS (
+  SELECT daily.*, k.k
+  FROM daily CROSS JOIN (SELECT unnest(generate_series(1, 14)) AS k) k),
+j AS (
+  SELECT a.o_orderpriority, a.d, a.y,
+         0.3 * pow(0.7, a.k - 1) AS w, b.y AS y_prev
+  FROM ks a JOIN daily b
+    ON b.o_orderpriority = a.o_orderpriority
+   AND b.d = a.d - CAST(a.k AS INTEGER)),
+fc AS (
+  SELECT o_orderpriority, d, y,
+         sum(w * y_prev) / sum(w) AS forecast, count(*) AS n_lags
+  FROM j GROUP BY o_orderpriority, d, y)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(abs(y - forecast)), 6) AS mae,
+       round(avg(abs(y - forecast) / y), 6) AS mape
+FROM fc
+WHERE n_lags >= 7
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

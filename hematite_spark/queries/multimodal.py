@@ -307,3 +307,64 @@ FROM (
 WHERE n_copies > 1
 ORDER BY sha_prefix
 """
+
+
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest for the binary asset table: within each
+    source, assets are laid out in doc_id order and cut into shards by
+    cumulative payload size (next-fit at 16 KiB) — the deterministic
+    shard plan a webdataset/tar-shard writer consumes. Emits per shard
+    the asset count, byte total, and fill ratio; the trailing partial
+    shard is the only one allowed under-full.
+
+    100 TB: the cumulative sum is a SOURCE-partitioned window (the
+    shard layout is per-source by design — shards never straddle a
+    source, which is what keeps mixture weighting per-shard exact),
+    so no global sort exists; output is one row per shard."""
+    from pyspark.sql import Window as W
+
+    shard_bytes = 16 * 1024
+    assets = assets_from_documents(spark, sf_dir).select(
+        "asset_id",
+        F.element_at(F.col("meta"), F.lit("source")).alias("source"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+    wsrc = (
+        W.partitionBy("source")
+        .orderBy("asset_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = assets.withColumn(
+        "shard_ix",
+        F.floor((F.sum("n_bytes").over(wsrc) - F.col("n_bytes")) / shard_bytes).cast("int"),
+    )
+    return (
+        cum.groupBy("source", "shard_ix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.round(F.sum("n_bytes") / F.lit(float(shard_bytes)), 6).alias("fill_ratio"),
+        )
+        .orderBy("source", "shard_ix")
+    )
+
+
+SHARD_MANIFEST_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id, source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+cum AS (
+  SELECT source, asset_id, n_bytes,
+         CAST(floor((sum(n_bytes) OVER (PARTITION BY source ORDER BY asset_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_bytes) / 16384.0) AS INT) AS shard_ix
+  FROM assets)
+SELECT source, shard_ix,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       round(sum(n_bytes) / 16384.0, 6) AS fill_ratio
+FROM cum
+GROUP BY source, shard_ix
+ORDER BY source, shard_ix
+"""

@@ -464,3 +464,102 @@ GROUP BY doc_id
 ORDER BY ql_score DESC, doc_id
 LIMIT 20
 """
+
+
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank evaluation of the BM25 ranker, one query
+    per _QUERY_TERM with a deterministic relevance proxy (a doc is
+    relevant to a term iff it contains the term ≥ 3 times): for each
+    term, rank docs by single-term BM25 and take 1/rank of the first
+    relevant hit — the navigational-search companion to
+    retrieval_ndcg_audit's graded metric. Emits per-term RR plus the
+    pooled MRR row (term = '__mrr__').
+
+    100 TB: the token stream is filtered to the |Q| query terms
+    before any aggregate; ranking is a term-partitioned window over
+    the matched docs only; RR extraction is a 1-row-per-term
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(_norm_text(), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term")
+    ).where(F.col("term").isin(*_QUERY_TERMS))
+    tc = base.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfc = tc.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    stats = (
+        docs.select(F.size(F.split(_norm_text(), " ")).alias("dl0"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl0").alias("avgdl"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df_cnt") + 0.5) / (F.col("df_cnt") + 0.5) + 1.0)
+    tf_term = (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", (idf * tf_term).alias("s"))
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("term").orderBy(F.col("s").desc(), "doc_id")
+        ),
+    )
+    per_term = ranked.groupBy("term").agg(
+        F.min(F.when(F.col("tf") >= 3, F.col("rk"))).alias("first_rel_rank")
+    )
+    per_term = per_term.select(
+        "term",
+        "first_rel_rank",
+        F.round(
+            F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )
+    mrr = per_term.agg(
+        F.lit("__mrr__").alias("term"),
+        F.lit(None).cast("int").alias("first_rel_rank"),
+        F.round(F.avg("rr"), 6).alias("rr"),
+    )
+    return per_term.select(
+        "term", F.col("first_rel_rank").cast("int").alias("first_rel_rank"), "rr"
+    ).unionByName(mrr).orderBy("term")
+
+
+MRR_EVAL_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM docs),
+tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY doc_id, dl, term),
+dfc AS (SELECT term, count(*) AS df_cnt FROM tc GROUP BY term),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+scored AS (
+  SELECT tc.term, tc.doc_id, tc.tf,
+         ln((stats.n_docs - dfc.df_cnt + 0.5) / (dfc.df_cnt + 0.5) + 1.0)
+           * (tc.tf * 2.2)
+           / (tc.tf + 1.2 * (1 - 0.75 + 0.75 * tc.dl / stats.avgdl)) AS s
+  FROM tc JOIN dfc USING (term) CROSS JOIN stats),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rk
+  FROM scored),
+per_term AS (
+  SELECT term,
+         CAST(min(CASE WHEN tf >= 3 THEN rk END) AS INT) AS first_rel_rank
+  FROM ranked GROUP BY term),
+rr AS (
+  SELECT term, first_rel_rank,
+         round(coalesce(1.0 / first_rel_rank, 0.0), 6) AS rr
+  FROM per_term)
+SELECT term, first_rel_rank, rr FROM rr
+UNION ALL
+SELECT '__mrr__', CAST(NULL AS INT), round(avg(rr), 6) FROM rr
+ORDER BY term
+"""
