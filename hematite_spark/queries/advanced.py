@@ -7841,3 +7841,189 @@ WHERE n_lags >= 7
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def fano_factor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of per-hour event counts) per
+    event type — the time-domain burstiness gauge: ≈1 is Poisson
+    arrivals, ≫1 is bursty/clumped traffic (the capacity-planning
+    companion to token_burstiness's content-domain measure). Counts
+    over the full hour grid INCLUDING empty hours (zeros matter:
+    dropping them biases the factor down), built by generating each
+    type's hour range from its own min/max.
+
+    100 TB: the (type, hour) table is calendar-bounded; the zero
+    filling is a sequence() explode of the per-type hour span joined
+    to observed counts — never a per-row pass."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    g = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.avg("c").alias("mean_c"),
+        F.var_pop("c").alias("var_c"),
+    )
+    return g.select(
+        "event_type",
+        "n_hours",
+        F.round("mean_c", 6).alias("mean_per_hour"),
+        F.round(F.col("var_c") / F.col("mean_c"), 6).alias("fano_factor"),
+        (F.col("var_c") / F.col("mean_c") > 1.5).alias("bursty"),
+    ).orderBy("event_type")
+
+
+FANO_FACTOR_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span),
+filled AS (
+  SELECT g.event_type, coalesce(hourly.c, 0.0) AS c
+  FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         avg(c) AS mean_c, var_pop(c) AS var_c
+  FROM filled GROUP BY event_type)
+SELECT event_type, n_hours,
+       round(mean_c, 6) AS mean_per_hour,
+       round(var_c / mean_c, 6) AS fano_factor,
+       var_c / mean_c > 1.5 AS bursty
+FROM g
+ORDER BY event_type
+"""
+
+
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksums for the three fact tables —
+    the migration/replication integrity gate: per table, the row count
+    plus a checksum SUM(md5-derived 40-bit row hash) over the business
+    key columns. Addition is commutative, so the checksum is invariant
+    to partitioning/ordering, and 40-bit terms keep the sum exactly
+    representable in a BIGINT far past 10^9 rows — both engines
+    compute the identical integer.
+
+    100 TB: a map-only projection + one global sum per table; no
+    shuffle carries rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+
+    def chk(df: DataFrame, name: str, *cols: str):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *[F.col(x).cast("string") for x in cols])), 1, 10),
+            16,
+            10,
+        ).cast("bigint")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    return (
+        chk(li, "lineitem", "l_orderkey", "l_linenumber", "l_quantity")
+        .unionByName(chk(o, "orders", "o_orderkey", "o_custkey", "o_totalprice"))
+        .unionByName(chk(c, "customer", "c_custkey", "c_acctbal"))
+        .orderBy("table_name")
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+WITH li AS (
+  SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR
+                                 || '|' || l_quantity::VARCHAR), 1, 10))::BIGINT) AS BIGINT) AS checksum
+  FROM lineitem),
+o AS (
+  SELECT 'orders', CAST(count(*) AS BIGINT),
+         CAST(sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR
+                                 || '|' || o_totalprice::VARCHAR), 1, 10))::BIGINT) AS BIGINT)
+  FROM orders),
+c AS (
+  SELECT 'customer', CAST(count(*) AS BIGINT),
+         CAST(sum(('0x' || substr(md5(c_custkey::VARCHAR || '|' || c_acctbal::VARCHAR), 1, 10))::BIGINT) AS BIGINT)
+  FROM customer)
+SELECT * FROM li UNION ALL SELECT * FROM o UNION ALL SELECT * FROM c
+ORDER BY table_name
+"""
+
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention: customers grouped by first-order
+    month, tracked for the share still ordering k months later
+    (k = 1, 3, 6) — the classic triangle read as three retention
+    columns per cohort. The LLM-pipeline reading: contributor/source
+    retention across corpus snapshots uses the identical shape.
+
+    100 TB: first-order month is one min-aggregate per customer;
+    each retention column is a semi-join of cohort customers against
+    the month-offset order set, counted — three broadcastable
+    aggregates over the (customer, month) distinct table."""
+    o = load_table(spark, "orders", sf_dir)
+    cm = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    first = cm.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    j = first.join(cm, "o_custkey").select(
+        "o_custkey",
+        "cohort",
+        F.round(F.months_between(F.col("m"), F.col("cohort"))).cast("int").alias("k"),
+    )
+    ret = j.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("cohort_size"),
+        *[
+            F.round(
+                F.countDistinct(F.when(F.col("k") == kk, F.col("o_custkey")))
+                / F.countDistinct("o_custkey"),
+                6,
+            ).alias(f"ret_m{kk}")
+            for kk in (1, 3, 6)
+        ],
+    )
+    return ret.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        "cohort_size",
+        "ret_m1",
+        "ret_m3",
+        "ret_m6",
+    ).orderBy("cohort_month")
+
+
+COHORT_RETENTION_SQL = """
+WITH cm AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
+first AS (
+  SELECT o_custkey, min(m) AS cohort FROM cm GROUP BY o_custkey),
+j AS (
+  SELECT cm.o_custkey, first.cohort,
+         CAST(round(datediff('month', first.cohort, cm.m)) AS INT) AS k
+  FROM first JOIN cm USING (o_custkey))
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size,
+       round(count(DISTINCT CASE WHEN k = 1 THEN o_custkey END)
+             / count(DISTINCT o_custkey), 6) AS ret_m1,
+       round(count(DISTINCT CASE WHEN k = 3 THEN o_custkey END)
+             / count(DISTINCT o_custkey), 6) AS ret_m3,
+       round(count(DISTINCT CASE WHEN k = 6 THEN o_custkey END)
+             / count(DISTINCT o_custkey), 6) AS ret_m6
+FROM j
+GROUP BY cohort
+ORDER BY cohort_month
+"""

@@ -563,3 +563,98 @@ UNION ALL
 SELECT '__mrr__', CAST(NULL AS INT), round(avg(rr), 6) FROM rr
 ORDER BY term
 """
+
+
+def precision_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / Recall@10 of the single-term BM25 rankings
+    under the deterministic tf ≥ 3 relevance proxy — the set-based
+    eval completing the ranking-metric triple (retrieval_ndcg_audit:
+    graded; mrr_eval: navigational; this: set overlap at a cutoff).
+
+    100 TB: same filtered token pass and term-partitioned ranking
+    window as mrr_eval; the @10 cut is a windowed filter, the
+    metrics one aggregate per term."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(_norm_text(), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term")
+    ).where(F.col("term").isin(*_QUERY_TERMS))
+    tc = base.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfc = tc.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    stats = (
+        docs.select(F.size(F.split(_norm_text(), " ")).alias("dl0"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl0").alias("avgdl"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df_cnt") + 0.5) / (F.col("df_cnt") + 0.5) + 1.0)
+    tf_term = (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", (idf * tf_term).alias("s"))
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("term").orderBy(F.col("s").desc(), "doc_id")),
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.sum((F.col("tf") >= 3).cast("bigint")).alias("n_relevant"),
+            F.sum(((F.col("tf") >= 3) & (F.col("rk") <= 10)).cast("bigint")).alias(
+                "rel_in_top10"
+            ),
+        )
+        .select(
+            "term",
+            "n_relevant",
+            F.round(F.col("rel_in_top10") / 10.0, 6).alias("precision_at_10"),
+            F.round(
+                F.when(
+                    F.col("n_relevant") > 0,
+                    F.col("rel_in_top10") / F.col("n_relevant"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("term")
+    )
+
+
+PRECISION_AT_K_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM docs),
+tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY doc_id, dl, term),
+dfc AS (SELECT term, count(*) AS df_cnt FROM tc GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+scored AS (
+  SELECT tc.term, tc.doc_id, tc.tf,
+         ln((stats.n_docs - dfc.df_cnt + 0.5) / (dfc.df_cnt + 0.5) + 1.0)
+           * (tc.tf * 2.2)
+           / (tc.tf + 1.2 * (1 - 0.75 + 0.75 * tc.dl / stats.avgdl)) AS s
+  FROM tc JOIN dfc USING (term) CROSS JOIN stats),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rk
+  FROM scored)
+SELECT term,
+       CAST(sum(CASE WHEN tf >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+       round(sum(CASE WHEN tf >= 3 AND rk <= 10 THEN 1 ELSE 0 END) / 10.0, 6)
+         AS precision_at_10,
+       round(CASE WHEN sum(CASE WHEN tf >= 3 THEN 1 ELSE 0 END) > 0
+                  THEN sum(CASE WHEN tf >= 3 AND rk <= 10 THEN 1 ELSE 0 END)
+                       * 1.0 / sum(CASE WHEN tf >= 3 THEN 1 ELSE 0 END)
+                  ELSE 0.0 END, 6) AS recall_at_10
+FROM ranked
+GROUP BY term
+ORDER BY term
+"""

@@ -3107,3 +3107,62 @@ FROM j
 GROUP BY label
 ORDER BY label
 """
+
+
+def embedding_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clip calibration for int8 quantization — the step
+    before embedding_quantize's symmetric scale: per dimension, the
+    exact 1%/99% quantiles of the component distribution and the
+    fraction of mass that clipping at those bounds would saturate.
+    Dimensions whose tails are much wider than their quantile range
+    (high clip fraction) need per-dim scales; tight dims can share
+    one. Reported for the first 8 dimensions.
+
+    100 TB: posexplode → per-dim exact percentile aggregate (at real
+    scale the documented swap is approx_percentile — same plan
+    shape); the clipped-fraction pass reuses the same exploded rows
+    via a broadcast of the 8-row bounds table."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(F.posexplode(_dbl("embedding")).alias("dim", "v")).where(
+        F.col("dim") < 8
+    )
+    bounds = dims.groupBy("dim").agg(
+        F.expr("percentile(v, 0.01)").alias("lo"),
+        F.expr("percentile(v, 0.99)").alias("hi"),
+    )
+    j = dims.join(F.broadcast(bounds), "dim")
+    return (
+        j.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("lo"), 6).alias("clip_lo"),
+            F.round(F.max("hi"), 6).alias("clip_hi"),
+            F.round(
+                F.avg(((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))).cast("double")),
+                6,
+            ).alias("clip_fraction"),
+        )
+        .orderBy("dim")
+    )
+
+
+CLIP_CALIBRATION_SQL = """
+WITH dims AS (
+  SELECT d.i - 1 AS dim, CAST(d.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) d
+  WHERE d.i - 1 < 8),
+bounds AS (
+  SELECT dim, quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi
+  FROM dims GROUP BY dim)
+SELECT dims.dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(lo), 6) AS clip_lo,
+       round(max(hi), 6) AS clip_hi,
+       round(avg(CASE WHEN v < lo OR v > hi THEN 1.0 ELSE 0.0 END), 6)
+         AS clip_fraction
+FROM dims JOIN bounds USING (dim)
+GROUP BY dims.dim
+ORDER BY dims.dim
+"""
