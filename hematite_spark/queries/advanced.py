@@ -8027,3 +8027,237 @@ FROM j
 GROUP BY cohort
 ORDER BY cohort_month
 """
+
+
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit to each event type's
+    hourly count distribution — the parametric follow-up to
+    fano_factor_events: when var > mean, NB(r, p) with r = μ²/(σ²−μ),
+    p = μ/σ² captures the overdispersion a Poisson model misses
+    (capacity planning, synthetic-load generation, anomaly
+    thresholds). Types with var ≤ mean report NULL r/p and
+    poisson_ok = true — identically on both engines.
+
+    100 TB: reuses the zero-filled hourly grid (calendar-bounded);
+    the fit is a per-type moment aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    g = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.avg("c").alias("mu"),
+        F.var_pop("c").alias("v"),
+    )
+    over = F.col("v") > F.col("mu")
+    return g.select(
+        "event_type",
+        "n_hours",
+        F.round("mu", 6).alias("mean_c"),
+        F.round("v", 6).alias("var_c"),
+        F.when(over, F.round(F.col("mu") * F.col("mu") / (F.col("v") - F.col("mu")), 6)).alias("nb_r"),
+        F.when(over, F.round(F.col("mu") / F.col("v"), 6)).alias("nb_p"),
+        (~over).alias("poisson_ok"),
+    ).orderBy("event_type")
+
+
+NEGBIN_FIT_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+filled AS (
+  SELECT g.event_type, coalesce(hourly.c, 0.0) AS c
+  FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         avg(c) AS mu, var_pop(c) AS v
+  FROM filled GROUP BY event_type)
+SELECT event_type, n_hours,
+       round(mu, 6) AS mean_c,
+       round(v, 6) AS var_c,
+       CASE WHEN v > mu THEN round(mu * mu / (v - mu), 6) END AS nb_r,
+       CASE WHEN v > mu THEN round(mu / v, 6) END AS nb_p,
+       NOT (v > mu) AS poisson_ok
+FROM g
+ORDER BY event_type
+"""
+
+
+def als_rank1_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank-1 implicit-ALS half-step on the customer×part
+    purchase matrix: with item factors fixed at v_j = popularity
+    (order count, L2-normalized via a broadcast scalar), each
+    customer's optimal factor is the closed-form least-squares
+    u_i = Σ_j r_ij·v_j / Σ_j v_j² over their purchased items
+    (r_ij = quantity). The alternating loop is the linear_probe_gd /
+    label_propagation pattern; one half-step, top 10 customers by
+    factor.
+
+    100 TB: item factors are one aggregate joined back broadcast;
+    the customer solve is one grouped aggregate over order lines —
+    a BSP half-step with no driver round-trip."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    r = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_partkey", F.col("l_quantity").alias("r")
+    )
+    item = r.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("pop"))
+    nrm = item.agg(F.sqrt(F.sum(F.col("pop") * F.col("pop"))).alias("nrm"))
+    v = item.crossJoin(F.broadcast(nrm)).select(
+        "l_partkey", (F.col("pop") / F.col("nrm")).alias("v")
+    )
+    u = (
+        r.join(v, "l_partkey")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("r") * F.col("v")) / F.sum(F.col("v") * F.col("v"))).alias("u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return (
+        u.select("o_custkey", "n_items", F.round("u", 6).alias("factor"))
+        .orderBy(F.col("factor").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+ALS_RANK1_SQL = """
+WITH r AS (
+  SELECT o.o_custkey, l.l_partkey, l.l_quantity AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+item AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS pop FROM r GROUP BY l_partkey),
+nrm AS (SELECT sqrt(sum(pop * pop)) AS nrm FROM item),
+v AS (SELECT l_partkey, pop / nrm.nrm AS v FROM item CROSS JOIN nrm),
+u AS (
+  SELECT o_custkey,
+         sum(r.r * v.v) / sum(v.v * v.v) AS u,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM r JOIN v USING (l_partkey)
+  GROUP BY o_custkey)
+SELECT o_custkey, n_items, round(u, 6) AS factor
+FROM u
+ORDER BY factor DESC, o_custkey
+LIMIT 10
+"""
+
+
+def sprt_conversion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability-ratio test (Wald) on the daily purchase
+    share of events: H0 p=0.18 vs H1 p=0.22, cumulative LLR over days
+    (purchases count log(p1/p0), non-purchases log((1−p1)/(1−p0))),
+    decided at the classic ±log(19) boundaries (α=β=0.05) — the
+    always-valid sequential gate that lets an experiment stop the day
+    the evidence suffices instead of at a fixed horizon. Emits the
+    boundary-crossing day and verdict.
+
+    100 TB: one daily aggregate (calendar-bounded) + one running-sum
+    window per ordered day; decisions are per-day expressions."""
+    ev = load_table(spark, "events", sf_dir)
+    p0, p1 = 0.18, 0.22
+    import math
+
+    l_s = math.log(p1 / p0)
+    l_f = math.log((1 - p1) / (1 - p0))
+    bound = math.log(19.0)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("double")).alias("s"),
+        F.sum((F.col("event_type") != "purchase").cast("double")).alias("f"),
+    )
+    wseq = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    llr = daily.withColumn(
+        "llr", F.sum(F.col("s") * l_s + F.col("f") * l_f).over(wseq)
+    )
+    return llr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("llr"), 6).alias("max_llr"),
+        F.round(F.min("llr"), 6).alias("min_llr"),
+        F.min(F.when(F.col("llr") > bound, F.col("d"))).alias("accept_h1_day"),
+        F.min(F.when(F.col("llr") < -bound, F.col("d"))).alias("accept_h0_day"),
+        F.when(F.max("llr") > bound, F.lit("accept_h1"))
+        .when(F.min("llr") < -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("verdict"),
+    )
+
+
+SPRT_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS s,
+         sum(CASE WHEN event_type <> 'purchase' THEN 1.0 ELSE 0.0 END) AS f
+  FROM events GROUP BY 1),
+llr AS (
+  SELECT d,
+         sum(s * ln(0.22 / 0.18) + f * ln(0.78 / 0.82))
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+  FROM daily)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(max(llr), 6) AS max_llr,
+       round(min(llr), 6) AS min_llr,
+       min(CASE WHEN llr > ln(19.0) THEN d END) AS accept_h1_day,
+       min(CASE WHEN llr < -ln(19.0) THEN d END) AS accept_h0_day,
+       CASE WHEN max(llr) > ln(19.0) THEN 'accept_h1'
+            WHEN min(llr) < -ln(19.0) THEN 'accept_h0'
+            ELSE 'continue' END AS verdict
+FROM llr
+"""
+
+
+def recency_weighted_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity score per part: Σ over order
+    lines of exp(−age_days/90) anchored at the corpus's max ship date
+    (data-derived so the score is deterministic) — the recsys/feature-
+    store popularity feature where yesterday's order counts ~90× this
+    quarter's-start one. Top 15 parts with their raw count for
+    contrast.
+
+    100 TB: the anchor is a 1-row broadcast; the score is a map-side
+    expression into one per-part aggregate; TakeOrdered caps
+    output."""
+    li = load_table(spark, "lineitem", sf_dir)
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+    scored = li.crossJoin(F.broadcast(anchor)).select(
+        "l_partkey",
+        F.exp(
+            -F.datediff(F.col("d1"), F.to_date("l_shipdate")) / F.lit(90.0)
+        ).alias("w"),
+    )
+    return (
+        scored.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("w"), 6).alias("decayed_popularity"),
+        )
+        .orderBy(F.col("decayed_popularity").desc(), "l_partkey")
+        .limit(15)
+    )
+
+
+RECENCY_POP_SQL = """
+WITH anchor AS (SELECT max(CAST(l_shipdate AS DATE)) AS d1 FROM lineitem),
+scored AS (
+  SELECT l_partkey,
+         exp(-datediff('day', CAST(l_shipdate AS DATE), anchor.d1) / 90.0) AS w
+  FROM lineitem CROSS JOIN anchor)
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(w), 6) AS decayed_popularity
+FROM scored
+GROUP BY l_partkey
+ORDER BY decayed_popularity DESC, l_partkey
+LIMIT 15
+"""

@@ -51,6 +51,7 @@ ALLOW_GLOBAL_WINDOW = {
     "kaplan_meier_conversion",  # KM cumulative product over the O(observation-days) table
     "bradley_terry_step",  # rank over the O(types)=5 strength table
     "retrieval_ndcg_audit",  # position windows over three ≤10-row TakeOrdered heads
+    "sprt_conversion_gate",  # running LLR over the O(days) calendar-bounded daily aggregate
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
