@@ -8261,3 +8261,70 @@ GROUP BY l_partkey
 ORDER BY decayed_popularity DESC, l_partkey
 LIMIT 15
 """
+
+
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on order baskets: for part pairs
+    co-occurring in ≥ 3 orders, support/confidence/lift of the rule
+    A→B — the market-basket classic, and the rule-mining complement
+    to the co-purchase GRAPH entries (pagerank/triangles read
+    structure; lift reads strength vs independence). Top 15 rules by
+    lift.
+
+    100 TB: basket pair generation is orderline-bounded (items ≤ 7
+    per order); the support filter prunes before any division; part
+    priors are one aggregate broadcast into the rule table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    prior = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+    pa = prior.select(F.col("l_partkey").alias("ante"), F.col("n_p").alias("n_a"))
+    pb = prior.select(F.col("l_partkey").alias("cons"), F.col("n_p").alias("n_b"))
+    rules = pair.join(pa, "ante").join(pb, "cons").crossJoin(F.broadcast(n))
+    return rules.select(
+        "ante",
+        "cons",
+        F.col("n_ab").cast("bigint").alias("n_both"),
+        F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    ).orderBy(F.col("lift").desc(), "ante", "cons").limit(15)
+
+
+BASKET_LIFT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM op),
+pair AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+         CAST(count(*) AS DOUBLE) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3),
+prior AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n_p FROM op GROUP BY 1)
+SELECT pair.ante, pair.cons,
+       CAST(n_ab AS BIGINT) AS n_both,
+       round(n_ab / n.n_orders, 6) AS support,
+       round(n_ab / pa.n_p, 6) AS confidence,
+       round(n_ab * n.n_orders / (pa.n_p * pb.n_p), 6) AS lift
+FROM pair
+JOIN prior pa ON pa.l_partkey = pair.ante
+JOIN prior pb ON pb.l_partkey = pair.cons
+CROSS JOIN n
+ORDER BY lift DESC, ante, cons
+LIMIT 15
+"""

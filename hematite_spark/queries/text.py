@@ -3862,3 +3862,51 @@ SELECT CAST(k_pts AS BIGINT) AS n_sources,
          AS r2
 FROM res
 """
+
+
+def context_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window overflow audit per source: for window sizes
+    512/2048/8192 (whitespace tokens), the share of docs that exceed
+    each window and the share of total TOKENS lost to right-truncation
+    — the packing/serving planning numbers that decide chunking
+    policy (doc-level loss says how many docs need chunking; token-
+    level loss says how much corpus a naive truncate throws away).
+
+    100 TB: one token-count projection (no explode — size(split)),
+    one per-source aggregate; windows are constants."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(F.split(_norm_text(), " ")).cast("double")
+    d = docs.select("source", n.alias("n"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens")]
+    for wlen in (512, 2048, 8192):
+        aggs.append(
+            F.round(F.avg((F.col("n") > wlen).cast("double")), 6).alias(f"doc_overflow_{wlen}")
+        )
+        aggs.append(
+            F.round(
+                F.sum(F.greatest(F.col("n") - wlen, F.lit(0.0))) / F.sum("n"), 6
+            ).alias(f"token_loss_{wlen}")
+        )
+    return d.groupBy("source").agg(*aggs).orderBy("source")
+
+
+CONTEXT_OVERFLOW_SQL = r"""
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+              AS DOUBLE) AS n
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(avg(CASE WHEN n > 512 THEN 1.0 ELSE 0.0 END), 6) AS doc_overflow_512,
+       round(sum(greatest(n - 512, 0.0)) / sum(n), 6) AS token_loss_512,
+       round(avg(CASE WHEN n > 2048 THEN 1.0 ELSE 0.0 END), 6) AS doc_overflow_2048,
+       round(sum(greatest(n - 2048, 0.0)) / sum(n), 6) AS token_loss_2048,
+       round(avg(CASE WHEN n > 8192 THEN 1.0 ELSE 0.0 END), 6) AS doc_overflow_8192,
+       round(sum(greatest(n - 8192, 0.0)) / sum(n), 6) AS token_loss_8192
+FROM d
+GROUP BY source
+ORDER BY source
+"""
