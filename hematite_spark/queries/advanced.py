@@ -8328,3 +8328,55 @@ CROSS JOIN n
 ORDER BY lift DESC, ante, cons
 LIMIT 15
 """
+
+
+def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index per order priority: each weekday's
+    average daily order count divided by the priority's overall daily
+    average — the multiplicative seasonal profile that normalizes
+    weekly rhythm out of trend monitors (the seasonal factor
+    timeseries_decompose_daily estimates globally, read per
+    priority × weekday).
+
+    100 TB: daily table is calendar-bounded; two nested aggregates,
+    the second joined back as a broadcast per-priority mean."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    daily = daily.withColumn("dow", F.dayofweek("d"))
+    per_dow = daily.groupBy("o_orderpriority", "dow").agg(
+        F.avg("y").alias("dow_avg"), F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    overall = daily.groupBy("o_orderpriority").agg(F.avg("y").alias("all_avg"))
+    return (
+        per_dow.join(F.broadcast(overall), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "dow",
+            "n_days",
+            F.round(F.col("dow_avg") / F.col("all_avg"), 6).alias("seasonal_index"),
+        )
+        .orderBy("o_orderpriority", "dow")
+    )
+
+
+WEEKDAY_INDEX_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2),
+dowd AS (
+  SELECT o_orderpriority, CAST(dayofweek(d) + 1 AS INT) AS dow, y FROM daily),
+per_dow AS (
+  SELECT o_orderpriority, dow, avg(y) AS dow_avg,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM dowd GROUP BY 1, 2),
+overall AS (
+  SELECT o_orderpriority, avg(y) AS all_avg FROM daily GROUP BY 1)
+SELECT p.o_orderpriority, p.dow, p.n_days,
+       round(p.dow_avg / o.all_avg, 6) AS seasonal_index
+FROM per_dow p JOIN overall o USING (o_orderpriority)
+ORDER BY o_orderpriority, dow
+"""

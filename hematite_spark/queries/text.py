@@ -3910,3 +3910,180 @@ FROM d
 GROUP BY source
 ORDER BY source
 """
+
+
+def spell_candidates_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style spelling-variant candidates over the corpus
+    vocabulary: every token (df ≥ 3, len ≥ 4) generates its
+    single-character DELETION variants; two tokens whose variant sets
+    intersect are edit-distance-≤2 candidates, verified with exact
+    levenshtein = 1 — the deletion-hash blocking that replaces the
+    O(V²) all-pairs edit-distance scan (the same blocking idea the
+    LSH band key applies to documents, here at token granularity).
+    Top 20 pairs by combined frequency — in a corpus pipeline these
+    are typo-normalization merge candidates.
+
+    100 TB: vocabulary-scale (≪ corpus); deletions explode ≤ len
+    variants per token; candidates materialize only via the variant
+    equi-join; levenshtein runs on the candidate pairs alone."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"))
+        .where(F.length("t") >= 4)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .where(F.col("tf") >= 3)
+    )
+    dels = vocab.select(
+        "t",
+        "tf",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t)),"
+                " i -> concat(substring(t, 1, i - 1), substring(t, i + 1, length(t))))"
+            )
+        ).alias("v"),
+    ).distinct()
+    a = dels.select(F.col("t").alias("t_a"), F.col("tf").alias("tf_a"), "v")
+    b = dels.select(F.col("t").alias("t_b"), F.col("tf").alias("tf_b"), "v")
+    pairs = (
+        a.join(b, "v")
+        .where(F.col("t_a") < F.col("t_b"))
+        .select("t_a", "tf_a", "t_b", "tf_b")
+        .distinct()
+        .where(F.levenshtein("t_a", "t_b") == 1)
+    )
+    return (
+        pairs.select(
+            "t_a",
+            "t_b",
+            F.col("tf_a").cast("bigint").alias("tf_a"),
+            F.col("tf_b").cast("bigint").alias("tf_b"),
+            (F.col("tf_a") + F.col("tf_b")).cast("bigint").alias("combined_tf"),
+        )
+        .orderBy(F.col("combined_tf").desc(), "t_a", "t_b")
+        .limit(20)
+    )
+
+
+SYMSPELL_SQL = r"""
+WITH vocab AS (
+  SELECT t, count(*) AS tf
+  FROM (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+  WHERE len(t) >= 4
+  GROUP BY t
+  HAVING count(*) >= 3),
+dels AS (
+  SELECT DISTINCT t, tf,
+         unnest(list_transform(generate_series(1, len(t)),
+                               i -> substr(t, 1, i - 1) || substr(t, i + 1))) AS v
+  FROM vocab),
+pairs AS (
+  SELECT DISTINCT a.t AS t_a, a.tf AS tf_a, b.t AS t_b, b.tf AS tf_b
+  FROM dels a JOIN dels b USING (v)
+  WHERE a.t < b.t)
+SELECT t_a, t_b,
+       CAST(tf_a AS BIGINT) AS tf_a,
+       CAST(tf_b AS BIGINT) AS tf_b,
+       CAST(tf_a + tf_b AS BIGINT) AS combined_tf
+FROM pairs
+WHERE levenshtein(t_a, t_b) = 1
+ORDER BY combined_tf DESC, t_a, t_b
+LIMIT 20
+"""
+
+
+def lm_interpolation_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step for the interpolation weight λ of a
+    bigram/unigram mixture LM, Jelinek-Mercer style: train counts
+    from even doc_ids, held-out bigrams from odd doc_ids, and the
+    E-step posterior of the bigram component — λ' = mean over
+    held-out tokens of λ·p_bi/(λ·p_bi + (1−λ)·p_uni) from λ₀ = 0.5 —
+    the standard smoothing-weight estimator (Kneser-Ney's
+    fixed-discount cousin, kneser_ney_bigram). Emits per-language λ'
+    and the held-out mixture log-likelihood at λ₀.
+
+    100 TB: train tables are vocabulary-scale aggregates; the E-step
+    is one join of held-out bigrams against the two broadcastable
+    probability tables and a per-language mean — a single corpus
+    pass each side of the split."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> struct(get(w, i) as w1, get(w, i + 1) as w2))"
+            )
+        ).alias("p"),
+    ).where(F.col("p.w1").isNotNull() & F.col("p.w2").isNotNull())
+    bg = bg.select("doc_id", "lang", "p.w1", "p.w2")
+    train = bg.where(F.col("doc_id") % 2 == 0)
+    held = bg.where(F.col("doc_id") % 2 == 1)
+    c12 = train.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    cu = train.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("cu"))
+    nt = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nt"))
+    j = (
+        held.join(c12, ["lang", "w1", "w2"], "left")
+        .join(c1, ["lang", "w1"], "left")
+        .join(cu, ["lang", "w2"], "left")
+        .join(nt, "lang")
+    )
+    # add-one-smoothed component probabilities (identical both engines)
+    p_bi = (F.coalesce(F.col("c12"), F.lit(0)) + 1.0) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + 1000.0
+    )
+    p_uni = (F.coalesce(F.col("cu"), F.lit(0)) + 1.0) / (F.col("nt") + 1000.0)
+    lam0 = 0.5
+    mix = lam0 * p_bi + (1 - lam0) * p_uni
+    post = lam0 * p_bi / mix
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_heldout"),
+            F.round(F.avg(post), 6).alias("lambda_next"),
+            F.round(F.avg(F.log(mix)), 6).alias("heldout_ll"),
+        )
+        .orderBy("lang")
+    )
+
+
+LM_INTERP_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                     i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+        FROM d)
+  WHERE p.w1 IS NOT NULL AND p.w2 IS NOT NULL),
+train AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+held AS (SELECT * FROM bg WHERE doc_id % 2 = 1),
+c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY 1, 2),
+cu AS (SELECT lang, w2, count(*) AS cu FROM train GROUP BY 1, 2),
+nt AS (SELECT lang, count(*) AS nt FROM train GROUP BY 1),
+j AS (
+  SELECT h.lang,
+         (coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + 1000.0) AS p_bi,
+         (coalesce(cu.cu, 0) + 1.0) / (nt.nt + 1000.0) AS p_uni
+  FROM held h
+  LEFT JOIN c12 ON c12.lang = h.lang AND c12.w1 = h.w1 AND c12.w2 = h.w2
+  LEFT JOIN c1 ON c1.lang = h.lang AND c1.w1 = h.w1
+  LEFT JOIN cu ON cu.lang = h.lang AND cu.w2 = h.w2
+  JOIN nt ON nt.lang = h.lang)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_heldout,
+       round(avg(0.5 * p_bi / (0.5 * p_bi + 0.5 * p_uni)), 6) AS lambda_next,
+       round(avg(ln(0.5 * p_bi + 0.5 * p_uni)), 6) AS heldout_ll
+FROM j
+GROUP BY lang
+ORDER BY lang
+"""
