@@ -8380,3 +8380,316 @@ SELECT p.o_orderpriority, p.dow, p.n_days,
 FROM per_dow p JOIN overall o USING (o_orderpriority)
 ORDER BY o_orderpriority, dow
 """
+
+
+def welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedasticity-robust one-way ANOVA across event
+    types — the test to use when levene_variance_test REJECTS equal
+    variances (anova_oneway's pooled MSW is then invalid): weights
+    w_i = n_i/s_i², W* = Σw_i(m_i−m̄_w)²/(k−1) over the Welch
+    denominator 1 + 2(k−2)/(k²−1)·Σ(1−w_i/Σw)²/(n_i−1). Everything
+    derives from per-group (n, mean, variance) — one aggregate pass.
+
+    100 TB: one per-group moment aggregate + a k-row reduction."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", F.col("value").alias("x"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_i"),
+        F.avg("x").alias("m_i"),
+        F.var_samp("x").alias("s2_i"),
+    )
+    g = g.withColumn("w_i", F.col("n_i") / F.col("s2_i"))
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("w_i").alias("sw"),
+        F.sum(F.col("w_i") * F.col("m_i")).alias("swm"),
+    )
+    j = g.crossJoin(F.broadcast(tot)).withColumn("mw", F.col("swm") / F.col("sw"))
+    r = j.agg(
+        F.max("k").alias("k"),
+        F.sum(F.col("n_i")).cast("bigint").alias("n_obs"),
+        F.sum(F.col("w_i") * (F.col("m_i") - F.col("mw")) * (F.col("m_i") - F.col("mw"))).alias(
+            "num"
+        ),
+        F.sum(
+            (1 - F.col("w_i") / F.col("sw"))
+            * (1 - F.col("w_i") / F.col("sw"))
+            / (F.col("n_i") - 1)
+        ).alias("lam"),
+    )
+    wstar = (F.col("num") / (F.col("k") - 1)) / (
+        1 + 2 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1) * F.col("lam")
+    )
+    return r.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        "n_obs",
+        F.round(wstar, 6).alias("welch_f"),
+        (wstar > 2.372).alias("significant_5pct"),
+    )
+
+
+WELCH_ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i, avg(value) AS m_i,
+         var_samp(value) AS s2_i
+  FROM events GROUP BY event_type),
+w AS (SELECT *, n_i / s2_i AS w_i FROM g),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(w_i) AS sw,
+         sum(w_i * m_i) AS swm
+  FROM w),
+r AS (
+  SELECT max(tot.k) AS k,
+         CAST(sum(w.n_i) AS BIGINT) AS n_obs,
+         sum(w.w_i * (w.m_i - tot.swm / tot.sw) * (w.m_i - tot.swm / tot.sw)) AS num,
+         sum((1 - w.w_i / tot.sw) * (1 - w.w_i / tot.sw) / (w.n_i - 1)) AS lam
+  FROM w CROSS JOIN tot)
+SELECT CAST(k AS BIGINT) AS n_groups, n_obs,
+       round((num / (k - 1))
+             / (1 + 2 * (k - 2) / (k * k - 1) * lam), 6) AS welch_f,
+       (num / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * lam) > 2.372
+         AS significant_5pct
+FROM r
+"""
+
+
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of paired daily means: click vs view
+    value on the SAME calendar day (pairing removes the day effect —
+    the within-subject companion to mann_whitney_u's unpaired test):
+    rank |diff| with average ranks over the O(days) paired table,
+    W+ = Σ ranks of positive diffs, z = (W+−μ)/σ with
+    μ = n(n+1)/4, σ = √(n(n+1)(2n+1)/24). Zero diffs drop per the
+    standard procedure.
+
+    100 TB: pairing happens on the calendar-bounded daily aggregate,
+    so the ranking window walks O(days) rows (plan-lint allowlisted
+    global window over the bounded series)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.avg("value").alias("m"))
+        .groupBy("d")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.first("m"))
+    )
+    diffs = daily.where(
+        F.col("click").isNotNull() & F.col("view").isNotNull()
+    ).select("d", (F.col("click") - F.col("view")).alias("diff"))
+    nz = diffs.where(F.col("diff") != 0).select(
+        "d", "diff", F.abs("diff").alias("ad")
+    )
+    wr = W.orderBy("ad")
+    wt = W.partitionBy("ad")
+    ranked = nz.withColumn(
+        "r", F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+    )
+    r = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r")).otherwise(0.0)).alias("w_plus"),
+    )
+    mu = F.col("n") * (F.col("n") + 1) / 4.0
+    sig = F.sqrt(F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0)
+    z = (F.col("w_plus") - mu) / sig
+    return r.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round("w_plus", 2).alias("w_plus"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+WILCOXON_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS m
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2),
+paired AS (
+  SELECT c.d, c.m - v.m AS diff
+  FROM (SELECT d, m FROM daily WHERE event_type = 'click') c
+  JOIN (SELECT d, m FROM daily WHERE event_type = 'view') v USING (d)),
+nz AS (SELECT d, diff, abs(diff) AS ad FROM paired WHERE diff <> 0),
+ranked AS (
+  SELECT *, rank() OVER (ORDER BY ad)
+           + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+  FROM nz),
+res AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN diff > 0 THEN r ELSE 0.0 END) AS w_plus
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(w_plus, 2) AS w_plus,
+       round((w_plus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 6) AS z_score,
+       abs((w_plus - n * (n + 1) / 4.0)
+           / sqrt(n * (n + 1) * (2 * n + 1) / 24.0)) > 1.96 AS significant_95
+FROM res
+"""
+
+
+def hurst_rs_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily order volume by rescaled-range (R/S)
+    analysis: split the day-indexed series into blocks of 8 and 16
+    days, compute each block's R (range of cumulative mean
+    deviations) over S (stddev), and read H as the log2 slope of the
+    mean R/S between the two block sizes — H≈0.5 is a random walk,
+    H>0.5 long-range persistence (burst clustering that breaks naive
+    Poisson capacity models).
+
+    100 TB: the series is calendar-bounded; the day index derives
+    from a broadcast min-date (no global row numbering); all windows
+    partition by block."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").alias("i"), "y"
+    )
+    out = None
+    for bs in (8, 16):
+        blk = idx.select((F.col("i") / bs).cast("int").alias("b"), "i", "y")
+        full = blk.groupBy("b").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.avg("y").alias("mb"),
+            F.stddev_pop("y").alias("sb"),
+        ).where((F.col("nb") == bs) & (F.col("sb") > 0))
+        wcum = (
+            W.partitionBy("b").orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        dev = blk.join(full, "b").withColumn(
+            "cum", F.sum(F.col("y") - F.col("mb")).over(wcum)
+        )
+        rs = dev.groupBy("b").agg(
+            ((F.max("cum") - F.min("cum")) / F.max("sb")).alias("rs")
+        )
+        row = rs.agg(
+            F.lit(bs).alias("block_size"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.avg("rs").alias("mean_rs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    piv = out.agg(
+        F.max(F.when(F.col("block_size") == 8, F.col("mean_rs"))).alias("rs8"),
+        F.max(F.when(F.col("block_size") == 16, F.col("mean_rs"))).alias("rs16"),
+        F.max(F.when(F.col("block_size") == 8, F.col("n_blocks"))).alias("nb8"),
+        F.max(F.when(F.col("block_size") == 16, F.col("n_blocks"))).alias("nb16"),
+    )
+    h = F.log2(F.col("rs16") / F.col("rs8"))
+    return piv.select(
+        # a size with zero qualifying blocks reports NULL (not 0), the
+        # same shape the SQL twin's empty lateral produces
+        F.when(F.col("rs8").isNotNull(), F.col("nb8")).cast("bigint").alias("blocks_8"),
+        F.when(F.col("rs16").isNotNull(), F.col("nb16")).cast("bigint").alias("blocks_16"),
+        F.round("rs8", 6).alias("mean_rs_8"),
+        F.round("rs16", 6).alias("mean_rs_16"),
+        F.round(h, 6).alias("hurst_h"),
+        (h > 0.6).alias("persistent"),
+    )
+
+
+HURST_RS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1),
+d0 AS (SELECT min(d) AS d0 FROM daily),
+idx AS (SELECT datediff('day', d0.d0, d) AS i, y FROM daily CROSS JOIN d0),
+rs_by AS (
+  SELECT bs.bs AS block_size, avg(rs.rs) AS mean_rs, count(*) AS n_blocks
+  FROM (SELECT unnest([8, 16]) AS bs) bs,
+  LATERAL (
+    WITH blk AS (
+      SELECT CAST(floor(i / bs.bs) AS INT) AS b, i, y FROM idx),
+    full_blk AS (
+      SELECT b, avg(y) AS mb, stddev_pop(y) AS sb
+      FROM blk GROUP BY b
+      HAVING count(*) = bs.bs AND stddev_pop(y) > 0),
+    dev AS (
+      SELECT blk.b, blk.i, blk.y, f.mb, f.sb,
+             sum(blk.y - f.mb) OVER (PARTITION BY blk.b ORDER BY blk.i
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM blk JOIN full_blk f USING (b))
+    SELECT b, (max(cum) - min(cum)) / max(sb) AS rs
+    FROM dev GROUP BY b
+  ) rs
+  GROUP BY bs.bs)
+SELECT CAST(max(CASE WHEN block_size = 8 THEN n_blocks END) AS BIGINT) AS blocks_8,
+       CAST(max(CASE WHEN block_size = 16 THEN n_blocks END) AS BIGINT) AS blocks_16,
+       round(max(CASE WHEN block_size = 8 THEN mean_rs END), 6) AS mean_rs_8,
+       round(max(CASE WHEN block_size = 16 THEN mean_rs END), 6) AS mean_rs_16,
+       round(log2(max(CASE WHEN block_size = 16 THEN mean_rs END)
+                  / max(CASE WHEN block_size = 8 THEN mean_rs END)), 6) AS hurst_h,
+       log2(max(CASE WHEN block_size = 16 THEN mean_rs END)
+            / max(CASE WHEN block_size = 8 THEN mean_rs END)) > 0.6 AS persistent
+FROM rs_by
+"""
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = −Σ_ij (c_ij/N)·log2(c_ij/c_i·) over within-user consecutive
+    transitions — the single number summarizing how predictable user
+    journeys are (the chain whose stationary vector
+    markov_stationary_distribution computes), next to the zeroth-
+    order entropy H₀ of the marginal and the predictability gain.
+
+    100 TB: transitions come from one user-partitioned lag window;
+    the entropy is two aggregates over the O(types²) count table."""
+    ev = load_table(spark, "events", sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(wu).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    c12 = tr.groupBy("prev", "event_type").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("prev").agg(F.sum("c12").alias("c1"))
+    n = c12.agg(F.sum("c12").alias("n"))
+    h_rate = (
+        c12.join(c1, "prev")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum((F.col("c12") / F.col("n")) * F.log2(F.col("c12") / F.col("c1"))))
+            .alias("h_rate"),
+            F.max("n").cast("bigint").alias("n_transitions"),
+        )
+    )
+    h0 = (
+        c12.groupBy("event_type")
+        .agg(F.sum("c12").alias("cm"))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum((F.col("cm") / F.col("n")) * F.log2(F.col("cm") / F.col("n"))))
+            .alias("h0")
+        )
+    )
+    return h_rate.crossJoin(F.broadcast(h0)).select(
+        "n_transitions",
+        F.round("h0", 6).alias("h_marginal"),
+        F.round("h_rate", 6).alias("h_rate"),
+        F.round(F.col("h0") - F.col("h_rate"), 6).alias("predictability_gain"),
+    )
+
+
+MARKOV_ENTROPY_SQL = """
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_type
+  FROM events),
+ok AS (SELECT prev, event_type FROM tr WHERE prev IS NOT NULL),
+c12 AS (SELECT prev, event_type, count(*) AS c12 FROM ok GROUP BY 1, 2),
+c1 AS (SELECT prev, sum(c12) AS c1 FROM c12 GROUP BY 1),
+n AS (SELECT sum(c12) AS n FROM c12),
+hr AS (
+  SELECT -sum((c12 / n.n) * log2(c12 / c1.c1)) AS h_rate,
+         CAST(max(n.n) AS BIGINT) AS n_transitions
+  FROM c12 JOIN c1 USING (prev) CROSS JOIN n),
+h0 AS (
+  SELECT -sum((cm / n.n) * log2(cm / n.n)) AS h0
+  FROM (SELECT event_type, sum(c12) AS cm FROM c12 GROUP BY 1) m CROSS JOIN n)
+SELECT n_transitions,
+       round(h0, 6) AS h_marginal,
+       round(h_rate, 6) AS h_rate,
+       round(h0 - h_rate, 6) AS predictability_gain
+FROM hr CROSS JOIN h0
+"""

@@ -52,6 +52,7 @@ ALLOW_GLOBAL_WINDOW = {
     "bradley_terry_step",  # rank over the O(types)=5 strength table
     "retrieval_ndcg_audit",  # position windows over three ≤10-row TakeOrdered heads
     "sprt_conversion_gate",  # running LLR over the O(days) calendar-bounded daily aggregate
+    "wilcoxon_signed_rank",  # |diff| ranking over the O(days) paired daily table
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
