@@ -4087,3 +4087,164 @@ FROM j
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def best_of_n_quality_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-N selection uplift, estimated without simulation: docs
+    are dealt into deterministic groups of 4 within each source (md5
+    ordering — a stable stand-in for 'N candidates per prompt'), the
+    quality score is the distinct-token ratio, and the uplift is
+    E[max of 4] − E[single] over the group maxima — the
+    quantitative answer to 'what does sampling 4× and keeping the
+    best buy us', per source. Full groups only (a trailing partial
+    group would bias the max downward).
+
+    100 TB: ranking is a source-partitioned window on a stable hash
+    (per-partition heaps); the rest is two aggregates."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.lower(_norm_text()), " ")
+    q = (F.size(F.array_distinct(w)) / F.size(w)).alias("q")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        q,
+        F.md5(F.concat(F.lit("bon:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.withColumn(
+        "grp",
+        ((F.row_number().over(W.partitionBy("source").orderBy("h", "doc_id")) - 1) / 4)
+        .cast("int"),
+    )
+    full = ranked.groupBy("source", "grp").agg(
+        F.count(F.lit(1)).alias("n_in_grp"),
+        F.max("q").alias("max_q"),
+        F.avg("q").alias("mean_q_grp"),
+    ).where(F.col("n_in_grp") == 4)
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.round(F.avg("mean_q_grp"), 6).alias("mean_quality"),
+            F.round(F.avg("max_q"), 6).alias("bon4_quality"),
+            F.round(F.avg("max_q") - F.avg("mean_q_grp"), 6).alias("uplift"),
+        )
+        .orderBy("source")
+    )
+
+
+BEST_OF_N_SQL = r"""
+WITH scored AS (
+  SELECT source, doc_id,
+         len(list_distinct(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')))
+           * 1.0
+           / len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS q,
+         md5('bon:' || doc_id::VARCHAR) AS h
+  FROM documents),
+ranked AS (
+  SELECT *, CAST(floor((row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1) / 4)
+                 AS INT) AS grp
+  FROM scored),
+grps AS (
+  SELECT source, grp, count(*) AS n_in_grp, max(q) AS max_q, avg(q) AS mean_q_grp
+  FROM ranked GROUP BY source, grp
+  HAVING count(*) = 4)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       round(avg(mean_q_grp), 6) AS mean_quality,
+       round(avg(max_q), 6) AS bon4_quality,
+       round(avg(max_q) - avg(mean_q_grp), 6) AS uplift
+FROM grps
+GROUP BY source
+ORDER BY source
+"""
+
+
+def fightin_words_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe et al. 'Fightin' Words' informative-Dirichlet log-odds:
+    which tokens most distinguish English from non-English documents,
+    as the z-score of the log-odds-ratio difference with the corpus
+    itself as the Dirichlet prior (α₀ = 500 pseudo-counts spread by
+    corpus frequency) — the statistically-sound replacement for raw
+    TF-IDF deltas when comparing subcorpora (prior damps rare-token
+    noise; the variance term calibrates). Top 15 tokens by |z|,
+    df ≥ 5 in each side.
+
+    100 TB: three token aggregates (en, rest, corpus prior) joined on
+    the token key — vocabulary-scale tables, word-count shapes."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"),
+    ).where(F.length("t") > 0)
+    cnt = toks.groupBy("t").agg(
+        F.sum(F.col("is_en").cast("long")).alias("c_en"),
+        F.sum((~F.col("is_en")).cast("long")).alias("c_rest"),
+    )
+    tot = cnt.agg(
+        F.sum("c_en").cast("double").alias("n_en"),
+        F.sum("c_rest").cast("double").alias("n_rest"),
+        F.sum(F.col("c_en") + F.col("c_rest")).cast("double").alias("n_all"),
+    )
+    a0 = 500.0
+    j = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "alpha", a0 * (F.col("c_en") + F.col("c_rest")) / F.col("n_all")
+    )
+    lo_en = F.log(
+        (F.col("c_en") + F.col("alpha"))
+        / (F.col("n_en") + a0 - F.col("c_en") - F.col("alpha"))
+    )
+    lo_rest = F.log(
+        (F.col("c_rest") + F.col("alpha"))
+        / (F.col("n_rest") + a0 - F.col("c_rest") - F.col("alpha"))
+    )
+    var = 1.0 / (F.col("c_en") + F.col("alpha")) + 1.0 / (
+        F.col("c_rest") + F.col("alpha")
+    )
+    z = (lo_en - lo_rest) / F.sqrt(var)
+    return (
+        j.where((F.col("c_en") >= 5) & (F.col("c_rest") >= 5))
+        .select(
+            F.col("t").alias("token"),
+            F.col("c_en").cast("bigint").alias("c_en"),
+            F.col("c_rest").cast("bigint").alias("c_rest"),
+            F.round(z, 6).alias("z_logodds"),
+        )
+        .orderBy(F.abs(F.col("z_logodds")).desc(), "token")
+        .limit(15)
+    )
+
+
+FIGHTIN_WORDS_SQL = r"""
+WITH toks AS (
+  SELECT lang = 'en' AS is_en,
+         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+cnt AS (
+  SELECT t,
+         sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS c_en,
+         sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS c_rest
+  FROM toks WHERE len(t) > 0 GROUP BY t),
+tot AS (
+  SELECT CAST(sum(c_en) AS DOUBLE) AS n_en,
+         CAST(sum(c_rest) AS DOUBLE) AS n_rest,
+         CAST(sum(c_en + c_rest) AS DOUBLE) AS n_all
+  FROM cnt),
+j AS (
+  SELECT cnt.*, tot.n_en, tot.n_rest,
+         500.0 * (c_en + c_rest) / tot.n_all AS alpha
+  FROM cnt CROSS JOIN tot)
+SELECT t AS token,
+       CAST(c_en AS BIGINT) AS c_en,
+       CAST(c_rest AS BIGINT) AS c_rest,
+       round((ln((c_en + alpha) / (n_en + 500.0 - c_en - alpha))
+              - ln((c_rest + alpha) / (n_rest + 500.0 - c_rest - alpha)))
+             / sqrt(1.0 / (c_en + alpha) + 1.0 / (c_rest + alpha)), 6) AS z_logodds
+FROM j
+WHERE c_en >= 5 AND c_rest >= 5
+ORDER BY abs((ln((c_en + alpha) / (n_en + 500.0 - c_en - alpha))
+              - ln((c_rest + alpha) / (n_rest + 500.0 - c_rest - alpha)))
+             / sqrt(1.0 / (c_en + alpha) + 1.0 / (c_rest + alpha))) DESC, token
+LIMIT 15
+"""
