@@ -4248,3 +4248,156 @@ ORDER BY abs((ln((c_en + alpha) / (n_en + 500.0 - c_en - alpha))
              / sqrt(1.0 / (c_en + alpha) + 1.0 / (c_rest + alpha))) DESC, token
 LIMIT 15
 """
+
+
+def lexical_richness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio, hapax
+    share (vocabulary appearing exactly once — the Heaps-curve
+    frontier), and Yule's K = 10⁴·(Σm²·V_m − N)/N² from the frequency
+    spectrum — the length-robust repetitiveness constant (low K =
+    diverse, high K = formulaic). Template/boilerplate sources jump
+    out on K long before a duplicate detector fires.
+
+    100 TB: one (source, token) count, one frequency-spectrum
+    aggregate per source — word-count shapes throughout."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(_norm_text()), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    tf = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("m"), 6).alias("ttr"),
+            F.round(
+                F.sum((F.col("m") == 1).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("hapax_share"),
+            F.round(
+                10000.0
+                * (F.sum(F.col("m") * F.col("m")) - F.sum("m"))
+                / (F.sum("m") * F.sum("m")),
+                6,
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
+
+
+LEXICAL_RICHNESS_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+tf AS (
+  SELECT source, t, count(*) AS m FROM toks WHERE len(t) > 0 GROUP BY source, t)
+SELECT source,
+       CAST(sum(m) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(count(*) * 1.0 / sum(m), 6) AS ttr,
+       round(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hapax_share,
+       round(10000.0 * (sum(m * m) - sum(m)) / (sum(m) * sum(m)), 6) AS yule_k
+FROM tf
+GROUP BY source
+ORDER BY source
+"""
+
+
+def lang_trigram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle character-trigram profile distance between the
+    labeled languages: each language's top-20 char trigrams by
+    frequency form its rank profile; the pairwise out-of-place
+    distance (Σ |rank_a − rank_b|, missing → penalty 20) is the
+    classic n-gram language-distance matrix — the calibration table
+    behind n-gram language ID (language_id's markers are its
+    degenerate 5-word form).
+
+    100 TB: trigram explode → per-lang counts → top-20 via a
+    lang-partitioned window; the distance join is over 4×20-row
+    profiles — broadcast scale."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    txt = F.lower(_norm_text())
+    tri = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(regexp_replace(trim(text),"
+                " '\\\\s+', ' '))) - 2, 1)),"
+                " i -> substring(lower(regexp_replace(trim(text), '\\\\s+', ' ')), i, 3))"
+            )
+        ).alias("g"),
+    ).where(F.length("g") == 3)
+    cnt = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+        ),
+    ).where(F.col("rk") <= 20)
+    a = ranked.select(
+        F.col("lang").alias("lang_a"), F.col("g").alias("g_a"), F.col("rk").alias("rk_a")
+    )
+    b = ranked.select(
+        F.col("lang").alias("lang_b2"), F.col("g").alias("g_b"), F.col("rk").alias("rk_b")
+    )
+    # pair every lang_a profile row against lang_b's profile via the
+    # shared trigram; out-of-profile trigrams cost the max rank 20
+    pairs = (
+        a.select("lang_a").distinct()
+        .crossJoin(b.select(F.col("lang_b2").alias("lang_b")).distinct())
+        .where(F.col("lang_a") < F.col("lang_b"))
+    )
+    dist = (
+        pairs.join(a, "lang_a")
+        .join(
+            b,
+            (F.col("lang_b") == F.col("lang_b2")) & (F.col("g_a") == F.col("g_b")),
+            "left",
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk_b").isNotNull(), F.abs(F.col("rk_a") - F.col("rk_b"))
+                ).otherwise(F.lit(20))
+            ).cast("bigint").alias("oop_distance"),
+            F.sum(F.col("rk_b").isNotNull().cast("bigint")).alias("shared_trigrams"),
+        )
+    )
+    return dist.orderBy("lang_a", "lang_b")
+
+
+LANG_TRIGRAM_SQL = r"""
+WITH txt AS (
+  SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM documents),
+tri AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, greatest(len(s) - 2, 1)),
+                               i -> substr(s, i, 3))) AS g
+  FROM txt),
+cnt AS (
+  SELECT lang, g, count(*) AS c FROM tri WHERE len(g) = 3 GROUP BY lang, g),
+ranked AS (
+  SELECT lang, g,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+  FROM cnt
+  QUALIFY rk <= 20),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM (SELECT DISTINCT lang FROM ranked) a,
+       (SELECT DISTINCT lang FROM ranked) b
+  WHERE a.lang < b.lang)
+SELECT p.lang_a, p.lang_b,
+       CAST(sum(CASE WHEN bb.rk IS NOT NULL THEN abs(aa.rk - bb.rk) ELSE 20 END)
+            AS BIGINT) AS oop_distance,
+       CAST(sum(CASE WHEN bb.rk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_trigrams
+FROM pairs p
+JOIN ranked aa ON aa.lang = p.lang_a
+LEFT JOIN ranked bb ON bb.lang = p.lang_b AND bb.g = aa.g
+GROUP BY p.lang_a, p.lang_b
+ORDER BY p.lang_a, p.lang_b
+"""

@@ -22,6 +22,9 @@ Replication design (replica r = 0..7; r=0 is the identity):
 
 Run: python tools/scale_xl.py [N_heaviest] [name ...]
      → builds .scale_xl/ once (reused if present), writes SCALE_SLOPE_XL.json
+     SPARK_GRAFT_XL_FACTOR=64 selects a deeper replication (dir
+     .scale_xl64/, report SCALE_SLOPE_XL64.json) — two more doublings
+     for the heaviest survivors of the x8 probe.
 """
 
 from __future__ import annotations
@@ -41,13 +44,14 @@ from hematite_spark.session import get_spark
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_DIR = "/root/testdata/sf0.1"
-XL_DIR = os.path.join(REPO, ".scale_xl")
 WARM_DIR = "/root/testdata/sf0.001"
-REPLICAS = 8
+REPLICAS = int(os.environ.get("SPARK_GRAFT_XL_FACTOR", "8"))
+_SUFFIX = "" if REPLICAS == 8 else str(REPLICAS)
+XL_DIR = os.path.join(REPO, f".scale_xl{_SUFFIX}")
 OFF = 10_000_000
-# 8x data; scan-bound ops should land ≲8x + overhead. Anything past
+# Nx data; scan-bound ops should land ≲Nx + overhead. Anything past
 # this is super-linear beyond data growth.
-FLAG_RATIO = 12.0
+FLAG_RATIO = REPLICAS * 1.5
 MIN_BASE_SEC = 0.5
 
 TABLES = [
@@ -144,7 +148,7 @@ def main(argv) -> int:
         )
         names = ranked[:n_heaviest]
     out, risks = {}, []
-    path = os.path.join(REPO, "SCALE_SLOPE_XL.json")
+    path = os.path.join(REPO, f"SCALE_SLOPE_XL{_SUFFIX}.json")
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
@@ -157,13 +161,13 @@ def main(argv) -> int:
         ratio = round(xl_s / base_s, 2) if base_s > 0 else None
         out[name] = {
             "sf0_1_s": round(base_s, 3),
-            "xl8_s": round(xl_s, 3),
+            f"xl{REPLICAS}_s": round(xl_s, 3),
             "ratio": ratio,
         }
         flag = ratio is not None and base_s >= MIN_BASE_SEC and ratio > FLAG_RATIO
         if flag:
-            risks.append(f"{name} {ratio}x (sf0.1 {base_s:.2f}s -> xl8 {xl_s:.2f}s)")
-        print(f"# xl8/{name}: {base_s:.2f}s -> {xl_s:.2f}s ({ratio}x)", file=sys.stderr)
+            risks.append(f"{name} {ratio}x (sf0.1 {base_s:.2f}s -> xl{REPLICAS} {xl_s:.2f}s)")
+        print(f"# xl{REPLICAS}/{name}: {base_s:.2f}s -> {xl_s:.2f}s ({ratio}x)", file=sys.stderr)
     with open(path, "w") as f:
         json.dump(
             {
