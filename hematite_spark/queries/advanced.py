@@ -8693,3 +8693,123 @@ SELECT n_transitions,
        round(h0 - h_rate, 6) AS predictability_gain
 FROM hr CROSS JOIN h0
 """
+
+
+def wilson_lb_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking of per-part return rates —
+    the correct way to rank proportions with unequal sample sizes (a
+    raw rate ranks a 1/1 part above a 99/100 part; the 95% lower
+    bound does not): LB = (p̂ + z²/2n − z√(p̂(1−p̂)/n + z²/4n²)) /
+    (1 + z²/n), z = 1.96. Top 15 parts by lower bound with ≥ 20
+    lines — the same estimator ranks documents by flag rate or
+    sources by defect rate in a corpus-QA pipeline.
+
+    100 TB: one per-part aggregate, a closed-form projection, and a
+    TakeOrdered — the word-count shape."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("double")).alias("r"),
+    ).where(F.col("n") >= 20)
+    z = 1.96
+    p = F.col("r") / F.col("n")
+    z2n = z * z / F.col("n")
+    lb = (p + z2n / 2 - z * F.sqrt((p * (1 - p) + z2n / 4) / F.col("n"))) / (1 + z2n)
+    return (
+        g.select(
+            "l_partkey",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("r").cast("bigint").alias("n_returned"),
+            F.round(p, 6).alias("raw_rate"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "l_partkey")
+        .limit(15)
+    )
+
+
+WILSON_LB_SQL = """
+WITH g AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS r
+  FROM lineitem GROUP BY l_partkey
+  HAVING count(*) >= 20)
+SELECT l_partkey,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(r AS BIGINT) AS n_returned,
+       round(r / n, 6) AS raw_rate,
+       round((r / n + (1.96 * 1.96 / n) / 2
+              - 1.96 * sqrt((r / n * (1 - r / n) + (1.96 * 1.96 / n) / 4) / n))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_lb
+FROM g
+ORDER BY wilson_lb DESC, l_partkey
+LIMIT 15
+"""
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on daily order volume
+    per priority: S = Σ_{i<j} sign(y_j − y_i) over the calendar-
+    bounded pair join (the same data-size-independent pair space as
+    theil_sen_trend — MK tests the trend's SIGNIFICANCE, Theil-Sen
+    estimates its SLOPE), z from the no-ties variance
+    n(n−1)(2n+5)/18 with the ±1 continuity correction.
+
+    100 TB: pairs live on the daily aggregate (≤ days²/2 per
+    priority); S and z are one aggregate over them."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        F.signum(F.col("b.y") - F.col("a.y")).alias("s"),
+    )
+    days = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    g = pairs.groupBy("o_orderpriority").agg(F.sum("s").alias("s_stat"))
+    j = g.join(F.broadcast(days), "o_orderpriority")
+    var = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("trending"),
+    ).orderBy("o_orderpriority")
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2),
+pairs AS (
+  SELECT a.o_orderpriority, sign(b.y - a.y) AS s
+  FROM daily a JOIN daily b
+    ON a.o_orderpriority = b.o_orderpriority AND b.d > a.d),
+days AS (
+  SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n FROM daily GROUP BY 1),
+g AS (
+  SELECT o_orderpriority, sum(s) AS s_stat FROM pairs GROUP BY 1)
+SELECT g.o_orderpriority,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                  ELSE 0.0 END, 6) AS z_score,
+       abs(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+                ELSE 0.0 END) > 1.96 AS trending
+FROM g JOIN days USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
