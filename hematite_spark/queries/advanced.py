@@ -8813,3 +8813,75 @@ SELECT g.o_orderpriority,
 FROM g JOIN days USING (o_orderpriority)
 ORDER BY o_orderpriority
 """
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between document language and
+    source, with Cramér's V effect size — the contingency-table
+    check that a corpus's language mix is (or is not) uniform across
+    providers, the categorical cousin of the numeric drift gates
+    (feature_drift_psi, ks_two_sample). χ² = ΣΣ(o−e)²/e with
+    e = row·col/N; V = √(χ²/(N·min(r−1,c−1))); the flag compares χ²
+    to the fixed 5% critical value for the (r−1)(c−1) grid computed
+    here (57 df → 75.62, constant both engines at this schema).
+
+    100 TB: one (lang, source) count + two broadcast margins; the
+    test is a cell-level projection and one reduction."""
+    docs = load_table(spark, "documents", sf_dir)
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rm = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
+    cm = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
+    n = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").cast("double").alias("r"),
+        F.countDistinct("source").cast("double").alias("c"),
+    )
+    j = (
+        obs.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("row_n") * F.col("col_n") / F.col("n"))
+    )
+    res = j.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "chi2"
+        ),
+    )
+    v = F.sqrt(
+        F.col("chi2") / (F.col("n_docs") * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return res.select(
+        "n_docs",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+CHI2_INDEPENDENCE_SQL = """
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+  FROM documents GROUP BY lang, source),
+rm AS (SELECT lang, sum(o) AS row_n FROM obs GROUP BY lang),
+cm AS (SELECT source, sum(o) AS col_n FROM obs GROUP BY source),
+n AS (
+  SELECT sum(o) AS n,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS r,
+         CAST(count(DISTINCT source) AS DOUBLE) AS c
+  FROM obs),
+j AS (
+  SELECT obs.o, rm.row_n * cm.col_n / n.n AS e, n.n, n.r, n.c
+  FROM obs JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN n),
+res AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_docs, max(r) AS r, max(c) AS c,
+         sum((o - e) * (o - e) / e) AS chi2
+  FROM j)
+SELECT n_docs,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (n_docs * least(r - 1, c - 1))), 6) AS cramers_v
+FROM res
+"""

@@ -4401,3 +4401,75 @@ LEFT JOIN ranked bb ON bb.lang = p.lang_b AND bb.g = aa.g
 GROUP BY p.lang_a, p.lang_b
 ORDER BY p.lang_a, p.lang_b
 """
+
+
+def skyline_quality_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pareto skyline on (quality ↑, token cost ↓): the
+    docs no other same-source doc dominates on both axes — the
+    classic SKYLINE operator (missing from SQL engines; expressed
+    here via the sorted running-min formulation: sort by quality
+    desc, a doc is on the front iff its token count is strictly
+    below the running min of all higher-quality docs). Quality is
+    the distinct-token ratio; these fronts are exactly the
+    'best docs per budget' curve a selection pipeline traces.
+
+    100 TB: the window partitions by source (per-partition sort, no
+    global ordering); emits front sizes + the per-source best point,
+    not the full front (bounded output)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.lower(_norm_text()), " ")
+    d = docs.select(
+        "source",
+        "doc_id",
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("q"),
+        F.size(w).cast("double").alias("cost"),
+    )
+    ws = (
+        W.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("cost").asc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = d.withColumn("min_prev_cost", F.min("cost").over(ws)).withColumn(
+        "on_front",
+        F.col("min_prev_cost").isNull() | (F.col("cost") < F.col("min_prev_cost")),
+    )
+    return (
+        sky.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("on_front").cast("bigint")).alias("front_size"),
+            F.round(F.max(F.when(F.col("on_front"), F.col("q"))), 6).alias("best_quality"),
+            F.min(F.when(F.col("on_front"), F.col("cost"))).cast("bigint").alias("min_front_cost"),
+        )
+        .orderBy("source")
+    )
+
+
+SKYLINE_SQL = r"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_distinct(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')))
+           * 1.0
+           / len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS q,
+         CAST(len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '))
+              AS DOUBLE) AS cost
+  FROM documents),
+sky AS (
+  SELECT *,
+         min(cost) OVER (PARTITION BY source ORDER BY q DESC, cost ASC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_prev_cost
+  FROM d),
+flagged AS (
+  SELECT *, min_prev_cost IS NULL OR cost < min_prev_cost AS on_front FROM sky)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN on_front THEN 1 ELSE 0 END) AS BIGINT) AS front_size,
+       round(max(CASE WHEN on_front THEN q END), 6) AS best_quality,
+       CAST(min(CASE WHEN on_front THEN cost END) AS BIGINT) AS min_front_cost
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
