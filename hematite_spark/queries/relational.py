@@ -1300,3 +1300,74 @@ WHERE c.c_mktsegment = 'BUILDING' AND r.rk <= 2
 ORDER BY c.c_custkey, r.o_totalprice DESC, r.o_orderkey
 LIMIT 50
 """
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each click event, the
+    NEXT purchase by the same user within one hour — join_asof's
+    mirror (that one looks back; attribution and time-to-convert
+    need both directions). Same scalable shape: ONE window pass over
+    the unioned stream, descending time order with a carry-BACKWARD
+    of the next purchase, then the tolerance filter — a single
+    user_id shuffle, never an inequality pair join.
+
+    100 TB: identical partitioning to join_asof; the tolerance is a
+    post-window filter, so hot users still cost one linear scan."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    enriched = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.last(F.when(is_p, F.unix_micros("ts")), ignorenulls=True).over(w).alias("next_purchase_ts_us"),
+    )
+    gap = F.col("next_purchase_ts_us") - F.col("ts_us")
+    tol_us = 3600 * 1000000
+    return (
+        enriched.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            "ts_us",
+            F.when(gap <= tol_us, F.col("next_purchase_id")).alias("next_purchase_id"),
+            F.when(gap <= tol_us, gap).alias("click_to_purchase_us"),
+        )
+        .orderBy("user_id", "click_id")
+        .limit(50)
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('click', 'purchase')),
+enriched AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_id,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_ts_us
+  FROM ev)
+SELECT user_id,
+       event_id AS click_id,
+       ts_us,
+       CASE WHEN next_purchase_ts_us - ts_us <= 3600000000
+            THEN next_purchase_id END AS next_purchase_id,
+       CASE WHEN next_purchase_ts_us - ts_us <= 3600000000
+            THEN next_purchase_ts_us - ts_us END AS click_to_purchase_us
+FROM enriched
+WHERE event_type = 'click'
+ORDER BY user_id, click_id
+LIMIT 50
+"""
