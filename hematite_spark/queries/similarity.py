@@ -3166,3 +3166,175 @@ FROM dims JOIN bounds USING (dim)
 GROUP BY dims.dim
 ORDER BY dims.dim
 """
+
+
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN core-point census on the first two
+    embedding dimensions: eps = 0.15, minPts = 5; each point lands in
+    an eps-sized grid cell and neighbor candidates come ONLY from the
+    3×3 surrounding cells (the geo_grid_neighbor_join blocking, so
+    the pair space is density-bounded, never O(n²)); a point is core
+    iff ≥ minPts neighbors sit within eps. Emits the per-label core/
+    border/noise census — the density profile that picks DBSCAN
+    parameters before a full clustering run.
+
+    100 TB: cell id is the partition key; the 9-cell candidate join
+    is an equi-join on cell; distances only on candidates."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    eps, min_pts = 0.15, 5
+    ev = _dbl("embedding")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.element_at(ev, 1).alias("x"),
+        F.element_at(ev, 2).alias("y"),
+    )
+    pts = pts.withColumn("cx", F.floor(F.col("x") / eps).cast("int")).withColumn(
+        "cy", F.floor(F.col("y") / eps).cast("int")
+    )
+    probe = pts.select(
+        F.col("vec_id").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"),
+        F.explode(
+            F.array(*[F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        ).alias("c"),
+    ).select("qid", "qx", "qy", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    cand = probe.join(pts.select("vec_id", "x", "y", "cx", "cy"), ["cx", "cy"])
+    d2 = (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x")) + (
+        F.col("qy") - F.col("y")
+    ) * (F.col("qy") - F.col("y"))
+    neigh = cand.where((F.col("qid") != F.col("vec_id")) & (d2 <= eps * eps)).groupBy(
+        "qid"
+    ).agg(F.count(F.lit(1)).alias("n_neighbors"))
+    flagged = pts.join(
+        neigh, pts.vec_id == neigh.qid, "left"
+    ).select(
+        "label",
+        F.coalesce("n_neighbors", F.lit(0)).alias("nn"),
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum((F.col("nn") >= min_pts).cast("bigint")).alias("core_points"),
+            F.sum(((F.col("nn") > 0) & (F.col("nn") < min_pts)).cast("bigint")).alias(
+                "border_points"
+            ),
+            F.sum((F.col("nn") == 0).cast("bigint")).alias("isolated_points"),
+        )
+        .orderBy("label")
+    )
+
+
+DBSCAN_CORE_SQL = """
+WITH pts AS (
+  SELECT vec_id, label,
+         CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.15) AS INT) AS cx,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.15) AS INT) AS cy
+  FROM embeddings),
+probe AS (
+  SELECT vec_id AS qid, x AS qx, y AS qy, cx + dx.dx AS cx, cy + dy.dy AS cy
+  FROM pts,
+       (SELECT unnest([-1, 0, 1]) AS dx) dx,
+       (SELECT unnest([-1, 0, 1]) AS dy) dy),
+neigh AS (
+  SELECT qid, count(*) AS nn
+  FROM probe JOIN pts USING (cx, cy)
+  WHERE qid <> pts.vec_id
+    AND (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 0.15 * 0.15
+  GROUP BY qid)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN coalesce(nn, 0) >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS core_points,
+       CAST(sum(CASE WHEN coalesce(nn, 0) > 0 AND coalesce(nn, 0) < 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS border_points,
+       CAST(sum(CASE WHEN coalesce(nn, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS isolated_points
+FROM pts LEFT JOIN neigh ON pts.vec_id = neigh.qid
+GROUP BY label
+ORDER BY label
+"""
+
+
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: a = distance
+    to the own-label centroid, b = distance to the nearest OTHER
+    centroid, s = (b−a)/max(a,b), averaged per label — the standard
+    clustering-quality score in its O(n·k) form (the exact pairwise
+    silhouette is O(n²) and adds little at corpus scale). Labels with
+    s near 0 overlap their neighbors; negative s flags mislabeled
+    slices.
+
+    100 TB: centroids are one posexplode aggregate broadcast back;
+    the per-point pass computes k=10 centroid distances via the
+    broadcast array — map-only; one final per-label mean."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    dims = emb.select("label", F.posexplode(ev).alias("dim", "v"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    cvec = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "c"))
+        ).alias("pairs")
+    ).select(
+        "clabel", F.expr("transform(pairs, p -> p.c)").alias("cvec")
+    )
+    pts = emb.select("vec_id", "label", ev.alias("v"))
+    joined = pts.crossJoin(F.broadcast(cvec))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dd = joined.select(
+        "vec_id", "label", "clabel", F.round(dist, 9).alias("d")
+    )
+    own = dd.where(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("d").alias("a")
+    )
+    other = dd.where(F.col("label") != F.col("clabel")).groupBy("vec_id").agg(
+        F.min("d").alias("b")
+    )
+    s = own.join(other, "vec_id").select(
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("s"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+SILHOUETTE_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, d.i - 1 AS dim, CAST(d.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) d),
+cent AS (
+  SELECT label AS clabel, dim, avg(v) AS c FROM dims GROUP BY label, dim),
+dd AS (
+  SELECT dims.vec_id, dims.label, cent.clabel,
+         round(sqrt(sum((dims.v - cent.c) * (dims.v - cent.c))), 9) AS d
+  FROM dims JOIN cent ON dims.dim = cent.dim
+  GROUP BY dims.vec_id, dims.label, cent.clabel),
+own AS (
+  SELECT vec_id, label, d AS a FROM dd WHERE label = clabel),
+other AS (
+  SELECT vec_id, min(d) AS b FROM dd WHERE label <> clabel GROUP BY vec_id),
+s AS (
+  SELECT own.label, (b - a) / greatest(a, b) AS s
+  FROM own JOIN other USING (vec_id))
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(avg(s), 6) AS mean_silhouette
+FROM s
+GROUP BY label
+ORDER BY label
+"""
