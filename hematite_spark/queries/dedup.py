@@ -553,10 +553,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.42, candidates from SCALE-ADAPTIVE multi-table random-
     hyperplane LSH: each of 4 hash tables buckets by the signs of b
     components (table t uses components t·16+1 … t·16+b), where
-    b = max(4, ⌈log2(n / 64)⌉) is derived from the corpus count INSIDE
-    the plan (a broadcast 1-row aggregate gating each bit's CASE) —
-    so bucket cardinality GROWS with the corpus and the per-table pair
-    space stays ~n·64, never Σblock². A fixed-width bucket key is the
+    b = min(16, max(4, ⌈log2(n·(b₀+1) / 64)⌉)), b₀ = max(4, ⌈log2(n/64)⌉),
+    is derived from the corpus count INSIDE the plan (a broadcast
+    1-row aggregate gating each bit's CASE) — the (b₀+1) term absorbs
+    the hamming-1 multiprobe fan-out into the code width (sizing b
+    against n alone leaves ~(b+1)·64 candidates per vector: the
+    n·log n blow-up SCALE_SLOPE_XL64 measured at 149× on 64× data),
+    so bucket cardinality GROWS with the corpus and the per-table
+    PROBED pair space stays ~n·64, never Σblock². A fixed-width bucket key is the
     quadratic trap tools/scale_slope.py caught in fuzzy_match_parts;
     this is the dense-vector version of the same fix, and the
     n-adaptive b applies to every sign-bucket blocker in the family.
@@ -566,8 +570,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     also looks up the b buckets that differ in exactly one sign bit
     (multiprobe LSH), so a near-duplicate pair straddling a single
     hyperplane in every table is still found. Probe fan-out is b+1
-    keys per vector per table — pair space ~n·64·(b+1), a log(n)
-    factor, not a quadratic. Verdict per duplicate: keep the
+    keys per vector per table, already paid for by the widened code. Verdict per duplicate: keep the
     most-similar lower doc_id.
 
     `embeddings.vec_id` aligns with `documents.doc_id`; arithmetic is
@@ -577,10 +580,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")
+    # Code width sized against the PROBED pair space, not the raw
+    # bucket: multiprobe fans each vector out to b+1 keys, so the
+    # naive b0 = log2(n/64) leaves (b0+1)·64 candidates per vector —
+    # the n·log n blow-up SCALE_SLOPE_XL64 measured at 149× on 64×
+    # data. Solve 2^b ≥ n·(b0+1)/64 instead (one fixed-point step),
+    # capped at the 16-plane per-table budget.
+    n = F.count("*")
+    b0 = F.greatest(
+        F.lit(4), F.ceil(F.log2(n / F.lit(_EMB_TARGET_BLOCK))).cast("int")
+    )
     bstats = emb.agg(
-        F.greatest(
-            F.lit(4),
-            F.ceil(F.log2(F.count("*") / F.lit(_EMB_TARGET_BLOCK))).cast("int"),
+        F.least(
+            F.lit(_EMB_MAX_BITS),
+            F.greatest(
+                F.lit(4),
+                F.ceil(
+                    F.log2(n * (b0 + 1) / F.lit(_EMB_TARGET_BLOCK))
+                ).cast("int"),
+            ),
         ).alias("b")
     )
     base = emb.select(F.col("vec_id").alias("doc_id"), ev.alias("ev")).crossJoin(
@@ -660,9 +678,14 @@ def _emb_bucket_sql(t: int) -> str:
 
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH bs AS (
-  SELECT greatest(4, CAST(ceil(log2(count(*) / {_EMB_TARGET_BLOCK})) AS INT)) AS b
+WITH n0 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         greatest(4, CAST(ceil(log2(count(*) / {_EMB_TARGET_BLOCK})) AS INT)) AS b0
   FROM embeddings),
+bs AS (
+  SELECT least({_EMB_MAX_BITS},
+               greatest(4, CAST(ceil(log2(n * (b0 + 1) / {_EMB_TARGET_BLOCK})) AS INT))) AS b
+  FROM n0),
 v AS (
   SELECT vec_id AS doc_id, ev, b,
          sqrt(list_reduce(list_transform(ev, x -> x * x), (acc, x) -> acc + x)) AS nrm,
