@@ -8885,3 +8885,56 @@ SELECT n_docs,
        round(sqrt(chi2 / (n_docs * least(r - 1, c - 1))), 6) AS cramers_v
 FROM res
 """
+
+
+def price_elasticity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: OLS slope of
+    ln(quantity) on ln(unit price) over order lines — the constant-
+    elasticity model's closed form (elasticity < −1 = elastic:
+    price cuts grow revenue). Unit price derives as
+    extendedprice/quantity; the fit is per-brand moments only.
+
+    100 TB: one map-side projection + per-brand moment aggregate —
+    no joins beyond the part-dim broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    d = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log("l_quantity").alias("y"),
+    )
+    g = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_raw"),
+    )
+    beta = (F.col("sxy_raw") - F.col("n") * F.col("xbar") * F.col("ybar")) / (
+        F.col("sxx_raw") - F.col("n") * F.col("xbar") * F.col("xbar")
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(beta, 6).alias("elasticity"),
+        (beta < -1).alias("elastic"),
+    ).orderBy("p_brand")
+
+
+PRICE_ELASTICITY_SQL = """
+WITH d AS (
+  SELECT p.p_brand,
+         ln(l.l_extendedprice / l.l_quantity) AS x,
+         ln(l.l_quantity) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+g AS (
+  SELECT p_brand, CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar, avg(y) AS ybar,
+         sum(x * x) AS sxx_raw, sum(x * y) AS sxy_raw
+  FROM d GROUP BY p_brand)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       round((sxy_raw - n * xbar * ybar) / (sxx_raw - n * xbar * xbar), 6) AS elasticity,
+       (sxy_raw - n * xbar * ybar) / (sxx_raw - n * xbar * xbar) < -1 AS elastic
+FROM g
+ORDER BY p_brand
+"""

@@ -4473,3 +4473,87 @@ FROM flagged
 GROUP BY source
 ORDER BY source
 """
+
+
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: each
+    source's relative frequencies of the corpus's top-30 words are
+    z-scored against the across-source distribution, and Delta(a,b)
+    is the mean |z_a − z_b| over those words — the standard
+    authorship/provenance distance (two 'different' sources with a
+    tiny Delta were probably scraped from the same generator — a
+    provenance-dedup signal document hashes can't see). Top 10
+    closest source pairs.
+
+    100 TB: the top-30 word list is one vocabulary aggregate; the
+    per-source profile is a (source × 30) table; z-scoring and the
+    pairwise join run on profiles — broadcast scale regardless of
+    corpus size."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(_norm_text()), " ")).alias("t")
+    ).where(F.length("t") > 0)
+    top = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "t")
+        .limit(30)
+        .select("t")
+    )
+    per_src = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # every (word, source) cell exists, zero-frequency included —
+    # a missing word is stylometric signal, not a missing row
+    prof = (
+        top.crossJoin(F.broadcast(totals))
+        .join(per_src, ["t", "source"], "left")
+        .select("t", "source", (F.coalesce("c", F.lit(0)) / F.col("n")).alias("f"))
+    )
+    stats = prof.groupBy("t").agg(
+        F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
+    )
+    z = prof.join(F.broadcast(stats), "t").select(
+        "t", "source", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    a = z.select(F.col("source").alias("src_a"), "t", F.col("z").alias("z_a"))
+    b = z.select(F.col("source").alias("src_b"), F.col("t").alias("t_b"), F.col("z").alias("z_b"))
+    pairs = a.join(
+        b, (F.col("t") == F.col("t_b")) & (F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.round(F.avg(F.abs(F.col("z_a") - F.col("z_b"))), 6).alias("delta"))
+        .orderBy("delta", "src_a", "src_b")
+        .limit(10)
+    )
+
+
+BURROWS_DELTA_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents),
+ok AS (SELECT source, t FROM toks WHERE len(t) > 0),
+top AS (
+  SELECT t FROM (SELECT t, count(*) AS tf FROM ok GROUP BY t)
+  ORDER BY tf DESC, t LIMIT 30),
+per_src AS (SELECT source, t, count(*) AS c FROM ok GROUP BY source, t),
+totals AS (SELECT source, count(*) AS n FROM ok GROUP BY source),
+prof AS (
+  SELECT top.t, totals.source,
+         coalesce(per_src.c, 0) * 1.0 / totals.n AS f
+  FROM top CROSS JOIN totals
+  LEFT JOIN per_src ON per_src.t = top.t AND per_src.source = totals.source),
+stats AS (
+  SELECT t, avg(f) AS mu, stddev_samp(f) AS sd FROM prof GROUP BY t),
+z AS (
+  SELECT prof.t, prof.source, (prof.f - stats.mu) / stats.sd AS z
+  FROM prof JOIN stats USING (t))
+SELECT a.source AS src_a, b.source AS src_b,
+       round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY delta, src_a, src_b
+LIMIT 10
+"""
