@@ -8938,3 +8938,143 @@ SELECT p_brand,
 FROM g
 ORDER BY p_brand
 """
+
+
+def kendall_tau_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount per return flag,
+    computed from the (quantity × discount) CONTINGENCY GRID instead
+    of row pairs: both columns are heavily quantized (≤ ~50 × ~11
+    cells), so concordant/discordant counts come from a grid
+    self-join — O(cells²) work independent of row count, where the
+    naive pair formulation is O(n²). τ-b's tie terms come from the
+    same margins. The rank-correlation companion to
+    spearman_corr_matrix with exact tie handling.
+
+    100 TB: one grid aggregate (map-side combined), then a
+    cells²-sized join per flag — constant-bounded; nothing touches
+    rows twice."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupBy(
+        "l_returnflag",
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a, b = g.alias("a"), g.alias("b")
+    pj = a.join(b, F.col("a.l_returnflag") == F.col("b.l_returnflag")).select(
+        F.col("a.l_returnflag").alias("flag"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+        F.signum(F.col("b.q") - F.col("a.q")).alias("sq"),
+        F.signum(F.col("b.d") - F.col("a.d")).alias("sd"),
+    )
+    agg = pj.groupBy("flag").agg(
+        (F.sum(F.when(F.col("sq") * F.col("sd") > 0, F.col("ca") * F.col("cb")).otherwise(0.0)) / 2).alias("conc"),
+        (F.sum(F.when(F.col("sq") * F.col("sd") < 0, F.col("ca") * F.col("cb")).otherwise(0.0)) / 2).alias("disc"),
+        (F.sum(F.when((F.col("sq") == 0) & (F.col("sd") != 0), F.col("ca") * F.col("cb")).otherwise(0.0)) / 2).alias("tq"),
+        (F.sum(F.when((F.col("sd") == 0) & (F.col("sq") != 0), F.col("ca") * F.col("cb")).otherwise(0.0)) / 2).alias("td"),
+    )
+    denom = F.sqrt(
+        (F.col("conc") + F.col("disc") + F.col("tq"))
+        * (F.col("conc") + F.col("disc") + F.col("td"))
+    )
+    tau = (F.col("conc") - F.col("disc")) / denom
+    return agg.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.round(tau, 6).alias("kendall_tau_b"),
+    ).orderBy("l_returnflag")
+
+
+KENDALL_TAU_SQL = """
+WITH g AS (
+  SELECT l_returnflag, l_quantity AS q, l_discount AS d,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM lineitem GROUP BY 1, 2, 3),
+pj AS (
+  SELECT a.l_returnflag AS flag, a.c AS ca, b.c AS cb,
+         sign(b.q - a.q) AS sq, sign(b.d - a.d) AS sd
+  FROM g a JOIN g b ON a.l_returnflag = b.l_returnflag),
+agg AS (
+  SELECT flag,
+         sum(CASE WHEN sq * sd > 0 THEN ca * cb ELSE 0.0 END) / 2 AS conc,
+         sum(CASE WHEN sq * sd < 0 THEN ca * cb ELSE 0.0 END) / 2 AS disc,
+         sum(CASE WHEN sq = 0 AND sd <> 0 THEN ca * cb ELSE 0.0 END) / 2 AS tq,
+         sum(CASE WHEN sd = 0 AND sq <> 0 THEN ca * cb ELSE 0.0 END) / 2 AS td
+  FROM pj GROUP BY flag)
+SELECT flag AS l_returnflag,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       round((conc - disc) / sqrt((conc + disc + tq) * (conc + disc + td)), 6)
+         AS kendall_tau_b
+FROM agg
+ORDER BY l_returnflag
+"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (support ≥2
+    edges, the pagerank_step/triangle edge list): the Pearson
+    correlation of endpoint degrees over edges — positive means hubs
+    buy with hubs (rich-club), negative means hub-and-spoke. One
+    scalar that says whether degree-based partitioning will skew.
+
+    100 TB: degrees are one aggregate joined back; the correlation
+    is a 1-row moment reduction over the edge list."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    du = deg.select(F.col("u").alias("u2"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v2"), F.col("deg").alias("dv"))
+    e = und.join(du, und.u == du.u2).join(dv, und.v == dv.v2)
+    r = e.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.avg("du").alias("mu"),
+        F.avg("dv").alias("mv"),
+        F.sum(F.col("du") * F.col("dv")).alias("suv"),
+        F.sum(F.col("du") * F.col("du")).alias("suu"),
+        F.sum(F.col("dv") * F.col("dv")).alias("svv"),
+    )
+    cov = F.col("suv") - F.col("m") * F.col("mu") * F.col("mv")
+    vu = F.col("suu") - F.col("m") * F.col("mu") * F.col("mu")
+    vv = F.col("svv") - F.col("m") * F.col("mv") * F.col("mv")
+    return r.select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        F.round(F.col("mu"), 6).alias("mean_degree"),
+        F.round(cov / F.sqrt(vu * vv), 6).alias("assortativity"),
+    )
+
+
+ASSORTATIVITY_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= 2),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u),
+e AS (
+  SELECT du.deg AS du, dv.deg AS dv
+  FROM und JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u),
+r AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m, avg(du) AS mu, avg(dv) AS mv,
+         sum(du * dv) AS suv, sum(du * du) AS suu, sum(dv * dv) AS svv
+  FROM e)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       round(mu, 6) AS mean_degree,
+       round((suv - m * mu * mv)
+             / sqrt((suu - m * mu * mu) * (svv - m * mv * mv)), 6) AS assortativity
+FROM r
+"""

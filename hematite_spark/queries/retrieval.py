@@ -658,3 +658,123 @@ FROM ranked
 GROUP BY term
 ORDER BY term
 """
+
+
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-lite): for
+    each query term, take its BM25 top-10 documents as pseudo-
+    relevant, score every candidate term by its summed TF-IDF mass in
+    that feedback set, and emit the top 3 non-query expansion terms —
+    the classic recall-boosting step between first-pass retrieval and
+    rerank. Terms shorter than 3 chars are stoplisted.
+
+    100 TB: the feedback set is 10 docs per query term (TakeOrdered);
+    candidate scoring joins tokens against a 40-row broadcast of
+    feedback doc ids; IDF is the vocabulary aggregate the BM25 pass
+    already builds."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(_norm_text(), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term")
+    )
+    qhits = base.where(F.col("term").isin(*_QUERY_TERMS))
+    tc = qhits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfc = tc.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    stats = docs.select(F.size(F.split(_norm_text(), " ")).alias("dl0")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl0").alias("avgdl")
+    )
+    idf_q = F.log(
+        (F.col("n_docs") - F.col("df_cnt") + 0.5) / (F.col("df_cnt") + 0.5) + 1.0
+    )
+    tf_term = (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", (idf_q * tf_term).alias("s"))
+    )
+    fb = scored.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("term").orderBy(F.col("s").desc(), "doc_id")),
+    ).where(F.col("rk") <= 10).select(F.col("term").alias("qterm"), "doc_id")
+    # candidate expansion terms: TF-IDF mass within the feedback docs
+    all_tf = base.where(F.length("term") >= 3).groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    all_df = all_tf.groupBy("term").agg(F.count("*").alias("dfc"))
+    cand = (
+        fb.join(all_tf, "doc_id")
+        .join(F.broadcast(all_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .where(~F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("qterm", "term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs") / (F.col("dfc") + 1.0))
+                ),
+                6,
+            ).alias("rocchio_mass"),
+            F.countDistinct("doc_id").cast("bigint").alias("fb_docs"),
+        )
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("qterm").orderBy(F.col("rocchio_mass").desc(), "term")
+        ),
+    )
+    return ranked.where(F.col("rk") <= 3).select(
+        "qterm", F.col("rk").cast("int").alias("rk"), "term", "rocchio_mass", "fb_docs"
+    ).orderBy("qterm", "rk")
+
+
+PRF_EXPANSION_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM docs),
+tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY doc_id, dl, term),
+dfc AS (SELECT term, count(*) AS df_cnt FROM tc GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+scored AS (
+  SELECT tc.term, tc.doc_id,
+         ln((stats.n_docs - dfc.df_cnt + 0.5) / (dfc.df_cnt + 0.5) + 1.0)
+           * (tc.tf * 2.2)
+           / (tc.tf + 1.2 * (1 - 0.75 + 0.75 * tc.dl / stats.avgdl)) AS s
+  FROM tc JOIN dfc USING (term) CROSS JOIN stats),
+fb AS (
+  SELECT term AS qterm, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rk
+        FROM scored)
+  WHERE rk <= 10),
+all_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM base WHERE len(term) >= 3 GROUP BY doc_id, term),
+all_df AS (SELECT term, count(*) AS dfc FROM all_tf GROUP BY term),
+cand AS (
+  SELECT fb.qterm, all_tf.term,
+         round(sum(all_tf.tf * ln(stats.n_docs / (all_df.dfc + 1.0))), 6) AS rocchio_mass,
+         CAST(count(DISTINCT all_tf.doc_id) AS BIGINT) AS fb_docs
+  FROM fb
+  JOIN all_tf USING (doc_id)
+  JOIN all_df ON all_df.term = all_tf.term
+  CROSS JOIN stats
+  WHERE all_tf.term NOT IN ('spark', 'join', 'window', 'hash')
+  GROUP BY fb.qterm, all_tf.term)
+SELECT qterm, CAST(rk AS INT) AS rk, term, rocchio_mass, fb_docs
+FROM (SELECT *, row_number() OVER (PARTITION BY qterm
+                                   ORDER BY rocchio_mass DESC, term) AS rk
+      FROM cand)
+WHERE rk <= 3
+ORDER BY qterm, rk
+"""
