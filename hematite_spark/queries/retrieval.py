@@ -778,3 +778,139 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qterm
 WHERE rk <= 3
 ORDER BY qterm, rk
 """
+
+
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated rank-biased overlap (RBO, p=0.9, depth 20) between
+    the BM25 and query-likelihood rankings — the top-weighted
+    agreement measure for indefinite rankings (Kendall/Spearman treat
+    all depths equally; RBO discounts depth d by p^(d−1), which is
+    how users actually read result lists). RBO near 1 means the two
+    ranking models are interchangeable; low RBO localizes where the
+    lexical and LM views disagree.
+
+    100 TB: both rankings are TakeOrdered(20) heads; the per-depth
+    overlap is a 20×20-bounded join against a broadcast depth list —
+    everything after the two retrieval passes is constant-sized."""
+    from pyspark.sql import Window as W
+
+    p = 0.9
+    depth = 20
+    bm25 = _bm25_scores(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("s_a")
+    )
+    # TakeOrdered first, rank the 20-row head second — the window
+    # never sees a corpus-scale input (the rrf_fusion pattern)
+    ra = (
+        bm25.orderBy(F.col("s_a").desc(), "doc_id")
+        .limit(depth)
+        .withColumn("rk_a", F.row_number().over(W.orderBy(F.col("s_a").desc(), "doc_id")))
+        .select("doc_id", "rk_a")
+    )
+    # query-likelihood ranking re-derived at full precision (the
+    # catalog entry rounds for display; ranks are identical)
+    docs = load_table(spark, "documents", sf_dir)
+    mu = 200.0
+    toks = F.split(_norm_text(), " ")
+    dl = docs.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    hits = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    total = dl.agg(F.sum("dl").alias("n_tokens"))
+    cf = (
+        docs.select(F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("n_tokens")).alias("p_c"))
+    )
+    ql = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(hits, ["doc_id", "term"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0.0)) + mu * F.col("p_c"))
+                    / (F.col("dl") + mu)
+                )
+            ).alias("s_b")
+        )
+    )
+    rb = (
+        ql.orderBy(F.col("s_b").desc(), "doc_id")
+        .limit(depth)
+        .withColumn("rk_b", F.row_number().over(W.orderBy(F.col("s_b").desc(), "doc_id")))
+        .select("doc_id", "rk_b")
+    )
+    both = ra.join(rb, "doc_id")
+    depths = spark.range(1, depth + 1).select(F.col("id").cast("int").alias("d"))
+    ov = (
+        depths.crossJoin(both)
+        .where((F.col("rk_a") <= F.col("d")) & (F.col("rk_b") <= F.col("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("double").alias("x_d"))
+    )
+    agreement = depths.join(ov, "d", "left").select(
+        "d", (F.coalesce("x_d", F.lit(0.0)) / F.col("d")).alias("a_d")
+    )
+    rbo = agreement.agg(
+        F.round(
+            (1 - p) * F.sum(F.col("a_d") * F.pow(F.lit(p), F.col("d") - 1)),
+            6,
+        ).alias("rbo_truncated"),
+        F.round(F.max(F.when(F.col("d") == depth, F.col("a_d"))), 6).alias(
+            "overlap_at_20"
+        ),
+    )
+    return rbo.select(F.lit(depth).alias("depth"), "rbo_truncated", "overlap_at_20")
+
+
+RBO_SQL = f"""
+WITH {_BM25_CORE},
+ra AS (
+  SELECT doc_id, rk_a FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_a
+    FROM scored)
+  WHERE rk_a <= 20),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+hits AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY doc_id, term),
+total AS (SELECT sum(dl) AS n_tokens FROM dl),
+cf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) / total.n_tokens AS p_c
+  FROM (SELECT unnest(toks) AS term FROM docs), total
+  WHERE term IN ('spark', 'join', 'window', 'hash')
+  GROUP BY term, total.n_tokens),
+ql AS (
+  SELECT dl.doc_id,
+         sum(ln((coalesce(h.tf, 0.0) + 200.0 * cf.p_c) / (dl.dl + 200.0))) AS s_b
+  FROM dl CROSS JOIN cf
+  LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.term = cf.term
+  GROUP BY dl.doc_id),
+rb AS (
+  SELECT doc_id, rk_b FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s_b DESC, doc_id) AS rk_b
+    FROM ql)
+  WHERE rk_b <= 20),
+joined AS (SELECT ra.doc_id, rk_a, rk_b FROM ra JOIN rb USING (doc_id)),
+depths AS (SELECT CAST(unnest(generate_series(1, 20)) AS INT) AS d),
+ov AS (
+  SELECT d, CAST(count(*) AS DOUBLE) AS x_d
+  FROM depths JOIN joined ON rk_a <= d AND rk_b <= d
+  GROUP BY d),
+agreement AS (
+  SELECT depths.d, coalesce(ov.x_d, 0.0) / depths.d AS a_d
+  FROM depths LEFT JOIN ov USING (d))
+SELECT 20 AS depth,
+       round((1 - 0.9) * sum(a_d * pow(0.9, d - 1)), 6) AS rbo_truncated,
+       round(max(CASE WHEN d = 20 THEN a_d END), 6) AS overlap_at_20
+FROM agreement
+"""

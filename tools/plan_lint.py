@@ -53,6 +53,7 @@ ALLOW_GLOBAL_WINDOW = {
     "retrieval_ndcg_audit",  # position windows over three ≤10-row TakeOrdered heads
     "sprt_conversion_gate",  # running LLR over the O(days) calendar-bounded daily aggregate
     "wilcoxon_signed_rank",  # |diff| ranking over the O(days) paired daily table
+    "rank_biased_overlap",  # rank windows over the two 20-row TakeOrdered heads (O(k))
 }
 
 # Joins where a global-aggregate side is deliberately NOT broadcast
