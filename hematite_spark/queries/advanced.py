@@ -9078,3 +9078,54 @@ SELECT CAST(m AS BIGINT) AS n_edges,
              / sqrt((suu - m * mu * mu) * (svv - m * mv * mv)), 6) AS assortativity
 FROM r
 """
+
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of per-user event inter-arrival times,
+    per event type: B = (σ/μ − 1)/(σ/μ + 1) over the gaps between a
+    user's consecutive same-type events — B ≈ 0 is Poisson traffic,
+    B → 1 is heavy bursts (the per-process refinement of
+    fano_factor_events' binned view; capacity planning and bot
+    detection read this directly).
+
+    100 TB: gaps come from one user+type-partitioned lag window;
+    the fit is a per-type moment aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.avg("gap_us").alias("mu"),
+        F.stddev_pop("gap_us").alias("sd"),
+    )
+    cv = F.col("sd") / F.col("mu")
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("mu") / 1e6, 3).alias("mean_gap_sec"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1) / (cv + 1), 6).alias("burstiness_b"),
+    ).orderBy("event_type")
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events),
+ok AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         avg(gap_us) AS mu, stddev_pop(gap_us) AS sd
+  FROM ok GROUP BY event_type)
+SELECT event_type, n_gaps,
+       round(mu / 1e6, 3) AS mean_gap_sec,
+       round(sd / mu, 6) AS cv,
+       round((sd / mu - 1) / (sd / mu + 1), 6) AS burstiness_b
+FROM g
+ORDER BY event_type
+"""
