@@ -9129,3 +9129,70 @@ SELECT event_type, n_gaps,
 FROM g
 ORDER BY event_type
 """
+
+
+def var_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% value-at-risk and expected shortfall of day-over-day
+    revenue CHANGES per order priority — tail-risk numbers for a
+    revenue stream (VaR = the 5th-percentile daily delta; ES = the
+    mean delta conditional on breaching VaR, the coherent measure
+    that sees how BAD the tail is, not just where it starts).
+
+    100 TB: the delta series is calendar-bounded (lag over the daily
+    aggregate); VaR is one exact percentile per priority, ES one
+    conditional mean against the broadcast VaR row."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wd = W.partitionBy("o_orderpriority").orderBy("d")
+    delta = daily.withColumn(
+        "dr", F.col("rev") - F.lag("rev").over(wd)
+    ).where(F.col("dr").isNotNull())
+    var = delta.groupBy("o_orderpriority").agg(
+        F.expr("percentile(dr, 0.05)").alias("var95"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    es = (
+        delta.join(F.broadcast(var), "o_orderpriority")
+        .where(F.col("dr") <= F.col("var95"))
+        .groupBy("o_orderpriority")
+        .agg(F.avg("dr").alias("es95"))
+    )
+    return (
+        var.join(es, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_days",
+            F.round("var95", 2).alias("var95"),
+            F.round("es95", 2).alias("es95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+VAR_ES_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+delta AS (
+  SELECT o_orderpriority,
+         rev - lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY d) AS dr
+  FROM daily),
+ok AS (SELECT * FROM delta WHERE dr IS NOT NULL),
+v AS (
+  SELECT o_orderpriority, quantile_cont(dr, 0.05) AS var95,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM ok GROUP BY 1),
+es AS (
+  SELECT ok.o_orderpriority, avg(dr) AS es95
+  FROM ok JOIN v USING (o_orderpriority)
+  WHERE dr <= var95
+  GROUP BY ok.o_orderpriority)
+SELECT v.o_orderpriority, n_days,
+       round(var95, 2) AS var95,
+       round(es95, 2) AS es95
+FROM v JOIN es USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""

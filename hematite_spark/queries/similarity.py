@@ -3338,3 +3338,90 @@ FROM s
 GROUP BY label
 ORDER BY label
 """
+
+
+def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision threshold (Youden's J = TPR − FPR, maximized)
+    for each of the first three raw-dimension label probes — the
+    operating-point selection that turns auc_roc_label_probe's
+    ranking quality into a deployable cutoff. Cumulative pos/neg
+    counts over score VALUE groups (the bounded-ECDF machinery) give
+    TPR/FPR at every candidate threshold without a per-row sort;
+    ties break toward the lower threshold.
+
+    100 TB: identical plan shape to the AUC probe — probe-partitioned
+    value-group windows, one 1-row argmax per probe."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = _dbl("embedding")
+    probes = None
+    for k in (0, 1, 2):
+        p = emb.select(
+            F.lit(k).alias("probe"),
+            F.element_at(ev, k + 1).alias("score"),
+            (F.col("label") == k).cast("int").alias("is_pos"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    g = probes.groupBy("probe", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("cnt_pos")
+    )
+    tot = g.groupBy("probe").agg(
+        F.sum("cnt_pos").cast("double").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cnt_pos")).cast("double").alias("n_neg"),
+    )
+    wv = (
+        W.partitionBy("probe")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = g.select(
+        "probe",
+        "score",
+        F.sum("cnt_pos").over(wv).alias("cpos"),
+        F.sum(F.col("cnt") - F.col("cnt_pos")).over(wv).alias("cneg"),
+    )
+    j = cum.join(F.broadcast(tot), "probe").select(
+        "probe",
+        "score",
+        (F.col("cpos") / F.col("n_pos") - F.col("cneg") / F.col("n_neg")).alias("yj"),
+    )
+    wbest = W.partitionBy("probe").orderBy(F.col("yj").desc(), F.col("score").asc())
+    best = j.withColumn("rn", F.row_number().over(wbest)).where(F.col("rn") == 1)
+    return best.select(
+        "probe",
+        F.round("score", 6).alias("threshold"),
+        F.round("yj", 6).alias("youden_j"),
+    ).orderBy("probe")
+
+
+YOUDEN_SQL = """
+WITH probes AS (
+  SELECT k AS probe, CAST(embedding[k + 1] AS DOUBLE) AS score,
+         CASE WHEN label = k THEN 1 ELSE 0 END AS is_pos
+  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+g AS (
+  SELECT probe, score, count(*) AS cnt, sum(is_pos) AS cnt_pos
+  FROM probes GROUP BY probe, score),
+tot AS (
+  SELECT probe, CAST(sum(cnt_pos) AS DOUBLE) AS n_pos,
+         CAST(sum(cnt - cnt_pos) AS DOUBLE) AS n_neg
+  FROM g GROUP BY probe),
+cum AS (
+  SELECT probe, score,
+         sum(cnt_pos) OVER w AS cpos,
+         sum(cnt - cnt_pos) OVER w AS cneg
+  FROM g
+  WINDOW w AS (PARTITION BY probe ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+j AS (
+  SELECT cum.probe, score,
+         cpos / tot.n_pos - cneg / tot.n_neg AS yj
+  FROM cum JOIN tot ON cum.probe = tot.probe)
+SELECT probe, round(score, 6) AS threshold, round(yj, 6) AS youden_j
+FROM (SELECT *, row_number() OVER (PARTITION BY probe
+                                   ORDER BY yj DESC, score ASC) AS rn
+      FROM j)
+WHERE rn = 1
+ORDER BY probe
+"""
