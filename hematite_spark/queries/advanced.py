@@ -9196,3 +9196,78 @@ SELECT v.o_orderpriority, n_days,
 FROM v JOIN es USING (o_orderpriority)
 ORDER BY o_orderpriority
 """
+
+
+def periodogram_top_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier power at candidate periods {2,3,7,14,30}
+    days for the mean-centered daily order-count series — the
+    periodogram probe that picks the seasonal period BEFORE a
+    decomposition assumes one (seasonal_weekday_index assumes 7;
+    this measures whether 7 actually dominates): P(p) =
+    (Σy·cos(2πt/p))² + (Σy·sin(2πt/p))², normalized by the series
+    variance·n to a 0-1 fraction of variance.
+
+    100 TB: the day series is calendar-bounded; each period is two
+    trig-weighted sums over the same pass (one explode ×5); no
+    complex types needed."""
+    import math
+
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"), F.avg("y").alias("ybar"),
+                   F.count(F.lit(1)).cast("double").alias("n"),
+                   F.var_pop("y").alias("vy"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("double").alias("t"),
+        (F.col("y") - F.col("ybar")).alias("yc"),
+        "n",
+        "vy",
+    )
+    per = idx.select(
+        "t", "yc", "n", "vy",
+        F.explode(F.array(*[F.lit(p) for p in (2, 3, 7, 14, 30)])).alias("p"),
+    )
+    two_pi = 2 * math.pi
+    g = per.groupBy("p").agg(
+        F.sum(F.col("yc") * F.cos(two_pi * F.col("t") / F.col("p"))).alias("cs"),
+        F.sum(F.col("yc") * F.sin(two_pi * F.col("t") / F.col("p"))).alias("sn"),
+        F.max("n").alias("n"),
+        F.max("vy").alias("vy"),
+    )
+    power = (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")) / (
+        F.col("n") * F.col("n") / 2 * F.col("vy")
+    )
+    return g.select(
+        F.col("p").cast("int").alias("period_days"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(power, 6).alias("variance_fraction"),
+    ).orderBy("period_days")
+
+
+PERIODOGRAM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1),
+d0 AS (
+  SELECT min(d) AS d0, avg(y) AS ybar, CAST(count(*) AS DOUBLE) AS n,
+         var_pop(y) AS vy
+  FROM daily),
+idx AS (
+  SELECT CAST(datediff('day', d0.d0, d) AS DOUBLE) AS t, y - ybar AS yc, n, vy
+  FROM daily CROSS JOIN d0),
+per AS (
+  SELECT idx.*, p.p FROM idx CROSS JOIN (SELECT unnest([2, 3, 7, 14, 30]) AS p) p),
+g AS (
+  SELECT p,
+         sum(yc * cos(2 * pi() * t / p)) AS cs,
+         sum(yc * sin(2 * pi() * t / p)) AS sn,
+         max(n) AS n, max(vy) AS vy
+  FROM per GROUP BY p)
+SELECT CAST(p AS INT) AS period_days,
+       CAST(n AS BIGINT) AS n_days,
+       round((cs * cs + sn * sn) / (n * n / 2 * vy), 6) AS variance_fraction
+FROM g
+ORDER BY period_days
+"""
