@@ -9271,3 +9271,88 @@ SELECT CAST(p AS INT) AS period_days,
 FROM g
 ORDER BY period_days
 """
+
+
+def seasonally_adjusted_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: weekday seasonal adjustment ∘ Theil-Sen — the
+    daily order counts are divided by their priority×weekday seasonal
+    index (seasonal_weekday_index's factor) and the robust trend is
+    re-estimated on the adjusted series, reported against the raw
+    slope (theil_sen_trend). A weekly rhythm inflates pairwise-slope
+    noise; the adjusted slope is the defensible growth number — and
+    the entry demonstrates that catalog operators compose as plain
+    DataFrame algebra.
+
+    100 TB: both stages are the calendar-bounded daily table; the
+    index join is broadcast; the pair space is unchanged."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    daily = daily.withColumn("dow", F.dayofweek("d"))
+    per_dow = daily.groupBy("o_orderpriority", "dow").agg(F.avg("y").alias("dow_avg"))
+    overall = daily.groupBy("o_orderpriority").agg(F.avg("y").alias("all_avg"))
+    idxd = (
+        daily.join(F.broadcast(per_dow), ["o_orderpriority", "dow"])
+        .join(F.broadcast(overall), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).alias("x"),
+            (F.col("y") / (F.col("dow_avg") / F.col("all_avg"))).alias("ya"),
+            "y",
+        )
+    )
+    a, b = idxd.alias("a"), idxd.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        ((F.col("b.ya") - F.col("a.ya")) / (F.col("b.x") - F.col("a.x"))).alias("sa"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("sr"),
+    )
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.median("sr"), 6).alias("raw_slope"),
+            F.round(F.median("sa"), 6).alias("adjusted_slope"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SEASONAL_ADJ_TREND_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2),
+dowd AS (
+  SELECT *, dayofweek(d) + 1 AS dow FROM daily),
+per_dow AS (
+  SELECT o_orderpriority, dow, avg(y) AS dow_avg FROM dowd GROUP BY 1, 2),
+overall AS (
+  SELECT o_orderpriority, avg(y) AS all_avg FROM daily GROUP BY 1),
+idxd AS (
+  SELECT d.o_orderpriority,
+         datediff('day', DATE '1992-01-01', d.d) AS x,
+         d.y / (p.dow_avg / o.all_avg) AS ya,
+         d.y
+  FROM dowd d
+  JOIN per_dow p ON p.o_orderpriority = d.o_orderpriority AND p.dow = d.dow
+  JOIN overall o ON o.o_orderpriority = d.o_orderpriority),
+pairs AS (
+  SELECT a.o_orderpriority,
+         (b.ya - a.ya) / (b.x - a.x) AS sa,
+         (b.y - a.y) / (b.x - a.x) AS sr
+  FROM idxd a JOIN idxd b
+    ON a.o_orderpriority = b.o_orderpriority AND b.x > a.x)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(sr), 6) AS raw_slope,
+       round(median(sa), 6) AS adjusted_slope
+FROM pairs
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
