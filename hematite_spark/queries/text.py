@@ -4557,3 +4557,57 @@ GROUP BY a.source, b.source
 ORDER BY delta, src_a, src_b
 LIMIT 10
 """
+
+
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of the document-length distribution per source:
+    μ, σ of ln(tokens) by moments, plus a fit check — the ratio of
+    the ACTUAL 90th-percentile length to the fitted lognormal's
+    exp(μ + 1.2816·σ). Real corpora are approximately lognormal;
+    a ratio far from 1 flags truncation (ratio < 1: a length cap
+    chopped the tail) or concatenation bugs (ratio > 1) — the
+    distribution-shape companion to context_overflow_audit's
+    fixed-window numbers.
+
+    100 TB: one size(split) projection, one moment + exact-percentile
+    aggregate per source (approx_percentile is the documented swap at
+    petabyte scale)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(F.split(_norm_text(), " ")).cast("double")
+    d = docs.select("source", n.alias("len"), F.log(n).alias("ln_len"))
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("ln_len").alias("mu"),
+        F.stddev_pop("ln_len").alias("sigma"),
+        F.expr("percentile(len, 0.9)").alias("p90_actual"),
+    )
+    fitted_p90 = F.exp(F.col("mu") + 1.2816 * F.col("sigma"))
+    return g.select(
+        "source",
+        "n_docs",
+        F.round("mu", 6).alias("lognorm_mu"),
+        F.round("sigma", 6).alias("lognorm_sigma"),
+        F.round(F.col("p90_actual") / fitted_p90, 6).alias("p90_ratio"),
+        (F.abs(F.col("p90_actual") / fitted_p90 - 1) > 0.25).alias("shape_anomaly"),
+    ).orderBy("source")
+
+
+LOGNORMAL_FIT_SQL = r"""
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+              AS DOUBLE) AS len
+  FROM documents),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         avg(ln(len)) AS mu, stddev_pop(ln(len)) AS sigma,
+         quantile_cont(len, 0.9) AS p90_actual
+  FROM d GROUP BY source)
+SELECT source, n_docs,
+       round(mu, 6) AS lognorm_mu,
+       round(sigma, 6) AS lognorm_sigma,
+       round(p90_actual / exp(mu + 1.2816 * sigma), 6) AS p90_ratio,
+       abs(p90_actual / exp(mu + 1.2816 * sigma) - 1) > 0.25 AS shape_anomaly
+FROM g
+ORDER BY source
+"""
