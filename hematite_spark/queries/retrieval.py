@@ -914,3 +914,90 @@ SELECT 20 AS depth,
        round(max(CASE WHEN d = 20 THEN a_d END), 6) AS overlap_at_20
 FROM agreement
 """
+
+
+def bm25_param_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hyperparameter sensitivity: top-10 overlap between the
+    production ranking (k1=1.2, b=0.75) and three perturbed configs
+    (k1=0.9, k1=2.0, b=0.4) — a ranking that reshuffles under small
+    parameter moves is fragile and its evaluation wins are noise
+    (the IR twin of hnsw_ef_sweep's quality-vs-cost curve). Overlap
+    10/10 means the corpus's score gaps dominate the parameters.
+
+    100 TB: the (doc, term, tf, dl) table builds once; each config is
+    one extra weighted aggregate over it; overlaps join four 10-row
+    TakeOrdered heads."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(_norm_text(), " ")
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term")
+    ).where(F.col("term").isin(*_QUERY_TERMS))
+    tc = base.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfc = tc.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    stats = docs.select(F.size(F.split(_norm_text(), " ")).alias("dl0")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl0").alias("avgdl")
+    )
+    j = tc.join(F.broadcast(dfc), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_cnt") + 0.5) / (F.col("df_cnt") + 0.5) + 1.0
+    )
+
+    def head(k1: float, b: float, name: str):
+        tf_term = (F.col("tf") * (k1 + 1)) / (
+            F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        scored = j.groupBy("doc_id").agg(F.sum(idf * tf_term).alias("s"))
+        return (
+            scored.orderBy(F.col("s").desc(), "doc_id")
+            .limit(10)
+            .select(F.lit(name).alias("config"), "doc_id")
+        )
+
+    baseline = head(1.2, 0.75, "baseline").select("doc_id")
+    out = None
+    for k1, b, name in ((0.9, 0.75, "k1_0.9"), (2.0, 0.75, "k1_2.0"), (1.2, 0.4, "b_0.4")):
+        h = head(k1, b, name)
+        ov = (
+            h.join(baseline, "doc_id")
+            .groupBy("config")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_at_10"))
+        )
+        row = h.select("config").distinct().join(ov, "config", "left").select(
+            "config", F.coalesce("overlap_at_10", F.lit(0)).alias("overlap_at_10")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "config",
+        "overlap_at_10",
+        (F.col("overlap_at_10") >= 8).alias("stable"),
+    ).orderBy("config")
+
+
+BM25_SENSITIVITY_SQL = f"""
+WITH {_BM25_CORE},
+baseline AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+cfg AS (
+  SELECT * FROM (VALUES ('k1_0.9', 0.9, 0.75), ('k1_2.0', 2.0, 0.75),
+                        ('b_0.4', 1.2, 0.4)) AS t(config, k1, b)),
+rescored AS (
+  SELECT cfg.config, tc.doc_id,
+         sum(ln((stats.n_docs - dfc.df_cnt + 0.5) / (dfc.df_cnt + 0.5) + 1.0)
+             * (tc.tf * (cfg.k1 + 1))
+             / (tc.tf + cfg.k1 * (1 - cfg.b + cfg.b * tc.dl / stats.avgdl))) AS s
+  FROM tc JOIN dfc USING (term) CROSS JOIN stats CROSS JOIN cfg
+  GROUP BY cfg.config, tc.doc_id),
+heads AS (
+  SELECT config, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY config
+                                     ORDER BY s DESC, doc_id) AS rk
+        FROM rescored)
+  WHERE rk <= 10)
+SELECT h.config,
+       CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_at_10,
+       sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) >= 8 AS stable
+FROM heads h LEFT JOIN baseline b ON h.doc_id = b.doc_id
+GROUP BY h.config
+ORDER BY h.config
+"""
