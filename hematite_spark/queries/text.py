@@ -4611,3 +4611,56 @@ SELECT source, n_docs,
 FROM g
 ORDER BY source
 """
+
+
+def source_token_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of token mass across
+    sources: HHI = Σ share², with the effective source count 1/HHI —
+    the one-number answer to 'is this corpus really diverse or is it
+    three crawls wearing twenty names', read next to the per-source
+    detail (source_data_card) the way a Gini reads next to a revenue
+    table. Also reported for DOCUMENT counts, since token-heavy
+    sources can dominate mass while doc counts look balanced.
+
+    100 TB: one per-source aggregate + a 1-row reduction."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(F.split(_norm_text(), " ")).cast("double")
+    g = docs.groupBy("source").agg(
+        F.sum(n).alias("toks"), F.count(F.lit(1)).cast("double").alias("ndocs")
+    )
+    tot = g.agg(F.sum("toks").alias("t"), F.sum("ndocs").alias("d"))
+    j = g.crossJoin(F.broadcast(tot))
+    r = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum((F.col("toks") / F.col("t")) * (F.col("toks") / F.col("t"))).alias("hhi_t"),
+        F.sum((F.col("ndocs") / F.col("d")) * (F.col("ndocs") / F.col("d"))).alias("hhi_d"),
+    )
+    return r.select(
+        "n_sources",
+        F.round("hhi_t", 6).alias("hhi_tokens"),
+        F.round(1 / F.col("hhi_t"), 4).alias("effective_sources_tokens"),
+        F.round("hhi_d", 6).alias("hhi_docs"),
+        F.round(1 / F.col("hhi_d"), 4).alias("effective_sources_docs"),
+    )
+
+
+HHI_SQL = r"""
+WITH g AS (
+  SELECT source,
+         sum(CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+                  AS DOUBLE)) AS toks,
+         CAST(count(*) AS DOUBLE) AS ndocs
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(toks) AS t, sum(ndocs) AS d FROM g),
+r AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         sum((toks / tot.t) * (toks / tot.t)) AS hhi_t,
+         sum((ndocs / tot.d) * (ndocs / tot.d)) AS hhi_d
+  FROM g CROSS JOIN tot)
+SELECT n_sources,
+       round(hhi_t, 6) AS hhi_tokens,
+       round(1 / hhi_t, 4) AS effective_sources_tokens,
+       round(hhi_d, 6) AS hhi_docs,
+       round(1 / hhi_d, 4) AS effective_sources_docs
+FROM r
+"""
