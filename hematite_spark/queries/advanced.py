@@ -7217,15 +7217,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring in ≥2 distinct orders (support pruning is the
     standard co-occurrence sparsifier: it kills the quadratic noise
     floor of one-off baskets BEFORE any pairwise work, the same role
-    the LSH band key plays for text). Triangles close wedges via one
-    self-join on the shared endpoint plus one membership join back to
-    the edge list — never an all-pairs pass. Emits the edge/wedge/
-    triangle counts and the global clustering coefficient.
+    the LSH band key plays for text). Triangles close ordered paths
+    x<y<z via one self-join on the shared endpoint plus one
+    membership join back to the edge list — never an all-pairs pass;
+    the canonical ordering counts each triangle exactly once. Wedges
+    are counted per-vertex as Σ C(deg,2) from the undirected degree
+    table (NOT from the ordered-path join, which would see only the
+    ~1/3 of wedges whose center has the middle vertex id), so the
+    emitted 3·T/W really is the global clustering coefficient
+    (transitivity) and is bounded by 1.
 
     100 TB: basket pair-generation is bounded by orderline count
     (≤ items² per order, items ≤ 7); the support filter shrinks the
-    edge list orders of magnitude before the wedge join; edges are
-    canonically oriented u<v so each triangle counts exactly once."""
+    edge list orders of magnitude before the path join; the degree
+    table is one hash aggregate over 2·|E| rows."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -7244,14 +7249,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.localCheckpoint()  # one support-pruned edge list feeds all three
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+    paths = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
         F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
     )
-    tri = wedges.join(
+    tri = paths.join(
         e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
     )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    nw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    nw = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias("n_wedges")
+    )
     nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return ne.crossJoin(nw).crossJoin(nt).select(
         "n_edges",
@@ -7270,17 +7283,24 @@ edges AS (
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
   GROUP BY a.p, b.p
   HAVING count(*) >= 2),
-wedges AS (
+paths AS (
   SELECT e1.u AS x, e1.v AS y, e2.v AS z
   FROM edges e1 JOIN edges e2 ON e1.v = e2.u),
 tri AS (
-  SELECT 1 FROM wedges w JOIN edges e ON w.x = e.u AND w.z = e.v)
+  SELECT 1 FROM paths w JOIN edges e ON w.x = e.u AND w.z = e.v),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node),
+wedge_total AS (
+  SELECT CAST(sum(CAST(deg * (deg - 1) // 2 AS BIGINT)) AS BIGINT) AS n_wedges
+  FROM deg)
 SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
-       (SELECT count(*) FROM wedges)::BIGINT AS n_wedges,
+       (SELECT n_wedges FROM wedge_total) AS n_wedges,
        (SELECT count(*) FROM tri)::BIGINT AS n_triangles,
-       CASE WHEN (SELECT count(*) FROM wedges) = 0 THEN 0.0
+       CASE WHEN (SELECT n_wedges FROM wedge_total) = 0 THEN 0.0
             ELSE round(3.0 * (SELECT count(*) FROM tri)
-                       / (SELECT count(*) FROM wedges), 6) END
+                       / (SELECT n_wedges FROM wedge_total), 6) END
          AS clustering_coeff
 """
 

@@ -311,11 +311,17 @@ ORDER BY sha_prefix
 
 def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest for the binary asset table: within each
-    source, assets are laid out in doc_id order and cut into shards by
-    cumulative payload size (next-fit at 16 KiB) — the deterministic
-    shard plan a webdataset/tar-shard writer consumes. Emits per shard
-    the asset count, byte total, and fill ratio; the trailing partial
-    shard is the only one allowed under-full.
+    source, assets are laid out in doc_id order and assigned to shards
+    by OFFSET BINNING — shard_ix = floor(start_offset / 16 KiB) — the
+    deterministic shard plan a webdataset/tar-shard writer consumes.
+    Offset binning is one window expression (no sequential accumulator),
+    which is exactly why it scales; the trade is that an asset whose
+    payload spans a 16 KiB boundary stays in the shard where it STARTS,
+    so that shard's fill_ratio exceeds 1 and the next shard starts
+    short. This is NOT next-fit packing (a true next-fit accumulator
+    resets at each cut and only the trailing shard may be under-full);
+    writers that need hard shard-size caps should treat fill_ratio > 1
+    rows as spill markers.
 
     100 TB: the cumulative sum is a SOURCE-partitioned window (the
     shard layout is per-source by design — shards never straddle a

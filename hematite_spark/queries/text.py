@@ -3738,15 +3738,24 @@ def capture_recapture_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("source", "src", "").cast("int") < 10
     ).alias("is_a")
     w = F.split(F.lower(_norm_text()), " ")
-    sh = docs.withColumn("w", w).select(
-        half,
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(w) - 3, 0)),"
-                " i -> concat_ws(' ', get(w, i), get(w, i + 1), get(w, i + 2)))"
-            )
-        ).alias("g"),
-    ).where(F.col("g").isNotNull() & (F.length("g") > 0))
+    # Docs with <3 tokens carry no 3-gram: gate BEFORE the transform —
+    # concat_ws skips NULLs, so an ungated i=0 row would emit a bogus
+    # 1-/2-token shingle here while the DuckDB twin's `||` yields NULL
+    # and drops it (latent oracle divergence on short docs).
+    sh = (
+        docs.withColumn("w", w)
+        .where(F.size("w") >= 3)
+        .select(
+            half,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', get(w, i), get(w, i + 1), get(w, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull() & (F.length("g") > 0))
+    )
     per = sh.groupBy("g").agg(
         F.max(F.col("is_a").cast("int")).alias("in_a"),
         F.max((~F.col("is_a")).cast("int")).alias("in_b"),
@@ -3775,9 +3784,9 @@ WITH d AS (
   FROM documents),
 sh AS (
   SELECT is_a,
-         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+         unnest(list_transform(generate_series(1, len(w) - 2),
                                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
-  FROM d),
+  FROM d WHERE len(w) >= 3),
 ok AS (SELECT is_a, g FROM sh WHERE g IS NOT NULL AND len(g) > 0),
 per AS (
   SELECT g, max(CASE WHEN is_a THEN 1 ELSE 0 END) AS in_a,

@@ -90,10 +90,24 @@ class LeaseLockProvider(LockProvider):
     verify the token is ours, and restore (again link, never a blind
     rename) if a superseded holder grabbed its successor's lease.
 
-    This is as strong as rename/link primitives allow: the only
-    remaining exposure is a holder that overruns its TTL, which is the
-    documented lease contract (critical sections here are milliseconds;
-    the default TTL is 30 s)."""
+    Guarantee, stated precisely: mutual exclusion holds whenever every
+    holder finishes its critical section within the TTL. A holder that
+    OVERRUNS its TTL can be stolen from mid-section (the standard lease
+    contract), and the steal machinery itself has one residual window
+    that is ALSO only reachable after a TTL overrun: when a stealer's
+    rename mistakenly grabs a FRESH live lease (expired holder released
+    and a new writer acquired inside the read→rename gap), the lease
+    path is empty from that rename until ``_restore``'s link — a third
+    writer can ``O_EXCL``-acquire in that gap, and the grabbed fresh
+    holder is still inside its critical section, i.e. two concurrent
+    holders. The byte re-read immediately before the rename narrows
+    this to a few syscalls (microseconds) and it requires an expired
+    lease to exist at all, but ``rename``/``link`` give no CAS, so it
+    cannot be closed with these primitives alone. Deployments that
+    cannot tolerate any post-overrun dual-holder window should size the
+    TTL so overruns never happen (critical sections here are
+    milliseconds; the default TTL is 30 s — a 10,000× margin) or use
+    the flock provider on a shared POSIX filesystem."""
 
     def __init__(self, ttl_seconds: float = 30.0, poll_interval: float = 0.005):
         self.ttl_seconds = ttl_seconds

@@ -488,6 +488,11 @@ def ks_baseline_summary(
     sorts the pooled sample instead)."""
     probs = [i / bins for i in range(1, bins + 1)]
     edges = sorted(set(df.stat.approxQuantile(value_col, probs, 0.0)))
+    if not edges:
+        raise ValueError(
+            "empty baseline: ks_baseline_summary needs at least one "
+            f"non-null {value_col!r} row to build the quantile grid"
+        )
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         *[

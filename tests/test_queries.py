@@ -1535,3 +1535,65 @@ def test_durbin_watson_range_and_verdict(spark):
             else "independent"
         )
         assert r.verdict == want
+
+
+def test_triangle_clustering_coeff_bounded(spark, tmp_path):
+    """A lone triangle has transitivity exactly 1.0 (3 wedges from
+    Σ C(deg,2), 1 triangle) — regression pin for the round-6 wedge
+    undercount that counted only middle-id-centered wedges and
+    inflated the coefficient ~3× (a lone triangle scored 3.0)."""
+    import pandas as pd
+
+    from hematite_spark.queries.advanced import graph_triangle_count
+
+    rows = [
+        {"l_orderkey": ok, "l_partkey": p}
+        for ok in (1, 2)
+        for p in (10, 20, 30)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+    r = graph_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (3, 3, 1)
+    assert r.clustering_coeff == 1.0
+
+
+def test_capture_recapture_drops_short_docs(spark, tmp_path):
+    """Docs with <3 normalized tokens emit no shingles in EITHER
+    engine (concat_ws skips NULLs, so an ungated Spark transform
+    would fabricate 1-/2-token shingles the DuckDB twin drops as
+    NULL) — parity asserted on a corpus built to trip the old bug."""
+    import duckdb
+    import pandas as pd
+
+    from hematite_spark.oracle import compare
+    from hematite_spark.queries.text import (
+        CAPTURE_RECAPTURE_SQL,
+        capture_recapture_vocab,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta",
+                "tiny",
+                "two words",
+                "alpha beta gamma",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["src0", "src1", "src11", "src12"],
+            "n_chars": [22, 4, 9, 16],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    df = capture_recapture_vocab(spark, str(tmp_path))
+    assert compare(df, con, CAPTURE_RECAPTURE_SQL) is None
+    r = df.collect()[0]
+    # capture A (src0) holds 2 shingles of doc 1; capture B (src12)
+    # holds doc 4's single shingle, which overlaps A; the 1- and
+    # 2-token docs contribute nothing.
+    assert (r.n_a, r.n_b, r.overlap) == (2, 1, 1)

@@ -707,3 +707,16 @@ def test_streaming_ks_drift_matches_batch_binned_ecdf(spark, tmp_path):
     # the baseline distribution vs itself must sit well under the gate
     assert not bool(final.loc["view", "drifted"])
     assert float(final.loc["view", "ks_d"]) < 0.01
+
+
+def test_ks_baseline_summary_empty_raises(spark):
+    """An empty baseline must fail loudly (ValueError) instead of
+    ZeroDivisionError deep in the CDF math."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hematite_spark.streaming import ks_baseline_summary
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("value"))
+    with pytest.raises(ValueError, match="empty baseline"):
+        ks_baseline_summary(empty, "value", bins=8)
