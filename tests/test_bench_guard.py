@@ -1,0 +1,129 @@
+"""Regression-guard unit tests for bench.py (no Spark session needed).
+
+VERDICT r7 item 2: the round-7 guard went blind because BENCH_r06's
+wire line spilled its per-query map (``{"_spilled_to": ...}``) and the
+old loader accepted that pointer dict as a truthy query map — the
+shared set came out empty and a 1.47x suite slowdown passed unflagged.
+These tests pin the fixed behavior: a spilled previous round is
+resolved from its per-round detail archive and a synthetic 1.5x
+slowdown against it IS flagged.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+_BENCH_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+_spec = importlib.util.spec_from_file_location("bench", _BENCH_PATH)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _write(dirpath, name, payload):
+    with open(os.path.join(dirpath, name), "w") as f:
+        json.dump(payload, f)
+
+
+@pytest.fixture
+def spilled_round(tmp_path):
+    """A previous round whose wire line spilled, with the full map in
+    the per-round archive — the exact shape that blinded round 7."""
+    full = {"q1_pricing_summary": 2.0, "dedup_minhash": 3.0, "rec_hitrate_eval": 7.0}
+    _write(
+        tmp_path,
+        "BENCH_r07.json",
+        {
+            "parsed": {
+                "metric": "headline_suite_wall_sec",
+                "value": 12.0,
+                "unit": "sec",
+                "sf": 0.1,
+                "queries": {"_spilled_to": "BENCH_DETAIL_r07.json"},
+            }
+        },
+    )
+    _write(tmp_path, "BENCH_DETAIL_r07.json", {"queries": full, "sf": 0.1})
+    return str(tmp_path), full
+
+
+def test_spilled_prev_is_resolved_from_archive(spilled_round):
+    here, full = spilled_round
+    # round 7 predates the wire "protocol" field -> legacy map says median3
+    prev = bench._latest_prev_bench(here, 0.1, "median3")
+    assert prev is not None
+    assert prev["queries"] == full
+
+
+def test_guard_flags_synthetic_slowdown_against_spilled_prev(spilled_round):
+    here, full = spilled_round
+    prev = bench._latest_prev_bench(here, 0.1, "median3")
+    slower = {n: t * 1.6 for n, t in full.items()}
+    regressions = bench._regression_check(slower, prev)
+    # both the shared-suite total (1.6x > 1.2x budget) and every
+    # >=1s per-query wall (1.6x > 1.5x budget) must fire
+    assert any("shared-suite total" in r for r in regressions)
+    assert any(r.startswith("rec_hitrate_eval") for r in regressions)
+
+
+def test_guard_quiet_when_within_budget(spilled_round):
+    here, full = spilled_round
+    prev = bench._latest_prev_bench(here, 0.1, "median3")
+    same = {n: t * 1.05 for n, t in full.items()}
+    assert bench._regression_check(same, prev) == []
+
+
+def test_protocol_mismatch_skips_round(spilled_round):
+    here, _ = spilled_round
+    # a single-shot current run must not compare against a median3 round
+    assert bench._latest_prev_bench(here, 0.1, "single") is None
+
+
+def test_unresolvable_spill_falls_back_to_summary_keys(tmp_path):
+    # wire line carried the 5 slowest beside the pointer; if the archive
+    # is gone the guard still compares against that partial map instead
+    # of going blind
+    _write(
+        tmp_path,
+        "BENCH_r09.json",
+        {
+            "parsed": {
+                "value": 9.0,
+                "sf": 0.1,
+                "protocol": "median3",
+                "queries": {"_spilled_to": "BENCH_DETAIL_r09.json", "rec_hitrate_eval": 7.0},
+            }
+        },
+    )
+    prev = bench._latest_prev_bench(str(tmp_path), 0.1, "median3")
+    assert prev is not None
+    assert prev["queries"] == {"rec_hitrate_eval": 7.0}
+
+
+def test_parsed_null_round_skipped(tmp_path):
+    _write(tmp_path, "BENCH_r03.json", {"parsed": None, "sf": 0.1})
+    assert bench._latest_prev_bench(str(tmp_path), 0.1, "single") is None
+
+
+def test_next_round_is_latest_plus_one(tmp_path):
+    _write(tmp_path, "BENCH_r07.json", {"parsed": None})
+    _write(tmp_path, "BENCH_r02.json", {"parsed": None})
+    assert bench._next_round(str(tmp_path)) == 8
+
+
+def test_newest_comparable_round_wins(tmp_path):
+    _write(
+        tmp_path,
+        "BENCH_r05.json",
+        {"parsed": {"value": 5.0, "sf": 0.1, "queries": {"a": 1.0}}},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r06.json",
+        {"parsed": {"value": 6.0, "sf": 0.1, "queries": {"a": 2.0}}},
+    )
+    prev = bench._latest_prev_bench(str(tmp_path), 0.1, "single")
+    assert prev["value"] == 6.0
