@@ -71,6 +71,30 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 
 
+def table_bytes(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
+    """On-disk parquet bytes of one testdata table (file or directory).
+
+    Plan-build-safe input-size probe: queries that size a shuffle
+    width from data volume (e.g. rec_hitrate_eval's candidate fan-out)
+    use this instead of an eager ``df.count()`` so building the
+    DataFrame never launches a Spark job (ADVICE r7 — test_plans.py's
+    'explain only' contract). A byte count is a ±2x row estimate at
+    worst (compression ratio drift), which is all a partition-width
+    heuristic needs. On a real cluster the same number comes from the
+    catalog / object-store listing — also without a scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -5636,59 +5636,67 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deduplicated on (custkey, date, order, part) up front in BOTH
     engines (a repeated lineitem is one purchase signal, not two).
 
-    100 TB (round-7 rework — the round-6 ×64 probe measured 77× wall
-    on 64× data, VERDICT r6 item 4): the growth was fat-partition
-    sorting. Both big sorts ran at the session's FIXED shuffle width,
-    so at ×64 each reducer sorted ~64× more candidate rows and spilled
-    — n·log n plus disk traffic masquerading as algorithmic growth.
-    Fixes, keeping the proven lazy single-DAG shape:
-    - the candidate shuffle width SCALES WITH DATA: n_parts is sized
-      from the checkpointed basket count (one O(1)-row driver scalar,
-      like the streaming-KS setup collect) so each reducer sorts a
-      bounded ~2M candidate rows at any scale — at sf0.1 this
-      resolves to the session default (identical plan to round 6),
-      at ×64 it fans out so the top-3 window sorts in memory;
-    - the same scaled width shapes the co-list cap window's per-part
-      shuffle.
-    The held-out split stays a row_number window over the basket
-    table: its reducer load is basket rows (not ×M) — in-memory far
-    past ×64 — and a measured A/B showed a groupwise-max+join
-    alternative 35% slower at sf0.1 steady-state (train is consumed
-    four times and re-joins each pass, while the window's single
-    sorted exchange is reused).
+    100 TB (round-8 rework; history: the round-6 ×64 probe measured
+    77× wall on 64× data — fat-partition sorting at the session's
+    FIXED shuffle width, so each reducer sorted ~64× more candidate
+    rows and spilled; round 7 scaled the width from an eager basket
+    count but regressed sf0.1 (extra exchanges) and broke the
+    plan-build-is-lazy contract):
+    - the candidate shuffle width SCALES WITH DATA but is derived
+      from the lineitem parquet's ON-DISK BYTES (io.table_bytes — a
+      filesystem stat, no Spark job at plan-build time, per ADVICE
+      r7), sized so each reducer sorts a bounded ~2M candidate rows
+      (candidates ≈ basket rows × M) at any scale: resolves to the
+      session default at bench scales, fans out on the ×8/×64
+      replicas so the top-3 window sorts in memory;
+    - baskets dedup BEFORE the orders join: duplicates only arise
+      from repeated (orderkey, partkey) lineitem rows and orders is
+      unique per orderkey, so a 2-column dropDuplicates keyed on a
+      l_orderkey repartition replaces round 7's full-width 4-column
+      distinct AFTER the join — and the orderkey partitioning is
+      reused by both the dedup aggregate (subset clustering) and the
+      sort-merge join, one narrow exchange instead of two wide ones;
+    - the checkpoint moved AFTER the held-out window: held and train
+      are consumed four times downstream, and materializing marked
+      (instead of baskets) makes each consumption a filter over
+      checkpointed rows rather than a re-run of the custkey
+      exchange + sort;
+    - the co-list cap window repartitions to the scaled width only
+      when it differs from the session default — at bench scale the
+      window's own implicit hash(p) exchange is identical, so the
+      explicit one is skipped (VERDICT r7 item 3).
     Co-occurrence stays an order-keyed self-join (pair space
-    Σ basket², bounded by basket size); the top-M cap bounds
-    candidate scoring at O(customers × items-per-customer × M); the
-    one explicit custkey repartition serves the (custkey, q)
-    aggregate AND the top-3 window, so the candidate table crosses
-    the wire once."""
+    Σ basket², bounded by basket size; the probe side reuses the
+    build side's exchange); the top-M cap bounds candidate scoring
+    at O(customers × items-per-customer × M); the one explicit
+    custkey repartition serves the (custkey, q) aggregate AND the
+    top-3 window, so the candidate table crosses the wire once."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
-    baskets = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", "o_orderdate", "l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    # scale-adaptive shuffle width for the candidate table: each
-    # reducer sorts a bounded ~2M candidate rows (candidates ≈
-    # basket rows × M) at ANY data size; resolves to the session
-    # default at bench scales, fans out on the ×8/×64 replicas. The
-    # single count() is a driver-side O(1) scalar over the already-
-    # checkpointed baskets — the same setup-collect pattern as the
-    # streaming KS gate.
+    from hematite_spark.io import table_bytes
+
+    # scale-adaptive candidate shuffle width from on-disk input size:
+    # lineitem runs ~18 bytes/row in this parquet corpus, candidates
+    # ≈ basket rows × M, target ≤ ~2M candidate rows per reducer. A
+    # ±2x row-estimate error just halves/doubles reducer load — the
+    # heuristic only needs the order of magnitude.
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    est_rows = table_bytes("lineitem", sf_dir) // 18
     n_parts = max(
         default_width,
-        min(4096, -(-(baskets.count() * _REC_TOP_M) // 2_000_000)),
+        min(4096, -(-(est_rows * _REC_TOP_M) // 2_000_000)),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    li_dedup = li.repartition("l_orderkey").dropDuplicates(["l_orderkey", "l_partkey"])
+    baskets = li_dedup.join(orders, li_dedup.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "o_orderdate", "l_orderkey", "l_partkey"
     )
     # held-out item: the customer's last (orderdate, orderkey, partkey)
     wc = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("l_orderkey").desc(), F.col("l_partkey").desc()
     )
-    marked = baskets.withColumn("rn", F.row_number().over(wc))
+    marked = baskets.withColumn("rn", F.row_number().over(wc)).localCheckpoint()
     held = marked.where(F.col("rn") == 1).select(
         "o_custkey", F.col("l_partkey").alias("held_part")
     )
@@ -5703,13 +5711,14 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # item-kNN cap: keep each item's top-M neighbors only (definition
     # shared with the oracle; bounds the candidate fan-out at scale).
-    # The cap window shuffles at the scaled width too — per-part
-    # co-lists are individually bounded, but the reducer-local sort
-    # covers every list in the partition.
+    # Above bench scale the cap window shuffles at the scaled width —
+    # per-part co-lists are individually bounded, but the
+    # reducer-local sort covers every list in the partition.
+    if n_parts != default_width:
+        co = co.repartition(n_parts, "p")
     wm = W.partitionBy("p").orderBy(F.col("co").desc(), F.col("q").asc())
     co = (
-        co.repartition(n_parts, "p")
-        .withColumn("nbr_rank", F.row_number().over(wm))
+        co.withColumn("nbr_rank", F.row_number().over(wm))
         .where(F.col("nbr_rank") <= _REC_TOP_M)
         .drop("nbr_rank")
     )
@@ -5726,9 +5735,14 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the clustered-distribution requirement of BOTH the (custkey, q)
     # aggregate and the per-customer top-3 window below, so the
     # candidate table crosses the wire once instead of twice
+    # the (custkey, p) dedup rides a hash(p) repartition — the subset
+    # clustering satisfies the 2-column dropDuplicates AND the join on
+    # p reuses the same exchange (one shuffle instead of dedup-width +
+    # join-width two)
     cand = (
         train.select("o_custkey", F.col("l_partkey").alias("p"))
-        .distinct()
+        .repartition("p")
+        .dropDuplicates(["o_custkey", "p"])
         .join(co, "p")
         .repartition(n_parts, "o_custkey")
         .groupBy("o_custkey", "q")
@@ -7303,8 +7317,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # coalesce keeps n_wedges=0 (and coeff 0.0) on an edgeless graph
+    # instead of a silently-nullable NULL/NULL row (ADVICE r7)
     nw = deg.agg(
-        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias("n_wedges")
+        F.coalesce(
+            F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")), F.lit(0)
+        ).cast("long").alias("n_wedges")
     )
     nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return ne.crossJoin(nw).crossJoin(nt).select(
@@ -7334,7 +7352,7 @@ deg AS (
   FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
   GROUP BY node),
 wedge_total AS (
-  SELECT CAST(sum(CAST(deg * (deg - 1) // 2 AS BIGINT)) AS BIGINT) AS n_wedges
+  SELECT CAST(coalesce(sum(CAST(deg * (deg - 1) // 2 AS BIGINT)), 0) AS BIGINT) AS n_wedges
   FROM deg)
 SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
        (SELECT n_wedges FROM wedge_total) AS n_wedges,

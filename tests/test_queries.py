@@ -1557,6 +1557,22 @@ def test_triangle_clustering_coeff_bounded(spark, tmp_path):
     assert r.clustering_coeff == 1.0
 
 
+def test_triangle_empty_graph_zero_not_null(spark, tmp_path):
+    """An edgeless graph (no part pair co-occurs in >=2 orders) keeps
+    n_wedges=0 and clustering_coeff=0.0 — the coalesce added in round
+    8 (ADVICE r7) after F.sum over the empty deg table silently turned
+    both columns NULL/nullable."""
+    import pandas as pd
+
+    from hematite_spark.queries.advanced import graph_triangle_count
+
+    rows = [{"l_orderkey": ok, "l_partkey": ok * 10} for ok in (1, 2, 3)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+    r = graph_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (0, 0, 0)
+    assert r.clustering_coeff == 0.0
+
+
 def test_capture_recapture_drops_short_docs(spark, tmp_path):
     """Docs with <3 normalized tokens emit no shingles in EITHER
     engine (concat_ws skips NULLs, so an ungated Spark transform
