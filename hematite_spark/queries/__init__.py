@@ -6,7 +6,12 @@ Modules:
   eventstore  — A-series analogues (positional reads, metadata, dedup)
   relational  — B-series (joins, aggs, windows, set ops, scalar fns)
   advanced    — B-series depth (subquery shapes, grouping sets,
-                percentiles, statistical aggs, RANGE frames)
+                percentiles, graph census, RANGE frames); also the
+                facade that re-exports the round-8 thematic split:
+  stats       — statistical tests, resampling, calibration, causal
+  timeseries  — drift, changepoints, forecasting, burstiness
+  lake        — layout/compaction/profiling/reconciliation advisors
+  recsys      — recommender, marketing, entity-resolution analytics
   udf         — B-series extension points (pandas UDAF, Python UDTF,
                 HLL sketches)
   text        — C-series text analysis (quality, lang-id, tokens, fingerprints)

@@ -1,0 +1,2013 @@
+"""Recommender, marketing-analytics, and entity-resolution operators
+(split out of advanced.py in round 8; VERDICT r7 item 6). Every public
+name here is re-exported by queries.advanced, which stays the catalog
+facade — __spark_entry__ keys are unchanged."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hematite_spark.io import load_table
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user,
+    the earliest view, the earliest click strictly AFTER that view,
+    and the earliest purchase strictly after that click — the classic
+    product-analytics shape (MATCH_RECOGNIZE-lite) expressed as three
+    chained min-aggregates, each stage filtering on the previous
+    stage's timestamp. Emits one summary row with stage counts and
+    conversion rates.
+
+    Scale: each stage is one groupBy(user_id) min — the shuffles are
+    all on the SAME key, so Catalyst reuses the partitioning across
+    stages instead of re-shuffling; stage outputs are O(users) and
+    shrink monotonically. No window over the full event log, no
+    per-user event sorting."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    n1 = v.agg(F.count("*").alias("n_viewed"))
+    n2 = c.agg(F.count("*").alias("n_clicked"))
+    n3 = p.agg(F.count("*").alias("n_purchased"))
+    return (
+        total.crossJoin(n1)
+        .crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
+            F.round(F.col("n_purchased") / F.col("n_clicked"), 6).alias("click_to_purchase"),
+            F.round(F.col("n_purchased") / F.col("n_users"), 6).alias("overall"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased,
+       round((SELECT count(*) FROM c) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+       round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS click_to_purchase,
+       round((SELECT count(*) FROM p) / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6) AS overall
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event (the cohort), counted in each subsequent week they
+    were active — the (cohort_week, week_offset) → active-users table
+    every growth dashboard draws. Pure two-aggregate shape: first-seen
+    per user, then distinct (user, week) activity joined back to the
+    cohort assignment.
+
+    Scale: both aggregates key on user_id (partitioning reuse); the
+    activity set is distinct-compressed BEFORE the join so the join
+    input is O(users × weeks), not O(events). The cohort table is
+    O(users) and the final matrix O(weeks²) — tiny at any corpus
+    size."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_active_users
+FROM activity JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order),
+    frequency (order count), monetary (lifetime spend) quartiled into
+    a 3-digit segment code — the behavioral-cohort builder marketing
+    pipelines run over the orders fact.
+
+    The window input is the pre-aggregated CUSTOMER dim (one row per
+    customer — orders of magnitude smaller than the fact table), so
+    the ntile pass is cheap; the fact-table work is one
+    map-side-combined groupBy. At extreme customer counts the ntile
+    swaps for broadcast quantile boundaries with identical outputs.
+    Ties are broken on custkey so both engines assign identical
+    quartiles."""
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    # "now" = the corpus max order date, taken over the already-built
+    # customer dim (max of per-customer maxes) so the fact table is
+    # scanned exactly once
+    now = F.max("last_order").over(W.partitionBy())
+    rfm = per_cust.select(
+        "o_custkey",
+        F.datediff(now, F.col("last_order")).cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(4).over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+    f = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+    return (
+        rfm.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r.cast("bigint").alias("r_score"),
+            f.cast("bigint").alias("f_score"),
+            m.cast("bigint").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("bigint"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, max(last_order) OVER ()) AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM per_cust
+), scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS segment
+FROM scored
+ORDER BY o_custkey
+"""
+
+
+_FUZZY_W = 64  # sorted-neighborhood half-width (bucket size)
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked SORTED-NEIGHBORHOOD fuzzy match:
+    for every part, the closest OTHER part by name edit distance,
+    searched among its ±64 name-sorted neighbors WITHIN the name's
+    last-word block — the record-linkage shape (block → sort →
+    windowed compare → best match). Plain blocking alone is a scale
+    trap: a fixed-cardinality block key makes the pair space grow
+    QUADRATICALLY with the corpus (measured by tools/scale_slope.py:
+    124× wall on 10× data before this neighborhood bound). The
+    sorted-neighborhood band caps pairs at O(n·w) regardless of block
+    size; the band itself is the bucketed equi-join trick from
+    join_band_inequality (each row probes its own rank-bucket and
+    both neighbors — never block²). levenshtein() is JVM-side in
+    Spark and native in DuckDB — the identical metric, so best-match
+    verdicts are value-checked. Ties break on (distance, partner
+    key)."""
+    part = load_table(spark, "part", sf_dir)
+    w_rank = W.partitionBy("blk").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+    v = (
+        part.select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .localCheckpoint()  # ranked once; feeds both sides of the band join
+    )
+    # probe side: each row addresses its own rank-bucket and both
+    # neighbors; build side keyed by its single bucket
+    probe = v.select(
+        "p_partkey",
+        "p_name",
+        "blk",
+        "rnk",
+        F.explode(
+            F.array(
+                (F.floor(F.col("rnk") / _FUZZY_W) - 1),
+                F.floor(F.col("rnk") / _FUZZY_W),
+                (F.floor(F.col("rnk") / _FUZZY_W) + 1),
+            )
+        ).alias("bkt"),
+    )
+    build = v.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+        F.col("blk").alias("b_blk"),
+        F.col("rnk").alias("b_rnk"),
+        F.floor(F.col("rnk") / _FUZZY_W).alias("b_bkt"),
+    )
+    pairs = (
+        probe.join(
+            build,
+            (F.col("blk") == F.col("b_blk")) & (F.col("bkt") == F.col("b_bkt")),
+        )
+        .where(
+            (F.col("p_partkey") != F.col("match_key"))
+            & (F.abs(F.col("rnk") - F.col("b_rnk")) <= _FUZZY_W)
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "match_key",
+            "match_name",
+            F.levenshtein(F.col("p_name"), F.col("match_name")).cast("bigint").alias("distance"),
+        )
+    )
+    w_best = W.partitionBy("p_partkey").orderBy(F.col("distance").asc(), F.col("match_key").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "match_key", "match_name", "distance")
+        .orderBy("p_partkey")
+    )
+
+
+FUZZY_MATCH_SQL = f"""
+WITH v AS (
+  SELECT p_partkey, p_name, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY p_name ASC, p_partkey ASC)::BIGINT AS rnk
+  FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk FROM part)
+), probe AS (
+  SELECT p_partkey, p_name, blk, rnk, (rnk // {_FUZZY_W}) + d AS bkt
+  FROM v, (SELECT unnest([-1, 0, 1]) AS d)
+), pairs AS (
+  SELECT a.p_partkey, a.p_name, b.p_partkey AS match_key, b.p_name AS match_name,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+  FROM probe a JOIN v b
+    ON a.blk = b.blk AND a.bkt = (b.rnk // {_FUZZY_W})
+  WHERE a.p_partkey <> b.p_partkey AND abs(a.rnk - b.rnk) <= {_FUZZY_W}
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY distance ASC, match_key ASC) AS rn
+  FROM pairs
+)
+SELECT p_partkey, p_name, match_key, match_name, distance
+FROM best WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+def basket_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: support/confidence/lift for part pairs
+    co-occurring in an order — the co-occurrence statistic behind
+    recommenders and complement detection. Pairs are generated
+    WITHIN basket only (equi-join on orderkey, a < b), so the pair
+    space is Σ basket², bounded by basket size — never corpus²; at
+    100 TB the orderkey is the partition key and a pathological mega
+    basket is the only skew, handled by the same salting pattern as
+    the hot-key join. Baskets dedup (order, part) first so repeated
+    lines don't inflate counts. Lift > 1 ⇒ the pair co-occurs more
+    than independence predicts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    item = basket.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.round(
+                (F.col("pair_cnt") * F.col("n_orders"))
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                4,
+            ).alias("lift"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 4).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+BASKET_AFFINITY_SQL = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+item AS (SELECT l_partkey, count(*) AS item_cnt FROM basket GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_cnt
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING count(*) >= 3
+)
+SELECT part_a, part_b, pair_cnt,
+       round((pair_cnt * n_orders) / CAST(ia.item_cnt * ib.item_cnt AS DOUBLE), 4) AS lift,
+       round(pair_cnt / CAST(ia.item_cnt AS DOUBLE), 4) AS confidence_a_to_b
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    view/click by the same user within the preceding 3 days — the
+    marketing-attribution join, i.e. a backward as-of join with a
+    tolerance window. The join key is the user plus a bounded time
+    range, so pair growth is capped by per-user activity in 3 days;
+    partitioned on user at scale (and Spark's range-join machinery
+    applies). Ties at the same timestamp break on event_id, so both
+    engines credit the identical touch."""
+    ev = load_table(spark, "events", sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purch.join(touch, "user_id").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    w = W.partitionBy("purchase_id").orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_value",
+            "touch_id",
+            "touch_type",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("t_ts")).cast("bigint").alias(
+                "seconds_to_convert"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+), joined AS (
+  SELECT p.*, t.touch_id, t.touch_type, t.t_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn
+  FROM purch p JOIN touch t
+    ON p.user_id = t.user_id
+   AND t.t_ts <= p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 3 DAY
+)
+SELECT purchase_id, user_id, purchase_value, touch_id, touch_type,
+       CAST(date_diff('second', t_ts, p_ts) AS BIGINT) AS seconds_to_convert
+FROM joined WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize events (30-min gaps, the
+    same rule as sessionize_events), take each session's first three
+    event types in time order, and rank the most common paths — the
+    product-analytics "how do sessions start" report.
+
+    Shape at scale: two window passes over (user, ts) — the same
+    partitioning reused, so one shuffle — then a path-string
+    aggregate whose cardinality is bounded by |event_types|³, tiny.
+    The path is assembled via array_sort on (rank, type) structs, so
+    ordering inside the aggregate is explicit and deterministic, not
+    collect_list's arrival order."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+SESSION_PATH_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), first3 AS (
+  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess)
+  WHERE rn <= 3
+  GROUP BY user_id, session_id)
+SELECT path, count(*) AS n_sessions
+FROM first3
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→purchase funnel —
+    funnel_events' counting sibling answers 'how many', this answers
+    'how fast': per user take the first view and the first purchase
+    AFTER it, then report conversion rate and the delay distribution
+    per the user's first-seen day-of-week cohort.
+
+    Two min-aggregates on the user key (no event-level join), then an
+    O(users) percentile pass — the corpus is scanned once. The strict
+    'purchase after first view' guard keeps pre-exposure purchases
+    from counting as instant conversions."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("first_view"),
+        F.min(F.unix_micros("ts")).alias("first_seen"),
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(per_user, "user_id")
+        .where(F.col("first_view").isNotNull() & (F.col("p_us") > F.col("first_view")))
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_us") - F.col("first_view")).alias("delay_us"))
+    )
+    cohorts = per_user.select(
+        "user_id",
+        F.dayofweek(F.timestamp_micros("first_seen")).cast("bigint").alias("cohort_dow"),
+        "first_view",
+    )
+    joined = cohorts.join(purch, "user_id", "left")
+    return (
+        joined.where(F.col("first_view").isNotNull())
+        .groupBy("cohort_dow")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("delay_us").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_converted"),
+            F.round(F.avg(F.when(F.col("delay_us").isNotNull(), 1.0).otherwise(0.0)), 4).alias("conv_rate"),
+            F.round(F.percentile(F.col("delay_us") / 3.6e9, F.lit(0.5)), 3).alias("p50_hours"),
+            F.round(F.percentile(F.col("delay_us") / 3.6e9, F.lit(0.9)), 3).alias("p90_hours"),
+        )
+        .orderBy("cohort_dow")
+    )
+
+
+FUNNEL_TTC_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         min(epoch_us(ts)) AS first_seen
+  FROM events GROUP BY user_id),
+purch AS (
+  SELECT e.user_id, min(epoch_us(e.ts) - u.first_view) AS delay_us
+  FROM events e JOIN per_user u ON e.user_id = u.user_id
+  WHERE e.event_type = 'purchase' AND u.first_view IS NOT NULL
+    AND epoch_us(e.ts) > u.first_view
+  GROUP BY e.user_id)
+SELECT CAST(dayofweek(make_timestamp(u.first_seen)) + 1 AS BIGINT) AS cohort_dow,
+       count(*) AS n_users,
+       CAST(sum(CASE WHEN p.delay_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       round(avg(CASE WHEN p.delay_us IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS conv_rate,
+       round(quantile_cont(p.delay_us / 3.6e9, 0.5), 3) AS p50_hours,
+       round(quantile_cont(p.delay_us / 3.6e9, 0.9), 3) AS p90_hours
+FROM per_user u LEFT JOIN purch p ON u.user_id = p.user_id
+WHERE u.first_view IS NOT NULL
+GROUP BY 1
+ORDER BY cohort_dow
+"""
+
+
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence — inter-order gap distribution per
+    market segment: lag over each customer's order dates, then one
+    percentile aggregate per segment. The replenishment-cycle input
+    for demand forecasting and churn definitions (a customer is
+    'lapsed' when their gap exceeds their segment's p90).
+
+    The lag window partitions on the customer key; the customer
+    dimension joins broadcast-side. Gaps are integer days — exact in
+    both engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("bigint").alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 2).alias("mean_gap"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 1).alias("p50_gap"),
+            F.round(F.percentile("gap_days", F.lit(0.9)), 1).alias("p90_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDER_CADENCE_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+SELECT c_mktsegment,
+       count(*) AS n_gaps,
+       round(avg(gap_days), 2) AS mean_gap,
+       round(quantile_cont(gap_days, 0.5), 1) AS p50_gap,
+       round(quantile_cont(gap_days, 0.9), 1) AS p90_gap,
+       max(gap_days) AS max_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    operational SLA readout: join each line item's ship date to its
+    order's date, then exact percentiles of the day gap per priority
+    class. One shuffle join on the order key (both sides pre-pruned
+    to two columns), one percentile aggregate on the O(priorities)
+    grouping."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    gap = F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", gap.alias("gap_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("gap_days"), 3).alias("mean_days"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 1).alias("p50_days"),
+            F.round(F.percentile("gap_days", F.lit(0.95)), 1).alias("p95_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(avg(gap_days), 3) AS mean_days,
+       round(quantile_cont(gap_days, 0.5), 1) AS p50_days,
+       round(quantile_cont(gap_days, 0.95), 1) AS p95_days,
+       max(gap_days) AS max_days
+FROM (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS gap_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog timeline — how many orders are open (placed but not yet
+    fully shipped) each month: the interval-stabbing problem solved
+    the scalable way, as +1/-1 boundary events and a running sum.
+    Each order contributes +1 at its order month and -1 after its
+    LAST ship month; the monthly net then cumulates. No per-day
+    explosion of order lifetimes — the running sum is over the
+    O(months) pre-aggregate (global window on a metadata-sized
+    table)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    opens = spans.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"), F.lit(1).alias("delta"))
+    closes = spans.select(
+        F.date_format(F.add_months(F.date_trunc("month", "last_ship"), 1), "yyyy-MM").alias("month"),
+        F.lit(-1).alias("delta"),
+    )
+    monthly = opens.unionByName(closes).groupBy("month").agg(
+        F.sum("delta").cast("bigint").alias("net_change")
+    )
+    return (
+        monthly.withColumn(
+            "open_orders",
+            F.sum("net_change")
+            .over(W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint"),
+        )
+        .orderBy("month")
+    )
+
+
+OPEN_ORDERS_SQL = """
+WITH spans AS (
+  SELECT o_orderkey, o_orderdate, max(l_shipdate) AS last_ship
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate),
+deltas AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, 1 AS delta FROM spans
+  UNION ALL
+  SELECT strftime(date_trunc('month', last_ship) + INTERVAL 1 MONTH, '%Y-%m'), -1 FROM spans),
+monthly AS (
+  SELECT month, CAST(sum(delta) AS BIGINT) AS net_change FROM deltas GROUP BY month)
+SELECT month, net_change,
+       CAST(sum(net_change) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM monthly
+ORDER BY month
+"""
+
+
+def repeat_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-customer share per month — the retention trend line: for
+    each order month, the fraction of orders placed by customers with
+    at least one earlier order. One customer-partitioned row_number
+    marks first orders; the monthly aggregate is O(months). The
+    metric every growth dashboard pairs with revenue_growth_mom."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.row_number().over(w) > 1).alias("is_repeat"),
+    )
+    return (
+        flagged.groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("is_repeat"), 1).otherwise(0)).cast("bigint").alias("n_repeat"),
+            F.round(F.avg(F.when(F.col("is_repeat"), 1.0).otherwise(0.0)), 4).alias("repeat_share"),
+        )
+        .orderBy("month")
+    )
+
+
+REPEAT_SHARE_SQL = """
+WITH flagged AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) > 1 AS is_repeat
+  FROM orders)
+SELECT month, count(*) AS n_orders,
+       CAST(sum(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       round(avg(CASE WHEN is_repeat THEN 1.0 ELSE 0.0 END), 4) AS repeat_share
+FROM flagged
+GROUP BY month
+ORDER BY month
+"""
+
+
+def supplier_share_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per nation — the Herfindahl–Hirschman
+    index over supplier revenue shares: HHI = Σ share², 1/n for a
+    perfectly even base, 1.0 for a single-supplier monopoly. The
+    procurement-risk metric: a nation above ~0.25 has a concentration
+    problem. Two hash aggregates (supplier revenue, then the share
+    fold per nation) + a broadcast nation join — the share math never
+    touches the fact table again."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    tot = W.partitionBy("n_name")
+    shares = rev.select("n_name", (F.col("rev") / F.sum("rev").over(tot)).alias("share"))
+    return (
+        shares.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey),
+shares AS (
+  SELECT n_name, rev / sum(rev) OVER (PARTITION BY n_name) AS share FROM rev)
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(share * share), 6) AS hhi,
+       round(max(share), 6) AS top_share
+FROM shares
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def spend_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend inequality per market segment — the Gini coefficient of
+    per-customer order totals via the rank formulation
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend-sorted customers. The
+    'whale concentration' diagnostic: how much of a segment's revenue
+    sits in its top customers. Ranks come from a window PARTITIONED
+    by segment over the pre-aggregated customer dim — O(customers)
+    rows, never the fact table."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("spend", "o_custkey")
+    ranked = spend.select(
+        "c_mktsegment", "spend", F.row_number().over(w).cast("double").alias("i")
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("spend")) / (F.count("*") * F.sum("spend"))
+                - (F.count("*") + 1) / F.count("*"),
+                4,
+            ).alias("gini"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend, o_custkey) AS DOUBLE) AS i
+  FROM spend)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(2.0 * sum(i * spend) / (count(*) * sum(spend)) - (count(*) + 1.0) / count(*), 4) AS gini,
+       round(sum(spend), 2) AS total_spend
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def revenue_pareto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration bands per market segment — the share of
+    segment revenue held by the top 10% / 25% / 50% of customers,
+    the interpretable companion to spend_gini_by_segment's single
+    coefficient. Ranking and cumulative shares run on the
+    pre-aggregated customer dim (segment-partitioned windows); each
+    band is a conditional sum in ONE aggregate, so adding bands never
+    adds passes."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("spend").desc(), "o_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        "spend",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("c_mktsegment")).alias("n"),
+    )
+    share_at = lambda q: F.round(
+        F.sum(F.when(F.col("rk") <= F.ceil(F.col("n") * q), F.col("spend")).otherwise(0.0))
+        / F.sum("spend"),
+        4,
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            share_at(0.10).alias("top10_share"),
+            share_at(0.25).alias("top25_share"),
+            share_at(0.50).alias("top50_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PARETO_BANDS_SQL = """
+WITH spend AS (
+  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM spend)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(CASE WHEN rk <= ceil(n * 0.10) THEN spend ELSE 0.0 END) / sum(spend), 4) AS top10_share,
+       round(sum(CASE WHEN rk <= ceil(n * 0.25) THEN spend ELSE 0.0 END) / sum(spend), 4) AS top25_share,
+       round(sum(CASE WHEN rk <= ceil(n * 0.50) THEN spend ELSE 0.0 END) / sum(spend), 4) AS top50_share
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    companion to attribution_last_touch that spreads each purchase's
+    credit across its WHOLE 3-day touch path: 40% to the first touch,
+    40% to the last, the remaining 20% split evenly over the middle
+    touches (single-touch paths take 100%, two-touch paths 50/50).
+    Reported as credited revenue by touch type — the budget-allocation
+    table.
+
+    Scale: same bounded (user ⨝ 3-day-range) join as last-touch — the
+    pair space is per-user activity in the window, partitioned on
+    user; position ranks are per-purchase windows (the partition key),
+    and the final rollup is O(touch types)."""
+    ev = load_table(spark, "events", sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purch.join(touch, "user_id").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    wp = W.partitionBy("purchase_id")
+    asc = F.row_number().over(wp.orderBy(F.col("t_ts").asc(), F.col("touch_id").asc()))
+    n = F.count("*").over(wp)
+    ranked = joined.select(
+        "purchase_id", "purchase_value", "touch_type", asc.alias("pos"), n.alias("n_touch")
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when((F.col("n_touch") == 2), F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_touch"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("n_touch") - 2))
+    )
+    return (
+        ranked.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(F.sum(credit * F.col("purchase_value")), 4).alias("credited_revenue"),
+            F.round(F.sum(credit), 4).alias("credited_conversions"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+ATTRIBUTION_POSITION_SQL = """
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')),
+joined AS (
+  SELECT p.purchase_id, p.purchase_value, t.touch_type, t.t_ts, t.touch_id
+  FROM purch p JOIN touch t USING (user_id)
+  WHERE t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 3 DAY),
+ranked AS (
+  SELECT purchase_id, purchase_value, touch_type,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts ASC, touch_id ASC) AS pos,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touch
+  FROM joined),
+credited AS (
+  SELECT touch_type, purchase_value,
+         CASE WHEN n_touch = 1 THEN 1.0
+              WHEN n_touch = 2 THEN 0.5
+              WHEN pos = 1 THEN 0.4
+              WHEN pos = n_touch THEN 0.4
+              ELSE 0.2 / (n_touch - 2) END AS credit
+  FROM ranked)
+SELECT touch_type, count(*)::BIGINT AS n_touches,
+       round(sum(credit * purchase_value), 4) AS credited_revenue,
+       round(sum(credit), 4) AS credited_conversions
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-scored off-policy evaluation — grading a
+    new recommendation policy on LOGGED interactions without an A/B
+    test: treat event_type as the logged action, clip(value/100) as
+    the reward, estimate the logging propensities empirically per
+    user cohort (user_id % 4), then score each candidate
+    deterministic policy 'always recommend a' by IPS
+    (Σ 1{a_log=a}·r/p̂) / n, its self-normalized SNIPS variant
+    (robust to propensity misspecification), and the effective
+    sample size that says how much data actually supports the
+    estimate. The standard counterfactual-eval kit (Horvitz-Thompson
+    → SNIPS) as relational algebra.
+
+    100 TB: propensities are an O(cohorts × actions) aggregate
+    broadcast back onto one log scan; each policy's estimate is a
+    filtered aggregate over that scan — no per-row Python, no second
+    pass."""
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.col("event_type").alias("action"),
+        F.least(F.col("value") / 100.0, F.lit(1.0)).alias("reward"),
+    )
+    prop = ev.groupBy("cohort", "action").agg(F.count("*").alias("n_ca"))
+    coh = ev.groupBy("cohort").agg(F.count("*").alias("n_c"))
+    logged = (
+        ev.join(F.broadcast(prop), ["cohort", "action"])
+        .join(F.broadcast(coh), "cohort")
+        .select("cohort", "action", "reward", (F.col("n_ca") / F.col("n_c")).alias("p_log"))
+    )
+    w = F.lit(1.0) / F.col("p_log")
+    per_action = (
+        logged.groupBy(F.col("action").alias("policy_action"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum(w * F.col("reward")).alias("sw_r"),
+            F.sum(w).alias("sw"),
+            F.sum(w * w).alias("sw2"),
+        )
+    )
+    n_total = logged.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        per_action.crossJoin(F.broadcast(n_total))
+        .select(
+            "policy_action",
+            "n_matched",
+            F.round(F.col("sw_r") / F.col("n_total"), 6).alias("ips_value"),
+            F.round(F.col("sw_r") / F.col("sw"), 6).alias("snips_value"),
+            F.round((F.col("sw") * F.col("sw")) / F.col("sw2"), 2).alias("ess"),
+        )
+        .orderBy("policy_action")
+    )
+
+
+IPS_EVAL_SQL = """
+WITH ev AS (
+  SELECT user_id % 4 AS cohort, event_type AS action,
+         least(value / 100.0, 1.0) AS reward
+  FROM events),
+prop AS (SELECT cohort, action, count(*) AS n_ca FROM ev GROUP BY cohort, action),
+coh AS (SELECT cohort, count(*) AS n_c FROM ev GROUP BY cohort),
+logged AS (
+  SELECT e.cohort, e.action, e.reward, n_ca / CAST(n_c AS DOUBLE) AS p_log
+  FROM ev e JOIN prop USING (cohort, action) JOIN coh USING (cohort)),
+per_action AS (
+  SELECT action AS policy_action,
+         count(*)::BIGINT AS n_matched,
+         sum(reward / p_log) AS sw_r,
+         sum(1.0 / p_log) AS sw,
+         sum(1.0 / (p_log * p_log)) AS sw2
+  FROM logged GROUP BY action),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM logged)
+SELECT policy_action, n_matched,
+       round(sw_r / n_total, 6) AS ips_value,
+       round(sw_r / sw, 6) AS snips_value,
+       round((sw * sw) / sw2, 2) AS ess
+FROM per_action CROSS JOIN tot
+ORDER BY policy_action
+"""
+
+
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part catalog — the
+    record-linkage funnel composed the way corpus_pipeline composes
+    the dedup funnel: (1) candidate pairs from the blocked sorted-
+    neighborhood fuzzy match (levenshtein ≤ 2 — typo tolerance —
+    within ±2 name-sorted neighbors of the last-word block: O(n·w)
+    pairs, never block²; the catalog's ground truth is its exact
+    name groups, which the closure must recover without chaining
+    distinct names together),
+    (2) transitive closure into entity clusters (the same size-
+    adaptive CC machinery the dedup family uses — driver union-find
+    small, min-label propagation at scale), (3) canonical-record
+    election per entity (lowest retail price wins, key as tiebreak —
+    the survivorship rule). Output: per-cluster-size census with
+    canonical-record count — the dedup decision table for a master-
+    data pipeline.
+
+    Oracle: the closure re-derives as a recursive CTE; election and
+    census replay relationally. 100 TB: pairs are rank-band
+    equi-joins; the closure touches only O(pairs); election is one
+    min-struct per label."""
+    part = load_table(spark, "part", sf_dir)
+    from pyspark.sql import Window as W2
+
+    w_rank = W2.partitionBy("blk").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+    v = (
+        part.select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .localCheckpoint()
+    )
+    # rank-bucket equi-join (the fuzzy_match_parts trick): a bare
+    # blk-equi + rnk-range join would cross-product inside each block
+    # before filtering (26x wall on 10x data, measured); bucketing the
+    # rank makes the band an equi-join with O(w) partners per row
+    bw = 4
+    probe = v.select(
+        "p_partkey",
+        "p_name",
+        "blk",
+        "rnk",
+        F.explode(
+            F.array(
+                F.floor(F.col("rnk") / bw) - 1,
+                F.floor(F.col("rnk") / bw),
+                F.floor(F.col("rnk") / bw) + 1,
+            )
+        ).alias("bkt"),
+    )
+    build = v.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.col("blk").alias("b_blk"),
+        F.col("rnk").alias("b_rnk"),
+        F.floor(F.col("rnk") / bw).alias("bkt"),
+    )
+    pairs = (
+        probe.join(build, ["bkt"])
+        .where(
+            (F.col("blk") == F.col("b_blk"))
+            & (F.col("b_rnk") > F.col("rnk"))
+            & (F.col("b_rnk") <= F.col("rnk") + 2)
+        )
+        .where(F.levenshtein(F.col("p_name"), F.col("b_name")) <= 2)
+        .select(F.col("p_partkey").alias("doc_a"), F.col("b_key").alias("doc_b"))
+    )
+    from hematite_spark.queries.dedup import _cc_labels
+
+    labels = _cc_labels(spark, pairs)
+    members = v.join(labels, v.p_partkey == labels.node, "left").select(
+        "p_partkey",
+        "p_retailprice",
+        F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity"),
+    )
+    canon = members.groupBy("entity").agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min(F.struct("p_retailprice", "p_partkey")).getField("p_partkey").alias(
+            "canonical_key"
+        ),
+    )
+    return (
+        canon.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.sum("cluster_size").cast("bigint").alias("n_records"),
+            F.countDistinct("canonical_key").cast("bigint").alias("n_canonical"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ER_PIPELINE_SQL = """
+WITH RECURSIVE v AS (
+  SELECT p_partkey, p_name, p_retailprice,
+         string_split(p_name, ' ')[-1] AS blk,
+         CAST(row_number() OVER (PARTITION BY string_split(p_name, ' ')[-1]
+              ORDER BY p_name ASC, p_partkey ASC) AS BIGINT) AS rnk
+  FROM part),
+pairs AS (
+  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+  FROM v a JOIN v b
+    ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s),
+closure AS (
+  SELECT node, min(label) AS label FROM reach GROUP BY node),
+members AS (
+  SELECT p.p_partkey, p.p_retailprice,
+         coalesce(c.label, p.p_partkey) AS entity
+  FROM part p LEFT JOIN closure c ON c.node = p.p_partkey),
+canon AS (
+  SELECT entity, count(*)::BIGINT AS cluster_size,
+         (min(struct_pack(p := p_retailprice, k := p_partkey))).k AS canonical_key
+  FROM members GROUP BY entity)
+SELECT cluster_size,
+       count(*)::BIGINT AS n_entities,
+       CAST(sum(cluster_size) AS BIGINT) AS n_records,
+       count(DISTINCT canonical_key)::BIGINT AS n_canonical
+FROM canon
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+def bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One minorization-maximization step of the Bradley-Terry model
+    — the pairwise-preference ranking aggregator behind LLM eval
+    win-rates and match-making: 'matches' are (day, cohort) arenas
+    where the event type with the higher mean value beats each other
+    type; the MM update s_i ← W_i / Σ_j n_ij/(s_i+s_j) from the
+    uniform init turns the win matrix into strengths, normalized to
+    sum 1. Output per type: wins, matches, the post-step strength,
+    and its rank.
+
+    100 TB: arenas are one (day, cohort, type) aggregate; the pairwise
+    win matrix is an arena-keyed self-join of the O(arenas × types)
+    table (types is small, arenas shard); the MM step is O(types²)
+    arithmetic on the broadcast win matrix."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    arena = ev.groupBy(
+        F.to_date("ts").alias("day"), (F.col("user_id") % 4).alias("cohort"), "event_type"
+    ).agg(F.avg("value").alias("m"))
+    a, b = arena.alias("a"), arena.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.cohort") == F.col("b.cohort"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("i"),
+            F.col("b.event_type").alias("j"),
+            (F.col("a.m") > F.col("b.m")).cast("int").alias("win"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("bigint").alias("n_ij"), F.sum("win").cast("bigint").alias("w_ij"))
+    )
+    # MM update from uniform s=1: s_i' = W_i / Σ_j n_ij/(1+1)
+    upd = matches.groupBy("i").agg(
+        F.sum("w_ij").cast("bigint").alias("wins"),
+        F.sum("n_ij").cast("bigint").alias("matches"),
+        (F.sum("w_ij") / (F.sum("n_ij") / 2.0)).alias("s_raw"),
+    )
+    z = upd.agg(F.sum("s_raw").alias("z"))
+    ranked = (
+        upd.crossJoin(F.broadcast(z))
+        .select(
+            F.col("i").alias("event_type"),
+            "wins",
+            "matches",
+            F.round(F.col("s_raw") / F.col("z"), 6).alias("bt_strength"),
+            (F.col("s_raw") / F.col("z")).alias("_p"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("_p").desc(), F.col("event_type"))).cast("int"),
+        )
+        .drop("_p")
+    )
+    return ranked.orderBy("rank")
+
+
+BRADLEY_TERRY_SQL = """
+WITH arena AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 4 AS cohort, event_type, avg(value) AS m
+  FROM events GROUP BY 1, 2, 3),
+matches AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         count(*)::BIGINT AS n_ij,
+         sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END)::BIGINT AS w_ij
+  FROM arena a JOIN arena b
+    ON a.day = b.day AND a.cohort = b.cohort AND a.event_type <> b.event_type
+  GROUP BY a.event_type, b.event_type),
+upd AS (
+  SELECT i, CAST(sum(w_ij) AS BIGINT) AS wins, CAST(sum(n_ij) AS BIGINT) AS matches,
+         sum(w_ij) / (sum(n_ij) / 2.0) AS s_raw
+  FROM matches GROUP BY i),
+z AS (SELECT sum(s_raw) AS z FROM upd)
+SELECT i AS event_type, wins, matches,
+       round(s_raw / z, 6) AS bt_strength,
+       CAST(row_number() OVER (ORDER BY s_raw / z DESC, i) AS INT) AS rank
+FROM upd CROSS JOIN z
+ORDER BY rank
+"""
+
+
+# item-kNN neighbor-list cap for rec_hitrate_eval — must match the
+# literal 50 in REC_HITRATE_SQL's co CTE
+_REC_TOP_M = 50
+
+
+def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out recommender evaluation — the offline metric loop
+    for an item-cooccurrence recommender: hold out each customer's
+    LAST-ordered part (by order date, key tiebreak), recommend the
+    top-3 co-purchased parts given their remaining basket (global
+    item-item co-occurrence, self-pairs excluded), and score
+    hit-rate@3 — did the held-out item appear in the top-3? Emits the
+    eval table per customer-count bucket plus the overall rate on
+    every row.
+
+    Item-kNN definition: each item's co-occurrence list is capped to
+    its top-M=50 neighbors (by co-count, part-key tiebreak) before
+    scoring — part of the metric's definition in BOTH engines, not a
+    Spark-side approximation, so the oracle matches exactly. Baskets
+    are deduplicated on (custkey, date, order, part) up front in BOTH
+    engines (a repeated lineitem is one purchase signal, not two).
+
+    100 TB (round-8 rework; history: the round-6 ×64 probe measured
+    77× wall on 64× data — fat-partition sorting at the session's
+    FIXED shuffle width, so each reducer sorted ~64× more candidate
+    rows and spilled; round 7 scaled the width from an eager basket
+    count but regressed sf0.1 (extra exchanges) and broke the
+    plan-build-is-lazy contract):
+    - the candidate shuffle width SCALES WITH DATA but is derived
+      from the lineitem parquet's ON-DISK BYTES (io.table_bytes — a
+      filesystem stat, no Spark job at plan-build time, per ADVICE
+      r7), sized so each reducer sorts a bounded ~2M candidate rows
+      (candidates ≈ basket rows × M) at any scale: resolves to the
+      session default at bench scales, fans out on the ×8/×64
+      replicas so the top-3 window sorts in memory;
+    - baskets dedup BEFORE the orders join: duplicates only arise
+      from repeated (orderkey, partkey) lineitem rows and orders is
+      unique per orderkey, so a 2-column dropDuplicates keyed on a
+      l_orderkey repartition replaces round 7's full-width 4-column
+      distinct AFTER the join — and the orderkey partitioning is
+      reused by both the dedup aggregate (subset clustering) and the
+      sort-merge join, one narrow exchange instead of two wide ones;
+    - the checkpoint moved AFTER the held-out window: held and train
+      are consumed four times downstream, and materializing marked
+      (instead of baskets) makes each consumption a filter over
+      checkpointed rows rather than a re-run of the custkey
+      exchange + sort;
+    - the co-list cap window repartitions to the scaled width only
+      when it differs from the session default — at bench scale the
+      window's own implicit hash(p) exchange is identical, so the
+      explicit one is skipped (VERDICT r7 item 3).
+    Co-occurrence stays an order-keyed self-join (pair space
+    Σ basket², bounded by basket size; the probe side reuses the
+    build side's exchange); the top-M cap bounds candidate scoring
+    at O(customers × items-per-customer × M); the one explicit
+    custkey repartition serves the (custkey, q) aggregate AND the
+    top-3 window, so the candidate table crosses the wire once."""
+    from pyspark.sql import Window as W
+
+    from hematite_spark.io import table_bytes
+
+    # scale-adaptive candidate shuffle width from on-disk input size:
+    # lineitem runs ~18 bytes/row in this parquet corpus, candidates
+    # ≈ basket rows × M, target ≤ ~2M candidate rows per reducer. A
+    # ±2x row-estimate error just halves/doubles reducer load — the
+    # heuristic only needs the order of magnitude.
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    est_rows = table_bytes("lineitem", sf_dir) // 18
+    n_parts = max(
+        default_width,
+        min(4096, -(-(est_rows * _REC_TOP_M) // 2_000_000)),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    li_dedup = li.repartition("l_orderkey").dropDuplicates(["l_orderkey", "l_partkey"])
+    baskets = li_dedup.join(orders, li_dedup.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "o_orderdate", "l_orderkey", "l_partkey"
+    )
+    # held-out item: the customer's last (orderdate, orderkey, partkey)
+    wc = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("l_orderkey").desc(), F.col("l_partkey").desc()
+    )
+    marked = baskets.withColumn("rn", F.row_number().over(wc)).localCheckpoint()
+    held = marked.where(F.col("rn") == 1).select(
+        "o_custkey", F.col("l_partkey").alias("held_part")
+    )
+    train = marked.where(F.col("rn") > 1).select("o_custkey", "l_orderkey", "l_partkey")
+    # item-item co-occurrence from TRAIN baskets only
+    a, b = train.alias("a"), train.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .agg(F.count("*").alias("co"))
+    )
+    # item-kNN cap: keep each item's top-M neighbors only (definition
+    # shared with the oracle; bounds the candidate fan-out at scale).
+    # Above bench scale the cap window shuffles at the scaled width —
+    # per-part co-lists are individually bounded, but the
+    # reducer-local sort covers every list in the partition.
+    if n_parts != default_width:
+        co = co.repartition(n_parts, "p")
+    wm = W.partitionBy("p").orderBy(F.col("co").desc(), F.col("q").asc())
+    co = (
+        co.withColumn("nbr_rank", F.row_number().over(wm))
+        .where(F.col("nbr_rank") <= _REC_TOP_M)
+        .drop("nbr_rank")
+    )
+    # candidate score per (customer, q): sum of co-occurrence from the
+    # customer's train items; exclude items they already have. Owned
+    # items ride along as a per-customer set (baskets are small) so the
+    # exclusion is an array filter on the o_custkey-keyed join — whose
+    # output partitioning the top-3 window then reuses — instead of a
+    # third full shuffle of the O(customers × items × M) table.
+    owned = train.groupBy("o_custkey").agg(
+        F.collect_set("l_partkey").alias("owned_parts")
+    )
+    # one explicit scaled shuffle by o_custkey: hash(custkey) satisfies
+    # the clustered-distribution requirement of BOTH the (custkey, q)
+    # aggregate and the per-customer top-3 window below, so the
+    # candidate table crosses the wire once instead of twice
+    # the (custkey, p) dedup rides a hash(p) repartition — the subset
+    # clustering satisfies the 2-column dropDuplicates AND the join on
+    # p reuses the same exchange (one shuffle instead of dedup-width +
+    # join-width two)
+    cand = (
+        train.select("o_custkey", F.col("l_partkey").alias("p"))
+        .repartition("p")
+        .dropDuplicates(["o_custkey", "p"])
+        .join(co, "p")
+        .repartition(n_parts, "o_custkey")
+        .groupBy("o_custkey", "q")
+        .agg(F.sum("co").alias("score"))
+        .join(owned, "o_custkey")
+        .where(~F.array_contains(F.col("owned_parts"), F.col("q")))
+        .drop("owned_parts")
+    )
+    wr = W.partitionBy("o_custkey").orderBy(F.col("score").desc(), F.col("q").asc())
+    top3 = cand.withColumn("r", F.row_number().over(wr)).where(F.col("r") <= 3)
+    hits = held.join(
+        top3.select("o_custkey", F.col("q").alias("held_part")),
+        ["o_custkey", "held_part"],
+        "left_semi",
+    )
+    n_eval = held.agg(F.count("*").cast("bigint").alias("n_customers"))
+    n_hit = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        n_eval.crossJoin(n_hit)
+        .select(
+            "n_customers",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_customers"), 6).alias("hit_rate_at_3"),
+        )
+    )
+
+
+REC_HITRATE_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT o.o_custkey, o.o_orderdate, l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+marked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, l_orderkey DESC, l_partkey DESC) AS rn
+  FROM baskets),
+held AS (SELECT o_custkey, l_partkey AS held_part FROM marked WHERE rn = 1),
+train AS (SELECT o_custkey, l_orderkey, l_partkey FROM marked WHERE rn > 1),
+co_all AS (
+  SELECT a.l_partkey AS p, b.l_partkey AS q, count(*) AS co
+  FROM train a JOIN train b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+co AS (
+  SELECT p, q, co
+  FROM (SELECT *, row_number() OVER (PARTITION BY p ORDER BY co DESC, q ASC) AS nbr_rank
+        FROM co_all)
+  WHERE nbr_rank <= 50),
+cand AS (
+  SELECT t.o_custkey, c.q, sum(c.co) AS score
+  FROM (SELECT DISTINCT o_custkey, l_partkey AS p FROM train) t
+  JOIN co c USING (p)
+  WHERE NOT EXISTS (SELECT 1 FROM train x
+                    WHERE x.o_custkey = t.o_custkey AND x.l_partkey = c.q)
+  GROUP BY t.o_custkey, c.q),
+top3 AS (
+  SELECT o_custkey, q
+  FROM (SELECT o_custkey, q,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY score DESC, q ASC) AS r
+        FROM cand)
+  WHERE r <= 3),
+hits AS (
+  SELECT h.o_custkey FROM held h
+  WHERE EXISTS (SELECT 1 FROM top3 t WHERE t.o_custkey = h.o_custkey AND t.q = h.held_part))
+SELECT (SELECT count(*)::BIGINT FROM held) AS n_customers,
+       (SELECT count(*)::BIGINT FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM held) AS DOUBLE), 6) AS hit_rate_at_3
+"""
+
+
+def shapley_attribution_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the three marketing
+    touch channels (view, click, signup) — the game-theoretic answer
+    to 'which channel deserves the conversion credit', computed in
+    closed form because 3 channels = 2³ coalitions: v(S) = conversion
+    rate of users whose touch set is exactly covered by S, and each
+    channel's Shapley value averages its marginal contribution over
+    all orderings. The additivity audit rides along: Σφ = v(grand) −
+    v(∅).
+
+    100 TB: users collapse to (has_view, has_click, has_signup,
+    converted) — one aggregate; the 8 coalition values and 3 Shapley
+    sums are arithmetic on that 8-row table."""
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("a"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("b"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    # v(S): conversion rate among users whose touches are a subset of S
+    # (users outside S's coverage can't be credited to S)
+    vs = {}
+    cov = lambda mask_a, mask_b, mask_c: (
+        ((F.col("a") <= mask_a) & (F.col("b") <= mask_b) & (F.col("c") <= mask_c)).cast("int")
+    )
+    agg_exprs = []
+    for sa in (0, 1):
+        for sb in (0, 1):
+            for sc in (0, 1):
+                name = f"v{sa}{sb}{sc}"
+                inset = cov(sa, sb, sc)
+                agg_exprs.append(
+                    (
+                        F.sum(F.col("y") * inset) / F.greatest(F.sum(inset), F.lit(1))
+                    ).alias(name)
+                )
+    v = users.agg(*agg_exprs)
+    # Shapley for 3 players: φ_a = Σ_S⊆{b,c} |S|!(2-|S|)!/3! [v(S∪a)-v(S)]
+    w0, w1_, w2_ = 2.0 / 6.0, 1.0 / 6.0, 2.0 / 6.0
+    phi_a = (
+        w0 * (F.col("v100") - F.col("v000"))
+        + w1_ * (F.col("v110") - F.col("v010"))
+        + w1_ * (F.col("v101") - F.col("v001"))
+        + w2_ * (F.col("v111") - F.col("v011"))
+    )
+    phi_b = (
+        w0 * (F.col("v010") - F.col("v000"))
+        + w1_ * (F.col("v110") - F.col("v100"))
+        + w1_ * (F.col("v011") - F.col("v001"))
+        + w2_ * (F.col("v111") - F.col("v101"))
+    )
+    phi_c = (
+        w0 * (F.col("v001") - F.col("v000"))
+        + w1_ * (F.col("v101") - F.col("v100"))
+        + w1_ * (F.col("v011") - F.col("v010"))
+        + w2_ * (F.col("v111") - F.col("v110"))
+    )
+    total = F.col("v111") - F.col("v000")
+    wide = v.select(
+        F.round(phi_a, 6).alias("view"),
+        F.round(phi_b, 6).alias("click"),
+        F.round(phi_c, 6).alias("signup"),
+        F.round(total, 6).alias("total_effect"),
+        (F.abs(phi_a + phi_b + phi_c - total) < 1e-9).alias("additivity_ok"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("channel"), F.col("view").alias("shapley")),
+                F.struct(F.lit("click").alias("channel"), F.col("click").alias("shapley")),
+                F.struct(F.lit("signup").alias("channel"), F.col("signup").alias("shapley")),
+            )
+        ).alias("s"),
+        "total_effect",
+        "additivity_ok",
+    ).select(
+        F.col("s.channel").alias("channel"),
+        F.col("s.shapley").alias("shapley"),
+        "total_effect",
+        "additivity_ok",
+    ).orderBy("channel")
+
+
+SHAPLEY_SQL = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT
+    sum(y * CASE WHEN a <= 0 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v000,
+    sum(y * CASE WHEN a <= 0 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v001,
+    sum(y * CASE WHEN a <= 0 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v010,
+    sum(y * CASE WHEN a <= 0 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 0 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v011,
+    sum(y * CASE WHEN a <= 1 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 0 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v100,
+    sum(y * CASE WHEN a <= 1 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 0 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v101,
+    sum(y * CASE WHEN a <= 1 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 1 AND c <= 0 THEN 1 ELSE 0 END), 1) AS v110,
+    sum(y * CASE WHEN a <= 1 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN a <= 1 AND b <= 1 AND c <= 1 THEN 1 ELSE 0 END), 1) AS v111
+  FROM users),
+phi AS (
+  SELECT
+    (2.0/6)*(v100 - v000) + (1.0/6)*(v110 - v010) + (1.0/6)*(v101 - v001) + (2.0/6)*(v111 - v011) AS pa,
+    (2.0/6)*(v010 - v000) + (1.0/6)*(v110 - v100) + (1.0/6)*(v011 - v001) + (2.0/6)*(v111 - v101) AS pb,
+    (2.0/6)*(v001 - v000) + (1.0/6)*(v101 - v100) + (1.0/6)*(v011 - v010) + (2.0/6)*(v111 - v110) AS pc,
+    v111 - v000 AS total
+  FROM v)
+SELECT channel, shapley, round(total, 6) AS total_effect,
+       abs(pa + pb + pc - total) < 1e-9 AS additivity_ok
+FROM phi, LATERAL (VALUES ('view', round(pa, 6)), ('click', round(pb, 6)), ('signup', round(pc, 6))) t(channel, shapley)
+ORDER BY channel
+"""
+
+
+
+def process_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check — the discovery side
+    (event_transition_matrix) grades what DOES happen; this grades it
+    against what SHOULD: a declared process model (signup→view,
+    view→{view, click}, click→{view, click, purchase}, purchase→view,
+    error→anything, anything→error) and, per user trace, the fraction
+    of directly-follows transitions the model allows. Output per
+    event-type pair: observed count, allowed flag, and the summary
+    fitness (allowed transitions / all transitions) repeated for
+    single-table reads — the audit that catches instrumentation bugs
+    and impossible flows.
+
+    100 TB: traces order within user partitions (lag over the
+    user-keyed window); the census is one (from, to) aggregate; the
+    model is a broadcast O(types²) table."""
+    from pyspark.sql import Window as W
+
+    allowed = [
+        ("signup", "view"), ("view", "view"), ("view", "click"),
+        ("click", "view"), ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"),
+    ]
+    # error is a wildcard both ways
+    types = ["view", "click", "purchase", "signup", "error"]
+    allowed = set(allowed) | {("error", t) for t in types} | {(t, "error") for t in types}
+    ev = load_table(spark, "events", sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type", 1).over(wu))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n_observed"))
+    )
+    model = spark.createDataFrame(
+        sorted(allowed), "from_type string, to_type string"
+    ).withColumn("allowed", F.lit(True))
+    scored = trans.join(F.broadcast(model), ["from_type", "to_type"], "left").select(
+        "from_type",
+        "to_type",
+        "n_observed",
+        F.coalesce("allowed", F.lit(False)).alias("allowed"),
+    )
+    fitness = scored.agg(
+        F.round(
+            F.sum(F.when(F.col("allowed"), F.col("n_observed")).otherwise(0))
+            / F.sum("n_observed"),
+            6,
+        ).alias("fitness")
+    )
+    return (
+        scored.crossJoin(F.broadcast(fitness))
+        .orderBy("from_type", "to_type")
+    )
+
+
+_CONFORMANCE_ALLOWED = ", ".join(
+    f"('{a}', '{b}')"
+    for a, b in sorted(
+        {("signup", "view"), ("view", "view"), ("view", "click"),
+         ("click", "view"), ("click", "click"), ("click", "purchase"),
+         ("purchase", "view")}
+        | {("error", t) for t in ["view", "click", "purchase", "signup", "error"]}
+        | {(t, "error") for t in ["view", "click", "purchase", "signup", "error"]}
+    )
+)
+
+CONFORMANCE_SQL = f"""
+WITH trans AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n_observed
+  FROM (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+  WHERE prev IS NOT NULL
+  GROUP BY prev, event_type),
+model(from_type, to_type) AS (VALUES {_CONFORMANCE_ALLOWED}),
+scored AS (
+  SELECT t.from_type, t.to_type, t.n_observed,
+         m.from_type IS NOT NULL AS allowed
+  FROM trans t LEFT JOIN model m
+    ON t.from_type = m.from_type AND t.to_type = m.to_type),
+fitness AS (
+  SELECT round(sum(CASE WHEN allowed THEN n_observed ELSE 0 END)
+               / CAST(sum(n_observed) AS DOUBLE), 6) AS fitness
+  FROM scored)
+SELECT from_type, to_type, n_observed, allowed, fitness
+FROM scored CROSS JOIN fitness
+ORDER BY from_type, to_type
+"""
+
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention: customers grouped by first-order
+    month, tracked for the share still ordering k months later
+    (k = 1, 3, 6) — the classic triangle read as three retention
+    columns per cohort. The LLM-pipeline reading: contributor/source
+    retention across corpus snapshots uses the identical shape.
+
+    100 TB: first-order month is one min-aggregate per customer;
+    each retention column is a semi-join of cohort customers against
+    the month-offset order set, counted — three broadcastable
+    aggregates over the (customer, month) distinct table."""
+    o = load_table(spark, "orders", sf_dir)
+    cm = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    first = cm.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    j = first.join(cm, "o_custkey").select(
+        "o_custkey",
+        "cohort",
+        F.round(F.months_between(F.col("m"), F.col("cohort"))).cast("int").alias("k"),
+    )
+    ret = j.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("cohort_size"),
+        *[
+            F.round(
+                F.countDistinct(F.when(F.col("k") == kk, F.col("o_custkey")))
+                / F.countDistinct("o_custkey"),
+                6,
+            ).alias(f"ret_m{kk}")
+            for kk in (1, 3, 6)
+        ],
+    )
+    return ret.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        "cohort_size",
+        "ret_m1",
+        "ret_m3",
+        "ret_m6",
+    ).orderBy("cohort_month")
+
+
+COHORT_RETENTION_SQL = """
+WITH cm AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
+first AS (
+  SELECT o_custkey, min(m) AS cohort FROM cm GROUP BY o_custkey),
+j AS (
+  SELECT cm.o_custkey, first.cohort,
+         CAST(round(datediff('month', first.cohort, cm.m)) AS INT) AS k
+  FROM first JOIN cm USING (o_custkey))
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size,
+       round(count(DISTINCT CASE WHEN k = 1 THEN o_custkey END)
+             / count(DISTINCT o_custkey), 6) AS ret_m1,
+       round(count(DISTINCT CASE WHEN k = 3 THEN o_custkey END)
+             / count(DISTINCT o_custkey), 6) AS ret_m3,
+       round(count(DISTINCT CASE WHEN k = 6 THEN o_custkey END)
+             / count(DISTINCT o_custkey), 6) AS ret_m6
+FROM j
+GROUP BY cohort
+ORDER BY cohort_month
+"""
+
+
+def als_rank1_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank-1 implicit-ALS half-step on the customer×part
+    purchase matrix: with item factors fixed at v_j = popularity
+    (order count, L2-normalized via a broadcast scalar), each
+    customer's optimal factor is the closed-form least-squares
+    u_i = Σ_j r_ij·v_j / Σ_j v_j² over their purchased items
+    (r_ij = quantity). The alternating loop is the linear_probe_gd /
+    label_propagation pattern; one half-step, top 10 customers by
+    factor.
+
+    100 TB: item factors are one aggregate joined back broadcast;
+    the customer solve is one grouped aggregate over order lines —
+    a BSP half-step with no driver round-trip."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    r = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_partkey", F.col("l_quantity").alias("r")
+    )
+    item = r.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("pop"))
+    nrm = item.agg(F.sqrt(F.sum(F.col("pop") * F.col("pop"))).alias("nrm"))
+    v = item.crossJoin(F.broadcast(nrm)).select(
+        "l_partkey", (F.col("pop") / F.col("nrm")).alias("v")
+    )
+    u = (
+        r.join(v, "l_partkey")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("r") * F.col("v")) / F.sum(F.col("v") * F.col("v"))).alias("u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return (
+        u.select("o_custkey", "n_items", F.round("u", 6).alias("factor"))
+        .orderBy(F.col("factor").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+ALS_RANK1_SQL = """
+WITH r AS (
+  SELECT o.o_custkey, l.l_partkey, l.l_quantity AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+item AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS pop FROM r GROUP BY l_partkey),
+nrm AS (SELECT sqrt(sum(pop * pop)) AS nrm FROM item),
+v AS (SELECT l_partkey, pop / nrm.nrm AS v FROM item CROSS JOIN nrm),
+u AS (
+  SELECT o_custkey,
+         sum(r.r * v.v) / sum(v.v * v.v) AS u,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM r JOIN v USING (l_partkey)
+  GROUP BY o_custkey)
+SELECT o_custkey, n_items, round(u, 6) AS factor
+FROM u
+ORDER BY factor DESC, o_custkey
+LIMIT 10
+"""
+
+
+def recency_weighted_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity score per part: Σ over order
+    lines of exp(−age_days/90) anchored at the corpus's max ship date
+    (data-derived so the score is deterministic) — the recsys/feature-
+    store popularity feature where yesterday's order counts ~90× this
+    quarter's-start one. Top 15 parts with their raw count for
+    contrast.
+
+    100 TB: the anchor is a 1-row broadcast; the score is a map-side
+    expression into one per-part aggregate; TakeOrdered caps
+    output."""
+    li = load_table(spark, "lineitem", sf_dir)
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+    scored = li.crossJoin(F.broadcast(anchor)).select(
+        "l_partkey",
+        F.exp(
+            -F.datediff(F.col("d1"), F.to_date("l_shipdate")) / F.lit(90.0)
+        ).alias("w"),
+    )
+    return (
+        scored.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("w"), 6).alias("decayed_popularity"),
+        )
+        .orderBy(F.col("decayed_popularity").desc(), "l_partkey")
+        .limit(15)
+    )
+
+
+RECENCY_POP_SQL = """
+WITH anchor AS (SELECT max(CAST(l_shipdate AS DATE)) AS d1 FROM lineitem),
+scored AS (
+  SELECT l_partkey,
+         exp(-datediff('day', CAST(l_shipdate AS DATE), anchor.d1) / 90.0) AS w
+  FROM lineitem CROSS JOIN anchor)
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(w), 6) AS decayed_popularity
+FROM scored
+GROUP BY l_partkey
+ORDER BY decayed_popularity DESC, l_partkey
+LIMIT 15
+"""
+
+
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on order baskets: for part pairs
+    co-occurring in ≥ 3 orders, support/confidence/lift of the rule
+    A→B — the market-basket classic, and the rule-mining complement
+    to the co-purchase GRAPH entries (pagerank/triangles read
+    structure; lift reads strength vs independence). Top 15 rules by
+    lift.
+
+    100 TB: basket pair generation is orderline-bounded (items ≤ 7
+    per order); the support filter prunes before any division; part
+    priors are one aggregate broadcast into the rule table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    prior = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+    pa = prior.select(F.col("l_partkey").alias("ante"), F.col("n_p").alias("n_a"))
+    pb = prior.select(F.col("l_partkey").alias("cons"), F.col("n_p").alias("n_b"))
+    rules = pair.join(pa, "ante").join(pb, "cons").crossJoin(F.broadcast(n))
+    return rules.select(
+        "ante",
+        "cons",
+        F.col("n_ab").cast("bigint").alias("n_both"),
+        F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    ).orderBy(F.col("lift").desc(), "ante", "cons").limit(15)
+
+
+BASKET_LIFT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM op),
+pair AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+         CAST(count(*) AS DOUBLE) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3),
+prior AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n_p FROM op GROUP BY 1)
+SELECT pair.ante, pair.cons,
+       CAST(n_ab AS BIGINT) AS n_both,
+       round(n_ab / n.n_orders, 6) AS support,
+       round(n_ab / pa.n_p, 6) AS confidence,
+       round(n_ab * n.n_orders / (pa.n_p * pb.n_p), 6) AS lift
+FROM pair
+JOIN prior pa ON pa.l_partkey = pair.ante
+JOIN prior pb ON pb.l_partkey = pair.cons
+CROSS JOIN n
+ORDER BY lift DESC, ante, cons
+LIMIT 15
+"""
+
+
+def price_elasticity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: OLS slope of
+    ln(quantity) on ln(unit price) over order lines — the constant-
+    elasticity model's closed form (elasticity < −1 = elastic:
+    price cuts grow revenue). Unit price derives as
+    extendedprice/quantity; the fit is per-brand moments only.
+
+    100 TB: one map-side projection + per-brand moment aggregate —
+    no joins beyond the part-dim broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    d = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log("l_quantity").alias("y"),
+    )
+    g = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_raw"),
+    )
+    beta = (F.col("sxy_raw") - F.col("n") * F.col("xbar") * F.col("ybar")) / (
+        F.col("sxx_raw") - F.col("n") * F.col("xbar") * F.col("xbar")
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(beta, 6).alias("elasticity"),
+        (beta < -1).alias("elastic"),
+    ).orderBy("p_brand")
+
+
+PRICE_ELASTICITY_SQL = """
+WITH d AS (
+  SELECT p.p_brand,
+         ln(l.l_extendedprice / l.l_quantity) AS x,
+         ln(l.l_quantity) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+g AS (
+  SELECT p_brand, CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar, avg(y) AS ybar,
+         sum(x * x) AS sxx_raw, sum(x * y) AS sxy_raw
+  FROM d GROUP BY p_brand)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       round((sxy_raw - n * xbar * ybar) / (sxx_raw - n * xbar * xbar), 6) AS elasticity,
+       (sxy_raw - n * xbar * ybar) / (sxx_raw - n * xbar * xbar) < -1 AS elastic
+FROM g
+ORDER BY p_brand
+"""
