@@ -374,3 +374,85 @@ FROM cum
 GROUP BY source, shard_ix
 ORDER BY source, shard_ix
 """
+
+
+_NEXTFIT_SCHEMA = (
+    "source string, shard_ix int, n_assets bigint, "
+    "shard_bytes bigint, fill_ratio double"
+)
+
+
+def shard_manifest_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True NEXT-FIT shard manifest — the hard-cap twin of
+    multimodal_shard_manifest (VERDICT r7 item 8): within each source,
+    assets in doc_id order fill the current shard until the next asset
+    would overflow the 16 KiB cap, then the shard is CLOSED and a new
+    one starts. Unlike offset binning, no shard exceeds the cap unless
+    a single asset is itself oversized (it then sits alone in its own
+    shard — the only fill_ratio > 1 rows this layout can emit).
+
+    100 TB: a running accumulator that resets at every cut has no
+    window-function form, so this is the same bounded applyInPandas
+    pattern as pack_sequences (packing.py): only (asset_id, n_bytes)
+    crosses into Python — ~16 bytes per asset — grouped by source, and
+    the pandas function returns one row PER SHARD, not per asset, so
+    the Arrow traffic back is the manifest itself. Sources are
+    independent groups (shards never straddle a source), which is also
+    the parallelism unit; a source with more assets than fit in one
+    task's memory would be pre-split on the offset-binned shard_ix of
+    the cheap twin and packed per split."""
+    import pandas as pd
+
+    shard_bytes = 16 * 1024
+    assets = assets_from_documents(spark, sf_dir).select(
+        "asset_id",
+        F.element_at(F.col("meta"), F.lit("source")).alias("source"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("asset_id")
+        shard_ix, fill, out = 0, 0, []
+        for n in pdf["n_bytes"].tolist():
+            if fill > 0 and fill + n > shard_bytes:
+                shard_ix, fill = shard_ix + 1, 0
+            fill += n
+            out.append(shard_ix)
+        pdf = pdf.assign(shard_ix=out)
+        g = pdf.groupby("shard_ix", as_index=False).agg(
+            source=("source", "first"),
+            n_assets=("n_bytes", "size"),
+            shard_bytes=("n_bytes", "sum"),
+        )
+        g["fill_ratio"] = (g["shard_bytes"] / float(shard_bytes)).round(6)
+        return g[["source", "shard_ix", "n_assets", "shard_bytes", "fill_ratio"]]
+
+    return (
+        assets.groupBy("source")
+        .applyInPandas(pack, _NEXTFIT_SCHEMA)
+        .orderBy("source", "shard_ix")
+    )
+
+
+SHARD_NEXTFIT_SQL = """
+WITH RECURSIVE assets AS (
+  SELECT doc_id AS asset_id, source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT source, rn, n_bytes, 0 AS shard_ix, n_bytes AS fill
+  FROM assets WHERE rn = 1
+  UNION ALL
+  SELECT a.source, a.rn, a.n_bytes,
+         CASE WHEN p.fill + a.n_bytes > 16384 THEN p.shard_ix + 1 ELSE p.shard_ix END,
+         CASE WHEN p.fill + a.n_bytes > 16384 THEN a.n_bytes ELSE p.fill + a.n_bytes END
+  FROM pack p JOIN assets a ON a.source = p.source AND a.rn = p.rn + 1)
+SELECT source, CAST(shard_ix AS INT) AS shard_ix,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       round(sum(n_bytes) / 16384.0, 6) AS fill_ratio
+FROM pack
+GROUP BY source, shard_ix
+ORDER BY source, shard_ix
+"""

@@ -87,3 +87,40 @@ def test_frame_sampling(spark):
         [(2, "text", b"abc", "text/plain", None, None, None, None)], schema=MULTIMODAL_SCHEMA
     )
     assert frame_sample_stub(texts).count() == 0
+
+
+def test_shard_nextfit_hard_cap_and_oversize(spark, tmp_path):
+    """Next-fit packing: multi-asset shards never exceed the 16 KiB
+    cap; an oversized asset sits alone in its own shard (the only
+    fill_ratio > 1 rows); shard indexes are dense per source. Parity
+    with the recursive-CTE DuckDB twin on the same corpus."""
+    import duckdb
+    import pandas as pd
+
+    from hematite_spark.queries.multimodal import (
+        SHARD_NEXTFIT_SQL,
+        shard_manifest_nextfit,
+    )
+
+    # doc sizes chosen to force cuts: 10k+10k -> cut, 40k oversized
+    # alone, then 1k+1k together (ASCII text: 1 char = 1 byte)
+    rows = [
+        {"doc_id": i, "source": "s1", "lang": "en", "text": "x" * n}
+        for i, n in enumerate([10_000, 10_000, 40_000, 1_000, 1_000])
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = shard_manifest_nextfit(spark, str(tmp_path)).collect()
+    assert [(r.shard_ix, r.n_assets, r.shard_bytes) for r in out] == [
+        (0, 1, 10_000),
+        (1, 1, 10_000),
+        (2, 1, 40_000),
+        (3, 2, 2_000),
+    ]
+    oversized = [r for r in out if r.fill_ratio > 1.0]
+    assert [(r.shard_ix, r.n_assets) for r in oversized] == [(2, 1)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(SHARD_NEXTFIT_SQL).fetchall()
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in oracle)
