@@ -51,7 +51,13 @@ def get_spark(app_name: str = "hematite_spark", shuffle_partitions: int | None =
         # view of the same parquet, and tz-independent.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor, and the harness
+        # box has 128 GiB — an 8g heap made every ×8/×64 scale probe
+        # spill its checkpoints and shuffles to disk and read as
+        # super-linear growth that wasn't algorithmic (round 8). 32g
+        # leaves room for two concurrent sessions plus OS page cache;
+        # on a real cluster this comes from spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
         .config(
