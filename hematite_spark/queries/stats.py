@@ -2095,7 +2095,12 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one groupBy to (priority, day) counts, then a
     priority-partitioned pair join over the tiny daily table; the
-    median is per-priority over ≤ days²/2 slopes."""
+    median is per-priority over ≤ days²/2 slopes. The probe side is
+    explicitly repartitioned by (priority, x) before the pair join
+    (round-8 bisect, same fix as seasonally_adjusted_trend): AQE
+    coalesced the ~12k-row daily table to ~1 partition, serializing
+    the 1000× pair explosion; an explicit-width repartition restores
+    full-width pair generation + map-side partial percentile."""
     o = load_table(spark, "orders", sf_dir)
     daily = o.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("d")
@@ -2105,7 +2110,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).alias("x"),
         F.col("n").cast("double").alias("y"),
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    n_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = daily.repartition(n_width, "o_orderpriority", "x").alias("a")
+    b = daily.alias("b")
     pairs = a.join(
         b,
         (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))

@@ -4324,18 +4324,25 @@ def lang_trigram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: trigram explode → per-lang counts → top-20 via a
     lang-partitioned window; the distance join is over 4×20-row
-    profiles — broadcast scale."""
+    profiles — broadcast scale. The normalization (trim + whitespace
+    collapse + lower) is projected ONCE per document before the
+    trigram transform (round-8 bisect): higher-order-function lambdas
+    re-evaluate their body per element, so inlining it made every
+    trigram position re-run the regex over the whole text — O(len²)
+    regex work per doc, 24s at sf0.1 for what is a 3s scan."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, "documents", sf_dir)
-    txt = F.lower(_norm_text())
-    tri = docs.select(
+    norm = docs.select(
+        "lang",
+        F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("t"),
+    )
+    tri = norm.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(lower(regexp_replace(trim(text),"
-                " '\\\\s+', ' '))) - 2, 1)),"
-                " i -> substring(lower(regexp_replace(trim(text), '\\\\s+', ' ')), i, 3))"
+                "transform(sequence(1, greatest(length(t) - 2, 1)),"
+                " i -> substring(t, i, 3))"
             )
         ).alias("g"),
     ).where(F.length("g") == 3)

@@ -1648,7 +1648,14 @@ def seasonally_adjusted_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame algebra.
 
     100 TB: both stages are the calendar-bounded daily table; the
-    index join is broadcast; the pair space is unchanged."""
+    index join is broadcast; the pair space is unchanged. The probe
+    side is explicitly repartitioned by (priority, x) before the pair
+    join (round-8 bisect): the daily table is ~12k rows, so AQE's
+    partition coalescing squeezed it to ~1 partition — and the 1000×
+    pair EXPLOSION downstream then ran on one task (30s wall at
+    sf0.1). An explicit-width repartition is exempt from coalescing,
+    restoring 32-way pair generation + map-side partial percentile
+    (~5× faster measured); the broadcast build side is unaffected."""
     o = load_table(spark, "orders", sf_dir)
     daily = o.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("d")
@@ -1666,7 +1673,9 @@ def seasonally_adjusted_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    a, b = idxd.alias("a"), idxd.alias("b")
+    n_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = idxd.repartition(n_width, "o_orderpriority", "x").alias("a")
+    b = idxd.alias("b")
     pairs = a.join(
         b,
         (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
@@ -1676,13 +1685,48 @@ def seasonally_adjusted_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("b.ya") - F.col("a.ya")) / (F.col("b.x") - F.col("a.x"))).alias("sa"),
         ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("sr"),
     )
-    return (
-        pairs.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.median("sr"), 6).alias("raw_slope"),
-            F.round(F.median("sa"), 6).alias("adjusted_slope"),
+    # The two medians take DIFFERENT physical paths (round-8 bisect):
+    # sr slopes are ratios of small integers (few distinct values), so
+    # F.median's ObjectHashAggregate buffer stays tiny and runs ~2s.
+    # sa slopes are CONTINUOUS — nearly all 14M pair values distinct —
+    # and the same exact-percentile buffer becomes millions of boxed
+    # doubles whose old-gen survival sent reps GC-erratic (8s -> 156s
+    # over five runs measured). sa instead uses a SORT-based exact
+    # median: row_number over the per-priority sort, keeping only the
+    # middle rank(s), with the rank bounds computed ARITHMETICALLY
+    # from the day counts (n_pairs = C(days, 2)) so no count window
+    # buffers the partition. Stable ~8s; the per-group pair space is
+    # calendar-bounded, so the sort width is scale-invariant.
+    med_sr = pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.median("sr"), 6).alias("raw_slope"),
+    )
+    npairs = (
+        idxd.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .select(
+            "o_orderpriority",
+            (F.col("nd") * (F.col("nd") - 1) / 2).cast("bigint").alias("n"),
         )
+    )
+    wo = W.partitionBy("o_orderpriority").orderBy(F.col("sa"))
+    med_sa = (
+        pairs.select("o_orderpriority", "sa")
+        .withColumn("rn", F.row_number().over(wo))
+        .join(F.broadcast(npairs), "o_orderpriority")
+        .where(
+            ((F.col("n") % 2 == 1) & (F.col("rn") * 2 == F.col("n") + 1))
+            | (
+                (F.col("n") % 2 == 0)
+                & ((F.col("rn") == F.col("n") / 2) | (F.col("rn") == F.col("n") / 2 + 1))
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.avg("sa"), 6).alias("adjusted_slope"))
+    )
+    return (
+        med_sr.join(med_sa, "o_orderpriority")
+        .select("o_orderpriority", "n_pairs", "raw_slope", "adjusted_slope")
         .orderBy("o_orderpriority")
     )
 
