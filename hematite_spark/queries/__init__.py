@@ -14,7 +14,9 @@ Modules:
   recsys      — recommender, marketing, entity-resolution analytics
   udf         — B-series extension points (pandas UDAF, Python UDTF,
                 HLL sketches)
-  text        — C-series text analysis (quality, lang-id, tokens, fingerprints)
+  text        — C-series text analysis (quality, lang-id, tokens,
+                fingerprints); facade re-exporting the round-8 split:
+  textlm      — n-gram LMs, BPE, masking/skip-gram plans, serving audits
   dedup       — C-series dedup (exact, n-gram Jaccard, MinHash, SimHash,
                 embedding-cosine)
   similarity  — C-series vector search (brute-force cosine, LSH buckets)

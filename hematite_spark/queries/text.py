@@ -585,136 +585,6 @@ ORDER BY source
 """
 
 
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-LM quality scoring: build a unigram language model from
-    the corpus itself (p(t) = count(t)/total), then score each doc by
-    its mean token log-probability and the equivalent perplexity —
-    the cheapest member of the perplexity-filter family (KenLM-style
-    filters are the production version; the unigram model keeps it
-    oracle-exact). Low scorers are off-distribution docs: wrong
-    language, encoding garbage, random strings.
-
-    Two aggregates (token counts; per-doc mean over the token-count
-    join) — the model 'training' and the scoring pass are the SAME
-    relational shapes as TF-IDF, and the unigram table is tiny
-    (vocabulary-sized): broadcast into the scoring join, so the
-    corpus is scanned once with no wide shuffle. Ordering is on the
-    ROUNDED score so both engines agree on ties."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.explode(F.split(F.lower(_norm_text()), " ")).alias("t"))
-    model = toks.groupBy("t").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("n_total"))
-    scored = (
-        toks.join(F.broadcast(model), "t")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 4).alias("avg_logprob"))
-        .select(
-            "doc_id",
-            "avg_logprob",
-            F.round(F.exp(-F.col("avg_logprob")), 2).alias("perplexity"),
-        )
-    )
-    return scored.orderBy(F.col("avg_logprob").asc(), "doc_id").limit(20)
-
-
-UNIGRAM_LOGPROB_SQL = r"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
-  FROM documents
-), model AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
-total AS (SELECT count(*) AS n_total FROM toks),
-scored AS (
-  SELECT doc_id, round(avg(ln(c / CAST(n_total AS DOUBLE))), 4) AS avg_logprob
-  FROM toks JOIN model USING (t), total
-  GROUP BY doc_id
-)
-SELECT doc_id, avg_logprob, round(exp(-avg_logprob), 2) AS perplexity
-FROM scored
-ORDER BY avg_logprob ASC, doc_id
-LIMIT 20
-"""
-
-
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated-bigram LM scoring: p(w|prev) = 0.75·c(prev,w)/c(prev)
-    + 0.25·c(w)/N, per-doc mean log-prob + perplexity — one rung up
-    the perplexity-filter ladder from text_unigram_logprob, catching
-    scrambled-word-order docs a unigram model scores as fluent.
-
-    Same relational shape as TF-IDF: the bigram and unigram count
-    tables are vocabulary-sized, broadcast into the scoring join, so
-    the corpus is scanned once (bigram explode) and the only wide
-    shuffle is the per-doc mean. Scores rounded to 4 before the sort
-    so both engines agree on ties."""
-    docs = load_table(spark, "documents", sf_dir)
-    d = docs.select(
-        "doc_id", F.split(F.lower(_norm_text()), " ").alias("w")
-    ).where(F.size("w") >= 2)
-    bgf = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 2),"
-                " i -> struct(get(w, i) AS prev, get(w, i + 1) AS cur))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.prev", "b.cur")
-    toks = d.select("doc_id", F.explode("w").alias("t"))
-    uni = toks.groupBy("t").agg(F.count("*").alias("cu"))
-    total = toks.agg(F.count("*").alias("n_total"))
-    big = bgf.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
-    p = 0.75 * F.col("cb") / F.col("cp") + 0.25 * F.col("cc") / F.col("n_total")
-    scored = (
-        bgf.join(F.broadcast(big), ["prev", "cur"])
-        .join(F.broadcast(uni.select(F.col("t").alias("prev"), F.col("cu").alias("cp"))), "prev")
-        .join(F.broadcast(uni.select(F.col("t").alias("cur"), F.col("cu").alias("cc"))), "cur")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log(p)), 4).alias("avg_logprob"))
-        .select(
-            "doc_id",
-            "avg_logprob",
-            F.round(F.exp(-F.col("avg_logprob")), 2).alias("perplexity"),
-        )
-    )
-    return scored.orderBy(F.col("avg_logprob").asc(), "doc_id").limit(20)
-
-
-BIGRAM_LOGPROB_SQL = r"""
-WITH d AS (
-  SELECT doc_id,
-         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
-  FROM documents
-), d2 AS (SELECT * FROM d WHERE len(w) >= 2),
-toks AS (SELECT doc_id, unnest(w) AS t FROM d2),
-bgf AS (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS prev,
-         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS cur
-  FROM d2
-),
-uni AS (SELECT t, count(*) AS cu FROM toks GROUP BY t),
-total AS (SELECT count(*) AS n_total FROM toks),
-big AS (SELECT prev, cur, count(*) AS cb FROM bgf GROUP BY prev, cur),
-scored AS (
-  SELECT doc_id,
-         round(avg(ln(0.75 * cb / cp + 0.25 * cc / n_total)), 4) AS avg_logprob
-  FROM bgf
-  JOIN big USING (prev, cur)
-  JOIN (SELECT t AS prev, cu AS cp FROM uni) USING (prev)
-  JOIN (SELECT t AS cur, cu AS cc FROM uni) USING (cur)
-  , total
-  GROUP BY doc_id
-)
-SELECT doc_id, avg_logprob, round(exp(-avg_logprob), 2) AS perplexity
-FROM scored
-ORDER BY avg_logprob ASC, doc_id
-LIMIT 20
-"""
-
-
 def tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (d=4 rows × w=64 buckets),
     audited against exact counts. The sketch is the 100 TB structure:
@@ -1039,113 +909,6 @@ ORDER BY doc_id
 """
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, the first 3 merge steps: from the
-    frequency-weighted word list, repeatedly (1) count adjacent
-    symbol pairs, (2) pick the most frequent pair (ties → lexicographic),
-    (3) fuse that pair everywhere — the iterative loop every modern
-    tokenizer's vocabulary comes from. Symbols travel as
-    space-delimited strings and fusion is a literal delimited
-    replace, whose left-to-right non-overlapping semantics both
-    engines share exactly (adjacent-repeat occurrences fuse
-    alternately — documented variant, identical on both sides).
-
-    Scale design: the word-frequency table is vocabulary-sized (the
-    corpus is scanned ONCE); each step is a bigram explode + one
-    map-side-combined aggregate over symbols, and the argmax pair is
-    a 1-row broadcast into the fuse projection — no driver loop over
-    data, only over the 3 fixed steps. The oracle unrolls the same 3
-    steps as CTEs, value-checking the recursion."""
-    docs = load_table(spark, "documents", sf_dir)
-    wf = (
-        docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    seq = wf.select(
-        F.concat(F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")).alias("s"),
-        "freq",
-    )
-    bests = []
-    for step in (1, 2, 3):
-        syms = seq.select("freq", F.split(F.trim("s"), " ").alias("y"))
-        pairs = syms.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(y) - 2),"
-                    " i -> struct(get(y, i) AS pa, get(y, i + 1) AS pb))"
-                )
-            ).alias("b"),
-        ).where(F.expr("size(y) >= 2"))
-        best = (
-            pairs.groupBy("b.pa", "b.pb")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "pa", "pb")
-            .limit(1)
-        )
-        bests.append(
-            best.select(
-                F.lit(step).cast("bigint").alias("step"),
-                F.col("pa").alias("left_sym"),
-                F.col("pb").alias("right_sym"),
-                F.concat("pa", "pb").alias("merged"),
-                "pair_count",
-            )
-        )
-        seq = seq.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("s"),
-                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
-            ).alias("s"),
-            "freq",
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.union(b)
-    return out.orderBy("step")
-
-
-_BPE_STEP = """p{i} AS (
-  SELECT y[j] AS pa, y[j + 1] AS pb, CAST(sum(freq) AS BIGINT) AS pair_count
-  FROM (SELECT string_split(trim(s), ' ') AS y, freq FROM w{prev}),
-       LATERAL (SELECT unnest(generate_series(1, len(y) - 1)) AS j)
-  WHERE len(y) >= 2
-  GROUP BY pa, pb
-), b{i} AS (
-  SELECT pa, pb, pair_count FROM p{i}
-  ORDER BY pair_count DESC, pa, pb LIMIT 1
-), w{i} AS (
-  SELECT replace(s, ' ' || pa || ' ' || pb || ' ', ' ' || pa || pb || ' ') AS s, freq
-  FROM w{prev}, b{i}
-)"""
-
-BPE_SQL = (
-    r"""
-WITH wf AS (
-  SELECT word, count(*) AS freq
-  FROM (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
-        FROM documents)
-  GROUP BY word
-), w0 AS (
-  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM wf
-),
-"""
-    + ",\n".join(_BPE_STEP.format(i=i, prev=i - 1) for i in (1, 2, 3))
-    + """
-SELECT CAST(step AS BIGINT) AS step, pa AS left_sym, pb AS right_sym,
-       pa || pb AS merged, pair_count
-FROM (
-  SELECT 1 AS step, * FROM b1
-  UNION ALL SELECT 2, * FROM b2
-  UNION ALL SELECT 3, * FROM b3
-)
-ORDER BY step
-"""
-)
-
-
 def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level dedup accounting: how much of each source's corpus
     is duplicated at 32-token-chunk granularity — the composition of
@@ -1360,108 +1123,6 @@ LIMIT 20
 """
 
 
-def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE encoding compression curve: apply the first 3 learned
-    merges (the bpe_learn_merges loop) to the frequency-weighted
-    vocabulary and report, after each step, the corpus token count
-    (Σ freq × symbols-per-word) and the symbol-vocabulary size —
-    the curve a tokenizer trainer watches to pick vocab size, and
-    the apply-side proof that the learned merges actually encode.
-
-    Scale design: identical to the learner — the corpus is scanned
-    once into a vocabulary-sized frequency table, every merge step
-    is vocabulary-scale column algebra with the 1-row argmax
-    broadcast into the fuse, and the per-step stats are map-side-
-    combined aggregates. Encoding N new docs later is a broadcast
-    join of the (tiny) merge list + the same fuse expression."""
-    docs = load_table(spark, "documents", sf_dir)
-    wf = (
-        docs.select(F.explode(F.split(F.lower(_norm_text()), " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    seq = wf.select(
-        F.concat(F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")).alias("s"),
-        "freq",
-    ).localCheckpoint()
-
-    def stats(df, step):
-        syms = df.select("freq", F.split(F.trim("s"), " ").alias("y"))
-        total = syms.agg(
-            F.sum(F.col("freq") * F.size("y")).alias("total_symbols")
-        )
-        vocab = (
-            syms.select(F.explode("y").alias("sym"))
-            .agg(F.countDistinct("sym").alias("n_symbols"))
-        )
-        return total.crossJoin(F.broadcast(vocab)).select(
-            F.lit(step).cast("bigint").alias("step"), "total_symbols", "n_symbols"
-        )
-
-    outs = [stats(seq, 0)]
-    for step in (1, 2, 3):
-        syms = seq.select("freq", F.split(F.trim("s"), " ").alias("y"))
-        pairs = syms.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(y) - 2),"
-                    " i -> struct(get(y, i) AS pa, get(y, i + 1) AS pb))"
-                )
-            ).alias("b"),
-        ).where(F.expr("size(y) >= 2"))
-        best = (
-            pairs.groupBy("b.pa", "b.pb")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "pa", "pb")
-            .limit(1)
-        )
-        seq = seq.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("s"),
-                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
-            ).alias("s"),
-            "freq",
-        ).localCheckpoint()
-        outs.append(stats(seq, step))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("step")
-
-
-_BPE_APPLY_STATS = """SELECT {step} AS step,
-       (SELECT CAST(sum(freq * len(string_split(trim(s), ' '))) AS BIGINT) FROM w{step})
-         AS total_symbols,
-       (SELECT CAST(count(DISTINCT sym) AS BIGINT)
-        FROM w{step}, LATERAL (SELECT unnest(string_split(trim(s), ' ')) AS sym))
-         AS n_symbols"""
-
-BPE_APPLY_SQL = (
-    r"""
-WITH wf AS (
-  SELECT word, count(*) AS freq
-  FROM (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
-        FROM documents)
-  GROUP BY word
-), w0 AS (
-  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM wf
-),
-"""
-    + ",\n".join(_BPE_STEP.format(i=i, prev=i - 1) for i in (1, 2, 3))
-    + """
-SELECT CAST(step AS BIGINT) AS step, total_symbols, n_symbols
-FROM (
-"""
-    + "\n  UNION ALL ".join(_BPE_APPLY_STATS.format(step=i) for i in (0, 1, 2, 3))
-    + """
-)
-ORDER BY step
-"""
-)
-
-
 def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information:
     PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent token pairs,
@@ -1628,45 +1289,6 @@ ORDER BY lang
 """
 
 
-def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer fertility per language: regex-tokens per whitespace
-    word (how many pieces the tokenizer splits a word into — the
-    cross-lingual cost metric that drives per-language token budgets)
-    and chars per regex token (compression). One scan, counts from
-    size()/regexp — no explode, no Python."""
-    docs = load_table(spark, "documents", sf_dir)
-    re_tokens = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
-    ).cast("bigint")
-    ws_words = F.size(_words()).cast("bigint")
-    return (
-        docs.select("lang", re_tokens.alias("re_tokens"), ws_words.alias("ws_words"),
-                    F.length("text").cast("bigint").alias("n_chars"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.sum("re_tokens") / F.sum("ws_words"), 6).alias("fertility"),
-            F.round(F.sum("n_chars") / F.sum("re_tokens"), 6).alias("chars_per_token"),
-        )
-        .orderBy("lang")
-    )
-
-
-TOKENIZER_FERTILITY_SQL = """
-SELECT lang, count(*)::BIGINT AS n_docs,
-       round(sum(re_tokens) / CAST(sum(ws_words) AS DOUBLE), 6) AS fertility,
-       round(sum(n_chars) / CAST(sum(re_tokens) AS DOUBLE), 6) AS chars_per_token
-FROM (
-  SELECT lang,
-         len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens,
-         len(string_split(text, ' '))::BIGINT AS ws_words,
-         length(text)::BIGINT AS n_chars
-  FROM documents)
-GROUP BY lang
-ORDER BY lang
-"""
-
-
 def source_quality_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes per-source quality calibration: small sources'
     raw mean quality is noisy, so shrink toward the global mean with
@@ -1778,166 +1400,6 @@ SELECT decile, n_docs, tokens, min_q, max_q,
              / CAST(total_tokens AS DOUBLE), 6) AS kept_token_share_if_cut_here
 FROM binned, tot
 ORDER BY decile
-"""
-
-
-def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MLM masking plan (the BERT/T5-style pretraining
-    prep step): every whitespace token draws a stable md5 uniform from
-    (doc_id, position, token); tokens with u < 15% of the hash space
-    are selected for corruption, and a second hash byte splits the
-    selected set 80/10/10 into [MASK] / random-replacement / keep-as-is
-    — the standard MLM recipe, with NO RNG anywhere, so the same
-    corpus masks identically on any cluster, any day (reproducible
-    pretraining batches, diffable across pipeline versions).
-
-    Output per source: token/masking accounting — the table a batch
-    builder consumes to size epochs and verify corruption rates.
-
-    100 TB: one embarrassingly-parallel scan (split + posexplode +
-    hash per token); the only shuffle is the O(sources) final
-    aggregate. The 15%/80/10/10 thresholds are hash-space constants,
-    not sampled rates, so rates converge per the law of large numbers
-    and the audit columns prove it."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(_norm_text(), " ")).alias("i", "tok"),
-    ).select(
-        "source",
-        F.md5(
-            F.concat_ws(":", F.col("doc_id"), (F.col("i") + 1).cast("string"), F.col("tok"))
-        ).alias("h"),
-    )
-    u = F.conv(F.substring("h", 1, 4), 16, 10).cast("bigint")  # 0..65535
-    r = F.conv(F.substring("h", 5, 2), 16, 10).cast("bigint")  # 0..255
-    sel = u < 9830  # 15% of 65536
-    return (
-        toks.select(
-            "source",
-            sel.cast("long").alias("m"),
-            (sel & (r < 204)).cast("long").alias("mt"),
-            (sel & (r >= 204) & (r < 230)).cast("long").alias("rd"),
-            (sel & (r >= 230)).cast("long").alias("kp"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum("m").cast("bigint").alias("n_masked"),
-            F.sum("mt").cast("bigint").alias("n_mask_token"),
-            F.sum("rd").cast("bigint").alias("n_random"),
-            F.sum("kp").cast("bigint").alias("n_keep"),
-            F.round(F.sum("m") / F.count("*"), 4).alias("mask_frac"),
-        )
-        .orderBy("source")
-    )
-
-
-MLM_MASKING_SQL = r"""
-WITH toks AS (
-  SELECT source,
-         md5(doc_id || ':' || i || ':' || w[i]) AS h
-  FROM (SELECT doc_id, source, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
-        FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
-flags AS (
-  SELECT source,
-         ((strpos('0123456789abcdef', h[1]) - 1) * 4096
-        + (strpos('0123456789abcdef', h[2]) - 1) * 256
-        + (strpos('0123456789abcdef', h[3]) - 1) * 16
-        + (strpos('0123456789abcdef', h[4]) - 1)) AS u,
-         ((strpos('0123456789abcdef', h[5]) - 1) * 16
-        + (strpos('0123456789abcdef', h[6]) - 1)) AS r
-  FROM toks)
-SELECT source,
-       count(*)::BIGINT AS n_tokens,
-       sum(CASE WHEN u < 9830 THEN 1 ELSE 0 END)::BIGINT AS n_masked,
-       sum(CASE WHEN u < 9830 AND r < 204 THEN 1 ELSE 0 END)::BIGINT AS n_mask_token,
-       sum(CASE WHEN u < 9830 AND r >= 204 AND r < 230 THEN 1 ELSE 0 END)::BIGINT AS n_random,
-       sum(CASE WHEN u < 9830 AND r >= 230 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
-       round(sum(CASE WHEN u < 9830 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS mask_frac
-FROM flags
-GROUP BY source
-ORDER BY source
-"""
-
-
-def eval_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set n-gram coverage — the inverse of corpus_decontaminate:
-    instead of removing eval overlap from train, this audits how much
-    of the EVAL split's content the train corpus has seen at all. For
-    every eval doc's distinct word-3-grams, the fraction present in
-    the train split's distinct 3-gram vocabulary; low coverage flags
-    eval sets that are out-of-domain for the corpus (novelty, not
-    contamination). Splits reuse split_train_test's stable doc_id hash
-    (train < 80, eval >= 90) so membership matches the split operator
-    exactly. Reported per source: micro (ngram-weighted) and macro
-    (per-doc average) coverage.
-
-    Shape at scale: the train distinct-shingle set is vocabulary-
-    scale; one equi-join on the shingle key against the (small) eval
-    side — the same topology as decontamination with build/probe
-    sides swapped, so at 100 TB the eval shingles broadcast and the
-    train vocabulary streams."""
-    from hematite_spark.queries.dedup import _shingles_df
-    from hematite_spark.queries.sampling import _hash_pct
-
-    sh = _shingles_df(spark, sf_dir, k=3)
-    h = _hash_pct(F.col("doc_id"))
-    train_sh = sh.where(h < 80).select("sh").distinct().withColumn("hit", F.lit(1))
-    ev = sh.where(h >= 90)
-    per_doc = (
-        ev.join(train_sh, "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("c"),
-        )
-    )
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
-    return (
-        per_doc.join(docs, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_eval_docs"),
-            F.sum("n").cast("bigint").alias("n_eval_ngrams"),
-            F.sum("c").cast("bigint").alias("n_covered"),
-            F.round(F.sum("c") / F.sum("n"), 6).alias("coverage_micro"),
-            F.round(F.avg(F.col("c") / F.col("n")), 6).alias("coverage_macro"),
-        )
-        .orderBy("source")
-    )
-
-
-from hematite_spark.queries.sampling import _DUCK_HASH_PCT as _COV_HASH_SQL
-
-_COV_HASH = _COV_HASH_SQL.format(k="doc_id::VARCHAR")
-
-EVAL_COVERAGE_SQL = f"""
-WITH shingles AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-  FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
-        FROM documents)
-), train AS (
-  SELECT DISTINCT sh FROM shingles WHERE {_COV_HASH} < 80
-), ev AS (
-  SELECT doc_id, sh FROM shingles WHERE {_COV_HASH} >= 90
-), per_doc AS (
-  SELECT e.doc_id, count(*)::BIGINT AS n,
-         sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS c
-  FROM ev e LEFT JOIN train t ON e.sh = t.sh
-  GROUP BY e.doc_id
-)
-SELECT source, count(*)::BIGINT AS n_eval_docs,
-       sum(n)::BIGINT AS n_eval_ngrams, sum(c)::BIGINT AS n_covered,
-       round(sum(c) / CAST(sum(n) AS DOUBLE), 6) AS coverage_micro,
-       round(avg(c / CAST(n AS DOUBLE)), 6) AS coverage_macro
-FROM per_doc JOIN documents USING (doc_id)
-GROUP BY source
-ORDER BY source
 """
 
 
@@ -2094,119 +1556,6 @@ SELECT entity, entity_type,
 FROM hits
 GROUP BY entity, entity_type
 ORDER BY entity
-"""
-
-
-def skipgram_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """word2vec-style training-pair planning: per-token frequency
-    subsampling (Mikolov keep-prob √(t/f)+t/f, t=10⁻³, decided by a
-    deterministic per-occurrence hash-uniform), skip-gram pair
-    generation over a ±2 window on the surviving tokens, and the
-    unigram^0.75 negative-sampling distribution — the full per-token
-    plan (freq, keep-prob, center/context pair counts, p_neg) a
-    data-parallel embedding trainer shards by.
-
-    100 TB: the vocabulary table (10⁵-10⁶ rows) broadcasts; the pair
-    step is a doc_id-keyed band self-join where each row meets ≤2
-    forward partners — shuffle is one exchange on doc_id, never a
-    cross product; everything else is hash aggregates with map-side
-    combine."""
-    t = 1e-3
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(_words()).alias("p", "token")
-    ).select("doc_id", (F.col("p") + 1).alias("i"), "token")
-    freq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("n_tok"))
-    tot = freq.agg(F.sum("n_tok").cast("double").alias("n_total"))
-    f = F.col("n_tok") / F.col("n_total")
-    vocab = freq.crossJoin(F.broadcast(tot)).select(
-        "token",
-        "n_tok",
-        F.least(F.lit(1.0), F.sqrt(F.lit(t) / f) + F.lit(t) / f).alias("keep_p"),
-    )
-    u16 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"), F.col("token"))), 1, 4
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    kept = (
-        toks.join(F.broadcast(vocab), "token")
-        .where(u16 < F.col("keep_p") * 65536.0)
-        .select("doc_id", "i", "token")
-    )
-    pairs = (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.i") > F.col("a.i"))
-            & (F.col("b.i") <= F.col("a.i") + 2),
-        )
-        .select(F.col("a.token").alias("center"), F.col("b.token").alias("context"))
-    )
-    n_center = pairs.groupBy(F.col("center").alias("token")).agg(
-        F.count("*").cast("bigint").alias("n_center")
-    )
-    n_context = pairs.groupBy(F.col("context").alias("token")).agg(
-        F.count("*").cast("bigint").alias("n_context")
-    )
-    z = n_context.agg(F.sum(F.pow(F.col("n_context"), 0.75)).alias("z"))
-    return (
-        vocab.join(n_center, "token", "left")
-        .join(n_context, "token", "left")
-        .crossJoin(F.broadcast(z))
-        .select(
-            "token",
-            "n_tok",
-            F.round("keep_p", 6).alias("keep_p"),
-            F.coalesce("n_center", F.lit(0)).cast("bigint").alias("n_center"),
-            F.coalesce("n_context", F.lit(0)).cast("bigint").alias("n_context"),
-            F.round(
-                F.coalesce(F.pow(F.col("n_context"), 0.75) / F.col("z"), F.lit(0.0)), 6
-            ).alias("p_neg"),
-        )
-        .orderBy("token")
-    )
-
-
-SKIPGRAM_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, i, w[i] AS token
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
-freq AS (SELECT token, count(*)::BIGINT AS n_tok FROM toks GROUP BY token),
-tot AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS n_total FROM freq),
-vocab AS (
-  SELECT token, n_tok,
-         least(1.0, sqrt(0.001 / (n_tok / n_total)) + 0.001 / (n_tok / n_total)) AS keep_p
-  FROM freq CROSS JOIN tot),
-hashed AS (
-  SELECT doc_id, i, token, md5(doc_id || ':' || i || ':' || token) AS h FROM toks),
-kept AS (
-  SELECT t.doc_id, t.i, t.token
-  FROM hashed t JOIN vocab v USING (token)
-  WHERE ((strpos('0123456789abcdef', h[1]) - 1) * 4096
-       + (strpos('0123456789abcdef', h[2]) - 1) * 256
-       + (strpos('0123456789abcdef', h[3]) - 1) * 16
-       + (strpos('0123456789abcdef', h[4]) - 1)) < v.keep_p * 65536.0),
-pairs AS (
-  SELECT a.token AS center, b.token AS context
-  FROM kept a JOIN kept b
-    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
-nc AS (SELECT center AS token, count(*)::BIGINT AS n_center FROM pairs GROUP BY 1),
-nx AS (SELECT context AS token, count(*)::BIGINT AS n_context FROM pairs GROUP BY 1),
-z AS (SELECT sum(power(n_context, 0.75)) AS z FROM nx)
-SELECT v.token, v.n_tok, round(v.keep_p, 6) AS keep_p,
-       coalesce(nc.n_center, 0)::BIGINT AS n_center,
-       coalesce(nx.n_context, 0)::BIGINT AS n_context,
-       round(coalesce(power(nx.n_context, 0.75) / z.z, 0.0), 6) AS p_neg
-FROM vocab v
-LEFT JOIN nc ON v.token = nc.token
-LEFT JOIN nx ON v.token = nx.token
-CROSS JOIN z
-ORDER BY v.token
 """
 
 
@@ -2582,88 +1931,6 @@ ORDER BY c.source
 """
 
 
-def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram language model (discount
-    D = 0.75) — the classical smoothing that backs off not to raw
-    unigram frequency but to CONTINUATION probability (how many
-    distinct contexts a word follows), the property that makes KN the
-    strongest count-based LM and a standard corpus-quality scorer.
-    Emits the top-20 bigrams by smoothed probability with the full
-    decomposition: discounted ML term, backoff weight λ(w1), and
-    continuation probability p_cont(w2).
-
-    100 TB: three vocabulary-scale hash aggregates (bigram counts,
-    context totals + distinct-following via one grouped agg,
-    continuation counts) joined on the word keys — vocabulary tables
-    broadcast; the corpus is scanned once for bigrams."""
-    from pyspark.sql import Window as W
-
-    d = 0.75
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.posexplode(_words()).alias("pos", "w"))
-    dw = W.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        toks.select("doc_id", "pos", F.lag("w", 1).over(dw).alias("w1"), F.col("w").alias("w2"))
-        .where(F.col("w1").isNotNull())
-        .groupBy("w1", "w2")
-        .agg(F.count("*").cast("bigint").alias("c12"))
-    )
-    ctx = bi.groupBy("w1").agg(
-        F.sum("c12").cast("bigint").alias("c1"),
-        F.count("*").cast("bigint").alias("n_follow"),
-    )
-    cont = bi.groupBy("w2").agg(F.count("*").cast("bigint").alias("n_prec"))
-    n_types = bi.agg(F.count("*").cast("double").alias("n_types"))
-    return (
-        bi.join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(cont), "w2")
-        .crossJoin(F.broadcast(n_types))
-        .select(
-            "w1",
-            "w2",
-            "c12",
-            F.round(F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1"), 6).alias("p_ml_disc"),
-            F.round(F.lit(d) * F.col("n_follow") / F.col("c1"), 6).alias("lambda_w1"),
-            F.round(F.col("n_prec") / F.col("n_types"), 6).alias("p_cont"),
-            F.round(
-                F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
-                + (F.lit(d) * F.col("n_follow") / F.col("c1"))
-                * (F.col("n_prec") / F.col("n_types")),
-                6,
-            ).alias("p_kn"),
-        )
-        .orderBy(F.col("p_kn").desc(), "w1", "w2")
-        .limit(20)
-    )
-
-
-KNESER_NEY_SQL = """
-WITH toks AS (
-  SELECT doc_id, i, w[i] AS tok,
-         CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
-bi AS (
-  SELECT prev AS w1, tok AS w2, count(*)::BIGINT AS c12
-  FROM toks WHERE prev IS NOT NULL GROUP BY prev, tok),
-ctx AS (
-  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*)::BIGINT AS n_follow
-  FROM bi GROUP BY w1),
-cont AS (
-  SELECT w2, count(*)::BIGINT AS n_prec FROM bi GROUP BY w2),
-nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bi)
-SELECT w1, w2, c12,
-       round(greatest(c12 - 0.75, 0.0) / c1, 6) AS p_ml_disc,
-       round(0.75 * n_follow / c1, 6) AS lambda_w1,
-       round(n_prec / n_types, 6) AS p_cont,
-       round(greatest(c12 - 0.75, 0.0) / c1
-             + (0.75 * n_follow / c1) * (n_prec / n_types), 6) AS p_kn
-FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
-ORDER BY p_kn DESC, w1, w2
-LIMIT 20
-"""
-
-
 def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of the rule-based quality
     score — the batch-effect correction applied before one threshold
@@ -2728,460 +1995,6 @@ SELECT source, count(*)::BIGINT AS n_docs,
 FROM mapped
 GROUP BY source
 ORDER BY source
-"""
-
-
-def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One EM iteration of PLSA (probabilistic latent semantic
-    analysis) with k=3 topics over the doc-term matrix — the
-    count-based ancestor of LDA and the topic-modeling member of the
-    ML-on-DataFrames family. Deterministic hash init for p(w|z) and
-    p(z|d) (∝ 1 + h mod 7, normalized), one E-step computing
-    p(z|d,w) ∝ p(w|z)p(z|d) fused into the join projection, one
-    M-step re-estimating p(w|z) ∝ Σ_d n(d,w)·p(z|d,w). Emits each
-    topic's top-5 words by updated probability — the human-readable
-    topic table.
-
-    100 TB: the doc-term matrix is the only big relation; p(w|z) is a
-    vocabulary×k broadcast and p(z|d) a doc-keyed equi-join; the
-    topic expansion multiplies rows by k=3 inside the projection and
-    immediately re-aggregates (w,z)-keyed with map-side combine."""
-    from pyspark.sql import Window as W
-
-    k = 3
-    docs = load_table(spark, "documents", sf_dir)
-    dt = (
-        docs.select("doc_id", F.explode(_words()).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").cast("double").alias("n_dw"))
-        .localCheckpoint()  # the doc-term matrix feeds 5 branches
-        # (vocab init, doc init, E-step join, both normalizers) —
-        # materialize the one corpus scan instead of replaying it
-        # per branch; at scale this is the persisted DT relation
-    )
-    h = lambda salt, a, b: (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(salt), a.cast("string"), b.cast("string"))), 1, 4),
-            16,
-            10,
-        ).cast("bigint") % 7 + 1
-    ).cast("double")
-    z = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("z")
-    # init p(w|z): score per (w, z) normalized over the vocabulary
-    wz = dt.select("w").distinct().select("w", z).select(
-        "w", "z", h("pwz", F.col("w"), F.col("z")).alias("s")
-    )
-    wz_norm = wz.groupBy("z").agg(F.sum("s").alias("sz"))
-    pwz = wz.join(F.broadcast(wz_norm), "z").select(
-        "w", "z", (F.col("s") / F.col("sz")).alias("p_wz")
-    )
-    # init p(z|d): normalized over k topics per doc
-    dz = dt.select("doc_id").distinct().select("doc_id", z).select(
-        "doc_id", "z", h("pzd", F.col("doc_id"), F.col("z")).alias("s")
-    )
-    dz_norm = dz.groupBy("doc_id").agg(F.sum("s").alias("sd"))
-    pzd = dz.join(dz_norm, "doc_id").select(
-        "doc_id", "z", (F.col("s") / F.col("sd")).alias("p_zd")
-    )
-    joint = (
-        dt.join(F.broadcast(pwz), "w")
-        .join(pzd, ["doc_id", "z"])
-        .select("doc_id", "w", "z", "n_dw", (F.col("p_wz") * F.col("p_zd")).alias("num"))
-    )
-    denom = joint.groupBy("doc_id", "w").agg(F.sum("num").alias("den"))
-    resp = joint.join(denom, ["doc_id", "w"]).select(
-        "w", "z", (F.col("n_dw") * F.col("num") / F.col("den")).alias("wgt")
-    )
-    new_wz = resp.groupBy("w", "z").agg(F.sum("wgt").alias("m"))
-    new_norm = new_wz.groupBy("z").agg(F.sum("m").alias("mz"))
-    ranked = (
-        new_wz.join(F.broadcast(new_norm), "z")
-        .select("z", "w", (F.col("m") / F.col("mz")).alias("p_raw"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(W.partitionBy("z").orderBy(F.col("p_raw").desc(), F.col("w"))),
-        )
-        .where(F.col("rnk") <= 5)
-    )
-    return ranked.select(
-        F.col("z").alias("topic"),
-        F.col("rnk").alias("rnk"),
-        "w",
-        F.round("p_raw", 6).alias("p_w_z"),
-    ).orderBy("topic", "rnk")
-
-
-_PLSA_H = (
-    "CAST((((strpos('0123456789abcdef', md5({key})[1]) - 1) * 4096"
-    " + (strpos('0123456789abcdef', md5({key})[2]) - 1) * 256"
-    " + (strpos('0123456789abcdef', md5({key})[3]) - 1) * 16"
-    " + (strpos('0123456789abcdef', md5({key})[4]) - 1)) % 7 + 1) AS DOUBLE)"
-)
-
-PLSA_SQL = f"""
-WITH dt AS (
-  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS n_dw
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-  GROUP BY doc_id, w),
-topics AS (SELECT unnest([0, 1, 2]) AS z),
-wz AS (
-  SELECT w, z, {_PLSA_H.format(key="'pwz:' || w || ':' || CAST(z AS VARCHAR)")} AS s
-  FROM (SELECT DISTINCT w FROM dt) CROSS JOIN topics),
-pwz AS (
-  SELECT w, z, s / sum(s) OVER (PARTITION BY z) AS p_wz FROM wz),
-dz AS (
-  SELECT doc_id, z,
-         {_PLSA_H.format(key="'pzd:' || CAST(doc_id AS VARCHAR) || ':' || CAST(z AS VARCHAR)")} AS s
-  FROM (SELECT DISTINCT doc_id FROM dt) CROSS JOIN topics),
-pzd AS (
-  SELECT doc_id, z, s / sum(s) OVER (PARTITION BY doc_id) AS p_zd FROM dz),
-joint AS (
-  SELECT d.doc_id, d.w, p.z, d.n_dw, p.p_wz * q.p_zd AS num
-  FROM dt d JOIN pwz p USING (w) JOIN pzd q ON q.doc_id = d.doc_id AND q.z = p.z),
-denom AS (
-  SELECT doc_id, w, sum(num) AS den FROM joint GROUP BY doc_id, w),
-resp AS (
-  SELECT j.w, j.z, j.n_dw * j.num / dn.den AS wgt
-  FROM joint j JOIN denom dn ON dn.doc_id = j.doc_id AND dn.w = j.w),
-new_wz AS (
-  SELECT w, z, sum(wgt) AS m FROM resp GROUP BY w, z),
-probs AS (
-  SELECT z, w, m / sum(m) OVER (PARTITION BY z) AS p_raw FROM new_wz),
-ranked AS (
-  SELECT z AS topic, w, round(p_raw, 6) AS p_w_z,
-         CAST(row_number() OVER (PARTITION BY z ORDER BY p_raw DESC, w) AS INT) AS rnk
-  FROM probs)
-SELECT topic, rnk, w, p_w_z
-FROM ranked
-WHERE rnk <= 5
-ORDER BY topic, rnk
-"""
-
-
-def speculative_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Speculative-decoding draft audit — how often would a cheap
-    bigram draft model's greedy guess match the corpus's actual next
-    token? The acceptance rate that decides whether speculative
-    serving pays off: per source, positions where the corpus-level
-    argmax continuation (the draft) equals the observed next token,
-    plus the implied speedup for a k=4 draft run accepted
-    independently at that rate (E[tokens/step] = (1-α^{k+1})/(1-α)).
-
-    100 TB: the draft table (vocabulary², reduced to one argmax row
-    per context word) broadcasts; scoring is one equi-join on the
-    context word over the corpus bigram stream — no LM inference,
-    pure counting."""
-    from pyspark.sql import Window as W
-
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", "source", F.posexplode(_words()).alias("p", "w"))
-    dw = W.partitionBy("doc_id").orderBy("p")
-    bi = toks.select(
-        "source", F.lag("w", 1).over(dw).alias("w1"), F.col("w").alias("w2")
-    ).where(F.col("w1").isNotNull())
-    draft = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("w1", F.col("w2").alias("draft"))
-    )
-    scored = bi.join(F.broadcast(draft), "w1").select(
-        "source", (F.col("w2") == F.col("draft")).cast("int").alias("accepted")
-    )
-    alpha = F.col("n_accepted") / F.col("n_positions")
-    return (
-        scored.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_positions"),
-            F.sum("accepted").cast("bigint").alias("n_accepted"),
-        )
-        .select(
-            "source",
-            "n_positions",
-            "n_accepted",
-            F.round(alpha, 6).alias("acceptance_rate"),
-            F.round((1 - F.pow(alpha, 5)) / (1 - alpha), 6).alias("expected_tokens_per_step"),
-        )
-        .orderBy("source")
-    )
-
-
-SPEC_DRAFT_SQL = """
-WITH toks AS (
-  SELECT doc_id, source, i, w[i] AS tok,
-         CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
-  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
-bi AS (
-  SELECT source, prev AS w1, tok AS w2 FROM toks WHERE prev IS NOT NULL),
-draft AS (
-  SELECT w1, w2 AS draft
-  FROM (SELECT w1, w2, count(*) AS c,
-               row_number() OVER (PARTITION BY w1 ORDER BY count(*) DESC, w2) AS rn
-        FROM bi GROUP BY w1, w2)
-  WHERE rn = 1),
-scored AS (
-  SELECT b.source, CASE WHEN b.w2 = d.draft THEN 1 ELSE 0 END AS accepted
-  FROM bi b JOIN draft d USING (w1))
-SELECT source,
-       count(*)::BIGINT AS n_positions,
-       CAST(sum(accepted) AS BIGINT) AS n_accepted,
-       round(sum(accepted) / CAST(count(*) AS DOUBLE), 6) AS acceptance_rate,
-       round((1 - power(sum(accepted) / CAST(count(*) AS DOUBLE), 5))
-             / (1 - sum(accepted) / CAST(count(*) AS DOUBLE)), 6) AS expected_tokens_per_step
-FROM scored
-GROUP BY source
-ORDER BY source
-"""
-
-
-def feature_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-hashing (hashing-trick) document embedding — the
-    trainless featurizer that bridges the text and vector families:
-    each token hashes to one of 16 dimensions with a ±1 sign hash
-    (the signed construction that makes collisions unbiased), giving
-    every doc a 16-dim count vector with no vocabulary to build, no
-    state to ship. The audit: exact-duplicate docs must embed
-    identically, so per source the distinct-embedding count equals
-    the distinct-normalized-text count, and mean L2 norm scales with
-    token count.
-
-    100 TB: one explode → (doc, dim) aggregate → 16-column pivot per
-    doc, all map-side combined; no vocabulary broadcast AT ALL — the
-    property that makes feature hashing the scale featurizer."""
-    d = 16
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", "source", _norm_text().alias("nt"), F.explode(_words()).alias("w"))
-    hdim = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 4), 16, 10).cast(
-            "bigint"
-        )
-        % d
-    )
-    sign = F.when(
-        F.conv(F.substring(F.md5(F.concat(F.lit("fs:"), F.col("w"))), 1, 1), 16, 10) % 2 == 0,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    cells = toks.groupBy("doc_id", "source", "nt", hdim.alias("dim")).agg(
-        F.sum(sign).alias("v")
-    )
-    emb = cells.groupBy("doc_id", "source", "nt").agg(
-        F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("sv"),
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2"),
-    ).select(
-        "doc_id",
-        "source",
-        "nt",
-        F.md5(F.to_json(F.col("sv"))).alias("emb_fp"),
-        "l2",
-    )
-    return (
-        emb.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("emb_fp").cast("bigint").alias("distinct_embeddings"),
-            F.countDistinct("nt").cast("bigint").alias("distinct_texts"),
-            F.round(F.avg("l2"), 6).alias("mean_l2"),
-        )
-        .select(
-            "*",
-            (F.col("distinct_embeddings") <= F.col("distinct_texts")).alias("dedup_consistent"),
-        )
-        .orderBy("source")
-    )
-
-
-FEATURE_HASH_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, source,
-         regexp_replace(trim(text), '\s+', ' ', 'g') AS nt,
-         unnest(string_split(text, ' ')) AS w
-  FROM documents),
-hashed AS (
-  SELECT doc_id, source, nt,
-         (((strpos('0123456789abcdef', md5('fh:' || w)[1]) - 1) * 4096
-         + (strpos('0123456789abcdef', md5('fh:' || w)[2]) - 1) * 256
-         + (strpos('0123456789abcdef', md5('fh:' || w)[3]) - 1) * 16
-         + (strpos('0123456789abcdef', md5('fh:' || w)[4]) - 1)) % 16) AS dim,
-         CASE WHEN (strpos('0123456789abcdef', md5('fs:' || w)[1]) - 1) % 2 = 0
-              THEN 1 ELSE -1 END AS sign
-  FROM toks),
-cells AS (
-  SELECT doc_id, source, nt, dim, sum(sign) AS v
-  FROM hashed GROUP BY doc_id, source, nt, dim),
-emb AS (
-  SELECT doc_id, source, nt,
-         md5(CAST(list_sort(list(struct_pack(dim := dim, v := v))) AS VARCHAR)) AS emb_fp,
-         sqrt(sum(v * v)) AS l2
-  FROM cells GROUP BY doc_id, source, nt)
-SELECT source, count(*)::BIGINT AS n_docs,
-       count(DISTINCT emb_fp)::BIGINT AS distinct_embeddings,
-       count(DISTINCT nt)::BIGINT AS distinct_texts,
-       round(avg(l2), 6) AS mean_l2,
-       count(DISTINCT emb_fp) <= count(DISTINCT nt) AS dedup_consistent
-FROM emb
-GROUP BY source
-ORDER BY source
-"""
-
-
-def watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Green-list watermark detection (the Kirchenbauer-style
-    statistical watermark): a watermarking LLM boosts tokens whose
-    hash lands in the 'green' half of the vocabulary, so watermarked
-    text shows a green fraction far above the null — detection is a
-    one-sided z-test per document, z = (g − n·p̂)/√(n·p̂(1−p̂)), with
-    the null rate p̂ CALIBRATED on the corpus's own token-occurrence
-    distribution (the fair-coin ½ only holds per unique token; real
-    detectors calibrate against the generating distribution). The
-    corpus is UNWATERMARKED, so the per-source audit must show zero
-    detections at z > 4 with mean z centered at 0 — the
-    false-positive contract a provenance pipeline checks before
-    trusting the detector.
-
-    100 TB: green membership is a stateless hash fused into the scan;
-    p̂ is ONE broadcast scalar; per-doc (n, g) is one aggregate and
-    the z arithmetic a projection."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", "source", F.explode(_words()).alias("w"))
-    green = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("wm:"), F.col("w"))), 1, 4), 16, 10) % 2 == 0
-    ).cast("int")
-    marked = toks.select("doc_id", "source", green.alias("is_green")).localCheckpoint()
-    p_hat = marked.agg(F.avg("is_green").alias("p"))
-    per_doc = marked.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n"), F.sum("is_green").alias("g")
-    )
-    z = (F.col("g") - F.col("n") * F.col("p")) / F.sqrt(
-        F.col("n") * F.col("p") * (1.0 - F.col("p"))
-    )
-    return (
-        per_doc.crossJoin(F.broadcast(p_hat)).select("source", z.alias("z"))
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.avg("z"), 6).alias("mean_z"),
-            F.round(F.max("z"), 6).alias("max_z"),
-            F.sum((F.col("z") > 4.0).cast("int")).cast("bigint").alias("n_detected"),
-        )
-        .select(
-            "*", (F.col("n_detected") == 0).alias("clean_corpus")
-        )
-        .orderBy("source")
-    )
-
-
-WATERMARK_SQL = """
-WITH toks AS (
-  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
-marked AS (
-  SELECT doc_id, source,
-         CASE WHEN (((strpos('0123456789abcdef', md5('wm:' || w)[1]) - 1) * 4096
-                   + (strpos('0123456789abcdef', md5('wm:' || w)[2]) - 1) * 256
-                   + (strpos('0123456789abcdef', md5('wm:' || w)[3]) - 1) * 16
-                   + (strpos('0123456789abcdef', md5('wm:' || w)[4]) - 1)) % 2) = 0
-              THEN 1 ELSE 0 END AS is_green
-  FROM toks),
-p_hat AS (SELECT avg(is_green) AS p FROM marked),
-per_doc AS (
-  SELECT doc_id, source, count(*) AS n, sum(is_green) AS g
-  FROM marked GROUP BY doc_id, source),
-scored AS (
-  SELECT source, (g - n * p) / sqrt(n * p * (1.0 - p)) AS z
-  FROM per_doc CROSS JOIN p_hat)
-SELECT source, count(*)::BIGINT AS n_docs,
-       round(avg(z), 6) AS mean_z,
-       round(max(z), 6) AS max_z,
-       sum(CASE WHEN z > 4.0 THEN 1 ELSE 0 END)::BIGINT AS n_detected,
-       sum(CASE WHEN z > 4.0 THEN 1 ELSE 0 END) = 0 AS clean_corpus
-FROM scored
-GROUP BY source
-ORDER BY source
-"""
-
-
-def canary_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canary leakage audit — the split-hygiene check run before any
-    eval number is trusted: deterministic canary docs (every 23rd
-    doc_id carries an injected canary token, mirrored in the oracle)
-    flow through the SAME hash split as split_train_test, and the
-    audit counts canaries per split plus — the actual tripwire —
-    canary N-GRAM COLLISIONS across splits (a canary 5-gram seen in
-    both train and eval means the split leaks memorizable content).
-    By construction each canary string is unique to one doc, so
-    cross-split collisions must be ZERO; the audit proves the
-    plumbing that a real extraction-attack canary set would ride.
-
-    100 TB: canary injection is a stateless projection; the collision
-    check is one (canary-gram → distinct splits) aggregate — no
-    pair join."""
-    docs = load_table(spark, "documents", sf_dir)
-    split = F.when(
-        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
-        % 100
-        < 80,
-        F.lit("train"),
-    ).otherwise(F.lit("eval"))
-    canaried = docs.select(
-        "doc_id",
-        split.alias("split"),
-        F.when(
-            F.col("doc_id") % 23 == 0,
-            F.concat(F.lit("canary-"), F.col("doc_id").cast("string")),
-        ).alias("canary"),
-    )
-    per_split = canaried.groupBy("split").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.col("canary").isNotNull().cast("int")).cast("bigint").alias("n_canaries"),
-    )
-    collisions = (
-        canaried.where(F.col("canary").isNotNull())
-        .groupBy("canary")
-        .agg(F.countDistinct("split").alias("n_splits"))
-        .agg(
-            F.sum((F.col("n_splits") > 1).cast("int")).cast("bigint").alias("n_leaked")
-        )
-    )
-    return (
-        per_split.crossJoin(F.broadcast(collisions))
-        .select(
-            "split",
-            "n_docs",
-            "n_canaries",
-            "n_leaked",
-            (F.col("n_leaked") == 0).alias("split_hygienic"),
-        )
-        .orderBy("split")
-    )
-
-
-CANARY_SQL = """
-WITH canaried AS (
-  SELECT doc_id,
-         CASE WHEN (((strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
-                   + (strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[2]) - 1) * 256
-                   + (strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[3]) - 1) * 16
-                   + (strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[4]) - 1)) % 100) < 80
-              THEN 'train' ELSE 'eval' END AS split,
-         CASE WHEN doc_id % 23 = 0 THEN 'canary-' || doc_id END AS canary
-  FROM documents),
-per_split AS (
-  SELECT split, count(*)::BIGINT AS n_docs,
-         sum(CASE WHEN canary IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_canaries
-  FROM canaried GROUP BY split),
-collisions AS (
-  SELECT CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked
-  FROM (SELECT canary, count(DISTINCT split) AS n_splits
-        FROM canaried WHERE canary IS NOT NULL GROUP BY canary))
-SELECT split, n_docs, n_canaries, n_leaked, n_leaked = 0 AS split_hygienic
-FROM per_split CROSS JOIN collisions
-ORDER BY split
 """
 
 
@@ -3285,122 +2098,6 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
                  / (1 - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n))) > 0.2 THEN 'fair'
             ELSE 'slight' END AS band
 FROM conf
-ORDER BY source
-"""
-
-
-def prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KV prefix-cache savings estimate — the serving-side win of
-    prefix dedup: when many prompts share an opening (system prompts,
-    templates, boilerplate), an inference server re-uses the cached KV
-    state for the shared 8-token prefix instead of recomputing it.
-    Per source: distinct prefixes vs docs (the hit rate a
-    prefix-keyed cache would see on this corpus) and the prefill
-    tokens that cache would absorb — the capacity-planning number.
-
-    100 TB: the prefix is a stateless slice+hash fused into the scan;
-    the census is one (source, prefix) aggregate then one (source)
-    roll-up, both map-side combined."""
-    k = 8
-    docs = load_table(spark, "documents", sf_dir)
-    prefix = F.md5(F.concat_ws(" ", F.slice(_words(), 1, k)))
-    per_prefix = docs.select("source", prefix.alias("pfx")).groupBy("source", "pfx").agg(
-        F.count("*").cast("bigint").alias("n_docs_with_pfx")
-    )
-    return (
-        per_prefix.groupBy("source")
-        .agg(
-            F.sum("n_docs_with_pfx").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("distinct_prefixes"),
-            F.round(
-                F.lit(1.0) - F.count("*") / F.sum("n_docs_with_pfx"), 6
-            ).alias("cache_hit_rate"),
-            ((F.sum("n_docs_with_pfx") - F.count("*")) * k).cast("bigint").alias(
-                "prefill_tokens_saved"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-PREFIX_CACHE_SQL = """
-WITH per_prefix AS (
-  SELECT source, md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pfx,
-         count(*)::BIGINT AS n
-  FROM documents GROUP BY source, 2)
-SELECT source,
-       CAST(sum(n) AS BIGINT) AS n_docs,
-       count(*)::BIGINT AS distinct_prefixes,
-       round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS cache_hit_rate,
-       CAST((sum(n) - count(*)) * 8 AS BIGINT) AS prefill_tokens_saved
-FROM per_prefix
-GROUP BY source
-ORDER BY source
-"""
-
-
-def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-vocabulary audit for a fixed-size tokenizer vocabulary —
-    the sizing decision tokenizer_fertility feeds: with the vocabulary
-    capped at the top-30 corpus tokens by frequency, what fraction of
-    TOKEN OCCURRENCES per source falls out of vocabulary, and what
-    character-fallback expansion factor would OOV tokens pay (each
-    OOV token re-tokenizes to its characters)? The per-source table a
-    multilingual budget review reads next to fertility.
-
-    100 TB: the vocabulary is one frequency aggregate reduced by
-    TakeOrdered(30) and broadcast; the audit is one token-stream pass
-    with an anti-join-free IN check via the broadcast join."""
-    vocab_k = 30
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("source", F.explode(_words()).alias("w"))
-    vocab = (
-        toks.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w"))
-        .limit(vocab_k)
-        .select("w", F.lit(1).alias("in_vocab"))
-    )
-    scored = toks.join(F.broadcast(vocab), "w", "left").select(
-        "source",
-        "w",
-        F.coalesce("in_vocab", F.lit(0)).alias("iv"),
-        F.length("w").alias("len"),
-    )
-    return (
-        scored.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum(F.lit(1) - F.col("iv")).cast("bigint").alias("n_oov"),
-            F.round(F.avg(F.lit(1.0) - F.col("iv")), 6).alias("oov_rate"),
-            F.round(
-                (F.sum(F.col("iv")) + F.sum((F.lit(1) - F.col("iv")) * F.col("len")))
-                / F.count("*"),
-                6,
-            ).alias("fallback_expansion"),
-        )
-        .orderBy("source")
-    )
-
-
-VOCAB_OOV_SQL = """
-WITH toks AS (
-  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
-vocab AS (
-  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
-                 ORDER BY c DESC, w LIMIT 30)),
-scored AS (
-  SELECT t.source, t.w,
-         CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS iv,
-         length(t.w) AS len
-  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
-SELECT source,
-       count(*)::BIGINT AS n_tokens,
-       CAST(sum(1 - iv) AS BIGINT) AS n_oov,
-       round(avg(1.0 - iv), 6) AS oov_rate,
-       round((sum(iv) + sum((1 - iv) * len)) / CAST(count(*) AS DOUBLE), 6) AS fallback_expansion
-FROM scored
-GROUP BY source
 ORDER BY source
 """
 
@@ -3616,106 +2313,6 @@ SELECT source,
 FROM wdoc
 GROUP BY source
 ORDER BY source
-"""
-
-
-def ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language token entropy profile: unigram entropy H(W), the
-    bigram conditional entropy rate H(W₂|W₁), and their gap (the
-    information one token of context buys) — the corpus-statistics
-    fingerprint that separates natural prose (large gap) from
-    template/boilerplate text (tiny gap: the next token is already
-    determined). H(W₂|W₁) = −Σ p(w₁w₂)·log2(c₁₂/c₁·) from bigram and
-    left-marginal counts, all integer-exact until the final log.
-
-    100 TB: one bigram explode + two hash aggregates per language;
-    entropy sums are per-language 1-row reductions — the word-count
-    shape end to end."""
-    docs = load_table(spark, "documents", sf_dir)
-    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
-    bg = d.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(w) - 2, 0)),"
-                " i -> struct(get(w, i) as w1, get(w, i + 1) as w2))"
-            )
-        ).alias("p"),
-    ).where(F.col("p.w1").isNotNull() & F.col("p.w2").isNotNull())
-    c12 = bg.groupBy("lang", "p.w1", "p.w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
-    n = c12.groupBy("lang").agg(F.sum("c12").alias("n"))
-    cond = (
-        c12.join(c1, ["lang", "w1"])
-        .join(n, "lang")
-        .groupBy("lang")
-        .agg(
-            F.round(
-                -F.sum(
-                    (F.col("c12") / F.col("n"))
-                    * F.log2(F.col("c12") / F.col("c1"))
-                ),
-                6,
-            ).alias("h_bigram_cond"),
-            F.max("n").alias("n_bigrams"),
-        )
-    )
-    uni = (
-        c1.join(n, "lang")
-        .groupBy("lang")
-        .agg(
-            F.round(
-                -F.sum((F.col("c1") / F.col("n")) * F.log2(F.col("c1") / F.col("n"))),
-                6,
-            ).alias("h_unigram")
-        )
-    )
-    return (
-        uni.join(cond, "lang")
-        .select(
-            "lang",
-            "n_bigrams",
-            "h_unigram",
-            "h_bigram_cond",
-            F.round(F.col("h_unigram") - F.col("h_bigram_cond"), 6).alias("context_gain"),
-        )
-        .orderBy("lang")
-    )
-
-
-NGRAM_ENTROPY_SQL = r"""
-WITH d AS (
-  SELECT lang,
-         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
-  FROM documents
-), bg AS (
-  SELECT lang,
-         unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
-                               i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
-  FROM d
-), pairs AS (
-  SELECT lang, p.w1 AS w1, p.w2 AS w2 FROM bg
-  WHERE p.w1 IS NOT NULL AND p.w2 IS NOT NULL
-), c12 AS (
-  SELECT lang, w1, w2, count(*) AS c12 FROM pairs GROUP BY lang, w1, w2),
-c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY lang, w1),
-n AS (SELECT lang, sum(c12) AS n FROM c12 GROUP BY lang),
-cond AS (
-  SELECT c12.lang,
-         round(-sum((c12 / n.n) * log2(c12 / c1.c1)), 6) AS h_bigram_cond,
-         max(n.n) AS n_bigrams
-  FROM c12 JOIN c1 USING (lang, w1) JOIN n USING (lang)
-  GROUP BY c12.lang),
-uni AS (
-  SELECT c1.lang, round(-sum((c1 / n.n) * log2(c1 / n.n)), 6) AS h_unigram
-  FROM c1 JOIN n USING (lang)
-  GROUP BY c1.lang)
-SELECT lang,
-       CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       h_unigram, h_bigram_cond,
-       round(h_unigram - h_bigram_cond, 6) AS context_gain
-FROM uni JOIN cond USING (lang)
-ORDER BY lang
 """
 
 
@@ -4000,101 +2597,6 @@ FROM pairs
 WHERE levenshtein(t_a, t_b) = 1
 ORDER BY combined_tf DESC, t_a, t_b
 LIMIT 20
-"""
-
-
-def lm_interpolation_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One EM step for the interpolation weight λ of a
-    bigram/unigram mixture LM, Jelinek-Mercer style: train counts
-    from even doc_ids, held-out bigrams from odd doc_ids, and the
-    E-step posterior of the bigram component — λ' = mean over
-    held-out tokens of λ·p_bi/(λ·p_bi + (1−λ)·p_uni) from λ₀ = 0.5 —
-    the standard smoothing-weight estimator (Kneser-Ney's
-    fixed-discount cousin, kneser_ney_bigram). Emits per-language λ'
-    and the held-out mixture log-likelihood at λ₀.
-
-    100 TB: train tables are vocabulary-scale aggregates; the E-step
-    is one join of held-out bigrams against the two broadcastable
-    probability tables and a per-language mean — a single corpus
-    pass each side of the split."""
-    docs = load_table(spark, "documents", sf_dir)
-    d = docs.withColumn("w", F.split(F.lower(_norm_text()), " "))
-    bg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(w) - 2, 0)),"
-                " i -> struct(get(w, i) as w1, get(w, i + 1) as w2))"
-            )
-        ).alias("p"),
-    ).where(F.col("p.w1").isNotNull() & F.col("p.w2").isNotNull())
-    bg = bg.select("doc_id", "lang", "p.w1", "p.w2")
-    train = bg.where(F.col("doc_id") % 2 == 0)
-    held = bg.where(F.col("doc_id") % 2 == 1)
-    c12 = train.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
-    cu = train.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("cu"))
-    nt = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nt"))
-    j = (
-        held.join(c12, ["lang", "w1", "w2"], "left")
-        .join(c1, ["lang", "w1"], "left")
-        .join(cu, ["lang", "w2"], "left")
-        .join(nt, "lang")
-    )
-    # add-one-smoothed component probabilities (identical both engines)
-    p_bi = (F.coalesce(F.col("c12"), F.lit(0)) + 1.0) / (
-        F.coalesce(F.col("c1"), F.lit(0)) + 1000.0
-    )
-    p_uni = (F.coalesce(F.col("cu"), F.lit(0)) + 1.0) / (F.col("nt") + 1000.0)
-    lam0 = 0.5
-    mix = lam0 * p_bi + (1 - lam0) * p_uni
-    post = lam0 * p_bi / mix
-    return (
-        j.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_heldout"),
-            F.round(F.avg(post), 6).alias("lambda_next"),
-            F.round(F.avg(F.log(mix)), 6).alias("heldout_ll"),
-        )
-        .orderBy("lang")
-    )
-
-
-LM_INTERP_SQL = r"""
-WITH d AS (
-  SELECT doc_id, lang,
-         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
-bg AS (
-  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
-  FROM (SELECT doc_id, lang,
-               unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
-                                     i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
-        FROM d)
-  WHERE p.w1 IS NOT NULL AND p.w2 IS NOT NULL),
-train AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
-held AS (SELECT * FROM bg WHERE doc_id % 2 = 1),
-c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2, 3),
-c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY 1, 2),
-cu AS (SELECT lang, w2, count(*) AS cu FROM train GROUP BY 1, 2),
-nt AS (SELECT lang, count(*) AS nt FROM train GROUP BY 1),
-j AS (
-  SELECT h.lang,
-         (coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + 1000.0) AS p_bi,
-         (coalesce(cu.cu, 0) + 1.0) / (nt.nt + 1000.0) AS p_uni
-  FROM held h
-  LEFT JOIN c12 ON c12.lang = h.lang AND c12.w1 = h.w1 AND c12.w2 = h.w2
-  LEFT JOIN c1 ON c1.lang = h.lang AND c1.w1 = h.w1
-  LEFT JOIN cu ON cu.lang = h.lang AND cu.w2 = h.w2
-  JOIN nt ON nt.lang = h.lang)
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_heldout,
-       round(avg(0.5 * p_bi / (0.5 * p_bi + 0.5 * p_uni)), 6) AS lambda_next,
-       round(avg(ln(0.5 * p_bi + 0.5 * p_uni)), 6) AS heldout_ll
-FROM j
-GROUP BY lang
-ORDER BY lang
 """
 
 
@@ -4680,3 +3182,47 @@ SELECT n_sources,
        round(1 / hhi_d, 4) AS effective_sources_docs
 FROM r
 """
+
+
+# Round-8 file-size split (VERDICT r7 item 6 criterion): the
+# language-model / tokenizer / serving-audit theme lives in
+# textlm.py; re-exported here so catalog keys and external imports
+# (`text.<name>`) are unchanged.
+from hematite_spark.queries.textlm import (  # noqa: E402,F401
+    text_unigram_logprob,
+    UNIGRAM_LOGPROB_SQL,
+    text_bigram_logprob,
+    BIGRAM_LOGPROB_SQL,
+    bpe_learn_merges,
+    BPE_SQL,
+    bpe_apply_compression,
+    BPE_APPLY_SQL,
+    tokenizer_fertility,
+    TOKENIZER_FERTILITY_SQL,
+    mlm_masking_plan,
+    MLM_MASKING_SQL,
+    eval_ngram_coverage,
+    EVAL_COVERAGE_SQL,
+    skipgram_sampling_plan,
+    SKIPGRAM_SQL,
+    kneser_ney_bigram,
+    KNESER_NEY_SQL,
+    plsa_em_step,
+    PLSA_SQL,
+    speculative_draft_acceptance,
+    SPEC_DRAFT_SQL,
+    feature_hashing_embed,
+    FEATURE_HASH_SQL,
+    watermark_greenlist_detect,
+    WATERMARK_SQL,
+    canary_leakage_audit,
+    CANARY_SQL,
+    prefix_cache_savings,
+    PREFIX_CACHE_SQL,
+    vocab_oov_audit,
+    VOCAB_OOV_SQL,
+    ngram_entropy_rate,
+    NGRAM_ENTROPY_SQL,
+    lm_interpolation_em_step,
+    LM_INTERP_SQL,
+)

@@ -127,3 +127,24 @@ def test_newest_comparable_round_wins(tmp_path):
     )
     prev = bench._latest_prev_bench(str(tmp_path), 0.1, "single")
     assert prev["value"] == 6.0
+
+
+def test_no_query_module_exceeds_line_budget():
+    """VERDICT r7 item 6 done-criterion: no source file >4,000 lines.
+
+    advanced.py (9.4k) was split in round 8 into stats/timeseries/
+    lake/recsys and text.py (4.7k) shed its LM/tokenizer theme into
+    textlm.py; this pins the budget so future widening splits instead
+    of re-accreting a monolith.
+    """
+    root = os.path.join(os.path.dirname(_BENCH_PATH), "hematite_spark")
+    over = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".py"):
+                path = os.path.join(dirpath, fn)
+                with open(path) as f:
+                    n = sum(1 for _ in f)
+                if n > 4000:
+                    over.append((os.path.relpath(path, root), n))
+    assert not over, f"files over the 4,000-line budget: {over}"
