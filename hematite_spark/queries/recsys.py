@@ -1374,7 +1374,16 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side's exchange); the top-M cap bounds candidate scoring
     at O(customers × items-per-customer × M); the one explicit
     custkey repartition serves the (custkey, q) aggregate AND the
-    top-3 window, so the candidate table crosses the wire once."""
+    top-3 window, so the candidate table crosses the wire once.
+
+    Measured (round 8, fresh JVM, sf0.1, 5 reps): median 7.29 s /
+    min 6.89 s — at parity with round 6's 7.16 s in-suite single
+    shot. A broadcast alternative (collapse capped co-lists to
+    per-item struct arrays, broadcast them into the custkey-
+    partitioned train table so candidate scoring is shuffle-free)
+    was A/B'd and REJECTED: 16.1 s median — the collect_list build
+    plus the un-pre-reduced explode aggregate cost more than the
+    single candidate exchange they replace."""
     from pyspark.sql import Window as W
 
     from hematite_spark.io import table_bytes
