@@ -1697,6 +1697,13 @@ def seasonally_adjusted_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the day counts (n_pairs = C(days, 2)) so no count window
     # buffers the partition. Stable ~8s; the per-group pair space is
     # calendar-bounded, so the sort width is scale-invariant.
+    # Rejected A/B (round 8): a bracketed-selection exact median
+    # (percentile_approx(0.499,0.501) brackets -> exact below-count ->
+    # sort only the bracket window) measured WORSE and erratic at
+    # sf0.1 (median 28.3s, reps 10.2-57.5 vs 19.1s here): the GK
+    # sketch at accuracy 10000 over 14M continuous doubles is itself
+    # a boxed-buffer aggregate with old-gen churn, and it must run
+    # before the selection scans can start.
     med_sr = pairs.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.median("sr"), 6).alias("raw_slope"),
