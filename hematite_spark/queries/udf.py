@@ -116,25 +116,51 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate lands within 5% (or ±2) of its own exact count. If
     either engine's HLL blows its error bound the boolean flips and
     the value-hash comparison fails — a checked contract rather than
-    a rows-only row. Absolute errors asserted in unit tests too."""
+    a rows-only row. Absolute errors asserted in unit tests too.
+
+    Plan note (round 8): two countDistinct columns in ONE aggregate
+    make Catalyst Expand every row 3× (one projection per distinct
+    group + one for the plain aggregates) before the partial hash —
+    ×64 probe measured 162 s. Instead each key runs its own
+    dedup-then-count pass (dropDuplicates partial-aggregates
+    map-side; count + HLL over the deduped pairs — HLL is a set
+    sketch, so the estimate over distinct values is bit-identical to
+    the estimate over raw rows), and the two 3-row results join.
+    Measured: sf0.1 6.0 → 2.0 s; the scans also prune to two columns
+    each instead of three."""
     li = load_table(spark, "lineitem", sf_dir)
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
-    )
+
+    def one(key: str, exact_name: str, approx_name: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", key)
+            .where(F.col(key).isNotNull())
+            .dropDuplicates(["l_returnflag", key])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias(exact_name),
+                F.approx_count_distinct(key, rsd=0.02).alias(approx_name),
+            )
+        )
+
+    parts = one("l_partkey", "exact_parts", "_ap")
+    orders = one("l_orderkey", "exact_orders", "_ao")
+
     def within(est, exact):
         return F.abs(est - F.col(exact)) <= F.greatest(
             0.05 * F.col(exact), F.lit(2.0)
         )
-    return agg.select(
-        "l_returnflag",
-        "exact_parts",
-        "exact_orders",
-        within(F.col("_ap"), "exact_parts").alias("parts_within_bound"),
-        within(F.col("_ao"), "exact_orders").alias("orders_within_bound"),
-    ).orderBy("l_returnflag")
+
+    return (
+        parts.join(orders, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            within(F.col("_ap"), "exact_parts").alias("parts_within_bound"),
+            within(F.col("_ao"), "exact_orders").alias("orders_within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 AGG_APPROX_DISTINCT_SQL = """
