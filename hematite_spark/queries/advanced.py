@@ -1150,9 +1150,23 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear_probe_gd pattern: alternate join + aggregate to a fixed
     point); top 10 parts.
 
-    100 TB: degrees are one aggregate; the step is one equi-join on
-    the edge endpoint + one sum per node — BSP superstep as pure
-    dataflow, no driver round-trip."""
+    100 TB: the step is one count window over the out-endpoint + one
+    sum per node — BSP superstep as pure dataflow, no driver
+    round-trip. Degree comes from count(*) OVER (PARTITION BY u) on
+    the edge list itself (round 8): the former deg-aggregate-and-join
+    made Spark recompute the whole per-order pair explosion for BOTH
+    subtrees (no automatic CTE reuse in DataFrame lineage), and a
+    localCheckpoint cut measured WORSE at ×64 (materializing the
+    64×-edge list cost more than one recompute). The window
+    partitions by part key — high cardinality, so parallelism scales
+    with the graph, and the edge list is computed exactly once.
+    Interleaved 3-rep ×64 A/B: window 46.6 s vs join 61.1 s medians
+    (wide GC-driven spread on both — the ×64 walls here are
+    environment-noise-bound). A collect_set-per-basket pair
+    generation (one orderkey shuffle, in-partition explode) was also
+    A/B'd and measured a wash (95.9 vs 98.7 s median, reps 22-183 s)
+    — rejected: no win to justify diverging from the shared
+    self-join edge-list idiom the oracle SQL mirrors."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -1167,8 +1181,9 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select("u", "v")
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    contrib = und.join(deg, "u").select("v", (1.0 / F.col("deg")).alias("c"))
+    contrib = und.select(
+        "v", (1.0 / F.count(F.lit(1)).over(W.partitionBy("u")).cast("double")).alias("c")
+    )
     return (
         contrib.groupBy("v")
         .agg(F.round(0.15 + 0.85 * F.sum("c"), 6).alias("rank_1"),
@@ -1205,8 +1220,24 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy with hubs (rich-club), negative means hub-and-spoke. One
     scalar that says whether degree-based partitioning will skew.
 
-    100 TB: degrees are one aggregate joined back; the correlation
-    is a 1-row moment reduction over the edge list."""
+    100 TB: endpoint degrees are count(*) windows over the edge list
+    partitioned by each endpoint (round 8) — the former
+    deg-aggregate-plus-two-joins recomputed the per-order pair
+    explosion THREE times (six lineitem scans in the physical plan),
+    and a localCheckpoint cut measured WORSE at ×64 (184 s —
+    materializing the 64×-edge list dwarfs a recompute). The windows
+    partition by part key (high cardinality → parallelism scales with
+    the graph); the edge list is computed once and the correlation is
+    a 1-row moment reduction. Interleaved 3-rep ×64 A/B: windows
+    23.2 s vs joins 25.3 s medians (the single-shot probe walls for
+    this entry swing 100-344 s with page-cache/GC state — only the
+    interleaved comparison is trustworthy).
+
+    Degree semantics (unchanged): the pair list is SYMMETRIC — the
+    self-join's ≠ condition emits both (a,b) and (b,a), and support
+    is symmetric — so in-degree equals out-degree for every node and
+    count(*) OVER (PARTITION BY v) is exactly the former
+    out-degree-of-v join."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -1221,10 +1252,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select("u", "v")
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    du = deg.select(F.col("u").alias("u2"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("u").alias("v2"), F.col("deg").alias("dv"))
-    e = und.join(du, und.u == du.u2).join(dv, und.v == dv.v2)
+    e = und.select(
+        F.count(F.lit(1)).over(W.partitionBy("u")).cast("double").alias("du"),
+        F.count(F.lit(1)).over(W.partitionBy("v")).cast("double").alias("dv"),
+    )
     r = e.agg(
         F.count(F.lit(1)).cast("double").alias("m"),
         F.avg("du").alias("mu"),

@@ -132,6 +132,20 @@ def run(spark, fn, sf_dir) -> float:
     return time.time() - t0
 
 
+# Single-shot xl walls are NOISY (round 8): first-in-JVM runs pay
+# cold page-cache IO for the multi-GB xl tables, and later runs ride
+# GC pressure — the same plan measured 110-340 s across consecutive
+# runs in one JVM. SPARK_GRAFT_XL_REPS=3 reports the per-measurement
+# MEDIAN instead; keep the default 1 for full sweeps (wall budget)
+# and use 3 for targeted re-probes / A-B adjudication.
+XL_REPS = max(1, int(os.environ.get("SPARK_GRAFT_XL_REPS", "1")))
+
+
+def run_med(spark, fn, sf_dir) -> float:
+    walls = sorted(run(spark, fn, sf_dir) for _ in range(XL_REPS))
+    return walls[len(walls) // 2]
+
+
 def main(argv) -> int:
     n_heaviest = int(argv[0]) if argv and argv[0].isdigit() else 20
     names = [a for a in argv if not a.isdigit()]
@@ -156,8 +170,8 @@ def main(argv) -> int:
     for name in names:
         fn = qs[name]
         run(spark, fn, WARM_DIR)  # HotSpot warm-up (bench.py lesson)
-        base_s = run(spark, fn, SRC_DIR)
-        xl_s = run(spark, fn, XL_DIR)
+        base_s = run_med(spark, fn, SRC_DIR)
+        xl_s = run_med(spark, fn, XL_DIR)
         ratio = round(xl_s / base_s, 2) if base_s > 0 else None
         out[name] = {
             "sf0_1_s": round(base_s, 3),
