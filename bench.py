@@ -24,6 +24,7 @@ which is the actual target.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -138,6 +139,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 4)
             print(f"# {label}{name}: {out[name]:.2f}s", file=sys.stderr)
+            # Drop the query's localCheckpoint RDD references NOW
+            # (outside the per-query timer): across reps x 53 queries
+            # the checkpoint blocks otherwise pile up in the shared
+            # heap until Python's lazy GC lets ContextCleaner at them,
+            # and the later queries' walls ride that GC churn (the
+            # 2.6-14.3s rep spreads of round 8's record).
+            del df
+            gc.collect()
         return out
 
     # Per-query warm-up at the smallest sf: compiles every query's

@@ -178,6 +178,8 @@ def main(argv) -> int:
             f"xl{REPLICAS}_s": round(xl_s, 3),
             "ratio": ratio,
         }
+        if XL_REPS > 1:
+            out[name]["reps"] = XL_REPS
         flag = ratio is not None and base_s >= MIN_BASE_SEC and ratio > FLAG_RATIO
         if flag:
             risks.append(f"{name} {ratio}x (sf0.1 {base_s:.2f}s -> xl{REPLICAS} {xl_s:.2f}s)")
