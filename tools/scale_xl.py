@@ -29,6 +29,7 @@ Run: python tools/scale_xl.py [N_heaviest] [name ...]
 
 from __future__ import annotations
 
+import gc
 import hashlib
 import json
 import os
@@ -129,7 +130,12 @@ def build_xl(spark) -> None:
 def run(spark, fn, sf_dir) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    wall = time.time() - t0
+    # Same lesson as bench.py's run_suite (round 8): drop checkpoint
+    # RDD references promptly or successive entries measure each
+    # other's GC debt — at xl sizes the dead blocks are GBs.
+    gc.collect()
+    return wall
 
 
 # Single-shot xl walls are NOISY (round 8): first-in-JVM runs pay
