@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [name ...]
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -30,21 +31,28 @@ def main(names):
     failures = []
     for name in selected:
         t0 = time.time()
+        df = None
         try:
             df = qs[name](spark, SF_DIR)
             if name not in oracles:
                 print(f"· {name}: no oracle (rows-only) — {df.count()} rows [{time.time()-t0:.1f}s]")
                 continue
             mismatch = compare(df, con, oracles[name])
+            if mismatch:
+                failures.append((name, mismatch))
+                print(f"✗ {name}: {mismatch}")
+            else:
+                print(f"✓ {name}: match [{time.time()-t0:.1f}s]")
         except Exception as e:
             failures.append((name, str(e)))
             print(f"✗ {name}: error: {e}")
-            continue
-        if mismatch:
-            failures.append((name, mismatch))
-            print(f"✗ {name}: {mismatch}")
-        else:
-            print(f"✓ {name}: match [{time.time()-t0:.1f}s]")
+        finally:
+            # drop checkpoint RDD references promptly (bench.py
+            # lesson, round 8): 362 entries in one JVM otherwise
+            # accumulate GBs of dead checkpoint blocks and the
+            # sweep tail crawls
+            del df
+            gc.collect()
     print(f"\n{len(selected) - len(failures)}/{len(selected)} match")
     return 1 if failures else 0
 

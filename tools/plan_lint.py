@@ -19,6 +19,7 @@ Usage: python tools/plan_lint.py [name ...]
 
 from __future__ import annotations
 
+import gc
 import io
 import os
 import re
@@ -233,6 +234,10 @@ def main(names):
             print(f"✗ {name}: {', '.join(problems)}")
         else:
             print(f"✓ {name}")
+        # release eager-checkpoint blocks between entries (round 8):
+        # plan builds run the build-time localCheckpoints, and a full
+        # catalog lint otherwise accumulates their dead RDD blocks
+        gc.collect()
     print(f"\n{len(selected) - len(bad)}/{len(selected)} clean")
     return 1 if bad else 0
 
