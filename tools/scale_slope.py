@@ -15,6 +15,7 @@ Run: python tools/scale_slope.py [name ...]   → writes SCALE_SLOPE.json
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -41,7 +42,10 @@ def run(spark, fn, sf_dir) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    wall = time.time() - t0
+    # release checkpoint blocks promptly (bench.py lesson, round 8)
+    gc.collect()
+    return wall
 
 
 def main(names) -> int:
