@@ -722,6 +722,44 @@ ORDER BY drop_doc
 _CC_DRIVER_MAX = 2_000_000
 
 
+def _cc_superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One distributed CC superstep: neighbor-min label propagation
+    followed by POINTER JUMPING (label(u) ← min(label(u),
+    label(label(u)))). Plain neighbor-min converges in
+    graph-DIAMETER supersteps — fine for near-dup graphs (tiny
+    components, 2-4 rounds) but the ×64 scale probe caught the
+    pathological case (round 8): replicated same-name part records
+    chain into path-shaped clusters of diameter ~10²,  and
+    entity_resolution_pipeline's closure ran 100+ supersteps at ×64.
+    The jump doubles the propagated distance every round, so
+    convergence is O(log diameter) with one extra labels-sized join
+    per round; labels still only decrease, so the label-sum
+    convergence test is unchanged.
+
+    Both intermediate tables are checkpointed: each is consumed
+    twice (the jump joins the stepped table to itself; the returned
+    labels feed the next round's join AND union AND jump)."""
+    stepped = (
+        edges.join(labels, edges.doc_b == labels.node)
+        .select(F.col("doc_a").alias("node"), "label")
+        .unionByName(labels)  # keep own label (and isolated nodes)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint()
+    )
+    jump = stepped.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+    return (
+        stepped.join(jump, stepped.label == jump.jn, "left")
+        .select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("jl"), F.col("label"))
+            ).alias("label"),
+        )
+        .localCheckpoint()
+    )
+
+
 def _cc_driver_side(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Union-find over a driver-collected edge list; returns the same
     (cluster_keeper, n_members, max_doc_id) frame as the distributed
@@ -762,13 +800,18 @@ def dedup_connected_components(
     into actual dedup decisions (one keeper per cluster, even when
     A~B~C but A≁C directly).
 
-    Iterative min-label propagation: every node starts labeled with
-    itself; each superstep takes the min of its neighbors' labels;
-    converges in graph-diameter supersteps. Each superstep is one
-    distributed join+aggregate — the Pregel pattern on DataFrames —
-    and lineage is cut per iteration (localCheckpoint) so plans don't
-    nest. Near-dup graphs are overwhelmingly tiny components, so this
-    converges in 2-4 supersteps regardless of corpus size.
+    Iterative min-label propagation WITH POINTER JUMPING: every node
+    starts labeled with itself; each superstep takes the min of its
+    neighbors' labels, then follows the label's own label
+    (label(label(u))) so the propagated distance doubles per round —
+    O(log diameter) supersteps where plain neighbor-min needs
+    diameter (the ×64 probe caught a diameter-10² path-cluster case
+    running 100+ rounds; see _cc_superstep). Each superstep is one
+    distributed join+aggregate plus a labels-sized jump join — the
+    Pregel pattern on DataFrames — and lineage is cut per iteration
+    (localCheckpoint) so plans don't nest. Near-dup graphs are
+    overwhelmingly tiny components, so this converges in 2-4
+    supersteps regardless of corpus size.
 
     Size-adaptive execution, the same policy Catalyst applies to join
     sides: the candidate-pair graph is a tiny fraction of the corpus
@@ -797,19 +840,14 @@ def dedup_connected_components(
     labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    # min-label propagation: labels only ever decrease, so the label
-    # sum is strictly monotone until the fixpoint — convergence is one
-    # cheap sum per superstep instead of an old-vs-new join.
+    # min-label propagation + pointer jumping (_cc_superstep):
+    # labels only ever decrease, so the label sum is strictly
+    # monotone until the fixpoint — convergence is one cheap sum per
+    # superstep instead of an old-vs-new join, and the jump bounds
+    # rounds by O(log diameter) instead of diameter.
     prev_sum = None
     while True:
-        labels = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .select(F.col("doc_a").alias("node"), "label")
-            .unionByName(labels)  # keep own label (and isolated nodes)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
+        labels = _cc_superstep(edges, labels)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
@@ -1350,14 +1388,7 @@ def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
     prev_sum = None
     while True:
-        labels = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .select(F.col("doc_a").alias("node"), "label")
-            .unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
+        labels = _cc_superstep(edges, labels)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -258,6 +258,36 @@ def test_cc_distributed_path_matches_driver_path(spark, monkeypatch):
     assert len(small) > 0  # non-trivial at sf0.001
 
 
+def test_cc_pointer_jumping_handles_deep_paths(spark, monkeypatch):
+    """A path graph of 200 nodes has diameter 199: plain neighbor-min
+    label propagation needs ~199 supersteps (the x64 probe caught
+    entity_resolution_pipeline doing exactly this on replica-chained
+    same-name records); pointer jumping must converge in O(log n)
+    rounds with the correct component minimum everywhere."""
+    from hematite_spark.queries import dedup
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a bigint, doc_b bigint"
+    )
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX", -1)
+    calls = 0
+    orig = dedup._cc_superstep
+
+    def counting(edges, labels):
+        nonlocal calls
+        calls += 1
+        return orig(edges, labels)
+
+    monkeypatch.setattr(dedup, "_cc_superstep", counting)
+    labels = dedup._cc_labels(spark, pairs).collect()
+    assert len(labels) == n
+    assert all(r.label == 1 for r in labels)
+    # 2^k reach per k rounds -> ~8 productive rounds + 1 to confirm
+    # the fixpoint; 16 is generous headroom, 199 would be the bug
+    assert calls <= 16, f"{calls} supersteps for a 200-node path"
+
+
 def test_lsh_no_spurious_pairs_for_short_docs(spark, tmp_path):
     """Docs too short to shingle (<3 words) have all-NULL minhash
     signatures; their band keys must be NULL (join with nothing), not

@@ -190,17 +190,20 @@ def main(argv) -> int:
         if flag:
             risks.append(f"{name} {ratio}x (sf0.1 {base_s:.2f}s -> xl{REPLICAS} {xl_s:.2f}s)")
         print(f"# xl{REPLICAS}/{name}: {base_s:.2f}s -> {xl_s:.2f}s ({ratio}x)", file=sys.stderr)
-    with open(path, "w") as f:
-        json.dump(
-            {
-                "replicas": REPLICAS,
-                "flag_ratio": FLAG_RATIO,
-                "risks": risks,
-                "entries": dict(sorted(out.items())),
-            },
-            f,
-            indent=1,
-        )
+        # write after EVERY entry (round 8): a killed or crashed sweep
+        # used to lose all its measurements because the report only
+        # landed at the end
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "replicas": REPLICAS,
+                    "flag_ratio": FLAG_RATIO,
+                    "risks": risks,
+                    "entries": dict(sorted(out.items())),
+                },
+                f,
+                indent=1,
+            )
     print(json.dumps({"xl_entries": len(out), "risks": risks}))
     return 0
 
