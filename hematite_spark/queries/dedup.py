@@ -722,6 +722,36 @@ ORDER BY drop_doc
 _CC_DRIVER_MAX = 2_000_000
 
 
+def _stats_cut(df: DataFrame) -> DataFrame:
+    """localCheckpoint + COST-ESTIMATE RESET for iterative dataflow.
+
+    Dataset.localCheckpoint rewrites the new LogicalRDD leaf's stats
+    from the ORIGIN plan (ExistingRDD.rewriteStatsAndConstraints), so
+    sizeInBytes estimates COMPOUND across supersteps: every join
+    multiplies them, the digits of the BigInteger estimate roughly
+    triple per round, and after ~10 checkpointed rounds the driver
+    spends minutes in BigInteger.multiply inside stats estimation —
+    the ×64 probe caught entity_resolution_pipeline's planning (not
+    execution!) hanging exactly there (jstack: Thread-3 RUNNABLE in
+    SizeInBytesOnlyStatsPlanVisitor.visitJoin → multiplyToomCook3,
+    991 s CPU, called from Dataset.localCheckpoint). Re-wrapping the
+    checkpointed InternalRow RDD in a fresh Dataset drops the origin
+    stats (leaf reverts to the defaultSizeInBytes sentinel), so each
+    superstep's estimate is bounded by ONE round's joins; runtime
+    join planning is unaffected because AQE re-plans from the real
+    materialized sizes anyway. Falls back to the plain checkpoint if
+    the internal constructor ever disappears."""
+    cp = df.localCheckpoint()
+    try:
+        jdf = cp._jdf  # classic-only internals; guarded below
+        wrapped = cp.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(wrapped, cp.sparkSession)
+    except Exception:  # pragma: no cover - connect/API-drift fallback
+        return cp
+
+
 def _cc_superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One distributed CC superstep: neighbor-min label propagation
     followed by POINTER JUMPING (label(u) ← min(label(u),
@@ -748,7 +778,7 @@ def _cc_superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     jump = stepped.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
-    return (
+    return _stats_cut(
         stepped.join(jump, stepped.label == jump.jn, "left")
         .select(
             "node",
@@ -756,7 +786,6 @@ def _cc_superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
                 F.col("label"), F.coalesce(F.col("jl"), F.col("label"))
             ).alias("label"),
         )
-        .localCheckpoint()
     )
 
 
