@@ -752,40 +752,94 @@ def _stats_cut(df: DataFrame) -> DataFrame:
         return cp
 
 
-def _cc_superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """One distributed CC superstep: neighbor-min label propagation
-    followed by POINTER JUMPING (label(u) ← min(label(u),
-    label(label(u)))). Plain neighbor-min converges in
-    graph-DIAMETER supersteps — fine for near-dup graphs (tiny
-    components, 2-4 rounds) but the ×64 scale probe caught the
-    pathological case (round 8): replicated same-name part records
-    chain into path-shaped clusters of diameter ~10²,  and
-    entity_resolution_pipeline's closure ran 100+ supersteps at ×64.
-    The jump doubles the propagated distance every round, so
-    convergence is O(log diameter) with one extra labels-sized join
-    per round; labels still only decrease, so the label-sum
-    convergence test is unchanged.
-
-    Both intermediate tables are checkpointed: each is consumed
-    twice (the jump joins the stepped table to itself; the returned
-    labels feed the next round's join AND union AND jump)."""
-    stepped = (
-        edges.join(labels, edges.doc_b == labels.node)
-        .select(F.col("doc_a").alias("node"), "label")
-        .unionByName(labels)  # keep own label (and isolated nodes)
-        .groupBy("node")
-        .agg(F.min("label").alias("label"))
-        .localCheckpoint()
+def _cc_star_round(g: DataFrame, large: bool) -> DataFrame:
+    """One star operation of the alternating large-star/small-star
+    connected-components algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — public knowledge) over the
+    SYMMETRIC edge list ``g``. For each node u with minimum
+    m = min(Γ(u) ∪ {u}): large-star connects every STRICTLY LARGER
+    neighbor to m; small-star connects every smaller-or-equal
+    neighbor and u itself to m. Self-loops drop, the result is
+    re-symmetrized and deduplicated, and the edge count stays
+    bounded by the input's. Returns the new symmetric edge list."""
+    m = (
+        g.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select("doc_a", F.least(F.col("doc_a"), F.col("mn")).alias("m"))
     )
-    jump = stepped.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
-    return _stats_cut(
-        stepped.join(jump, stepped.label == jump.jn, "left")
-        .select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("jl"), F.col("label"))
-            ).alias("label"),
+    adj = g.join(m, "doc_a")
+    if large:
+        em = adj.where(F.col("doc_b") > F.col("doc_a")).select(
+            F.col("doc_b").alias("u"), F.col("m").alias("v")
         )
+    else:
+        em = (
+            adj.where(F.col("doc_b") <= F.col("doc_a"))
+            .select(F.col("doc_b").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                m.select(F.col("doc_a").alias("u"), F.col("m").alias("v"))
+            )
+        )
+    und = em.where(F.col("u") != F.col("v"))
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return _stats_cut(
+        sym.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")).dropDuplicates(
+            ["doc_a", "doc_b"]
+        )
+    )
+
+
+def _cc_propagate(edges: DataFrame) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star rounds — O(log² n) rounds worst case, ~2·log n in
+    practice, INDEPENDENT of how node ids are laid out along chains.
+
+    Round-8 history (why not something simpler): plain neighbor-min
+    label propagation converges in graph-DIAMETER rounds, and the
+    ×64 probe's replica-chained same-name part records (path
+    clusters of diameter ~10⁴) drove entity_resolution_pipeline to
+    100+ rounds before crashing Catalyst stats estimation
+    ("BigInteger would overflow supported range"). Two candidate
+    fixes MEASURED INSUFFICIENT before this one: (a) pointer
+    jumping — the jump only teleports when the pointed-to node
+    already knows a better label, and a not-yet-informed local
+    minimum mid-chain reduces it to +2 ranks per round (observed
+    constant label-sum delta for 25+ rounds); (b) quotient-graph
+    contraction by current labels — on a monotone-id path the
+    quotient is the same path shifted by two, 100 rounds for a
+    200-node path (regression test). The star algorithm's potential
+    argument does not depend on id layout, which is exactly what
+    the adversarial sorted-neighborhood chains need.
+
+    Convergence: the edge set is a fixpoint of a full
+    large+small cycle once every component is a star centered at
+    its minimum; detected by an order-insensitive signature of
+    count + two independent bounded hash sums (raw id sums/products
+    overflow BIGINT under ANSI mode at replicated-key scales —
+    pmod(xxhash64, 2²⁶) keeps the sum within long range up to ~10¹¹
+    edges). Returns (node, label) for every node appearing in
+    ``edges``, label = component minimum — identical to the driver
+    union-find path's output."""
+    g = edges
+    prev = None
+    _m = F.lit(1 << 26)
+    while True:
+        g = _cc_star_round(g, large=True)
+        g = _cc_star_round(g, large=False)
+        sig = tuple(
+            g.agg(
+                F.count(F.lit(1)),
+                F.sum(F.pmod(F.xxhash64("doc_a", "doc_b"), _m)),
+                F.sum(F.pmod(F.xxhash64("doc_b", F.lit(7), "doc_a"), _m)),
+            ).first()
+        )
+        if sig == prev:
+            break
+        prev = sig
+    return (
+        g.groupBy(F.col("doc_a").alias("node"))
+        .agg(F.min("doc_b").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("label"))
     )
 
 
@@ -829,18 +883,17 @@ def dedup_connected_components(
     into actual dedup decisions (one keeper per cluster, even when
     A~B~C but A≁C directly).
 
-    Iterative min-label propagation WITH POINTER JUMPING: every node
-    starts labeled with itself; each superstep takes the min of its
-    neighbors' labels, then follows the label's own label
-    (label(label(u))) so the propagated distance doubles per round —
-    O(log diameter) supersteps where plain neighbor-min needs
-    diameter (the ×64 probe caught a diameter-10² path-cluster case
-    running 100+ rounds; see _cc_superstep). Each superstep is one
-    distributed join+aggregate plus a labels-sized jump join — the
-    Pregel pattern on DataFrames — and lineage is cut per iteration
-    (localCheckpoint) so plans don't nest. Near-dup graphs are
-    overwhelmingly tiny components, so this converges in 2-4
-    supersteps regardless of corpus size.
+    Iterative CONTRACTION (_cc_propagate): every round relabels each
+    edge-bearing node to min(self, neighbors) with a pointer jump,
+    then rewrites the edge list onto the new representatives — the
+    hash-to-min / star-contraction family, O(log n) rounds with
+    per-round cost shrinking as the quotient graph collapses, robust
+    to adversarial id layouts along chains (see _cc_propagate's
+    round-8 history). Each round is two keyed joins + one aggregate
+    — the Pregel pattern on DataFrames — and lineage is cut per
+    iteration (localCheckpoint + stats reset) so plans don't nest.
+    Near-dup graphs are overwhelmingly tiny components, so this
+    converges in 2-4 rounds regardless of corpus size.
 
     Size-adaptive execution, the same policy Catalyst applies to join
     sides: the candidate-pair graph is a tiny fraction of the corpus
@@ -866,21 +919,7 @@ def dedup_connected_components(
     n_edges = edges.count()
     if n_edges <= _CC_DRIVER_MAX:
         return _cc_driver_side(spark, edges)
-    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    # min-label propagation + pointer jumping (_cc_superstep):
-    # labels only ever decrease, so the label sum is strictly
-    # monotone until the fixpoint — convergence is one cheap sum per
-    # superstep instead of an old-vs-new join, and the jump bounds
-    # rounds by O(log diameter) instead of diameter.
-    prev_sum = None
-    while True:
-        labels = _cc_superstep(edges, labels)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _cc_propagate(edges)
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_doc_id"))
@@ -1391,7 +1430,7 @@ def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     candidate-pair graph — the membership-level sibling of
     dedup_connected_components' cluster summaries, size-adaptive the
     same way: driver union-find under _CC_DRIVER_MAX edges,
-    distributed min-label propagation above it."""
+    distributed contraction (_cc_propagate) above it."""
     edges = (
         pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .localCheckpoint()
@@ -1414,15 +1453,7 @@ def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 parent[hi] = lo
         rows = sorted((node, find(node)) for node in parent)
         return spark.createDataFrame(rows, "node bigint, label bigint")
-    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
-    prev_sum = None
-    while True:
-        labels = _cc_superstep(edges, labels)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
+    return _cc_propagate(edges)
 
 
 def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:

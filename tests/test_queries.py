@@ -262,8 +262,12 @@ def test_cc_pointer_jumping_handles_deep_paths(spark, monkeypatch):
     """A path graph of 200 nodes has diameter 199: plain neighbor-min
     label propagation needs ~199 supersteps (the x64 probe caught
     entity_resolution_pipeline doing exactly this on replica-chained
-    same-name records); pointer jumping must converge in O(log n)
-    rounds with the correct component minimum everywhere."""
+    same-name records); the large-star/small-star algorithm must
+    converge in O(log n) star rounds with the correct component
+    minimum everywhere. The MONOTONE id layout here also regresses
+    the round-8 rejected alternatives: pointer jumping crawls at +2
+    ranks/round once the chain's local minimum is uninformed, and
+    label-contraction merely shifts the quotient path by two."""
     from hematite_spark.queries import dedup
 
     n = 200
@@ -272,20 +276,20 @@ def test_cc_pointer_jumping_handles_deep_paths(spark, monkeypatch):
     )
     monkeypatch.setattr(dedup, "_CC_DRIVER_MAX", -1)
     calls = 0
-    orig = dedup._cc_superstep
+    orig = dedup._cc_star_round
 
-    def counting(edges, labels):
+    def counting(g, large):
         nonlocal calls
         calls += 1
-        return orig(edges, labels)
+        return orig(g, large)
 
-    monkeypatch.setattr(dedup, "_cc_superstep", counting)
+    monkeypatch.setattr(dedup, "_cc_star_round", counting)
     labels = dedup._cc_labels(spark, pairs).collect()
     assert len(labels) == n
     assert all(r.label == 1 for r in labels)
-    # 2^k reach per k rounds -> ~8 productive rounds + 1 to confirm
-    # the fixpoint; 16 is generous headroom, 199 would be the bug
-    assert calls <= 16, f"{calls} supersteps for a 200-node path"
+    # ~2 log2(200) full large+small cycles expected; 40 star rounds is
+    # generous headroom, ~199 would be the diameter-bound bug
+    assert calls <= 40, f"{calls} star rounds for a 200-node path"
 
 
 def test_lsh_no_spurious_pairs_for_short_docs(spark, tmp_path):
