@@ -85,6 +85,11 @@ def table_bytes(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        # ADVICE r8: os.walk on a nonexistent dir yields nothing, so a
+        # wrong sf_dir silently returned 0 and degraded every width
+        # heuristic built on it (est_rows=0). Fail like load_table would.
+        raise FileNotFoundError(f"testdata table not found: {path}")
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(

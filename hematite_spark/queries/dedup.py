@@ -20,6 +20,9 @@ strings is a total order both agree on).
 
 from __future__ import annotations
 
+import math
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -747,9 +750,36 @@ def _stats_cut(df: DataFrame) -> DataFrame:
         wrapped = cp.sparkSession._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
+        global _STATS_CUT_INTERNAL_OK
+        _STATS_CUT_INTERNAL_OK = True
         return DataFrame(wrapped, cp.sparkSession)
-    except Exception:  # pragma: no cover - connect/API-drift fallback
+    except Exception as exc:  # pragma: no cover - connect/API-drift fallback
+        # ADVICE r8: the silent fallback would quietly reinstate the
+        # compounding-stats planner hang this function exists to fix
+        # (PySpark upgrade renaming _jdf, or Spark Connect where there
+        # is no JVM handle at all). Warn ONCE so a probe/bench run that
+        # suddenly goes super-linear has its cause in the log, and so
+        # the pin test (test_dedup.py::test_stats_cut_internal_path)
+        # fails loudly if the internal constructor drifts.
+        global _STATS_CUT_WARNED
+        if not _STATS_CUT_WARNED:
+            _STATS_CUT_WARNED = True
+            warnings.warn(
+                "hematite_spark: _stats_cut fell back to plain "
+                f"localCheckpoint ({type(exc).__name__}: {exc}); iterative "
+                "queries may hit compounding Catalyst size estimates — "
+                "check PySpark classic-mode internals "
+                "(DataFrame._jdf / SparkSession.internalCreateDataFrame)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return cp
+
+
+_STATS_CUT_WARNED = False
+# _stats_cut took the internal (stats-dropping) path at least once this
+# process; the pin test asserts this goes True on classic PySpark.
+_STATS_CUT_INTERNAL_OK = False
 
 
 def _cc_star_round(g: DataFrame, large: bool) -> DataFrame:
@@ -823,6 +853,15 @@ def _cc_propagate(edges: DataFrame) -> DataFrame:
     g = edges
     prev = None
     _m = F.lit(1 << 26)
+    # ADVICE r8: bound the fixpoint loop. The algorithm's worst case is
+    # O(log² n) full cycles; a signature collision (count + two 26-bit
+    # hash sums agreeing on different edge sets) or a regression in the
+    # star rounds must fail loudly, not spin inside a query build. The
+    # edge count of round 1 upper-bounds every later round's, so size
+    # the cap from it: 4·⌈log₂ e⌉ + 8 cycles is ≥ 4× the observed round
+    # count on the adversarial 200-node-path regression test.
+    cap = None
+    rounds = 0
     while True:
         g = _cc_star_round(g, large=True)
         g = _cc_star_round(g, large=False)
@@ -835,6 +874,17 @@ def _cc_propagate(edges: DataFrame) -> DataFrame:
         )
         if sig == prev:
             break
+        rounds += 1
+        if cap is None:
+            # sig[0] = current symmetric edge count (post-round-1, so an
+            # upper bound for all subsequent rounds)
+            cap = 4 * math.ceil(math.log2(max(int(sig[0] or 0), 2))) + 8
+        if rounds > cap:
+            raise RuntimeError(
+                "connected-components star contraction did not reach a "
+                f"fixpoint in {rounds} cycles (cap {cap}; last signature "
+                f"{sig}) — algorithmic regression or signature collision"
+            )
         prev = sig
     return (
         g.groupBy(F.col("doc_a").alias("node"))

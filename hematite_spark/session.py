@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """¼ of host RAM in GiB, clamped to [4, 32]; 4g if undetectable."""
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        pages = os.sysconf("SC_PHYS_PAGES")
+        total_gib = page * pages / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(4, min(32, int(total_gib // 4)))}g"
+
+
 def get_spark(app_name: str = "hematite_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -51,13 +62,18 @@ def get_spark(app_name: str = "hematite_spark", shuffle_partitions: int | None =
         # view of the same parquet, and tz-independent.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # local mode: the driver JVM IS the executor, and the harness
-        # box has 128 GiB — an 8g heap made every ×8/×64 scale probe
-        # spill its checkpoints and shuffles to disk and read as
-        # super-linear growth that wasn't algorithmic (round 8). 32g
-        # leaves room for two concurrent sessions plus OS page cache;
-        # on a real cluster this comes from spark-submit instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # local mode: the driver JVM IS the executor — an 8g heap made
+        # every ×8/×64 scale probe spill its checkpoints and shuffles
+        # to disk and read as super-linear growth that wasn't
+        # algorithmic (round 8). Default = ¼ of host RAM clamped to
+        # [4g, 32g] (32g on the 128 GiB harness box), so smaller hosts
+        # still get a JVM that starts (ADVICE r8); override with
+        # SPARK_DRIVER_MEMORY. On a real cluster this comes from
+        # spark-submit instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
         .config(

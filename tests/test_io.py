@@ -236,3 +236,26 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "quality"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].quality is None and abs(rows[2].quality - 0.9) < 1e-12
+
+
+def test_table_bytes_missing_path_raises(tmp_path):
+    """ADVICE r8: a wrong sf_dir must fail loudly, not size shuffle
+    widths from a silent 0-byte estimate."""
+    import pytest
+
+    from hematite_spark.io import table_bytes
+
+    with pytest.raises(FileNotFoundError, match="lineitem"):
+        table_bytes("lineitem", str(tmp_path / "no_such_sf_dir"))
+    # real table still measures
+    assert table_bytes("lineitem", "/root/testdata/sf0.001") > 0
+
+
+def test_default_driver_memory_clamped():
+    """ADVICE r8: the driver-heap default derives from host RAM with a
+    [4g, 32g] clamp so smaller hosts still boot a JVM."""
+    from hematite_spark.session import _default_driver_memory
+
+    val = _default_driver_memory()
+    assert val.endswith("g")
+    assert 4 <= int(val[:-1]) <= 32

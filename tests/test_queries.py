@@ -292,6 +292,82 @@ def test_cc_pointer_jumping_handles_deep_paths(spark, monkeypatch):
     assert calls <= 40, f"{calls} star rounds for a 200-node path"
 
 
+def test_stats_cut_internal_path_taken_on_classic_spark(spark):
+    """_stats_cut's whole point is dropping the checkpoint's origin
+    stats via SparkSession.internalCreateDataFrame (a classic-mode
+    internal). If that API drifts in a PySpark upgrade, the silent
+    fallback would reinstate the compounding-stats planner hang the
+    ×64 probe found — so pin that the internal path is actually taken
+    (ADVICE r8 / VERDICT r8 item 3)."""
+    import warnings as _w
+
+    from hematite_spark.queries import dedup
+
+    df = spark.range(8).selectExpr("id as doc_a", "id + 1 as doc_b")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # fallback warn → fail
+        out = dedup._stats_cut(df)
+    assert dedup._STATS_CUT_INTERNAL_OK, (
+        "internalCreateDataFrame path not taken — PySpark internals "
+        "drifted; iterative CC/ER queries will compound size stats"
+    )
+    assert out.count() == 8
+    # the re-wrapped leaf must carry the default size sentinel, not the
+    # origin plan's (tiny, compounding) estimate
+    stats_bytes = int(
+        out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert stats_bytes > 1 << 40, (
+        f"checkpointed leaf kept origin stats ({stats_bytes} bytes) — "
+        "stats cut no longer effective"
+    )
+
+
+def test_stats_cut_fallback_warns_once(spark, monkeypatch):
+    """If the internal constructor breaks, the fallback must emit ONE
+    RuntimeWarning (not stay silent — ADVICE r8)."""
+    import warnings as _w
+
+    from hematite_spark.queries import dedup
+
+    monkeypatch.setattr(dedup, "_STATS_CUT_WARNED", False)
+    real_df = dedup.DataFrame
+
+    def raising_ctor(*a, **k):
+        raise AttributeError("simulated internal-API drift")
+
+    monkeypatch.setattr(dedup, "DataFrame", raising_ctor)
+    df = spark.range(4).selectExpr("id as doc_a", "id + 1 as doc_b")
+    with pytest.warns(RuntimeWarning, match="localCheckpoint"):
+        out = dedup._stats_cut(df)
+    assert out.count() == 4  # plain checkpoint still returned
+    monkeypatch.setattr(dedup, "DataFrame", real_df)
+    # second fallback in the same process must NOT warn again
+    monkeypatch.setattr(dedup, "DataFrame", raising_ctor)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        dedup._stats_cut(df)
+
+
+def test_cc_propagate_raises_on_non_convergence(spark, monkeypatch):
+    """ADVICE r8: _cc_propagate's fixpoint loop is bounded — a star
+    round that never converges (simulated by perturbing doc_b each
+    call) must raise with diagnostics, not spin forever."""
+    from pyspark.sql import functions as F
+
+    from hematite_spark.queries import dedup
+
+    def never_converges(g, large):
+        return g.select("doc_a", (F.col("doc_b") + 1).alias("doc_b"))
+
+    monkeypatch.setattr(dedup, "_cc_star_round", never_converges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup._cc_propagate(edges)
+
+
 def test_lsh_no_spurious_pairs_for_short_docs(spark, tmp_path):
     """Docs too short to shingle (<3 words) have all-NULL minhash
     signatures; their band keys must be NULL (join with nothing), not
