@@ -6,7 +6,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is timed end-to-end (plan + execute + noop-write) after a
 warm-up pass of the session; the timed suite runs SPARK_GRAFT_REPS
 times (default 3) and each query reports its MEDIAN wall, with rep
-count and min/max spread recorded in BENCH_DETAIL.json. `value` is
+count and min/max spread recorded in BENCH_DETAIL_r{N}.json. `value` is
 total (median) wall time over the suite — the driver compares this
 against BASELINE.md (2× budget).
 
@@ -167,7 +167,7 @@ def main() -> None:
     # "regressions" were on code unchanged since round 5, measured once
     # in a session that had grown by six heavy queries. Run the timed
     # suite SPARK_GRAFT_REPS times (default 3) and report per-query
-    # MEDIANS; rep count and min/max spread go to BENCH_DETAIL.json so
+    # MEDIANS; rep count and min/max spread go to BENCH_DETAIL_r{N}.json so
     # future regression flags can separate drift from scheduler noise.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     # Wall-budget safety valve (ADVICE r7): 3 reps + warm-up + slope
@@ -249,7 +249,8 @@ def main() -> None:
         # and BENCH_r03.json recorded parsed=null — so the detail goes
         # to a side file and only the (normally empty) risk list stays
         # on the wire.
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SLOPE.json"), "w") as f:
+        here_ = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here_, f"BENCH_SLOPE_r{_next_round(here_):02d}.json"), "w") as f:
             json.dump({"slope_sf": 0.01, "sf_ratio": ratios, "slope_queries": small}, f, indent=1)
         for r in risks:
             print(f"# SCALE RISK: {r}", file=sys.stderr)
@@ -306,13 +307,13 @@ def main() -> None:
         with open(os.path.join(here, "BENCH_DETAIL_SUBSET.json"), "w") as f:
             json.dump(detail, f, indent=1)
     else:
-        # Full record (per-query medians + rep spread) lands in the
-        # side file AND a per-round archive named for the round the
-        # driver is about to record (latest BENCH_r{N} + 1), so every
-        # round keeps its own full-suite detail permanently.
-        for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{_next_round(here):02d}.json"):
-            with open(os.path.join(here, fname), "w") as f:
-                json.dump(detail, f, indent=1)
+        # Full record (per-query medians + rep spread) lands ONLY in a
+        # per-round archive named for the round the driver is about to
+        # record (latest BENCH_r{N} + 1). VERDICT r8 item 8: the old
+        # unversioned BENCH_DETAIL.json / BENCH_SLOPE.json shadow
+        # copies are retired — one source of truth per round.
+        with open(os.path.join(here, f"BENCH_DETAIL_r{_next_round(here):02d}.json"), "w") as f:
+            json.dump(detail, f, indent=1)
     # Wire-line budget: the driver keeps only the last ~2000 chars of
     # combined output; BENCH_r07's line survived at ~1750 chars only
     # because ERROR logging removed the WARN spam (VERDICT r7 item 7).

@@ -103,6 +103,41 @@ def test_unresolvable_spill_falls_back_to_summary_keys(tmp_path):
     assert prev["queries"] == {"rec_hitrate_eval": 7.0}
 
 
+def test_spilled_only_query_regression_is_flagged(tmp_path):
+    """VERDICT r8 item 7: the wire line carries only the 5 slowest
+    queries beside the ``_spilled_to`` pointer. The guard must compare
+    the FULL per-query map from the detail archive — a 1.6x slowdown
+    on a query that is NOT among the inline five (here ``join_semi``,
+    0.8s → inline map carries only the heavy five) must still fire."""
+    inline_five = {
+        "rec_hitrate_eval": 7.0,
+        "label_propagation_step": 5.0,
+        "linear_probe_gd": 4.0,
+        "lsh_band_auc": 3.5,
+        "knn_graph_build": 3.0,
+    }
+    full = {**inline_five, "join_semi": 1.4, "q1_pricing_summary": 2.0}
+    _write(
+        tmp_path,
+        "BENCH_r08.json",
+        {
+            "parsed": {
+                "value": 26.0,
+                "sf": 0.1,
+                "protocol": "median3",
+                "queries": {"_spilled_to": "BENCH_DETAIL_r08.json", **inline_five},
+            }
+        },
+    )
+    _write(tmp_path, "BENCH_DETAIL_r08.json", {"queries": full, "sf": 0.1})
+    prev = bench._latest_prev_bench(str(tmp_path), 0.1, "median3")
+    assert prev["queries"] == full, "guard must see the full archived map"
+    timings = dict(full)
+    timings["join_semi"] = full["join_semi"] * 1.6  # spilled-only query regresses
+    regressions = bench._regression_check(timings, prev)
+    assert any(r.startswith("join_semi") for r in regressions), regressions
+
+
 def test_parsed_null_round_skipped(tmp_path):
     _write(tmp_path, "BENCH_r03.json", {"parsed": None, "sf": 0.1})
     assert bench._latest_prev_bench(str(tmp_path), 0.1, "single") is None
