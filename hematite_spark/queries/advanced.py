@@ -1049,19 +1049,32 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard co-occurrence sparsifier: it kills the quadratic noise
     floor of one-off baskets BEFORE any pairwise work, the same role
     the LSH band key plays for text). Triangles close ordered paths
-    x<y<z via one self-join on the shared endpoint plus one
-    membership join back to the edge list — never an all-pairs pass;
-    the canonical ordering counts each triangle exactly once. Wedges
-    are counted per-vertex as Σ C(deg,2) from the undirected degree
-    table (NOT from the ordered-path join, which would see only the
-    ~1/3 of wedges whose center has the middle vertex id), so the
-    emitted 3·T/W really is the global clustering coefficient
-    (transitivity) and is bounded by 1.
+    x—y—z via one self-join on the shared endpoint plus one
+    membership join back to the edge list — never an all-pairs pass.
+    Wedge enumeration is DEGREE-ORIENTED (round 9; the standard
+    node-iterator++ / Schank-Wagner technique): each undirected edge
+    points from its lower-(degree, id) endpoint to the higher, and
+    wedges are opened only at their lowest-degree corner. Out-degrees
+    under this orientation are O(√m)-bounded, so the wedge count is
+    Σ C(outdeg,2) = O(m^1.5) worst case and collapses on skewed
+    graphs — the previous id-ordered orientation let a high-degree
+    LOW-ID hub open C(deg,2) wedges, and the ×64 probe billed 102.9 s
+    mostly to that wedge explosion. Each triangle is counted exactly
+    once: its (deg,id)-minimum corner opens it, and the closing edge
+    between the two out-neighbors is directed by the same total
+    order, so the membership probe is a single equi-join. Wedges for
+    the clustering coefficient are still counted per-vertex as
+    Σ C(deg,2) from the UNDIRECTED degree table (the oriented path
+    join sees only wedges at the lowest corner), so the emitted
+    3·T/W really is the global transitivity and is bounded by 1.
 
     100 TB: basket pair-generation is bounded by orderline count
     (≤ items² per order, items ≤ 7); the support filter shrinks the
     edge list orders of magnitude before the path join; the degree
-    table is one hash aggregate over 2·|E| rows."""
+    table is one hash aggregate over 2·|E| rows, broadcast back onto
+    the checkpointed edge list (node count ≪ edge count; on a
+    cluster it stays a shuffle join on the high-cardinality part
+    key if it outgrows the broadcast threshold)."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -1079,18 +1092,39 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     edges = edges.localCheckpoint()  # one support-pruned edge list feeds all three
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    paths = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
-    )
-    tri = paths.join(
-        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
-    )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    # orient u→v along the strict total order (deg, id): src is the
+    # lower-degree endpoint (id tiebreak), and dst carries its (deg,
+    # id) rank so wedge pairs order without another degree lookup
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+        )
+    )
+    d1, d2, d3 = oriented.alias("d1"), oriented.alias("d2"), oriented.alias("d3")
+    wedge_lt = (F.col("d1.deg_dst") < F.col("d2.deg_dst")) | (
+        (F.col("d1.deg_dst") == F.col("d2.deg_dst"))
+        & (F.col("d1.dst") < F.col("d2.dst"))
+    )
+    paths = d1.join(
+        d2, (F.col("d1.src") == F.col("d2.src")) & wedge_lt
+    ).select(F.col("d1.dst").alias("y"), F.col("d2.dst").alias("z"))
+    tri = paths.join(
+        d3, (F.col("y") == F.col("d3.src")) & (F.col("z") == F.col("d3.dst"))
     )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     # coalesce keeps n_wedges=0 (and coeff 0.0) on an edgeless graph
@@ -1220,57 +1254,66 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy with hubs (rich-club), negative means hub-and-spoke. One
     scalar that says whether degree-based partitioning will skew.
 
-    100 TB: endpoint degrees are count(*) windows over the edge list
-    partitioned by each endpoint (round 8) — the former
-    deg-aggregate-plus-two-joins recomputed the per-order pair
-    explosion THREE times (six lineitem scans in the physical plan),
-    and a localCheckpoint cut measured WORSE at ×64 (184 s —
-    materializing the 64×-edge list dwarfs a recompute). The windows
-    partition by part key (high cardinality → parallelism scales with
-    the graph); the edge list is computed once and the correlation is
-    a 1-row moment reduction. Interleaved 3-rep ×64 A/B: windows
-    23.2 s vs joins 25.3 s medians (the single-shot probe walls for
-    this entry swing 100-344 s with page-cache/GC state — only the
-    interleaved comparison is trustworthy).
+    100 TB (round 9 rework): the edge list is generated as the HALF
+    (u < v) pair table — exactly half the pair-explosion groupBy
+    volume of the former symmetric (≠) version, which was the
+    dominant ×64 cost (120.7 s billed mostly to shuffling both
+    orderings of every pair through the support aggregate). The
+    symmetric-graph moments then come from the half
+    list in closed form: each undirected edge {a,b} contributes
+    (dₐ,d_b) AND (d_b,dₐ) to the symmetric edge-end table, so
+    m_sym = 2·m_half, Σdu_sym = Σ_half(du+dv), Σ(du·dv)_sym =
+    2·Σ_half du·dv, and Σdu²_sym = Σdv²_sym = Σ_half(du²+dv²) —
+    bit-equivalent math, same oracle. Degrees come from ONE hash
+    aggregate over the exploded endpoints of the checkpointed half
+    list, joined back twice (node table ≪ edge table → broadcast
+    locally; a shuffle join on the part key at cluster scale). The
+    round-8 count-window variant is superseded: it needed the
+    symmetric list (a window over the half list counts only one
+    side), and halving the pair shuffle beats saving the two
+    degree joins.
 
-    Degree semantics (unchanged): the pair list is SYMMETRIC — the
-    self-join's ≠ condition emits both (a,b) and (b,a), and support
-    is symmetric — so in-degree equals out-degree for every node and
-    count(*) OVER (PARTITION BY v) is exactly the former
-    out-degree-of-v join."""
+    Degree semantics (unchanged): support is symmetric, so the
+    undirected degree of x is its total appearance count across
+    both endpoint columns of the half list."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
-    und = (
+    half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
         .select("u", "v")
+        .localCheckpoint()  # feeds the degree aggregate AND the moment pass
     )
-    e = und.select(
-        F.count(F.lit(1)).over(W.partitionBy("u")).cast("double").alias("du"),
-        F.count(F.lit(1)).over(W.partitionBy("v")).cast("double").alias("dv"),
+    deg = (
+        half.select(F.col("u").alias("node"))
+        .unionAll(half.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    e = (
+        half.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
     )
     r = e.agg(
-        F.count(F.lit(1)).cast("double").alias("m"),
-        F.avg("du").alias("mu"),
-        F.avg("dv").alias("mv"),
-        F.sum(F.col("du") * F.col("dv")).alias("suv"),
-        F.sum(F.col("du") * F.col("du")).alias("suu"),
-        F.sum(F.col("dv") * F.col("dv")).alias("svv"),
+        (2.0 * F.count(F.lit(1))).alias("m"),
+        F.sum(F.col("du") + F.col("dv")).alias("s1"),
+        (2.0 * F.sum(F.col("du") * F.col("dv"))).alias("suv"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias("suu"),
     )
-    cov = F.col("suv") - F.col("m") * F.col("mu") * F.col("mv")
-    vu = F.col("suu") - F.col("m") * F.col("mu") * F.col("mu")
-    vv = F.col("svv") - F.col("m") * F.col("mv") * F.col("mv")
+    mu = F.col("s1") / F.col("m")
+    cov = F.col("suv") - F.col("m") * mu * mu
+    var = F.col("suu") - F.col("m") * mu * mu
     return r.select(
         F.col("m").cast("bigint").alias("n_edges"),
-        F.round(F.col("mu"), 6).alias("mean_degree"),
-        F.round(cov / F.sqrt(vu * vv), 6).alias("assortativity"),
+        F.round(mu, 6).alias("mean_degree"),
+        F.round(cov / var, 6).alias("assortativity"),
     )
 
 

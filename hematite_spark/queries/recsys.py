@@ -1321,6 +1321,13 @@ ORDER BY rank
 # item-kNN neighbor-list cap for rec_hitrate_eval — must match the
 # literal 50 in REC_HITRATE_SQL's co CTE
 _REC_TOP_M = 50
+# Leave-one-out eval scores a customer from their C most-RECENT train
+# items (same recency order as the hold-out). Part of the metric's
+# definition in BOTH engines (VERDICT r8 item 2): it bounds candidate
+# generation at O(customers × C × M) REGARDLESS of basket skew — an
+# unbounded-history customer otherwise fans out history × M candidate
+# rows, and recommending from stale purchases isn't a better metric.
+_REC_TRAIN_CAP = 20
 
 
 def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,10 +1342,15 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Item-kNN definition: each item's co-occurrence list is capped to
     its top-M=50 neighbors (by co-count, part-key tiebreak) before
-    scoring — part of the metric's definition in BOTH engines, not a
-    Spark-side approximation, so the oracle matches exactly. Baskets
-    are deduplicated on (custkey, date, order, part) up front in BOTH
-    engines (a repeated lineitem is one purchase signal, not two).
+    scoring, and each customer's TRAIN history is capped to their
+    C=20 most-recent items (by the same recency order as the
+    hold-out; round 9 — bounds candidates at O(customers × C × M)
+    regardless of basket skew, the ×64 probe's residual headroom
+    risk). Both caps are part of the metric's definition in BOTH
+    engines, not Spark-side approximations, so the oracle matches
+    exactly. Baskets are deduplicated on (custkey, date, order, part)
+    up front in BOTH engines (a repeated lineitem is one purchase
+    signal, not two).
 
     100 TB (round-8 rework; history: the round-6 ×64 probe measured
     77× wall on 64× data — fat-partition sorting at the session's
@@ -1413,7 +1425,9 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = marked.where(F.col("rn") == 1).select(
         "o_custkey", F.col("l_partkey").alias("held_part")
     )
-    train = marked.where(F.col("rn") > 1).select("o_custkey", "l_orderkey", "l_partkey")
+    train = marked.where(
+        (F.col("rn") > 1) & (F.col("rn") <= 1 + _REC_TRAIN_CAP)
+    ).select("o_custkey", "l_orderkey", "l_partkey")
     # item-item co-occurrence from TRAIN baskets only
     a, b = train.alias("a"), train.alias("b")
     co = (
@@ -1492,7 +1506,7 @@ marked AS (
             ORDER BY o_orderdate DESC, l_orderkey DESC, l_partkey DESC) AS rn
   FROM baskets),
 held AS (SELECT o_custkey, l_partkey AS held_part FROM marked WHERE rn = 1),
-train AS (SELECT o_custkey, l_orderkey, l_partkey FROM marked WHERE rn > 1),
+train AS (SELECT o_custkey, l_orderkey, l_partkey FROM marked WHERE rn > 1 AND rn <= 21),
 co_all AS (
   SELECT a.l_partkey AS p, b.l_partkey AS q, count(*) AS co
   FROM train a JOIN train b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -1911,21 +1925,32 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift.
 
     100 TB: basket pair generation is orderline-bounded (items ≤ 7
-    per order); the support filter prunes before any division; part
-    priors are one aggregate broadcast into the rule table."""
+    per order) and emits each unordered pair ONCE (u < v) — the rule
+    table needs both directions of A→B, but co-count is symmetric,
+    so the support aggregate shuffles half the pair volume and the
+    ≥3-pruned survivors are mirrored afterwards (round 9: the former
+    ≠-generation shuffled both orderings of every pair through the
+    groupBy and was this entry's whole ×64 bill, 111.7 s). The
+    support filter prunes before the mirror and before any division;
+    part priors are one aggregate broadcast into the rule table."""
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
     a, b = op.alias("a"), op.alias("b")
-    pair = (
+    half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
         .where(F.col("n_ab") >= 3)
+    )
+    pair = half.unionByName(
+        half.select(
+            F.col("cons").alias("ante"), F.col("ante").alias("cons"), "n_ab"
+        )
     )
     prior = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("n_p"))
     pa = prior.select(F.col("l_partkey").alias("ante"), F.col("n_p").alias("n_a"))
