@@ -1683,6 +1683,32 @@ def test_triangle_empty_graph_zero_not_null(spark, tmp_path):
     assert r.clustering_coeff == 0.0
 
 
+def test_triangle_degree_oriented_hub(spark, tmp_path):
+    """Round-9 degree-orientation pin: a hub (part 1 in every order)
+    plus one rim edge. The (deg,id) total order must open the
+    triangle's wedge at its LOWEST-degree corner and close it with
+    the consistently-oriented rim edge — an orientation mismatch
+    between wedge ordering and edge direction double-counts or
+    drops triangles. Graph: edges {1-10, 1-20, 1-30, 10-20} (each
+    supported by 2 orders), degrees 3/2/2/1 → 4 edges, 5 wedges,
+    1 triangle, transitivity 0.6."""
+    import pandas as pd
+
+    from hematite_spark.queries.advanced import graph_triangle_count
+
+    rows = []
+    for ok in (1, 2):  # two identical orders → support 2 everywhere
+        for p in (1, 10, 20):
+            rows.append({"l_orderkey": ok, "l_partkey": p})
+    for ok in (3, 4):  # parts 1 and 30 co-occur twice
+        for p in (1, 30):
+            rows.append({"l_orderkey": ok, "l_partkey": p})
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+    r = graph_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (4, 5, 1)
+    assert r.clustering_coeff == 0.6
+
+
 def test_capture_recapture_drops_short_docs(spark, tmp_path):
     """Docs with <3 normalized tokens emit no shingles in EITHER
     engine (concat_ws skips NULLs, so an ungated Spark transform
