@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hematite_spark.io import load_table
+from hematite_spark.io import load_table, table_bytes
 
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis (view → click → purchase): per user,
@@ -1930,20 +1930,50 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the support aggregate shuffles half the pair volume and the
     ≥3-pruned survivors are mirrored afterwards (round 9: the former
     ≠-generation shuffled both orderings of every pair through the
-    groupBy and was this entry's whole ×64 bill, 111.7 s). The
-    support filter prunes before the mirror and before any division;
-    part priors are one aggregate broadcast into the rule table."""
+    groupBy and was this entry's whole ×64 bill, 111.7 s). Baskets
+    come from ONE collect_set aggregate on l_orderkey (map-side
+    partials collapse lineitem's natural orderkey clustering; the
+    set also IS the dedup, so no distinct() exchange) and pairs are
+    u<v array algebra over the sorted set — replacing the former
+    orderkey self-join whose two 77M-row sorts dominated the ×128
+    wall. The pair table is explicitly repartitioned to a
+    bytes-scaled width BEFORE its groupBy: co-purchase pairs are
+    nearly all unique (256 survivors of 115M pairs at ×128), so
+    map-side partial aggregation built giant dedup-nothing hash maps
+    that spilled to sort — the measured cliff behind the ×128 probe's
+    5.0× wall-doubling (123.6 s median). Moving the aggregate behind
+    a hash(ante, cons) exchange makes the map side a plain 16-byte-row
+    shuffle write and the reducers ~500k-entry maps: 24 s at ×128,
+    doubling 1.88, stable across reps (reducer-width alone was A/B'd
+    first and did NOT help — the pain was map-side). The support
+    filter prunes before the mirror and before any division; part
+    priors ride the same explicit-width pattern off the same baskets
+    exchange, and the survivor↔prior joins broadcast the tiny
+    survivor side at runtime (AQE)."""
+    est_rows = table_bytes("lineitem", sf_dir) // 18
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ~2 pairs per lineitem row in this corpus; target ≤ ~1M pair
+    # rows per reducer — order-of-magnitude is all the heuristic needs
+    n_parts = max(default_width, min(4096, -(-est_rows * 2 // 1_000_000)))
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
-    a, b = op.alias("a"), op.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(parts, (x, i) -> transform("
+                    "slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS ante, y AS cons)))"
+                )
+            )
+        ).alias("pc")
+    ).select("pc.ante", "pc.cons")
     half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons"))
+        pairs.repartition(n_parts, "ante", "cons")
+        .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
         .where(F.col("n_ab") >= 3)
     )
@@ -1952,7 +1982,12 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cons").alias("ante"), F.col("ante").alias("cons"), "n_ab"
         )
     )
-    prior = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+    prior = (
+        baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
+        .repartition(n_parts, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+    )
     pa = prior.select(F.col("l_partkey").alias("ante"), F.col("n_p").alias("n_a"))
     pb = prior.select(F.col("l_partkey").alias("cons"), F.col("n_p").alias("n_b"))
     rules = pair.join(pa, "ante").join(pb, "cons").crossJoin(F.broadcast(n))
