@@ -1196,25 +1196,25 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the graph, and the edge list is computed exactly once.
     Interleaved 3-rep ×64 A/B: window 46.6 s vs join 61.1 s medians
     (wide GC-driven spread on both — the ×64 walls here are
-    environment-noise-bound). A collect_set-per-basket pair
-    generation (one orderkey shuffle, in-partition explode) was also
-    A/B'd and measured a wash (95.9 vs 98.7 s median, reps 22-183 s)
-    — rejected: no win to justify diverging from the shared
-    self-join edge-list idiom the oracle SQL mirrors."""
-    li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    environment-noise-bound). Round 9: the edge list now comes from
+    the shared _basket_pairs helper (collect_set baskets → u<v array
+    pairs → support groupBy BEHIND an explicit bytes-scaled
+    hash(u, v) exchange, mirrored for the undirected step). An
+    earlier round's collect_set A/B WITHOUT the explicit exchange
+    was a wash (95.9 vs 98.7 s) because map-side partial aggregation
+    over the nearly-all-unique pairs was the true bottleneck — the
+    re-run with the exchange wins the interleaved ×64 A/B 19.0 s vs
+    43.9 s median (results identical at sf0.01)."""
+    from hematite_spark.queries.recsys import _basket_pairs
+
+    _, bpairs, _ = _basket_pairs(spark, sf_dir)
+    half = (
+        bpairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
         .select("u", "v")
     )
+    und = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     contrib = und.select(
         "v", (1.0 / F.count(F.lit(1)).over(W.partitionBy("u")).cast("double")).alias("c")
     )

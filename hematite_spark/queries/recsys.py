@@ -306,33 +306,85 @@ ORDER BY p_partkey
 """
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str):
+    """Within-order unordered part pairs for the market-basket family
+    (basket_item_affinity, basket_lift_rules, pagerank_step's edge
+    list). Returns ``(baskets, pairs, n_parts)``:
+
+    - ``baskets``: one row per order with its sorted distinct-part
+      array — ONE collect_set aggregate on l_orderkey (map-side
+      partials collapse lineitem's natural orderkey clustering; the
+      set IS the (order, part) dedup, so no distinct() exchange).
+      Consumers derive order counts and per-part priors from this
+      same frame, and the exchange is reused across subtrees.
+    - ``pairs``: one (u, v) row per within-order pair with u < v —
+      array algebra over the sorted set (pair space Σ basket² stays
+      orderline-bounded, items ≤ 7 per order), already repartitioned
+      to the bytes-scaled hash(u, v) width. The explicit exchange
+      BEFORE the consumer's groupBy is the load-bearing part:
+      co-purchase pairs are nearly all unique, so map-side partial
+      aggregation builds giant dedup-nothing hash maps that spill to
+      sort — the ×128 probe measured basket_lift_rules at a 5.0×
+      wall-doubling from exactly that (reducer-width alone was A/B'd
+      and did NOT help; with this shape 123.6 s → 45.6 s at ×128,
+      doubling 1.90). pagerank_step's interleaved ×64 A/B of the
+      same shape: 43.9 s → 19.0 s median.
+    - ``n_parts``: the width, for consumers keying other aggregates
+      (per-part priors) at the same scale.
+    """
+    est_rows = table_bytes("lineitem", sf_dir) // 18
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ~2 pairs per lineitem row in this corpus; target ≤ ~1M pair
+    # rows per reducer — order-of-magnitude is all the heuristic needs
+    n_parts = max(default_width, min(4096, -(-est_rows * 2 // 1_000_000)))
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(parts, (x, i) -> transform("
+                        "slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("pc")
+        )
+        .select("pc.u", "pc.v")
+        .repartition(n_parts, "u", "v")
+    )
+    return baskets, pairs, n_parts
+
+
 def basket_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: support/confidence/lift for part pairs
     co-occurring in an order — the co-occurrence statistic behind
     recommenders and complement detection. Pairs are generated
-    WITHIN basket only (equi-join on orderkey, a < b), so the pair
-    space is Σ basket², bounded by basket size — never corpus²; at
-    100 TB the orderkey is the partition key and a pathological mega
-    basket is the only skew, handled by the same salting pattern as
-    the hot-key join. Baskets dedup (order, part) first so repeated
-    lines don't inflate counts. Lift > 1 ⇒ the pair co-occurs more
-    than independence predicts."""
-    li = load_table(spark, "lineitem", sf_dir)
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = basket.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
-    item = basket.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
-    a, b = basket.alias("a"), basket.alias("b")
+    WITHIN basket only (u < v array algebra over per-order
+    collect_set baskets — see _basket_pairs), so the pair space is
+    Σ basket², bounded by basket size — never corpus²; the pair
+    aggregate runs behind an explicit bytes-scaled hash(u, v)
+    exchange (the shared-helper shape that took basket_lift_rules
+    from a 5.0× to a 1.90× wall-doubling at ×128). The set-valued
+    basket IS the (order, part) dedup so repeated lines don't
+    inflate counts. Lift > 1 ⇒ the pair co-occurs more than
+    independence predicts."""
+    baskets, bpairs, n_parts = _basket_pairs(spark, sf_dir)
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .repartition(n_parts, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("item_cnt"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        bpairs.groupBy("u", "v")
         .agg(F.count("*").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= 3)
+        .select(F.col("u").alias("part_a"), F.col("v").alias("part_b"), "pair_cnt")
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b"))
@@ -1949,33 +2001,15 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter prunes before the mirror and before any division; part
     priors ride the same explicit-width pattern off the same baskets
     exchange, and the survivor↔prior joins broadcast the tiny
-    survivor side at runtime (AQE)."""
-    est_rows = table_bytes("lineitem", sf_dir) // 18
-    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # ~2 pairs per lineitem row in this corpus; target ≤ ~1M pair
-    # rows per reducer — order-of-magnitude is all the heuristic needs
-    n_parts = max(default_width, min(4096, -(-est_rows * 2 // 1_000_000)))
-    li = load_table(spark, "lineitem", sf_dir)
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
+    survivor side at runtime (AQE). Basket/pair construction is the
+    shared _basket_pairs helper."""
+    baskets, bpairs, n_parts = _basket_pairs(spark, sf_dir)
     n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(parts, (x, i) -> transform("
-                    "slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS ante, y AS cons)))"
-                )
-            )
-        ).alias("pc")
-    ).select("pc.ante", "pc.cons")
     half = (
-        pairs.repartition(n_parts, "ante", "cons")
-        .groupBy("ante", "cons")
+        bpairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
         .where(F.col("n_ab") >= 3)
+        .select(F.col("u").alias("ante"), F.col("v").alias("cons"), "n_ab")
     )
     pair = half.unionByName(
         half.select(
