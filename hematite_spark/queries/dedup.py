@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hematite_spark.functions import norm_text as _norm_text
-from hematite_spark.io import load_table
+from hematite_spark.io import load_table, table_bytes
 
 N_MINHASH = 8  # permutations; LSH bands of 2 → 4 bands
 
@@ -144,6 +144,41 @@ WITH shingles AS (
 """
 
 
+def _coshingle_common(sh: DataFrame, sf_dir: str) -> DataFrame:
+    """Per-pair co-shingle counts ``(doc_a, doc_b, common)`` with
+    doc_a < doc_b from an inverted-index frame ``(doc_id, sh)`` — the
+    exact-ground-truth kernel shared by the Jaccard/containment/LSH
+    audit entries. Pairs only materialize for co-shingled docs (the
+    join shuffles on the shingle key; hot shingles are the skew risk,
+    split by AQE at runtime).
+
+    The pair aggregate runs BEHIND an explicit bytes-scaled
+    hash(doc_a, doc_b) exchange: co-shingled pairs are dominated by
+    docs sharing only 1-2 shingles, so map-side partial aggregation
+    over the join output builds nearly-dedup-nothing hash maps that
+    spill to sort at replica scale — the same measured cliff the
+    basket-pair family had (recsys._basket_pairs; basket_lift_rules
+    went from a 5.0× to a 1.90× wall-doubling at ×128 with this
+    shape). Pair GENERATION stays in the streaming join — a
+    collect_set-per-shingle array variant would materialize a hot
+    shingle's whole |s|²/2 pair block in one row, an OOM on
+    boilerplate shingles, so it is NOT used here (unlike baskets,
+    which are orderline-bounded at ≤ 7 items)."""
+    est_sh = table_bytes("documents", sf_dir) // 3  # ≈ shingle rows
+    default_width = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # pair rows run a small multiple of shingle rows in a near-dup
+    # corpus; target ≤ ~1M pair rows per reducer (order of magnitude)
+    n_parts = max(default_width, min(4096, -(-est_sh * 4 // 1_000_000)))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .repartition(n_parts, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.6, via the inverted
     index: join docs on shared shingles, count common per pair, then
@@ -155,12 +190,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage for the session lifetime across catalog runs
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    common = _coshingle_common(sh, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -1247,12 +1277,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    common = _coshingle_common(sh, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -1407,12 +1432,7 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _shingles_df(spark, sf_dir).where(F.col("sh").isNotNull()).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    common = _coshingle_common(sh, sf_dir)
     ja, jb = sizes.alias("ja"), sizes.alias("jb")
     exact = (
         common.join(ja, F.col("doc_a") == F.col("ja.doc_id"))
@@ -1778,12 +1798,7 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregates broadcast-composed."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    common = _coshingle_common(sh, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     truth = (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -2038,12 +2053,7 @@ def lsh_band_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    common = _coshingle_common(sh, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     truth = (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -2144,12 +2154,7 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bit = lambda s: F.conv(F.substring(F.col(f"mh{s}"), 4, 1), 16, 10).cast("long") % 2  # noqa: E731
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    common = _coshingle_common(sh, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
