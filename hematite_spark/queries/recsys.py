@@ -329,34 +329,40 @@ def _basket_pairs(spark: SparkSession, sf_dir: str):
       and did NOT help; with this shape 123.6 s → 45.6 s at ×128,
       doubling 1.90). pagerank_step's interleaved ×64 A/B of the
       same shape: 43.9 s → 19.0 s median.
-    - ``n_parts``: the width, for consumers keying other aggregates
-      (per-part priors) at the same scale.
+    - ``n_parts``: the scaled width for consumers keying other
+      aggregates (per-part priors) at the same scale, or 0 when the
+      input is small enough that the stock width (and its map-side
+      partial aggregation, net-positive at bench scale) should stand.
     """
     est_rows = table_bytes("lineitem", sf_dir) // 18
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # ~2 pairs per lineitem row in this corpus; target ≤ ~1M pair
     # rows per reducer — order-of-magnitude is all the heuristic needs
-    n_parts = max(default_width, min(4096, -(-est_rows * 2 // 1_000_000)))
+    n_parts = min(4096, -(-est_rows * 2 // 1_000_000))
     li = load_table(spark, "lineitem", sf_dir)
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(parts, (x, i) -> transform("
-                        "slice(parts, i + 2, size(parts)), "
-                        "y -> struct(x AS u, y AS v)))"
-                    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(parts, (x, i) -> transform("
+                    "slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS u, y AS v)))"
                 )
-            ).alias("pc")
-        )
-        .select("pc.u", "pc.v")
-        .repartition(n_parts, "u", "v")
-    )
-    return baskets, pairs, n_parts
+            )
+        ).alias("pc")
+    ).select("pc.u", "pc.v")
+    # bench-scale inputs keep the stock partial→exchange→final plan
+    # (partial aggregation is net-positive until the width heuristic
+    # kicks in — same conditional as dedup._coshingle_common)
+    if n_parts > default_width:
+        pairs = pairs.repartition(n_parts, "u", "v")
+    # consumers gate their own per-part aggregates on the same
+    # scaled-vs-stock decision: n_parts only exceeds default_width
+    # when the bytes heuristic kicked in
+    return baskets, pairs, (n_parts if n_parts > default_width else 0)
 
 
 def basket_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,12 +380,10 @@ def basket_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence predicts."""
     baskets, bpairs, n_parts = _basket_pairs(spark, sf_dir)
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    item = (
-        baskets.select(F.explode("parts").alias("l_partkey"))
-        .repartition(n_parts, "l_partkey")
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("item_cnt"))
-    )
+    item = baskets.select(F.explode("parts").alias("l_partkey"))
+    if n_parts:
+        item = item.repartition(n_parts, "l_partkey")
+    item = item.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
     pairs = (
         bpairs.groupBy("u", "v")
         .agg(F.count("*").alias("pair_cnt"))
@@ -2016,11 +2020,11 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cons").alias("ante"), F.col("ante").alias("cons"), "n_ab"
         )
     )
-    prior = (
-        baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
-        .repartition(n_parts, "l_partkey")
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+    prior = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
+    if n_parts:
+        prior = prior.repartition(n_parts, "l_partkey")
+    prior = prior.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_p")
     )
     pa = prior.select(F.col("l_partkey").alias("ante"), F.col("n_p").alias("n_a"))
     pb = prior.select(F.col("l_partkey").alias("cons"), F.col("n_p").alias("n_b"))
