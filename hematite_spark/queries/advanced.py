@@ -902,18 +902,53 @@ def quantile_bins_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, orderkey, linenumber) so tie placement is deterministic
     and both engines bin identically.
 
-    Scale note: a global ntile is a single-partition window — fine
-    for reporting, wrong for a 100 TB feature pipeline. The scale
-    path is approx_percentile(p, [0.1 .. 0.9]) → broadcast the 9 cut
-    points → stateless width_bucket filter (one scan, no global
-    sort); this exact-ntile form is kept because the oracle can
-    value-check it bin-for-bin, and the cutpoint variant's contract
-    (±ε on boundaries) is probabilistic."""
+    Scale note (round 9): the naive form — ntile over a GLOBAL
+    window — collapses the whole table into one task and measured
+    SUPER-linear at the ×64 probe (73.5× wall on 64× data, a
+    single-core n·log n sort + spill). The exact ntile is instead
+    computed distributively, the way Spark's own global sort works:
+    range-exchange on the (unique) order key, per-partition row
+    counts aggregated into broadcast rank offsets, a PER-PARTITION
+    row_number window on top, and the closed-form ntile bucket
+    formula over the exact global rank (first n%10 buckets get
+    ⌈n/10⌉ rows — identical tie-free placement, value-checked
+    bin-for-bin by the oracle's true ntile). Three narrow linear
+    shuffles replace the single-partition sort: 99.3 s → ~9 s at
+    ×64. approx_percentile cutpoints (quantile_bins_approx) remain
+    the one-scan variant where a ±ε boundary contract is
+    acceptable."""
     li = load_table(spark, "lineitem", sf_dir)
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        li.select(*cols)
+        .repartitionByRange(width, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # materialized once; feeds counts AND ranks
+    )
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # the counts frame is O(width) rows — global windows over it are free
+    offs = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt")
+        .over(W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("_n"),
+    )
+    rank = (
+        F.col("_off")
+        + F.row_number().over(W.partitionBy("_pid").orderBy(*cols)).cast("bigint")
+    )
+    q, r = F.floor(F.col("_n") / 10), F.col("_n") % 10
+    bin_ = F.when(rank <= r * (q + 1), F.ceil(rank / (q + 1))).otherwise(
+        r + F.ceil((rank - r * (q + 1)) / F.greatest(q, F.lit(1)))
+    )
     return (
-        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
-        .withColumn("bin", F.ntile(10).over(w).cast("bigint"))
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn("bin", bin_.cast("bigint"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_rows"),

@@ -1709,6 +1709,39 @@ def test_triangle_degree_oriented_hub(spark, tmp_path):
     assert r.clustering_coeff == 0.6
 
 
+def test_quantile_bins_distributed_ntile_uneven(spark, tmp_path):
+    """Round-9 pin for the distributed exact-ntile rewrite: the
+    closed-form bucket formula over (range-partition offset + local
+    row_number) must reproduce true ntile semantics when n is not a
+    multiple of the bucket count — the first n%10 buckets take
+    ⌈n/10⌉ rows — and degenerate to one-row buckets when n < 10.
+    13 rows → sizes (2,2,2,1,1,1,1,1,1,1) with the 2-row buckets on
+    the LOWEST prices; 7 rows → buckets 1..7 of one row each."""
+    import pandas as pd
+
+    from hematite_spark.queries.advanced import quantile_bins_price
+
+    def build(n):
+        pd.DataFrame(
+            {
+                "l_extendedprice": [float(100 + i) for i in range(n)],
+                "l_orderkey": list(range(n)),
+                "l_linenumber": [1] * n,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        return {
+            r.bin: (r.n_rows, r.lo, r.hi)
+            for r in quantile_bins_price(spark, str(tmp_path)).collect()
+        }
+
+    bins13 = build(13)
+    assert [bins13[b][0] for b in range(1, 11)] == [2, 2, 2, 1, 1, 1, 1, 1, 1, 1]
+    assert bins13[1][1:] == (100.0, 101.0) and bins13[10][1:] == (112.0, 112.0)
+    bins7 = build(7)
+    assert sorted(bins7) == [1, 2, 3, 4, 5, 6, 7]
+    assert all(bins7[b][0] == 1 for b in bins7)
+
+
 def test_capture_recapture_drops_short_docs(spark, tmp_path):
     """Docs with <3 normalized tokens emit no shingles in EITHER
     engine (concat_ws skips NULLs, so an ungated Spark transform
