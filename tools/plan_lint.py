@@ -37,7 +37,7 @@ SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 # argmax broadcast) legitimately sort tiny or vocabulary-scale inputs
 # in one partition; their docstrings carry the 100 TB variant.
 ALLOW_GLOBAL_WINDOW = {
-    "quantile_bins_price",   # exact decile contract; scale path = quantile_bins_approx
+    "quantile_bins_price",   # round 9: deciles are distributed (range exchange + rank offsets); the remaining global windows run over the O(width) per-partition counts frame
     "scd2_merge_orders",     # change-ordinal over the O(changed-keys) delta, not the fact table
     "window_running_total",  # demonstration of an explicitly global running sum
     "rfm_segments",          # ntile over the pre-aggregated customer dim (docstring notes scale)
