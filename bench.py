@@ -170,6 +170,12 @@ def main() -> None:
     # MEDIANS; rep count and min/max spread go to BENCH_DETAIL_r{N}.json so
     # future regression flags can separate drift from scheduler noise.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    # Host telemetry per rep (VERDICT r9 item 6): round 9's ±25%
+    # same-day wall caveat was builder narrative ("1-3% CPU steal
+    # observed"); now each timed rep records the steal% over its own
+    # window and the loadavg, so the regression guard can annotate
+    # flags that coincide with a degraded host FROM THE ARTIFACT.
+    rep_host: list[dict] = []
     # Wall-budget safety valve (ADVICE r7): 3 reps + warm-up + slope
     # pass ≈ 5 full suite executions; if a driver-side timeout is ever
     # a risk, SPARK_GRAFT_WALL_BUDGET=<sec> drops remaining reps once
@@ -178,7 +184,16 @@ def main() -> None:
     rep_times = []
     reps_t0 = time.perf_counter()
     for i in range(reps):
+        h0 = _cpu_stat()
+        rep_t0 = time.perf_counter()
         rep_times.append(run_suite(SF_DIR, f"rep{i + 1}/"))
+        rep_host.append(
+            {
+                "wall_s": round(time.perf_counter() - rep_t0, 1),
+                "steal_pct": _steal_pct(h0, _cpu_stat()),
+                "loadavg1": round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None,
+            }
+        )
         elapsed = time.perf_counter() - reps_t0
         if wall_budget and i + 1 < reps and elapsed + elapsed / (i + 1) > wall_budget:
             print(
@@ -192,6 +207,7 @@ def main() -> None:
     }
     stability = {
         "reps": reps,
+        "host_per_rep": rep_host,
         "per_query": {
             n: {
                 "median": timings[n],
@@ -288,6 +304,18 @@ def main() -> None:
     prev = _latest_prev_bench(here, out["sf"], out["protocol"]) if not subset else None
     if prev is not None:
         regressions = _regression_check(timings, prev)
+        # annotate flags that coincide with a degraded host (VERDICT r9
+        # item 6): steal > 1% during the timed reps means the wall is
+        # confounded — the flag stands, but the adjudication evidence
+        # rides on it instead of living in builder narrative.
+        steals = [h["steal_pct"] for h in rep_host if h.get("steal_pct") is not None]
+        max_steal = max(steals, default=0.0)
+        if regressions and max_steal > 1.0:
+            regressions = [
+                f"{r} [host: steal up to {max_steal}% during timed reps — "
+                "see BENCH_DETAIL host_per_rep]"
+                for r in regressions
+            ]
         out["prev_total"] = prev.get("value")
         out["regressions"] = regressions
         for r in regressions:
@@ -326,6 +354,25 @@ def main() -> None:
     line = json.dumps(out)
     sys.stderr.flush()
     print(line, flush=True)
+
+
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat's cpu line, or
+    None off-Linux. Shared with tools/scale_xl.py's probe telemetry."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """CPU steal%% across a (before, after) _cpu_stat window."""
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else None
 
 
 def _next_round(here: str) -> int:

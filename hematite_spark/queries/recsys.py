@@ -1226,11 +1226,41 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hematite_spark.queries.dedup import _cc_labels
 
-    labels = _cc_labels(spark, pairs)
-    members = v.join(labels, v.p_partkey == labels.node, "left").select(
+    # Exact-name PRE-CONTRACTION before the closure (VERDICT r9 item 5
+    # — the ~160 s flat ×64/×128 wall was ~17 star-contraction cycles
+    # of fixed superstep latency over a graph dominated by exact-name
+    # cliques). Same-(blk, name) rows are rank-CONSECUTIVE (the rank
+    # window orders by (p_name, p_partkey)) and pair at levenshtein 0
+    # within the ±2 band, so every name group is a connected path in
+    # the pair graph — contracting each node to its name-group
+    # representative (min partkey, so min-over-reps = min-over-members
+    # and label semantics are preserved exactly) keeps the transitive
+    # closure bit-identical while shrinking the CC input from O(rows)
+    # to O(distinct names): the contracted graph stays under the
+    # driver union-find gate at any replication of a fixed name
+    # universe, and at true 100 TB diversity the size-adaptive star
+    # loop still catches the overflow. The oracle's recursive CTE
+    # replays the UNcontracted closure — equality is the test.
+    groups = v.groupBy("blk", "p_name").agg(F.min("p_partkey").alias("rep"))
+    memb = v.join(groups, ["blk", "p_name"]).select("p_partkey", "rep").localCheckpoint()
+    ra = memb.select(F.col("p_partkey").alias("doc_a"), F.col("rep").alias("rep_a"))
+    rb = memb.select(F.col("p_partkey").alias("doc_b"), F.col("rep").alias("rep_b"))
+    rep_edges = (
+        pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .where(F.col("rep_a") != F.col("rep_b"))
+        .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
+        .distinct()
+    )
+    rep_labels = _cc_labels(spark, rep_edges)
+    labels = memb.join(rep_labels, memb.rep == rep_labels.node, "left").select(
+        "p_partkey",
+        F.coalesce(F.col("label"), F.col("rep")).alias("label"),
+    )
+    members = v.join(labels, "p_partkey").select(
         "p_partkey",
         "p_retailprice",
-        F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity"),
+        F.col("label").alias("entity"),
     )
     canon = members.groupBy("entity").agg(
         F.count("*").cast("bigint").alias("cluster_size"),
@@ -1374,8 +1404,8 @@ ORDER BY rank
 """
 
 
-# item-kNN neighbor-list cap for rec_hitrate_eval — must match the
-# literal 50 in REC_HITRATE_SQL's co CTE
+# item-kNN neighbor-list cap for rec_hitrate_eval — interpolated into
+# REC_HITRATE_SQL's co CTE (f-string), so both engines share it
 _REC_TOP_M = 50
 # Leave-one-out eval scores a customer from their C most-RECENT train
 # items (same recency order as the hold-out). Part of the metric's
@@ -1484,14 +1514,24 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = marked.where(
         (F.col("rn") > 1) & (F.col("rn") <= 1 + _REC_TRAIN_CAP)
     ).select("o_custkey", "l_orderkey", "l_partkey")
-    # item-item co-occurrence from TRAIN baskets only
+    # item-item co-occurrence from TRAIN baskets only. The (p, q)
+    # aggregate runs behind an explicit bytes-scaled exchange above
+    # the width kick-in (round-10; the r9 design rule from
+    # _basket_pairs/_coshingle_common applied here): co-occurrence
+    # keys are nearly all unique at scale — part keys are
+    # corpus-proportional — so map-side partial aggregation over the
+    # self-join output builds dedup-nothing hash maps that spill to
+    # sort; below kick-in the stock partial→exchange→final plan is
+    # net-positive and stands.
     a, b = train.alias("a"), train.alias("b")
-    co = (
+    pq = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
-        .agg(F.count("*").alias("co"))
+        .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
     )
+    if n_parts != default_width:
+        pq = pq.repartition(n_parts, "p", "q")
+    co = pq.groupBy("p", "q").agg(F.count("*").alias("co"))
     # item-kNN cap: keep each item's top-M neighbors only (definition
     # shared with the oracle; bounds the candidate fan-out at scale).
     # Above bench scale the cap window shuffles at the scaled width —
@@ -1553,7 +1593,10 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REC_HITRATE_SQL = """
+# f-string: the C/M caps are interpolated from the same constants the
+# DataFrame path uses (ADVICE r9 — a hardcoded 'rn <= 21' silently
+# diverged the two engines if _REC_TRAIN_CAP ever changed).
+REC_HITRATE_SQL = f"""
 WITH baskets AS (
   SELECT DISTINCT o.o_custkey, o.o_orderdate, l.l_orderkey, l.l_partkey
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -1562,7 +1605,7 @@ marked AS (
             ORDER BY o_orderdate DESC, l_orderkey DESC, l_partkey DESC) AS rn
   FROM baskets),
 held AS (SELECT o_custkey, l_partkey AS held_part FROM marked WHERE rn = 1),
-train AS (SELECT o_custkey, l_orderkey, l_partkey FROM marked WHERE rn > 1 AND rn <= 21),
+train AS (SELECT o_custkey, l_orderkey, l_partkey FROM marked WHERE rn > 1 AND rn <= {1 + _REC_TRAIN_CAP}),
 co_all AS (
   SELECT a.l_partkey AS p, b.l_partkey AS q, count(*) AS co
   FROM train a JOIN train b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -1571,7 +1614,7 @@ co AS (
   SELECT p, q, co
   FROM (SELECT *, row_number() OVER (PARTITION BY p ORDER BY co DESC, q ASC) AS nbr_rank
         FROM co_all)
-  WHERE nbr_rank <= 50),
+  WHERE nbr_rank <= {_REC_TOP_M}),
 cand AS (
   SELECT t.o_custkey, c.q, sum(c.co) AS score
   FROM (SELECT DISTINCT o_custkey, l_partkey AS p FROM train) t

@@ -15,14 +15,19 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_memory() -> str:
-    """¼ of host RAM in GiB, clamped to [4, 32]; 4g if undetectable."""
+    """¼ of host RAM in GiB, clamped to [4, 32] — but never more than
+    ½ of detected RAM (ADVICE r9: on a <6 GiB host a hard 4g floor
+    could equal or exceed physical memory and the JVM would fail to
+    start / get OOM-killed, defeating the 'smaller hosts still boot'
+    intent). 4g if RAM is undetectable."""
     try:
         page = os.sysconf("SC_PAGE_SIZE")
         pages = os.sysconf("SC_PHYS_PAGES")
         total_gib = page * pages / (1 << 30)
     except (ValueError, OSError, AttributeError):
         return "4g"
-    return f"{max(4, min(32, int(total_gib // 4)))}g"
+    want = max(4, min(32, int(total_gib // 4)))
+    return f"{max(1, min(want, int(total_gib // 2)))}g"
 
 
 def get_spark(app_name: str = "hematite_spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -183,3 +183,29 @@ def test_no_query_module_exceeds_line_budget():
                 if n > 4000:
                     over.append((os.path.relpath(path, root), n))
     assert not over, f"files over the 4,000-line budget: {over}"
+
+
+def test_cpu_stat_and_steal_pct_telemetry():
+    """VERDICT r9 item 6: per-rep host telemetry. _cpu_stat reads the
+    aggregate cpu line; _steal_pct is a windowed percentage that
+    degrades to None instead of raising on missing samples."""
+    s = bench._cpu_stat()
+    assert s is not None and len(s) == 2  # Linux harness
+    steal, total = s
+    assert 0 <= steal <= total
+    # synthetic window: 3 steal jiffies out of 200 total = 1.5%
+    assert bench._steal_pct((10, 1000), (13, 1200)) == 1.5
+    assert bench._steal_pct(None, (13, 1200)) is None
+    assert bench._steal_pct((10, 1000), None) is None
+    assert bench._steal_pct((10, 1000), (10, 1000)) is None  # zero window
+
+
+def test_bench_detail_r06_archive_resolves_the_dangling_spill():
+    """ADVICE r9: BENCH_r06's wire line points at the retired
+    unversioned BENCH_DETAIL.json; the retro-archived per-round copy
+    must resolve it so round-6 history stays recoverable."""
+    here = os.path.dirname(_BENCH_PATH)
+    data = {"queries": {"_spilled_to": "BENCH_DETAIL.json"}}
+    resolved = bench._resolve_queries(data, here, 6)
+    assert "_spilled_to" not in resolved
+    assert len(resolved) > 40  # the full 46-query round-6 map

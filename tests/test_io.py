@@ -258,4 +258,24 @@ def test_default_driver_memory_clamped():
 
     val = _default_driver_memory()
     assert val.endswith("g")
-    assert 4 <= int(val[:-1]) <= 32
+    assert 1 <= int(val[:-1]) <= 32
+
+
+def test_default_driver_memory_half_ram_cap(monkeypatch):
+    """ADVICE r9: the 4g floor must not exceed ~half of physical RAM —
+    on a 5 GiB host the old hard floor could OOM the JVM at start."""
+    import os as _os
+
+    from hematite_spark import session
+
+    def fake_sysconf(name, _gib={"SC_PAGE_SIZE": 4096}):
+        if name == "SC_PAGE_SIZE":
+            return 4096
+        if name == "SC_PHYS_PAGES":
+            return fake_sysconf.pages
+        raise ValueError(name)
+
+    monkeypatch.setattr(session.os, "sysconf", fake_sysconf)
+    for total_gib, expected in [(5, "2g"), (3, "1g"), (16, "4g"), (128, "32g"), (64, "16g")]:
+        fake_sysconf.pages = total_gib * (1 << 30) // 4096
+        assert session._default_driver_memory() == expected, total_gib

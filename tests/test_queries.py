@@ -278,10 +278,10 @@ def test_cc_pointer_jumping_handles_deep_paths(spark, monkeypatch):
     calls = 0
     orig = dedup._cc_star_round
 
-    def counting(g, large):
+    def counting(g, large, cut=True):
         nonlocal calls
         calls += 1
-        return orig(g, large)
+        return orig(g, large, cut)
 
     monkeypatch.setattr(dedup, "_cc_star_round", counting)
     labels = dedup._cc_labels(spark, pairs).collect()
@@ -357,7 +357,7 @@ def test_cc_propagate_raises_on_non_convergence(spark, monkeypatch):
 
     from hematite_spark.queries import dedup
 
-    def never_converges(g, large):
+    def never_converges(g, large, cut=True):
         return g.select("doc_a", (F.col("doc_b") + 1).alias("doc_b"))
 
     monkeypatch.setattr(dedup, "_cc_star_round", never_converges)
@@ -1782,3 +1782,14 @@ def test_capture_recapture_drops_short_docs(spark, tmp_path):
     # holds doc 4's single shingle, which overlaps A; the 1- and
     # 2-token docs contribute nothing.
     assert (r.n_a, r.n_b, r.overlap) == (2, 1, 1)
+
+
+def test_rec_hitrate_sql_caps_interpolated_from_constants():
+    """ADVICE r9: the oracle SQL's train-history and top-M caps are
+    f-string-interpolated from the same constants the DataFrame path
+    uses, so changing either constant cannot silently diverge the two
+    engines."""
+    from hematite_spark.queries import recsys
+
+    assert f"rn <= {1 + recsys._REC_TRAIN_CAP}" in recsys.REC_HITRATE_SQL
+    assert f"nbr_rank <= {recsys._REC_TOP_M}" in recsys.REC_HITRATE_SQL

@@ -1,30 +1,49 @@
-"""Next-doubling scale probe (VERDICT r4 item 7): replicate sf0.1 ×8
-on disk with deterministic re-keying (~5 M lineitem rows), run the N
-heaviest catalog entries there, and record wall ratios vs freshly
-re-measured sf0.1 walls in SCALE_SLOPE_XL.json. This is the evidence
-that the adaptive sign-bucket subdivision, salted joins, and banded
-dedup paths keep behaving past the largest driver-provided dataset.
+"""Next-doubling scale probe (VERDICT r4 item 7): replicate sf0.1 ×N
+on disk with deterministic re-keying, run the heaviest catalog entries
+there, and record wall ratios vs freshly re-measured sf0.1 walls in
+SCALE_SLOPE_XL{N}.json. This is the evidence that the adaptive
+sign-bucket subdivision, salted joins, and banded dedup paths keep
+behaving past the largest driver-provided dataset.
 
-Replication design (replica r = 0..7; r=0 is the identity):
+Replication design (replica r = 0..N-1; r=0 is the identity):
 - every key column gets +r·10^7, so joins stay consistent WITHIN a
   replica and replicas never cross-join;
 - document text is token-prefixed per replica (``r<i>·token``) for
   r>0: within-replica duplicate/near-dup/shingle structure is
   isomorphic to the original, while cross-replica texts share no
   tokens — so dedup candidate buckets grow ~linearly with data, not
-  quadratically as naive 8× duplication of identical text would;
+  quadratically as naive N× duplication of identical text would;
 - embeddings get a per-replica deterministic sign-flip pattern over
   dimensions: flipping the same dims for all vectors of a replica
   preserves every within-replica dot product bit-for-bit and keeps
   norms, while cross-replica vectors decorrelate — same reasoning;
-- timestamps/values/categoricals are untouched (8× density per time
+- timestamps/values/categoricals are untouched (N× density per time
   window and per category is exactly what a bigger corpus looks like).
 
+Doubling metric (VERDICT r9 item 2 — ONE pinned definition): when
+SPARK_GRAFT_XL_FACTOR=128 the probe measures ×64 and ×128 walls
+INTERLEAVED in the same session (rep order 64,128,64,128,…) and emits
+``doubling_vs_x64 = median(x128 walls) / median(x64 walls)`` computed
+from those same-session walls — never a ratio-of-ratios across
+sessions with different sf0.1 bases (that is exactly how SURVEY §8's
+r9 pagerank 1.80 diverged from the artifacts' 2.37). A doubling
+> 2.2 is flagged as a risk (linear = 2.0 + overhead allowance).
+
+Host telemetry (VERDICT r9 items 1a/6): every measurement records the
+CPU steal%% over its own window (from /proc/stat deltas) and the
+1-minute loadavg beside the wall, so a degraded-host rep is
+adjudicable from the artifact instead of from builder narrative.
+
 Run: python tools/scale_xl.py [N_heaviest] [name ...]
-     → builds .scale_xl/ once (reused if present), writes SCALE_SLOPE_XL.json
-     SPARK_GRAFT_XL_FACTOR=64 selects a deeper replication (dir
-     .scale_xl64/, report SCALE_SLOPE_XL64.json) — two more doublings
-     for the heaviest survivors of the x8 probe.
+     → builds .scale_xl/ once (reused if present), writes
+     SCALE_SLOPE_XL.json + a per-round archive
+     SCALE_SLOPE_XL_r{NN}.json (VERDICT r9 item 8 — the unversioned
+     report was previously overwritten in place and old walls lived
+     only in git history).
+     SPARK_GRAFT_XL_FACTOR=64 → dir .scale_xl64/, SCALE_SLOPE_XL64.json
+     SPARK_GRAFT_XL_FACTOR=128 → dirs .scale_xl64/ + .scale_xl128/,
+     SCALE_SLOPE_XL128.json with interleaved x64/x128 walls and the
+     doubling_vs_x64 field.
 """
 
 from __future__ import annotations
@@ -33,6 +52,7 @@ import gc
 import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -49,10 +69,14 @@ WARM_DIR = "/root/testdata/sf0.001"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_XL_FACTOR", "8"))
 _SUFFIX = "" if REPLICAS == 8 else str(REPLICAS)
 XL_DIR = os.path.join(REPO, f".scale_xl{_SUFFIX}")
+XL64_DIR = os.path.join(REPO, ".scale_xl64")
 OFF = 10_000_000
 # Nx data; scan-bound ops should land ≲Nx + overhead. Anything past
 # this is super-linear beyond data growth.
 FLAG_RATIO = REPLICAS * 1.5
+# second-doubling criterion (VERDICT r9): ×128 wall / ×64 wall ≤ 2.2
+# = linear growth (2.0) + fixed-overhead allowance
+FLAG_DOUBLING = 2.2
 MIN_BASE_SEC = 0.5
 
 TABLES = [
@@ -85,11 +109,17 @@ def _sign_flips(replica: int, dim: int) -> list[float]:
     ]
 
 
-def build_xl(spark) -> None:
-    if os.path.isdir(XL_DIR) and all(
-        os.path.exists(os.path.join(XL_DIR, f"{t}.parquet")) for t in TABLES
+# host telemetry shared with the bench harness (one definition)
+from bench import _cpu_stat, _steal_pct  # noqa: E402
+
+
+def build_xl(spark, replicas: int | None = None, xl_dir: str | None = None) -> None:
+    replicas = REPLICAS if replicas is None else replicas
+    xl_dir = XL_DIR if xl_dir is None else xl_dir
+    if os.path.isdir(xl_dir) and all(
+        os.path.exists(os.path.join(xl_dir, f"{t}.parquet")) for t in TABLES
     ):
-        print(f"# reuse existing {XL_DIR}", file=sys.stderr)
+        print(f"# reuse existing {xl_dir}", file=sys.stderr)
         return
     emb_dim = len(
         spark.read.parquet(f"{SRC_DIR}/embeddings.parquet").first()["embedding"]
@@ -97,7 +127,7 @@ def build_xl(spark) -> None:
     for t in TABLES:
         base = spark.read.parquet(f"{SRC_DIR}/{t}.parquet")
         parts = []
-        for r in range(REPLICAS):
+        for r in range(replicas):
             df = base
             for k in KEY_COLS[t]:
                 df = df.withColumn(k, (F.col(k) + F.lit(r * OFF)).cast(base.schema[k].dataType))
@@ -123,19 +153,26 @@ def build_xl(spark) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(os.path.join(XL_DIR, f"{t}.parquet"))
-        print(f"# built xl {t}", file=sys.stderr)
+        out.write.mode("overwrite").parquet(os.path.join(xl_dir, f"{t}.parquet"))
+        print(f"# built xl{replicas} {t}", file=sys.stderr)
 
 
-def run(spark, fn, sf_dir) -> float:
+def run(spark, fn, sf_dir) -> tuple[float, float | None, float | None]:
+    """One measurement: (wall_s, steal_pct over the window, loadavg1)."""
+    s0 = _cpu_stat()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
+    steal = _steal_pct(s0, _cpu_stat())
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        load1 = None
     # Same lesson as bench.py's run_suite (round 8): drop checkpoint
     # RDD references promptly or successive entries measure each
     # other's GC debt — at xl sizes the dead blocks are GBs.
     gc.collect()
-    return wall
+    return wall, steal, load1
 
 
 # Single-shot xl walls are NOISY (round 8): first-in-JVM runs pay
@@ -147,9 +184,25 @@ def run(spark, fn, sf_dir) -> float:
 XL_REPS = max(1, int(os.environ.get("SPARK_GRAFT_XL_REPS", "1")))
 
 
-def run_med(spark, fn, sf_dir) -> float:
-    walls = sorted(run(spark, fn, sf_dir) for _ in range(XL_REPS))
-    return walls[len(walls) // 2]
+def _round_n() -> int:
+    """1 + highest N among BENCH_r{N}.json (the driver writes this
+    round's AFTER the probe runs) — same convention as bench.py."""
+    rounds = [0]
+    for fname in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _write_report(path: str, payload: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    # per-round archive (VERDICT r9 item 8): the unversioned report is
+    # a rolling merge; the _r{NN} copy freezes what THIS round measured
+    stem, ext = os.path.splitext(path)
+    with open(f"{stem}_r{_round_n():02d}{ext}", "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 def main(argv) -> int:
@@ -157,6 +210,9 @@ def main(argv) -> int:
     names = [a for a in argv if not a.isdigit()]
     spark = get_spark("scale-xl")
     build_xl(spark)
+    interleave64 = REPLICAS == 128
+    if interleave64:
+        build_xl(spark, 64, XL64_DIR)
     qs = entrymod.queries()
     if not names:
         with open(os.path.join(REPO, "SCALE_SLOPE.json")) as f:
@@ -173,37 +229,87 @@ def main(argv) -> int:
         with open(path) as f:
             prev = json.load(f)
         out = {k: v for k, v in prev.get("entries", {}).items() if k not in names}
+        # carry risks for entries not being re-measured this run
+        kept = set(out)
+        risks = [r for r in prev.get("risks", []) if r.split()[0] in kept]
     for name in names:
         fn = qs[name]
         run(spark, fn, WARM_DIR)  # HotSpot warm-up (bench.py lesson)
-        base_s = run_med(spark, fn, SRC_DIR)
-        xl_s = run_med(spark, fn, XL_DIR)
+        base_walls, base_steal = [], []
+        xl_walls, xl_steal, xl_load = [], [], []
+        x64_walls, x64_steal = [], []
+        for _ in range(XL_REPS):
+            w, s, _l = run(spark, fn, SRC_DIR)
+            base_walls.append(w)
+            base_steal.append(s)
+            # interleaved ×64/×128 (VERDICT r9 item 2): the doubling is
+            # computed from walls measured back-to-back in ONE session
+            if interleave64:
+                w, s, _l = run(spark, fn, XL64_DIR)
+                x64_walls.append(w)
+                x64_steal.append(s)
+            w, s, l1 = run(spark, fn, XL_DIR)
+            xl_walls.append(w)
+            xl_steal.append(s)
+            xl_load.append(l1)
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        base_s, xl_s = med(base_walls), med(xl_walls)
         ratio = round(xl_s / base_s, 2) if base_s > 0 else None
-        out[name] = {
+        entry = {
             "sf0_1_s": round(base_s, 3),
             f"xl{REPLICAS}_s": round(xl_s, 3),
             "ratio": ratio,
         }
         if XL_REPS > 1:
-            out[name]["reps"] = XL_REPS
+            entry["reps"] = XL_REPS
+            entry[f"walls_x{REPLICAS}"] = [round(w, 2) for w in xl_walls]
+        steal_all = [s for s in base_steal + xl_steal + x64_steal if s is not None]
+        if steal_all:
+            entry["steal_pct_max"] = max(steal_all)
+            entry["steal_pct"] = [s for s in xl_steal if s is not None]
+        if xl_load and xl_load[-1] is not None:
+            entry["loadavg1"] = xl_load[-1]
+        dbl = None
+        if interleave64:
+            x64_s = med(x64_walls)
+            dbl = round(xl_s / x64_s, 2) if x64_s > 0 else None
+            entry["xl64_s"] = round(x64_s, 3)
+            entry["doubling_vs_x64"] = dbl
+            if XL_REPS > 1:
+                entry["walls_x64"] = [round(w, 2) for w in x64_walls]
+        out[name] = entry
         flag = ratio is not None and base_s >= MIN_BASE_SEC and ratio > FLAG_RATIO
         if flag:
             risks.append(f"{name} {ratio}x (sf0.1 {base_s:.2f}s -> xl{REPLICAS} {xl_s:.2f}s)")
-        print(f"# xl{REPLICAS}/{name}: {base_s:.2f}s -> {xl_s:.2f}s ({ratio}x)", file=sys.stderr)
+        if dbl is not None and dbl > FLAG_DOUBLING and xl_s >= MIN_BASE_SEC:
+            risks.append(
+                f"{name} doubling {dbl} (x64 {entry['xl64_s']:.2f}s -> x128 {xl_s:.2f}s)"
+            )
+        print(
+            f"# xl{REPLICAS}/{name}: {base_s:.2f}s -> {xl_s:.2f}s ({ratio}x"
+            + (f", doubling {dbl}" if dbl is not None else "")
+            + (f", steal≤{entry.get('steal_pct_max')}%" if steal_all else "")
+            + ")",
+            file=sys.stderr,
+        )
         # write after EVERY entry (round 8): a killed or crashed sweep
         # used to lose all its measurements because the report only
         # landed at the end
-        with open(path, "w") as f:
-            json.dump(
-                {
-                    "replicas": REPLICAS,
-                    "flag_ratio": FLAG_RATIO,
-                    "risks": risks,
-                    "entries": dict(sorted(out.items())),
-                },
-                f,
-                indent=1,
-            )
+        _write_report(
+            path,
+            {
+                "replicas": REPLICAS,
+                "flag_ratio": FLAG_RATIO,
+                "flag_doubling": FLAG_DOUBLING if interleave64 else None,
+                "doubling_definition": (
+                    "median(x128 walls) / median(x64 walls), interleaved same-session reps"
+                    if interleave64
+                    else None
+                ),
+                "risks": risks,
+                "entries": dict(sorted(out.items())),
+            },
+        )
     print(json.dumps({"xl_entries": len(out), "risks": risks}))
     return 0
 
