@@ -1110,22 +1110,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checkpointed edge list (node count ≪ edge count; on a
     cluster it stays a shuffle join on the high-cardinality part
     key if it outgrows the broadcast threshold)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("u", "v")
-    )
+    from hematite_spark.queries.recsys import _support_edges
+
+    # round 10: edge build moved onto the shared _support_edges kernel
+    # (scaled-width support aggregate) — the op-self-join build's
+    # session-width aggregate was the measured ×128 spill cliff
+    edges = _support_edges(spark, sf_dir)
     edges = edges.localCheckpoint()  # one support-pruned edge list feeds all three
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1240,15 +1230,9 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the nearly-all-unique pairs was the true bottleneck — the
     re-run with the exchange wins the interleaved ×64 A/B 19.0 s vs
     43.9 s median (results identical at sf0.01)."""
-    from hematite_spark.queries.recsys import _basket_pairs
+    from hematite_spark.queries.recsys import _support_edges
 
-    _, bpairs, _ = _basket_pairs(spark, sf_dir)
-    half = (
-        bpairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("u", "v")
-    )
+    half = _support_edges(spark, sf_dir)
     und = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     contrib = und.select(
         "v", (1.0 / F.count(F.lit(1)).over(W.partitionBy("u")).cast("double")).alias("c")
@@ -1311,21 +1295,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degree semantics (unchanged): support is symmetric, so the
     undirected degree of x is its total appearance count across
     both endpoint columns of the half list."""
-    li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-        .select("u", "v")
-        .localCheckpoint()  # feeds the degree aggregate AND the moment pass
-    )
+    from hematite_spark.queries.recsys import _support_edges
+
+    # round 10: shared _support_edges kernel (scaled-width support
+    # aggregate) replaces the session-width op-self-join build — see
+    # graph_triangle_count
+    half = _support_edges(spark, sf_dir).localCheckpoint()
+    # checkpoint feeds the degree aggregate AND the moment pass
     deg = (
         half.select(F.col("u").alias("node"))
         .unionAll(half.select(F.col("v").alias("node")))

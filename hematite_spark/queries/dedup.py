@@ -360,6 +360,10 @@ ORDER BY doc_a, doc_b
 
 
 _SIMHASH_BITS = 32  # sketch width; 8-bit chunks × 4 bands below
+# above this estimated doc count the simhash banding switches from
+# 4×8-bit equality bands to 2×16-bit hamming-≤1 multiprobe bands
+# (identical output, 256× more buckets — see dedup_simhash_band)
+_SIMHASH_WIDE_DOCS = 60_000
 
 
 def _simhash_sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,28 +543,85 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueness declaration (reference src/db.rs:11-17) generalized to
     near-identity."""
     sketch = _simhash_sketch_df(spark, sf_dir).localCheckpoint()
-    # 4 chunk columns, 8 bits each
-    chunks = sketch.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255)).alias(f"c{c}")
-            for c in range(4)
-        ],
-    )
+    # Band-key width ADAPTS to corpus size (round 10; the ×128 probe
+    # measured a 2.68 wall-doubling — a genuine WORKLOAD quadratic:
+    # 8-bit chunk keys give 256 buckets, bucket occupancy grows
+    # linearly with the corpus, and the band-join candidate volume
+    # n²/256 with it, 3.2B pairs at ×128). Above the kick-in the
+    # banding switches to 2 chunks × 16 bits with a hamming-≤1
+    # multiprobe per chunk (Norouzi et al.'s multi-index hashing,
+    # public knowledge; the same multiprobe shape as
+    # dedup_embedding_cosine): a pair within hamming 3 of the 32-bit
+    # sketch has, by pigeonhole over 2 chunks, SOME chunk within
+    # hamming ⌊3/2⌋ = 1, so probing each doc's own 16-bit chunk value
+    # plus its 16 one-bit flips recovers every qualifying pair —
+    # EXACT recall, identical output, 256× more buckets (65 536), and
+    # the probe fan-out (17 keys × 2 chunks) is linear. The final
+    # pair set is band-scheme-independent (exact hamming ≤ 3 verify),
+    # so the oracle keeps its 4×8 formulation and the switch rides
+    # the bytes heuristic with no plan-build job. The quadratic tail
+    # remains past ~10M docs per corpus slice — a 100 TB deployment
+    # widens the sketch itself to 64 bits (and this threshold moves
+    # with it); at bench scales the stock 4×8 equality plan stands
+    # byte-identical.
+    est_docs = table_bytes("documents", sf_dir) // 119  # ~bytes/doc here
     frames = []
-    for c in range(4):
-        a, b = chunks.alias("a"), chunks.alias("b")
-        frames.append(
-            a.join(b, (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                .cast("bigint")
-                .alias("hamming"),
-            )
+    if est_docs <= _SIMHASH_WIDE_DOCS:
+        # 4 chunk columns, 8 bits each — equality bands
+        chunks = sketch.select(
+            "doc_id",
+            "simhash",
+            *[
+                F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255)).alias(f"c{c}")
+                for c in range(4)
+            ],
         )
+        for c in range(4):
+            a, b = chunks.alias("a"), chunks.alias("b")
+            frames.append(
+                a.join(b, (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    .cast("bigint")
+                    .alias("hamming"),
+                )
+            )
+    else:
+        # 2 chunk columns, 16 bits each — hamming-≤1 multiprobe bands
+        chunks = sketch.select(
+            "doc_id",
+            "simhash",
+            *[
+                F.shiftright(F.col("simhash"), 16 * c)
+                .bitwiseAND(F.lit(65535))
+                .alias(f"c{c}")
+                for c in range(2)
+            ],
+        )
+        for c in range(2):
+            probes = chunks.select(
+                "doc_id",
+                "simhash",
+                F.explode(
+                    F.expr(
+                        f"concat(array(c{c}), "
+                        f"transform(sequence(0, 15), i -> c{c} ^ shiftleft(1L, i)))"
+                    )
+                ).alias("probe"),
+            )
+            a, b = probes.alias("a"), chunks.alias("b")
+            frames.append(
+                a.join(b, (F.col("a.probe") == F.col(f"b.c{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    .cast("bigint")
+                    .alias("hamming"),
+                )
+            )
     allpairs = frames[0]
     for fr in frames[1:]:
         allpairs = allpairs.unionByName(fr)
@@ -696,12 +757,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.probe") == F.col(f"b.bkt{t}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("keep_doc"), F.col("b.doc_id").alias("drop_doc"))
         cand = pt if cand is None else cand.unionByName(pt)
-    cand = cand.distinct()
+    # candidate dedup BEHIND a bytes-scaled exchange above the width
+    # kick-in (round 10: candidate rows are nearly all unique — ~270
+    # probes×occupancy per vector — so the width-32 distinct's
+    # map-side partials dedup nothing and spill at replica scale; the
+    # ×128 interleaved probe billed the 3.27 wall-doubling here).
+    # Below kick-in the stock distinct (net-positive partials) stands.
+    est_vecs = table_bytes("embeddings", sf_dir) // 400  # ~bytes/row
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand_parts = min(4096, -(-est_vecs * 256 // 1_000_000))
+    if cand_parts > default_width:
+        cand = cand.repartition(cand_parts, "keep_doc", "drop_doc")
+    cand = cand.dropDuplicates(["keep_doc", "drop_doc"])
     ea = v.select(F.col("doc_id").alias("keep_doc"), F.col("ev").alias("ea"), F.col("nrm").alias("na"))
     eb = v.select(F.col("doc_id").alias("drop_doc"), F.col("ev").alias("eb"), F.col("nrm").alias("nb"))
+    # FAT-ROW verify joins scale by payload bytes, not row count
+    # (round 10: after the first attach every candidate row carries a
+    # 64-dim double array ≈ 550 B, so a width-32 sort-merge exchange
+    # sorts ~540 MB/task at ×128 and spills — the residual 2.56
+    # doubling after the distinct fix). Target ~64 MB of sort input
+    # per task; the vector side is tiny and follows the width for
+    # free. Below kick-in the stock plan stands.
+    fat_parts = min(4096, -(-est_vecs * 256 * 550 // (64 << 20)))
+    if fat_parts > default_width:
+        cand = cand.repartition(fat_parts, "keep_doc")
+    pairs = cand.join(ea, "keep_doc")
+    if fat_parts > default_width:
+        pairs = pairs.repartition(fat_parts, "drop_doc")
     pairs = (
-        cand.join(ea, "keep_doc")
-        .join(eb, "drop_doc")
+        pairs.join(eb, "drop_doc")
         .select(
             "keep_doc",
             "drop_doc",

@@ -365,6 +365,29 @@ def _basket_pairs(spark: SparkSession, sf_dir: str):
     return baskets, pairs, (n_parts if n_parts > default_width else 0)
 
 
+def _support_edges(spark: SparkSession, sf_dir: str, min_support: int = 2):
+    """Support-pruned half (u < v) co-purchase edge list — the shared
+    input of the graph family (pagerank_step, graph_triangle_count,
+    graph_degree_assortativity). Built from _basket_pairs so the
+    support aggregate runs BEHIND the bytes-scaled hash(u, v) exchange
+    above the width kick-in (round 10: triangle/assortativity
+    previously built their own op-self-join edge list whose support
+    aggregate ran at session width — 153M nearly-all-unique pair rows
+    at ×128 through 32 map-side partial maps is the exact spill cliff
+    the r9 design rule names; the same-session interleaved probe
+    measured their doublings at 2.7/3.0 against pagerank's kernel-fed
+    edge build). Support pruning kills the quadratic noise floor of
+    one-off baskets: the ×128 edge list is ~457k rows from 153M pair
+    rows, so every downstream join/window is edge-bounded."""
+    _, pairs, _ = _basket_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+
+
 def basket_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: support/confidence/lift for part pairs
     co-occurring in an order — the co-occurrence statistic behind

@@ -1793,3 +1793,17 @@ def test_rec_hitrate_sql_caps_interpolated_from_constants():
 
     assert f"rn <= {1 + recsys._REC_TRAIN_CAP}" in recsys.REC_HITRATE_SQL
     assert f"nbr_rank <= {recsys._REC_TOP_M}" in recsys.REC_HITRATE_SQL
+
+
+def test_simhash_wide_banding_identical_output(spark, monkeypatch):
+    """The 2×16-bit multiprobe banding (corpus-adaptive path for large
+    inputs) must emit EXACTLY the stock 4×8 equality banding's pairs:
+    recall is pigeonhole-exact both ways and the hamming-≤3 verify is
+    band-scheme-independent."""
+    from hematite_spark.queries import dedup
+
+    stock = dedup.dedup_simhash_band(spark, SF_DIR).collect()
+    monkeypatch.setattr(dedup, "_SIMHASH_WIDE_DOCS", -1)  # force wide
+    wide = dedup.dedup_simhash_band(spark, SF_DIR).collect()
+    assert sorted(map(tuple, stock)) == sorted(map(tuple, wide))
+    assert len(stock) > 0  # fixture has near-dup docs

@@ -35,20 +35,35 @@ _HOT_X64 = {
     "textrank_keywords",
 }
 
-# Two-doubling set (VERDICT r8 item 6) and the allowed wall growth
-# between the x64 and x128 points: linear scaling doubles the wall,
-# so <= 2.2 tolerates 10% super-linear drift and nothing worse. The
-# comparison is xl128_s / xl64_s (NOT the ratio quotient): the sf0.1
-# bases re-measure with up to ±70% session noise (rec_hitrate_eval's
-# base spanned 4.99-8.44 s across probe runs), which corrupts the
-# ratio quotient, while the multi-minute xl walls are stable — and
-# for same-measurement bases the two formulas are identical anyway.
+# Two-doubling set (VERDICT r8 item 6, extended to the full next tier
+# by VERDICT r9 item 4) and the allowed wall growth between the x64
+# and x128 points: linear scaling doubles the wall, so <= 2.2
+# tolerates 10% super-linear drift and nothing worse. Round 10 pinned
+# the metric to ONE definition (VERDICT r9 item 2): doubling_vs_x64 =
+# lower-median(x128 walls) / lower-median(x64 walls) from INTERLEAVED
+# same-session reps, carried in the x128 record itself — never a
+# cross-session ratio quotient (sf0.1 bases re-measure with up to
+# ±70% session noise, which is exactly how SURVEY r9's pagerank 1.80
+# diverged from the artifacts' 2.37).
 _TWO_DOUBLING = {
     "rec_hitrate_eval",
     "entity_resolution_pipeline",
     "basket_lift_rules",
     "graph_degree_assortativity",
     "graph_triangle_count",
+    "pagerank_step",
+    "fuzzy_match_parts",
+    "dedup_simhash_band",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "minhash_jaccard_audit",
+    "dedup_containment",
+    "lsh_band_auc",
+    "es_hash_chain",
+    "minhash_bbit_estimate",
+    "text_duplicate_spans",
+    "basket_item_affinity",
+    "quantile_bins_price",
 }
 _DOUBLING_MAX = 2.2
 
@@ -77,13 +92,22 @@ def test_xl64_coverage_and_sublinearity():
 
 
 def test_xl128_two_doubling_near_linear():
-    x64 = _load("SCALE_SLOPE_XL64.json")["entries"]
-    x128 = _load("SCALE_SLOPE_XL128.json")["entries"]
-    for name in sorted(_TWO_DOUBLING):
-        assert name in x128, f"{name} missing from the x128 record"
-        w64, w128 = x64[name]["xl64_s"], x128[name]["xl128_s"]
-        growth = w128 / w64
-        assert growth <= _DOUBLING_MAX, (
-            f"{name}: wall grew {growth:.2f}x between x64 ({w64}s) and "
-            f"x128 ({w128}s) — worse than the {_DOUBLING_MAX} near-linear bound"
+    rec = _load("SCALE_SLOPE_XL128.json")
+    x128 = rec["entries"]
+    assert rec.get("flag_doubling") == _DOUBLING_MAX
+    assert len(x128) >= 18, f"x128 record shrank to {len(x128)} entries"
+    assert rec["risks"] == [], f"x128 record carries risks: {rec['risks']}"
+    missing = _TWO_DOUBLING - set(x128)
+    assert not missing, f"entries dropped from the x128 record: {sorted(missing)}"
+    for name, v in sorted(x128.items()):
+        assert "doubling_vs_x64" in v, (
+            f"{name} lacks the pinned doubling_vs_x64 field (same-session "
+            "interleaved x64/x128 walls)"
+        )
+        if v["xl128_s"] < 0.5:
+            continue  # sub-second walls are all fixed overhead
+        assert v["doubling_vs_x64"] <= _DOUBLING_MAX, (
+            f"{name}: wall grew {v['doubling_vs_x64']}x between x64 "
+            f"({v.get('xl64_s')}s) and x128 ({v['xl128_s']}s) — worse than "
+            f"the {_DOUBLING_MAX} near-linear bound"
         )

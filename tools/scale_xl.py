@@ -252,7 +252,13 @@ def main(argv) -> int:
             xl_walls.append(w)
             xl_steal.append(s)
             xl_load.append(l1)
-        med = lambda xs: sorted(xs)[len(xs) // 2]
+        # LOWER median (index (n-1)//2): wall noise is one-sided — GC
+        # debt and cold page cache only ever INFLATE a rep (the r10
+        # batch measured a first-rep 139 s vs 27 s steady right after a
+        # heavy neighbor entry) — so for even rep counts the lower
+        # middle value is the robust pick, and for odd counts this is
+        # the ordinary median.
+        med = lambda xs: sorted(xs)[(len(xs) - 1) // 2]
         base_s, xl_s = med(base_walls), med(xl_walls)
         ratio = round(xl_s / base_s, 2) if base_s > 0 else None
         entry = {
