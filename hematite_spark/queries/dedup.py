@@ -30,6 +30,13 @@ from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.io import load_table, table_bytes
 
 N_MINHASH = 8  # permutations; LSH bands of 2 → 4 bands
+# dedup_semantic: target vectors per coarse cell; k = max(8, n // this)
+# in BOTH engines (shared definition, exact count both sides)
+_SEM_TARGET_CELL = 250
+# above this estimated vector count the assignment switches from the
+# column-expression fold to the cogrouped numpy argmin (same argmin
+# semantics; see dedup_semantic)
+_SEM_GEMM_MIN_VECS = 8 * _SEM_TARGET_CELL
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,10 +423,32 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", "n_bands")
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Verify-join widths scale with corpus bytes above kick-in
+    # (round 10; the ×128 interleaved probe measured a 2.91
+    # wall-doubling — the candidate×shingles intermediate is ~80M
+    # 60-byte rows at ×128 and its session-width sort-merge exchanges
+    # spill). The pair AGGREGATE keeps the stock width: its keys
+    # repeat ~|common| times so map-side partials genuinely compress
+    # there, unlike the all-unique families.
+    est_sh = table_bytes("documents", sf_dir) // 3
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # width targets the candidate×shingle INTERMEDIATE (~2.4× shingle
+    # rows in this corpus, ~60 B/row): ~500k shingle rows per task
+    # keeps each sort under ~100 MB — the 2M divisor used elsewhere
+    # left this join at session width right through the replica range
+    # where its walls went erratic (64-86 s at ×128, borderline spill)
+    jp = min(4096, -(-est_sh // 500_000))
+    scaled = jp > default_width
     a, b = sh.alias("a"), sh.alias("b")
+    if scaled:
+        a = sh.repartition(jp, "doc_id").alias("a")
+    j1 = cands.join(a, F.col("doc_a") == F.col("a.doc_id")).select(
+        "doc_a", "doc_b", "n_bands", F.col("a.sh").alias("a_sh")
+    )
+    if scaled:
+        j1 = j1.repartition(jp, "doc_b", "a_sh")
     common = (
-        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        j1.join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a_sh") == F.col("b.sh")))
         .groupBy("doc_a", "doc_b", "n_bands")
         .agg(F.count("*").alias("common"))
     )
@@ -1189,20 +1218,92 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hematite_spark.functions import dbl as _dbl
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    # k ADAPTS to corpus size, k = max(8, n // target-cell) (round 10:
+    # the ×128 interleaved probe measured a 3.63 wall-doubling / 145×
+    # ratio — with 8 FIXED centroids, cells grow n/8 and the in-cell
+    # GEMM (n/8)², a workload quadratic. SemDeDup's own recipe sizes
+    # the coarse clustering to the corpus; with cells pinned at ~250
+    # vectors the total GEMM work is n·cell = linear. k comes from an
+    # in-plan count (lazy, broadcast 1-row frame) so the oracle can
+    # reproduce it exactly: count(*) is identical in both engines. At
+    # bench scales n ≤ 2000 keeps k = 8 — same clusters as before.)
+    kdf = emb.agg(
+        F.greatest(F.lit(8), F.floor(F.count("*") / _SEM_TARGET_CELL)).cast("long").alias("k")
+    )
+    cents = (
+        emb.crossJoin(F.broadcast(kdf))
+        .where(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv"))
     )
     vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
-    diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    w_assign = W.partitionBy("vec_id").orderBy("d", "centroid_id")
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "ev", "centroid_id", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("centroid_id", "vec_id", "ev")
-    )
+    est_vecs = table_bytes("embeddings", sf_dir) // 400  # ~bytes/row here
+    if est_vecs <= _SEM_GEMM_MIN_VECS:
+        # Small corpus (k stays at its 8 floor): assignment as a
+        # column-expression fold + MIN-STRUCT aggregate. min(struct(d,
+        # centroid_id)) is exactly the old (d ASC, centroid_id ASC)
+        # row_number tiebreak; the broadcast nested-loop emits each
+        # vector's k rows consecutively so map-side partials collapse
+        # them in place, and the fat ev array stays OUT of the n×k
+        # stream (re-joined after by vec_id). The fold is bit-exact
+        # with the oracle's list_reduce — the path the driver's
+        # small-sf correctness gate always takes.
+        diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+        dist = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        assigned_ids = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", dist.alias("d"), "centroid_id")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "centroid_id")).alias("m"))
+            .select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
+        )
+    else:
+        # Large corpus (k ∝ n): the n×k fold is the wall — the ×128
+        # profile billed 126.7 s of the entry's 149 s to it (zip_with
+        # allocates a 64-slot array per candidate row; 262M rows at
+        # ×128). Assignment runs as VECTORIZED numpy argmin inside a
+        # cogrouped applyInPandas instead: vectors shard into G
+        # hash groups, centroids replicate to every group as the
+        # cogroup's right side (a lazy crossJoin with spark.range —
+        # no driver-side collect, so plan build stays job-free), and
+        # each task computes chunked elementwise (v−c)² row minima in
+        # float64. Ties break to the lowest centroid_id (centroids
+        # sorted, argmin takes the first minimum) — the same order the
+        # fold path produces; summation-order fp drift vs the fold
+        # only matters on exact distance ties, which the tiebreak
+        # already owns. The adaptive-k unit test drives THIS path
+        # against the DuckDB fold oracle end-to-end.
+        import pandas as pd
+
+        G = 64
+        vg = vecs.withColumn("g", F.pmod(F.col("vec_id"), F.lit(G)).cast("int"))
+        cg = cents.crossJoin(
+            spark.range(G).select(F.col("id").cast("int").alias("g"))
+        )
+
+        def assign_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            if left.empty or right.empty:
+                return pd.DataFrame({"vec_id": [], "centroid_id": []}).astype(
+                    {"vec_id": "int64", "centroid_id": "int64"}
+                )
+            right = right.sort_values("centroid_id").reset_index(drop=True)
+            C = np.array(right["cv"].tolist(), dtype=np.float64)
+            c_ids = right["centroid_id"].to_numpy()
+            V = np.array(left["ev"].tolist(), dtype=np.float64)
+            out = np.empty(len(V), dtype=np.int64)
+            step = max(1, (64 << 20) // max(1, C.shape[0] * C.shape[1] * 8))
+            for i in range(0, len(V), step):
+                d2 = ((V[i : i + step, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                out[i : i + step] = c_ids[np.argmin(d2, axis=1)]
+            return pd.DataFrame({"vec_id": left["vec_id"].to_numpy(), "centroid_id": out})
+
+        assigned_ids = (
+            vg.groupBy("g")
+            .cogroup(cg.groupBy("g"))
+            .applyInPandas(assign_group, "vec_id long, centroid_id long")
+        )
+    assigned = assigned_ids.join(vecs, "vec_id").select("centroid_id", "vec_id", "ev")
 
     out_schema = T.StructType(
         [
@@ -1245,7 +1346,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SEMANTIC_SQL = f"""
-WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id < (SELECT greatest(8, count(*) // {_SEM_TARGET_CELL}) FROM embeddings)),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
 scored AS (
   SELECT vec_id, ev, centroid_id,

@@ -272,11 +272,26 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("p_name"), F.col("match_name")).cast("bigint").alias("distance"),
         )
     )
-    w_best = W.partitionBy("p_partkey").orderBy(F.col("distance").asc(), F.col("match_key").asc())
+    # Best-match election is a MIN-STRUCT HASH AGGREGATE, not a window
+    # (round 10): the former row_number window sorted the whole O(n·w)
+    # candidate table (~328M rows at ×128) at session width — ~600 MB
+    # per sort task, spilling. min(struct(distance, match_key, ...))
+    # orders lexicographically by exactly the old (distance ASC,
+    # match_key ASC) tiebreak — match_key is unique per partner so the
+    # tie never reaches match_name — and map-side partials genuinely
+    # compress here (~2·w candidate rows per part, high bucket
+    # locality), so the shuffle carries ~n rows instead of n·w sorted.
+    best = pairs.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct("distance", "match_key", "match_name")).alias("b")
+    )
     return (
-        pairs.withColumn("rn", F.row_number().over(w_best))
-        .where(F.col("rn") == 1)
-        .select("p_partkey", "p_name", "match_key", "match_name", "distance")
+        best.select(
+            "p_partkey",
+            "p_name",
+            F.col("b.match_key").alias("match_key"),
+            F.col("b.match_name").alias("match_name"),
+            F.col("b.distance").alias("distance"),
+        )
         .orderBy("p_partkey")
     )
 

@@ -1807,3 +1807,23 @@ def test_simhash_wide_banding_identical_output(spark, monkeypatch):
     wide = dedup.dedup_simhash_band(spark, SF_DIR).collect()
     assert sorted(map(tuple, stock)) == sorted(map(tuple, wide))
     assert len(stock) > 0  # fixture has near-dup docs
+
+
+def test_semantic_dedup_adaptive_k_matches_oracle(spark, duck, monkeypatch):
+    """dedup_semantic's coarse-cluster count k = max(8, n // cell) is
+    corpus-adaptive (round 10 — fixed k=8 made the in-cell GEMM a
+    workload quadratic at replica scale). Force the adaptive branch
+    (cell target below n) and require the DuckDB oracle, re-derived
+    with the same cell target, to match value-for-value."""
+    from hematite_spark.oracle import compare
+    from hematite_spark.queries import dedup
+
+    monkeypatch.setattr(dedup, "_SEM_TARGET_CELL", 20)  # n=200 at sf0.001 -> k=10
+    monkeypatch.setattr(dedup, "_SEM_GEMM_MIN_VECS", 0)  # force the numpy path
+    df = dedup.dedup_semantic(spark, SF_DIR)
+    sql = dedup.DEDUP_SEMANTIC_SQL.replace(
+        f"// {250}", f"// {dedup._SEM_TARGET_CELL}"
+    )
+    assert sql != dedup.DEDUP_SEMANTIC_SQL
+    mismatch = compare(df, duck, sql)
+    assert not mismatch, mismatch
