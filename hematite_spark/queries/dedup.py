@@ -251,16 +251,54 @@ ORDER BY doc_a, doc_b
 )
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N_MINHASH min-hashes per doc from ONE md5 per shingle: the
-    128-bit digest is sliced into 8 independent 16-bit (4-hex-char)
-    hashes — 8× less hashing than hashing per permutation, same
-    minhash property (min over a uniform hash per band). Fixed-width
-    lowercase hex compares lexicographically = numerically, so
-    min(string) is min(hash). One explode + one hash-aggregate;
-    signature width is constant, so the shuffle carries O(docs) rows,
-    not O(shingles)."""
-    sh = _shingles_df(spark, sf_dir).withColumn("h", F.md5("sh"))
+# above this estimated doc count the minhash lanes widen from 16-bit
+# slices of one md5 to 32-bit seed-keyed independent md5s (see
+# _minhash_sig_aggs). VERDICT r10 item 2: at the fixed 16-bit width,
+# band-collision candidates measured growing 2.76× per corpus doubling
+# (dedup_lsh_verified / lsh_precision_recall) — with m shingles per doc
+# the min of m uniform 16-bit draws concentrates near 0 (E[min] ≈
+# 2^16/(m+1)), so two UNRELATED long docs collide on a lane with
+# p ≈ m/2^16 and on a 2-lane band with p ≈ (m/2^16)² — an n²-growth
+# accidental-candidate term that dominates once n²·(m/2^16)² rivals
+# the true near-dup mass. Widening to 32-bit lanes divides the
+# accidental band rate by 2^32: negligible until ~10M docs per corpus
+# slice for m ~ 10³ (and the md5 has 128 bits of headroom to widen
+# again — lsh_parameter_sweep / lsh_band_auc are the calibration
+# entries that would justify the next step). True near-dups are
+# unaffected: they collide because the SAME shingle attains the min,
+# which is width-independent. Below the kick-in the stock 16-bit plan
+# stands byte-identical (the driver's sf0.01 gate always takes it).
+_MINHASH_WIDE_DOCS = 60_000
+_MINHASH_WIDE_HEX = 8
+
+
+def _minhash_wide(sf_dir: str) -> bool:
+    """Bytes-derived kick-in (plan-build-safe, same heuristic family
+    as _SIMHASH_WIDE_DOCS): ~119 bytes/doc in this corpus."""
+    return table_bytes("documents", sf_dir) // 119 > _MINHASH_WIDE_DOCS
+
+
+def _minhash_sigs_from(sh: DataFrame, wide: bool) -> DataFrame:
+    """(doc_id, mh0..mh7) from a shingle frame ``(doc_id, sh)``.
+    Stock: slice ONE md5 per shingle into 8 independent 16-bit (4-hex)
+    lanes — 8× less hashing than per-permutation digests, same minhash
+    property. Wide: 8 seed-keyed md5s, 8 hex (32 bits) each — 8× the
+    hash work in the signature pass (JVM-side, codegen; the pass is
+    scan-bound, not the scale bottleneck) for a 2^-32 accidental
+    lane-collision rate. Fixed-width lowercase hex compares
+    lexicographically = numerically, so min(string) is min(hash) in
+    both engines."""
+    if wide:
+        aggs = [
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"mh{seed}:"), F.col("sh"))), 1, _MINHASH_WIDE_HEX
+                )
+            ).alias(f"mh{seed}")
+            for seed in range(N_MINHASH)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
+    sh = sh.withColumn("h", F.md5("sh"))
     aggs = [
         F.min(F.substring("h", 1 + 4 * seed, 4)).alias(f"mh{seed}")
         for seed in range(N_MINHASH)
@@ -268,8 +306,24 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh7) minhash signatures; lane width adapts to the
+    corpus (see _MINHASH_WIDE_DOCS). One explode + one hash-aggregate;
+    signature width is constant per plan, so the shuffle carries
+    O(docs) rows, not O(shingles)."""
+    return _minhash_sigs_from(_shingles_df(spark, sf_dir), _minhash_wide(sf_dir))
+
+
 _MINHASH_AGGS = ",\n         ".join(
     f"min(substring(md5(sh), {1 + 4 * seed}, 4)) AS mh{seed}" for seed in range(N_MINHASH)
+)
+# wide-lane oracle aggregates — interpolated from the same constants as
+# the DataFrame path (the engine's established shared-constant pattern:
+# REC_HITRATE_SQL, DEDUP_SEMANTIC_SQL) so the forced-adaptive tests can
+# re-derive every minhash oracle above kick-in
+_MINHASH_AGGS_WIDE = ",\n         ".join(
+    f"min(substring(md5('mh{seed}:' || sh), 1, {_MINHASH_WIDE_HEX})) AS mh{seed}"
+    for seed in range(N_MINHASH)
 )
 _MINHASH_CTE = (
     _SHINGLES_CTE
@@ -279,6 +333,7 @@ _MINHASH_CTE = (
   FROM shingles GROUP BY doc_id)
 """
 )
+_MINHASH_CTE_WIDE = _MINHASH_CTE.replace(_MINHASH_AGGS, _MINHASH_AGGS_WIDE)
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2033,11 +2088,9 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     # candidate pairs from the SAME shingle scan (mirrors
-    # lsh_candidate_pairs, minus its independent shingle build)
-    hashed = sh.withColumn("h", F.md5("sh"))
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 1 + 4 * s, 4)).alias(f"mh{s}") for s in range(N_MINHASH)]
-    )
+    # lsh_candidate_pairs, minus its independent shingle build);
+    # lane width adapts with the corpus like every band consumer
+    sigs = _minhash_sigs_from(sh, _minhash_wide(sf_dir))
     bands = sigs.select(
         "doc_id",
         *[

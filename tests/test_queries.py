@@ -1809,6 +1809,43 @@ def test_simhash_wide_banding_identical_output(spark, monkeypatch):
     assert len(stock) > 0  # fixture has near-dup docs
 
 
+def test_minhash_wide_lanes_match_rederived_oracle(spark, duck, monkeypatch):
+    """The 32-bit seed-keyed minhash lanes (corpus-adaptive path for
+    large inputs — VERDICT r10 item 2: fixed 16-bit lanes let
+    accidental band collisions grow n²·(m/2^16)²) must match the
+    DuckDB oracle re-derived with the SAME wide-lane aggregates,
+    value-for-value, for both flagged entries."""
+    from hematite_spark.oracle import compare as _compare
+    from hematite_spark.queries import dedup
+
+    monkeypatch.setattr(dedup, "_MINHASH_WIDE_DOCS", -1)  # force wide lanes
+    for fn, sql in (
+        (dedup.dedup_lsh_verified, dedup.DEDUP_LSH_VERIFIED_SQL),
+        (dedup.lsh_precision_recall, dedup.LSH_PR_SQL),
+    ):
+        wide_sql = sql.replace(dedup._MINHASH_CTE, dedup._MINHASH_CTE_WIDE)
+        assert wide_sql != sql  # the CTE swap must actually hit
+        mismatch = _compare(fn(spark, SF_DIR), duck, wide_sql)
+        assert not mismatch, f"{fn.__name__}: {mismatch}"
+
+
+def test_minhash_stock_lanes_below_kickin(spark, sf_dir_arg=None):
+    """Below the kick-in the signature plan must be the stock
+    single-md5 16-bit slicing — the driver's sf0.01 gate and the
+    bench's sf0.1 runs stay byte-identical to rounds ≤ 10."""
+    from hematite_spark.queries import dedup
+
+    assert not dedup._minhash_wide(SF_DIR)
+    stock = dedup._minhash_sigs_from(dedup._shingles_df(spark, SF_DIR), False)
+    auto = dedup._minhash_signatures(spark, SF_DIR)
+    import re
+
+    plan = lambda df: re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan(auto) == plan(stock)  # identical stock plan (mod expr ids)
+
+
 def test_semantic_dedup_adaptive_k_matches_oracle(spark, duck, monkeypatch):
     """dedup_semantic's coarse-cluster count k = max(8, n // cell) is
     corpus-adaptive (round 10 — fixed k=8 made the in-cell GEMM a
