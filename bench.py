@@ -358,11 +358,14 @@ def main() -> None:
 
 def _cpu_stat() -> tuple[int, int] | None:
     """(steal_jiffies, total_jiffies) from /proc/stat's cpu line, or
-    None off-Linux. Shared with tools/scale_xl.py's probe telemetry."""
+    None off-Linux. Shared with tools/scale_xl.py's probe telemetry.
+    Total sums only the first 8 fields (user..steal) — ADVICE r10:
+    guest/guest_nice are already folded into user/nice by the kernel,
+    so including them double-counts and understates steal%%."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except (OSError, ValueError, IndexError):
         return None
 

@@ -37,6 +37,16 @@ _SEM_TARGET_CELL = 250
 # column-expression fold to the cogrouped numpy argmin (same argmin
 # semantics; see dedup_semantic)
 _SEM_GEMM_MIN_VECS = 8 * _SEM_TARGET_CELL
+# above this EXACT vector count (in-plan count(*), identical in both
+# engines — never the bytes estimate, because this switch changes
+# SEMANTICS, not just implementation) the coarse assignment routes
+# through ceil(sqrt(k)) super-centroids (VERDICT r10 item 1: the flat
+# n×k argmin with k = n/250 is Θ(n²d/250) work and O(n·d/250) per-task
+# centroid memory — measured 2.36 wall-doubling at ×128). Sits 8×
+# above the GEMM kick-in's bytes-estimate (±2×) so the fold path can
+# never straddle it: est ≤ 2000 ⇒ n ≲ 4000 ≪ 16000 ⇒ s = 1 ⇒ routed
+# semantics ≡ exact argmin, which is what the fold computes.
+_SEM_ROUTE_MIN_VECS = 16_000
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,9 +1273,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element folds by orders of magnitude — the same reason
     production SemDeDup scores clusters on GPUs. Column blocks bound
     memory to O(cell × block), and each cell is an independent task.
-    Cosines are rounded to 6 before thresholding; numpy's pairwise
-    summation and the oracle's left fold agree far below that
-    rounding (|Δ| ≈ 1e-14 on unit-scale values)."""
+    Cosines are rounded to 6 before thresholding; assignment
+    distances are rounded to 6 before the argmin in BOTH engines
+    (ADVICE r10: numpy's pairwise summation and the oracle's left
+    fold differ ~1e-14 on unit-scale values — rounding 8 orders above
+    the drift turns every fp-adjacent near-tie into an exact tie the
+    deterministic centroid_id tiebreak owns)."""
     import pandas as pd
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
@@ -1278,32 +1291,52 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ratio — with 8 FIXED centroids, cells grow n/8 and the in-cell
     # GEMM (n/8)², a workload quadratic. SemDeDup's own recipe sizes
     # the coarse clustering to the corpus; with cells pinned at ~250
-    # vectors the total GEMM work is n·cell = linear. k comes from an
-    # in-plan count (lazy, broadcast 1-row frame) so the oracle can
-    # reproduce it exactly: count(*) is identical in both engines. At
-    # bench scales n ≤ 2000 keeps k = 8 — same clusters as before.)
+    # vectors the total GEMM work is n·cell = linear.) Above
+    # _SEM_ROUTE_MIN_VECS the ASSIGNMENT becomes two-level (VERDICT
+    # r10 item 1 — the flat n×k argmin is Θ(n²d/250) once k ∝ n):
+    # route each vector to its nearest of s = ceil(sqrt(k))
+    # super-centroids, then argmin over only the centroids routed to
+    # that super-cell — O(n·√k·d) work and O(√k·d) task memory. Both
+    # k and s come from one in-plan count (lazy, broadcast 1-row
+    # frame) so the oracle reproduces them exactly: count(*) is
+    # identical in both engines, and below the route kick-in s = 1
+    # makes routing the identity (one super-cell holding every
+    # centroid ⇒ the argmin is global — the exact semantics the fold
+    # path computes). The asymptote is n^1.5 in the worst case (k ∝
+    # n); past ~15M vectors per corpus slice a third routing level
+    # (same rule applied to the supers) brings it to n·log n — not
+    # needed at any probed scale, where routing work is ≪ the linear
+    # scan+GEMM floor.
+    n = F.count("*")
+    k_expr = F.greatest(F.lit(8), F.floor(n / _SEM_TARGET_CELL)).cast("long")
     kdf = emb.agg(
-        F.greatest(F.lit(8), F.floor(F.count("*") / _SEM_TARGET_CELL)).cast("long").alias("k")
+        k_expr.alias("k"),
+        F.when(n > _SEM_ROUTE_MIN_VECS, F.ceil(F.sqrt(k_expr.cast("double"))))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("s"),
     )
     cents = (
         emb.crossJoin(F.broadcast(kdf))
         .where(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv"))
+        .select(F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv"), "s")
     )
     vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
     est_vecs = table_bytes("embeddings", sf_dir) // 400  # ~bytes/row here
     if est_vecs <= _SEM_GEMM_MIN_VECS:
-        # Small corpus (k stays at its 8 floor): assignment as a
-        # column-expression fold + MIN-STRUCT aggregate. min(struct(d,
-        # centroid_id)) is exactly the old (d ASC, centroid_id ASC)
-        # row_number tiebreak; the broadcast nested-loop emits each
-        # vector's k rows consecutively so map-side partials collapse
-        # them in place, and the fat ev array stays OUT of the n×k
-        # stream (re-joined after by vec_id). The fold is bit-exact
-        # with the oracle's list_reduce — the path the driver's
+        # Small corpus (k stays at its 8 floor, s = 1 ⇒ routing is the
+        # identity): assignment as a column-expression fold +
+        # MIN-STRUCT aggregate. min(struct(d, centroid_id)) is exactly
+        # the old (d ASC, centroid_id ASC) row_number tiebreak; the
+        # broadcast nested-loop emits each vector's k rows
+        # consecutively so map-side partials collapse them in place,
+        # and the fat ev array stays OUT of the n×k stream (re-joined
+        # after by vec_id). round-6 on the fold matches the oracle's
+        # round-6 on list_reduce — same quantity, same rounding, so
+        # the compare is exact at every tie. The path the driver's
         # small-sf correctness gate always takes.
         diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-        dist = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        dist = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
         assigned_ids = (
             vecs.crossJoin(F.broadcast(cents))
             .select("vec_id", dist.alias("d"), "centroid_id")
@@ -1312,51 +1345,93 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
         )
     else:
-        # Large corpus (k ∝ n): the n×k fold is the wall — the ×128
-        # profile billed 126.7 s of the entry's 149 s to it (zip_with
-        # allocates a 64-slot array per candidate row; 262M rows at
-        # ×128). Assignment runs as VECTORIZED numpy argmin inside a
-        # cogrouped applyInPandas instead: vectors shard into G
-        # hash groups, centroids replicate to every group as the
-        # cogroup's right side (a lazy crossJoin with spark.range —
-        # no driver-side collect, so plan build stays job-free), and
-        # each task computes chunked elementwise (v−c)² row minima in
-        # float64. Ties break to the lowest centroid_id (centroids
-        # sorted, argmin takes the first minimum) — the same order the
-        # fold path produces; summation-order fp drift vs the fold
-        # only matters on exact distance ties, which the tiebreak
-        # already owns. The adaptive-k unit test drives THIS path
-        # against the DuckDB fold oracle end-to-end.
-        import pandas as pd
+        # Large corpus: VECTORIZED numpy argmin inside cogrouped
+        # applyInPandas (round 10 — the n×k zip_with fold billed
+        # 126.7 s of the entry's 149 s at ×128), now TWO-LEVEL
+        # (round 11). Three cogroup stages, all through the same
+        # kernel: (1) route every centroid to its nearest super
+        # (k×s — tiny); (2) route every vector to its nearest
+        # OCCUPIED super (n×s; occupied-only so near-identical
+        # super pairs — where rounding sends super σ' to cell σ but
+        # strictly-nearer vectors still pick σ' — cannot strand a
+        # vector in an empty cell: an inner-join row loss both
+        # engines would otherwise share); (3) argmin within the
+        # routed super-cell (n×~√k). Right sides replicate via a
+        # lazy crossJoin with spark.range — no driver collect, plan
+        # build stays job-free. Per-task centroid memory is O(√k·d).
+        # Distances are np.round(·, 6) before argmin; centroids
+        # sorted so argmin's first-minimum IS the lowest-id tiebreak
+        # — identical to the fold and the oracle's row_number at
+        # every tie, including the rounding-created ones. The
+        # forced-routing unit test drives THIS path against the
+        # re-derived DuckDB oracle end-to-end.
+        def _argmin_stage(left, right, keys: list, lid: str, rid: str):
+            """left: keys + (id, lv); right: keys + (rid, rv) →
+            (lid, rid) nearest-by-rounded-L2², ties to lowest rid."""
 
-        G = 64
-        vg = vecs.withColumn("g", F.pmod(F.col("vec_id"), F.lit(G)).cast("int"))
-        cg = cents.crossJoin(
-            spark.range(G).select(F.col("id").cast("int").alias("g"))
+            def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                if l.empty or r.empty:
+                    return pd.DataFrame({lid: [], rid: []}).astype(
+                        {lid: "int64", rid: "int64"}
+                    )
+                r = r.sort_values(rid).reset_index(drop=True)
+                C = np.array(r["rv"].tolist(), dtype=np.float64)
+                r_ids = r[rid].to_numpy()
+                V = np.array(l["lv"].tolist(), dtype=np.float64)
+                out = np.empty(len(V), dtype=np.int64)
+                step = max(1, (64 << 20) // max(1, C.shape[0] * C.shape[1] * 8))
+                for i in range(0, len(V), step):
+                    d2 = np.round(
+                        ((V[i : i + step, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6
+                    )
+                    out[i : i + step] = r_ids[np.argmin(d2, axis=1)]
+                return pd.DataFrame({lid: l["id"].to_numpy(), rid: out})
+
+            return (
+                left.groupBy(*keys)
+                .cogroup(right.groupBy(*keys))
+                .applyInPandas(fn, f"{lid} long, {rid} long")
+            )
+
+        G_ROUTE, G_CELL = 64, 16
+        supers = cents.where(F.col("centroid_id") < F.col("s")).select(
+            F.col("centroid_id").alias("super_id"), F.col("cv").alias("rv")
         )
-
-        def assign_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-
-            if left.empty or right.empty:
-                return pd.DataFrame({"vec_id": [], "centroid_id": []}).astype(
-                    {"vec_id": "int64", "centroid_id": "int64"}
-                )
-            right = right.sort_values("centroid_id").reset_index(drop=True)
-            C = np.array(right["cv"].tolist(), dtype=np.float64)
-            c_ids = right["centroid_id"].to_numpy()
-            V = np.array(left["ev"].tolist(), dtype=np.float64)
-            out = np.empty(len(V), dtype=np.int64)
-            step = max(1, (64 << 20) // max(1, C.shape[0] * C.shape[1] * 8))
-            for i in range(0, len(V), step):
-                d2 = ((V[i : i + step, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                out[i : i + step] = c_ids[np.argmin(d2, axis=1)]
-            return pd.DataFrame({"vec_id": left["vec_id"].to_numpy(), "centroid_id": out})
-
-        assigned_ids = (
-            vg.groupBy("g")
-            .cogroup(cg.groupBy("g"))
-            .applyInPandas(assign_group, "vec_id long, centroid_id long")
+        # (1) centroid → super (k rows; 8 groups is plenty)
+        c_left = cents.select(
+            F.pmod("centroid_id", F.lit(8)).cast("int").alias("g"),
+            F.col("centroid_id").alias("id"),
+            F.col("cv").alias("lv"),
+        )
+        c_right = supers.crossJoin(spark.range(8).select(F.col("id").cast("int").alias("g")))
+        c_route = _argmin_stage(c_left, c_right, ["g"], "centroid_id", "super_id")
+        # (2) vector → occupied super
+        occupied = supers.join(c_route.select("super_id").distinct(), "super_id")
+        v_left = vecs.select(
+            F.pmod("vec_id", F.lit(G_ROUTE)).cast("int").alias("g"),
+            F.col("vec_id").alias("id"),
+            F.col("ev").alias("lv"),
+        )
+        v_right = occupied.crossJoin(
+            spark.range(G_ROUTE).select(F.col("id").cast("int").alias("g"))
+        )
+        v_route = _argmin_stage(v_left, v_right, ["g"], "vec_id", "super_id")
+        # (3) argmin within the routed super-cell
+        a_left = v_route.join(vecs, "vec_id").select(
+            "super_id",
+            F.pmod("vec_id", F.lit(G_CELL)).cast("int").alias("g"),
+            F.col("vec_id").alias("id"),
+            F.col("ev").alias("lv"),
+        )
+        a_right = (
+            c_route.join(cents.drop("s"), "centroid_id")
+            .select("super_id", "centroid_id", F.col("cv").alias("rv"))
+            .crossJoin(spark.range(G_CELL).select(F.col("id").cast("int").alias("g")))
+        )
+        assigned_ids = _argmin_stage(
+            a_left, a_right, ["super_id", "g"], "vec_id", "centroid_id"
         )
     assigned = assigned_ids.join(vecs, "vec_id").select("centroid_id", "vec_id", "ev")
 
@@ -1400,19 +1475,59 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sem_d2(a: str, b: str) -> str:
+    """Rounded squared-L2 between two DOUBLE[] columns — the ONE
+    assignment distance both engines order by (round-6 ≫ the ~1e-14
+    summation-order drift, so fp-adjacent near-ties become exact ties
+    owned by the id tiebreak; see dedup_semantic)."""
+    return (
+        f"round(list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        "(acc, x) -> acc + x), 6)"
+    )
+
+
+# two-level routed assignment, mirroring dedup_semantic exactly: k and
+# s from the same count(*) rule, centroid→super and vector→super
+# routing with the same rounded distance + lowest-id tiebreak, and the
+# final argmin restricted to the routed super-cell. s = 1 below the
+# route kick-in makes every routing CTE the identity, so the driver's
+# small-sf gate exercises the exact-argmin semantics unchanged.
 DEDUP_SEMANTIC_SQL = f"""
-WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
-           WHERE vec_id < (SELECT greatest(8, count(*) // {_SEM_TARGET_CELL}) FROM embeddings)),
+WITH p AS (
+  SELECT greatest(8, count(*) // {_SEM_TARGET_CELL}) AS k,
+         CASE WHEN count(*) > {_SEM_ROUTE_MIN_VECS}
+              THEN CAST(ceil(sqrt(greatest(8, count(*) // {_SEM_TARGET_CELL}))) AS BIGINT)
+              ELSE 1 END AS s
+  FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id < (SELECT k FROM p)),
+sc AS (SELECT vec_id AS super_id, embedding::DOUBLE[] AS sv FROM embeddings
+       WHERE vec_id < (SELECT s FROM p)),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-scored AS (
-  SELECT vec_id, ev, centroid_id,
-         sqrt(list_reduce(list_transform(list_zip(ev, cv),
-              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
-              (acc, x) -> acc + x)) AS d
-  FROM v CROSS JOIN c),
+c_route AS (
+  SELECT centroid_id, cv, super_id
+  FROM (SELECT c.centroid_id, c.cv, sc.super_id,
+               row_number() OVER (PARTITION BY c.centroid_id
+                                  ORDER BY {_sem_d2("c.cv", "sc.sv")}, sc.super_id) AS rn
+        FROM c CROSS JOIN sc)
+  WHERE rn = 1),
+occ AS (SELECT super_id, sv FROM sc
+        WHERE super_id IN (SELECT DISTINCT super_id FROM c_route)),
+v_route AS (
+  SELECT vec_id, ev, super_id
+  FROM (SELECT v.vec_id, v.ev, occ.super_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_sem_d2("v.ev", "occ.sv")}, occ.super_id) AS rn
+        FROM v CROSS JOIN occ)
+  WHERE rn = 1),
 assigned AS (
   SELECT vec_id, ev, centroid_id
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn FROM scored)
+  FROM (SELECT vr.vec_id, vr.ev, cr.centroid_id,
+               row_number() OVER (PARTITION BY vr.vec_id
+                                  ORDER BY {_sem_d2("vr.ev", "cr.cv")}, cr.centroid_id) AS rn
+        FROM v_route vr JOIN c_route cr ON vr.super_id = cr.super_id)
   WHERE rn = 1),
 pairs AS (
   SELECT a.centroid_id AS centroid_id, a.vec_id AS keep_vec, b.vec_id AS drop_vec,

@@ -19,7 +19,11 @@ def _default_driver_memory() -> str:
     ½ of detected RAM (ADVICE r9: on a <6 GiB host a hard 4g floor
     could equal or exceed physical memory and the JVM would fail to
     start / get OOM-killed, defeating the 'smaller hosts still boot'
-    intent). 4g if RAM is undetectable."""
+    intent). 4g if RAM is undetectable. Residual floor (ADVICE r10,
+    accepted): the 1g minimum means a sub-2 GiB host still gets up to
+    ~2/3 of physical RAM — such hosts are out of scope for this
+    engine (a Spark driver JVM plus 32 Python workers does not fit in
+    2 GiB regardless of heap setting)."""
     try:
         page = os.sysconf("SC_PAGE_SIZE")
         pages = os.sysconf("SC_PHYS_PAGES")

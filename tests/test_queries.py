@@ -1864,3 +1864,25 @@ def test_semantic_dedup_adaptive_k_matches_oracle(spark, duck, monkeypatch):
     assert sql != dedup.DEDUP_SEMANTIC_SQL
     mismatch = compare(df, duck, sql)
     assert not mismatch, mismatch
+
+
+def test_semantic_dedup_routed_assignment_matches_oracle(spark, duck, monkeypatch):
+    """The two-level routed assignment (VERDICT r10 item 1 — the flat
+    n×k argmin is quadratic once k ∝ n) must match the DuckDB oracle
+    re-derived with the SAME routing rule: force the numpy path AND
+    the route kick-in so s = ceil(sqrt(k)) = 4 super-cells partition
+    the k = 10 centroids, and require value-for-value equality."""
+    from hematite_spark.oracle import compare
+    from hematite_spark.queries import dedup
+
+    monkeypatch.setattr(dedup, "_SEM_TARGET_CELL", 20)  # n=200 -> k=10
+    monkeypatch.setattr(dedup, "_SEM_GEMM_MIN_VECS", 0)  # force the numpy path
+    monkeypatch.setattr(dedup, "_SEM_ROUTE_MIN_VECS", 0)  # force routing: s=4
+    df = dedup.dedup_semantic(spark, SF_DIR)
+    sql = (
+        dedup.DEDUP_SEMANTIC_SQL.replace(f"// {250}", f"// {dedup._SEM_TARGET_CELL}")
+        .replace(f"> {16_000}", f"> {dedup._SEM_ROUTE_MIN_VECS}")
+    )
+    assert f"> {dedup._SEM_ROUTE_MIN_VECS}" in sql and sql != dedup.DEDUP_SEMANTIC_SQL
+    mismatch = compare(df, duck, sql)
+    assert not mismatch, mismatch

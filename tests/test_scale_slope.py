@@ -121,16 +121,14 @@ def test_xl128_two_doubling_near_linear():
             f"{name} lacks the pinned doubling_vs_x64 field (same-session "
             "interleaved x64/x128 walls)"
         )
-        d = v["doubling_vs_x64"]
-        # workload-normalized doubling (VERDICT r9 item 1c precedent):
-        # when an entry's TRUE input grows super-linearly by construction
-        # (dedup_lsh_verified: LSH candidates grew 2.76x per corpus
-        # doubling from band collisions at fixed minhash width, measured
-        # and recorded in the entry), the wall is judged per unit of that
-        # input — d * 2/workload_doubling is what the wall-doubling would
-        # be if the workload had grown exactly linearly.
-        if v.get("workload_doubling"):
-            d = round(d * 2.0 / v["workload_doubling"], 2)
+        # workload-normalized doubling — ONE definition, imported from
+        # the probe tool itself (ADVICE r10 medium: a copy of the
+        # formula here let tool and gate diverge; now the tool both
+        # measures the workload fields and flags risks with the same
+        # effective_doubling the gate applies)
+        from tools.scale_xl import effective_doubling
+
+        d = effective_doubling(v)
         assert d <= _DOUBLING_HARD, (
             f"{name}: {d}x wall growth between x64 and x128 — quadratic-"
             f"shaped at any wall size"

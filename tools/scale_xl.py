@@ -44,6 +44,9 @@ Run: python tools/scale_xl.py [N_heaviest] [name ...]
      SPARK_GRAFT_XL_FACTOR=128 → dirs .scale_xl64/ + .scale_xl128/,
      SCALE_SLOPE_XL128.json with interleaved x64/x128 walls and the
      doubling_vs_x64 field.
+     SPARK_GRAFT_XL_FACTOR=256 → the third doubling (VERDICT r10
+     item 4): interleaves x128/x256, emits doubling_vs_x128 into
+     SCALE_SLOPE_XL256.json — same machinery, PREV = N/2.
 """
 
 from __future__ import annotations
@@ -69,7 +72,11 @@ WARM_DIR = "/root/testdata/sf0.001"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_XL_FACTOR", "8"))
 _SUFFIX = "" if REPLICAS == 8 else str(REPLICAS)
 XL_DIR = os.path.join(REPO, f".scale_xl{_SUFFIX}")
-XL64_DIR = os.path.join(REPO, ".scale_xl64")
+# ≥128 replicas: measure the half-size tier interleaved in-session and
+# emit doubling_vs_x{N/2} (x128 pairs with x64, x256 with x128 — the
+# third doubling VERDICT r10 item 4 asks for reuses this machinery)
+PREV = REPLICAS // 2
+PREV_DIR = os.path.join(REPO, f".scale_xl{PREV}")
 OFF = 10_000_000
 # Nx data; scan-bound ops should land ≲Nx + overhead. Anything past
 # this is super-linear beyond data growth.
@@ -120,6 +127,43 @@ def _sign_flips(replica: int, dim: int) -> list[float]:
 
 # host telemetry shared with the bench harness (one definition)
 from bench import _cpu_stat, _steal_pct  # noqa: E402
+
+
+def _lsh_candidate_count(spark, sf_dir: str) -> int:
+    """Band-candidate pairs — the LSH funnel's true workload unit."""
+    from hematite_spark.queries.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(spark, sf_dir).count()
+
+
+# Entries whose TRUE workload can grow faster than the input by
+# construction declare a metric here. The probe then measures the
+# metric at BOTH interleaved scales (one count job per scale) and
+# writes cand_x{N/2} / cand_x{N} / workload_doubling into the entry
+# itself, and the risk flagging judges the wall PER UNIT of measured
+# workload (ADVICE r10 medium: these fields used to be hand-annotated
+# JSON that a re-probe would clobber and whose normalization the
+# tool's own risks logic never applied).
+WORKLOAD_METRICS = {
+    "dedup_lsh_verified": _lsh_candidate_count,
+    "lsh_precision_recall": _lsh_candidate_count,
+}
+
+
+def effective_doubling(entry: dict) -> float | None:
+    """THE normalized second-doubling definition, shared by the probe's
+    risk flagging and tests/test_scale_slope.py (imported there, so
+    tool and gate cannot diverge): wall-doubling when present, divided
+    by (workload_doubling / 2) when the entry carries a tool-measured
+    workload metric — i.e. what the wall growth would have been had
+    the workload grown exactly linearly."""
+    d = next(
+        (v for k, v in entry.items() if k.startswith("doubling_vs_x")), None
+    )
+    if d is None:
+        return None
+    w = entry.get("workload_doubling")
+    return round(d * 2.0 / w, 2) if w else d
 
 
 def build_xl(spark, replicas: int | None = None, xl_dir: str | None = None) -> None:
@@ -219,9 +263,9 @@ def main(argv) -> int:
     names = [a for a in argv if not a.isdigit()]
     spark = get_spark("scale-xl")
     build_xl(spark)
-    interleave64 = REPLICAS == 128
-    if interleave64:
-        build_xl(spark, 64, XL64_DIR)
+    interleave_prev = REPLICAS >= 128
+    if interleave_prev:
+        build_xl(spark, PREV, PREV_DIR)
     qs = entrymod.queries()
     if not names:
         with open(os.path.join(REPO, "SCALE_SLOPE.json")) as f:
@@ -239,24 +283,31 @@ def main(argv) -> int:
             prev = json.load(f)
         out = {k: v for k, v in prev.get("entries", {}).items() if k not in names}
         # carry risks for entries not being re-measured this run
+        # (structured {name, kind, value, detail} objects — ADVICE r10:
+        # display-string parsing silently dropped any risk whose text
+        # didn't lead with the entry name; tolerate legacy strings)
         kept = set(out)
-        risks = [r for r in prev.get("risks", []) if r.split()[0] in kept]
+        risks = [
+            r
+            for r in prev.get("risks", [])
+            if (r["name"] if isinstance(r, dict) else r.split()[0]) in kept
+        ]
     for name in names:
         fn = qs[name]
         run(spark, fn, WARM_DIR)  # HotSpot warm-up (bench.py lesson)
         base_walls, base_steal = [], []
         xl_walls, xl_steal, xl_load = [], [], []
-        x64_walls, x64_steal = [], []
+        prev_walls, prev_steal = [], []
         for _ in range(XL_REPS):
             w, s, _l = run(spark, fn, SRC_DIR)
             base_walls.append(w)
             base_steal.append(s)
-            # interleaved ×64/×128 (VERDICT r9 item 2): the doubling is
+            # interleaved ×(N/2)/×N (VERDICT r9 item 2): the doubling is
             # computed from walls measured back-to-back in ONE session
-            if interleave64:
-                w, s, _l = run(spark, fn, XL64_DIR)
-                x64_walls.append(w)
-                x64_steal.append(s)
+            if interleave_prev:
+                w, s, _l = run(spark, fn, PREV_DIR)
+                prev_walls.append(w)
+                prev_steal.append(s)
             w, s, l1 = run(spark, fn, XL_DIR)
             xl_walls.append(w)
             xl_steal.append(s)
@@ -278,30 +329,64 @@ def main(argv) -> int:
         if XL_REPS > 1:
             entry["reps"] = XL_REPS
             entry[f"walls_x{REPLICAS}"] = [round(w, 2) for w in xl_walls]
-        steal_all = [s for s in base_steal + xl_steal + x64_steal if s is not None]
+        steal_all = [s for s in base_steal + xl_steal + prev_steal if s is not None]
         if steal_all:
             entry["steal_pct_max"] = max(steal_all)
             entry["steal_pct"] = [s for s in xl_steal if s is not None]
         if xl_load and xl_load[-1] is not None:
             entry["loadavg1"] = xl_load[-1]
         dbl = None
-        if interleave64:
-            x64_s = med(x64_walls)
-            dbl = round(xl_s / x64_s, 2) if x64_s > 0 else None
-            entry["xl64_s"] = round(x64_s, 3)
-            entry["doubling_vs_x64"] = dbl
+        if interleave_prev:
+            prev_s = med(prev_walls)
+            dbl = round(xl_s / prev_s, 2) if prev_s > 0 else None
+            entry[f"xl{PREV}_s"] = round(prev_s, 3)
+            entry[f"doubling_vs_x{PREV}"] = dbl
             if XL_REPS > 1:
-                entry["walls_x64"] = [round(w, 2) for w in x64_walls]
+                entry[f"walls_x{PREV}"] = [round(w, 2) for w in prev_walls]
+            # tool-measured workload normalization (ADVICE r10 medium):
+            # one cheap count job per scale, fields written by the
+            # probe itself so a re-run reproduces the committed record
+            if name in WORKLOAD_METRICS:
+                c_prev = WORKLOAD_METRICS[name](spark, PREV_DIR)
+                c_curr = WORKLOAD_METRICS[name](spark, XL_DIR)
+                entry[f"cand_x{PREV}"] = c_prev
+                entry[f"cand_x{REPLICAS}"] = c_curr
+                if c_prev > 0:
+                    entry["workload_doubling"] = round(c_curr / c_prev, 2)
         out[name] = entry
         flag = ratio is not None and base_s >= MIN_BASE_SEC and ratio > FLAG_RATIO
         if flag:
-            risks.append(f"{name} {ratio}x (sf0.1 {base_s:.2f}s -> xl{REPLICAS} {xl_s:.2f}s)")
-        if dbl is not None and (
-            (dbl > FLAG_DOUBLING and entry["xl64_s"] >= MIN_X64_SEC)
-            or dbl > FLAG_DOUBLING_HARD
+            risks.append(
+                {
+                    "name": name,
+                    "kind": "ratio",
+                    "value": ratio,
+                    "detail": f"sf0.1 {base_s:.2f}s -> xl{REPLICAS} {xl_s:.2f}s",
+                }
+            )
+        # risk flagging applies the SAME normalization the gate test
+        # imports (effective_doubling) — hand-editing the artifact can
+        # no longer make tool and test disagree
+        eff = effective_doubling(entry) if dbl is not None else None
+        if eff is not None and (
+            (eff > FLAG_DOUBLING and entry[f"xl{PREV}_s"] >= MIN_X64_SEC)
+            or eff > FLAG_DOUBLING_HARD
         ):
             risks.append(
-                f"{name} doubling {dbl} (x64 {entry['xl64_s']:.2f}s -> x128 {xl_s:.2f}s)"
+                {
+                    "name": name,
+                    "kind": "doubling",
+                    "value": eff,
+                    "detail": (
+                        f"x{PREV} {entry[f'xl{PREV}_s']:.2f}s -> x{REPLICAS} {xl_s:.2f}s"
+                        + (
+                            f" (raw {dbl}, workload_doubling "
+                            f"{entry['workload_doubling']})"
+                            if entry.get("workload_doubling")
+                            else ""
+                        )
+                    ),
+                }
             )
         print(
             f"# xl{REPLICAS}/{name}: {base_s:.2f}s -> {xl_s:.2f}s ({ratio}x"
@@ -318,10 +403,13 @@ def main(argv) -> int:
             {
                 "replicas": REPLICAS,
                 "flag_ratio": FLAG_RATIO,
-                "flag_doubling": FLAG_DOUBLING if interleave64 else None,
+                "flag_doubling": FLAG_DOUBLING if interleave_prev else None,
                 "doubling_definition": (
-                    "median(x128 walls) / median(x64 walls), interleaved same-session reps"
-                    if interleave64
+                    f"median(x{REPLICAS} walls) / median(x{PREV} walls), "
+                    "interleaved same-session reps; risks flag on "
+                    "effective_doubling (workload-normalized where the "
+                    "entry declares a metric)"
+                    if interleave_prev
                     else None
                 ),
                 "risks": risks,
