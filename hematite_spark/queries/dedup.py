@@ -299,10 +299,26 @@ def _minhash_sigs_from(sh: DataFrame, wide: bool) -> DataFrame:
     lexicographically = numerically, so min(string) is min(hash) in
     both engines."""
     if wide:
+        # TWO digests per shingle, not eight (round 11: the first wide
+        # cut keyed one md5 per lane — 8 concat+md5 string allocations
+        # per shingle row — and the ×128 probe measured the alloc/GC
+        # churn pushing dedup_lsh_verified 61.7 → 113.6 s). md5 is 128
+        # bits = exactly 4 lanes of 32; lanes 0-3 slice md5(sh) (the
+        # same digest the stock path uses), lanes 4-7 slice a single
+        # prefix-keyed second digest. Disjoint bit ranges of one
+        # digest are as independent as the stock path's 8 disjoint
+        # 16-bit slices — the same assumption, wider.
+        sh = sh.select(
+            "doc_id",
+            F.md5("sh").alias("h0"),
+            F.md5(F.concat(F.lit("mhw:"), F.col("sh"))).alias("h1"),
+        )
         aggs = [
             F.min(
                 F.substring(
-                    F.md5(F.concat(F.lit(f"mh{seed}:"), F.col("sh"))), 1, _MINHASH_WIDE_HEX
+                    "h0" if seed < 4 else "h1",
+                    1 + _MINHASH_WIDE_HEX * (seed % 4),
+                    _MINHASH_WIDE_HEX,
                 )
             ).alias(f"mh{seed}")
             for seed in range(N_MINHASH)
@@ -332,7 +348,11 @@ _MINHASH_AGGS = ",\n         ".join(
 # REC_HITRATE_SQL, DEDUP_SEMANTIC_SQL) so the forced-adaptive tests can
 # re-derive every minhash oracle above kick-in
 _MINHASH_AGGS_WIDE = ",\n         ".join(
-    f"min(substring(md5('mh{seed}:' || sh), 1, {_MINHASH_WIDE_HEX})) AS mh{seed}"
+    (
+        f"min(substring(md5(sh), {1 + _MINHASH_WIDE_HEX * (seed % 4)}, {_MINHASH_WIDE_HEX})) AS mh{seed}"
+        if seed < 4
+        else f"min(substring(md5('mhw:' || sh), {1 + _MINHASH_WIDE_HEX * (seed % 4)}, {_MINHASH_WIDE_HEX})) AS mh{seed}"
+    )
     for seed in range(N_MINHASH)
 )
 _MINHASH_CTE = (
@@ -481,32 +501,47 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the job completing or not — hot shingles make the unbanded join's
     pair count quadratic in the hottest key).
 
-    Both verify joins are candidate-bounded: candidates ⋈ shingles on
-    doc_a, then ⋈ shingles on (doc_b, same shingle), then one count
-    per pair — every shuffle carries O(candidate × doc-shingles),
-    proportional to actual near-duplicate mass."""
-    cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b", "n_bands")
+    Both verify joins are candidate-bounded ON BOTH SIDES (round 11:
+    the b-side used to be the FULL shingle table, sort-merge-joined
+    on (doc_id, sh) — at ×128 that sorted 256M shingle rows to serve
+    92k candidate pairs, and the sort (not the candidate count) was
+    the measured 2.3–2.6 wall-doubling; the round-10 workload
+    normalization mis-attributed it to candidate growth). Each side
+    is first LEFT-SEMI filtered to the docs that actually appear in a
+    candidate pair — a 1-column distinct small enough for AQE to
+    broadcast at any near-dup-realistic scale — so every downstream
+    shuffle carries O(candidate docs × shingles/doc), proportional to
+    actual near-duplicate mass, never O(corpus shingles)."""
+    # candidates feed the join AND both semi-filters + their size
+    # aggregates — materialize the band pipeline once
+    cands = (
+        lsh_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "n_bands")
+        .localCheckpoint()
+    )
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Verify-join widths scale with corpus bytes above kick-in
-    # (round 10; the ×128 interleaved probe measured a 2.91
-    # wall-doubling — the candidate×shingles intermediate is ~80M
-    # 60-byte rows at ×128 and its session-width sort-merge exchanges
-    # spill). The pair AGGREGATE keeps the stock width: its keys
-    # repeat ~|common| times so map-side partials genuinely compress
-    # there, unlike the all-unique families.
+    sh_a = sh.join(
+        cands.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    sh_b = sh.join(
+        cands.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    # per-doc shingle counts, also only for candidate docs (the
+    # |A∪B| denominator needs no one else)
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Width: the semi-filtered sides are O(candidate docs ×
+    # shingles/doc); the corpus-bytes heuristic stays as a CEILING
+    # (plan-build-safe — candidate counts would need a job) for the
+    # 100 TB case where near-dup mass tracks corpus size, and is a
+    # harmless over-partition when candidates are sparse.
     est_sh = table_bytes("documents", sf_dir) // 3
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # width targets the candidate×shingle INTERMEDIATE (~2.4× shingle
-    # rows in this corpus, ~60 B/row): ~500k shingle rows per task
-    # keeps each sort under ~100 MB — the 2M divisor used elsewhere
-    # left this join at session width right through the replica range
-    # where its walls went erratic (64-86 s at ×128, borderline spill)
-    jp = min(4096, -(-est_sh // 500_000))
+    jp = min(4096, -(-est_sh // 2_000_000))
     scaled = jp > default_width
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh_a.alias("a"), sh_b.alias("b")
     if scaled:
-        a = sh.repartition(jp, "doc_id").alias("a")
+        a = sh_a.repartition(jp, "doc_id").alias("a")
     j1 = cands.join(a, F.col("doc_a") == F.col("a.doc_id")).select(
         "doc_a", "doc_b", "n_bands", F.col("a.sh").alias("a_sh")
     )
@@ -517,7 +552,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "n_bands")
         .agg(F.count("*").alias("common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    sa, sb = sizes_a.alias("sa"), sizes_b.alias("sb")
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
