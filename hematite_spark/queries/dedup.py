@@ -520,11 +520,24 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    # explicit broadcast: the doc lists are ≤ 2·|candidate pairs| 8-byte
+    # keys — broadcastable whenever the pair list itself is a sane LSH
+    # output. Left to AQE the semi join raced plan adaptation: reps
+    # where the shingle side's exchange was scheduled before the
+    # distinct stage finished sort-merge-joined 256M rows (x128 walls
+    # 24–42 s across reps); the hint makes the broadcast-probe plan
+    # deterministic. (A deployment whose near-dup doc list outgrows
+    # broadcast has a pair list too big to verify in one job anyway —
+    # that is a sharded-ingest regime, see dedup_incremental.)
     sh_a = sh.join(
-        cands.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        F.broadcast(cands.select(F.col("doc_a").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
     )
     sh_b = sh.join(
-        cands.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        F.broadcast(cands.select(F.col("doc_b").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
     )
     # per-doc shingle counts, also only for candidate docs (the
     # |A∪B| denominator needs no one else)
