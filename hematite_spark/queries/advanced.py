@@ -919,7 +919,18 @@ def quantile_bins_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable."""
     li = load_table(spark, "lineitem", sf_dir)
     cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Range width SCALES with input bytes (round 11: at the fixed
+    # session width the ×256 probe measured a 3.04 wall-doubling —
+    # 153.6M rows over 32 range partitions is a 4.8M-row in-task sort
+    # that spills; same bytes-scaled-width rule as the aggregate
+    # family, target ~2M rows per sort task).
+    from hematite_spark.io import table_bytes
+
+    est_rows = table_bytes("lineitem", sf_dir) // 18
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        min(4096, -(-est_rows // 2_000_000)),
+    )
     d = (
         li.select(*cols)
         .repartitionByRange(width, *cols)

@@ -406,8 +406,28 @@ def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_probe = li.agg(F.count("*").alias("n_probe"))
     n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
+    # The exact-audit semi join sorts BOTH sides at session width —
+    # at ×256 that is a 4.8M-row in-task sort of the fact table that
+    # spills (measured 3.26 wall-doubling, the same fixed-width sort
+    # cliff as quantile_bins_price); pre-exchange both sides on the
+    # join key at a bytes-scaled width so the sort-merge reuses the
+    # exchanges and each sort task stays ~2M rows. (Separately, the
+    # FIXED 32768-bit filter saturates once urgent keys ≫ bits — the
+    # audit then truthfully reports fp_rate → 1, which is the
+    # operator's point: it MEASURES the filter's adequacy; a 100 TB
+    # deployment sizes bits ~1.44·n·log2(1/fp) and this audit is the
+    # evidence for that sizing.)
+    from hematite_spark.io import table_bytes
+
+    est_rows = table_bytes("lineitem", sf_dir) // 18
+    jp = min(4096, -(-est_rows // 2_000_000))
+    li_k, keys_k = li, keys
+    if jp > int(spark.conf.get("spark.sql.shuffle.partitions", "32")):
+        li_k = li.repartition(jp, "l_orderkey")
+        keys_k = keys.repartition(jp, "k")
     n_exact = (
-        li.join(keys, li.l_orderkey == keys.k, "left_semi").agg(F.count("*").alias("n_exact"))
+        li_k.join(keys_k, li_k.l_orderkey == keys_k.k, "left_semi")
+        .agg(F.count("*").alias("n_exact"))
     )
     return (
         n_probe.crossJoin(n_pass)

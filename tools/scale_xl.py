@@ -77,7 +77,12 @@ XL_DIR = os.path.join(REPO, f".scale_xl{_SUFFIX}")
 # third doubling VERDICT r10 item 4 asks for reuses this machinery)
 PREV = REPLICAS // 2
 PREV_DIR = os.path.join(REPO, f".scale_xl{PREV}")
-OFF = 10_000_000
+# per-replica key offset. 10^7 preserves the byte-identical layout of
+# the existing ≤×128 dirs; above that factor 255·10^7 overflows the
+# INT32 key columns (nation/supplier keys are int in this parquet), so
+# high factors use 10^6 — still ~6× the largest base key at sf0.1
+# (l_orderkey max 149 999), so replicas never collide.
+OFF = 10_000_000 if REPLICAS * 10_000_000 <= 2**31 - 1 else 1_000_000
 # Nx data; scan-bound ops should land ≲Nx + overhead. Anything past
 # this is super-linear beyond data growth.
 FLAG_RATIO = REPLICAS * 1.5
