@@ -140,3 +140,54 @@ def test_xl128_two_doubling_near_linear():
             f"x128 ({v['xl128_s']}s) — worse than the {_DOUBLING_MAX} "
             "near-linear bound"
         )
+
+
+# Third-doubling tier (VERDICT r10 item 4): the entries whose ×64
+# walls sat under the 8 s soft bound — where the 2.2 rule could not
+# discriminate — but whose ×128 walls clear it. Probed ×128/×256
+# interleaved; same flag rule, one doubling further out. The ×256
+# probe CAUGHT three genuinely super-linear plans on its first run
+# (quantile_bins_price 3.04 and bloom_semi_join_reduction 3.26 —
+# both fixed-width in-task sorts that spill, both now bytes-scaled —
+# and lang_trigram_distance's cold-rep spread), validating the tier
+# choice.
+_THIRD_DOUBLING = {
+    "dedup_semantic",
+    "lang_trigram_distance",
+    "prf_query_expansion",
+    "quantile_bins_price",
+    "bayesian_bootstrap_ci",
+    "rfm_segments",
+    "embedding_quantize",
+    "bloom_semi_join_reduction",
+    "dedup_connected_components",
+    "entity_resolution_pipeline",
+}
+
+
+def test_xl256_third_doubling_near_linear():
+    rec = _load("SCALE_SLOPE_XL256.json")
+    x256 = rec["entries"]
+    assert rec.get("flag_doubling") == _DOUBLING_MAX
+    assert rec["risks"] == [], f"x256 record carries risks: {rec['risks']}"
+    missing = _THIRD_DOUBLING - set(x256)
+    assert not missing, f"entries dropped from the x256 record: {sorted(missing)}"
+    from tools.scale_xl import effective_doubling
+
+    for name, v in sorted(x256.items()):
+        assert "doubling_vs_x128" in v, (
+            f"{name} lacks the pinned doubling_vs_x128 field (same-session "
+            "interleaved x128/x256 walls)"
+        )
+        d = effective_doubling(v)
+        assert d <= _DOUBLING_HARD, (
+            f"{name}: {d}x wall growth between x128 and x256 — quadratic-"
+            f"shaped at any wall size"
+        )
+        if v.get("xl128_s", 0) < _MIN_X64_SEC:
+            continue  # overhead-dominated walls: hard bound only
+        assert d <= _DOUBLING_MAX, (
+            f"{name}: wall grew {d}x between x128 ({v.get('xl128_s')}s) and "
+            f"x256 ({v['xl256_s']}s) — worse than the {_DOUBLING_MAX} "
+            "near-linear bound"
+        )
