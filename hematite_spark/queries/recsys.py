@@ -221,7 +221,19 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both neighbors — never block²). levenshtein() is JVM-side in
     Spark and native in DuckDB — the identical metric, so best-match
     verdicts are value-checked. Ties break on (distance, partner
-    key)."""
+    key).
+
+    Band-width A/B (round 11, VERDICT r10 item 5 — is ±64 the knob?):
+    halving to ±32 halves the wall (×64 99.9 → 39.6 s) and NO row's
+    best DISTANCE worsens on any fixture (w32 candidates ⊆ w64, and
+    on sf0.1 every one of the 17 888/20 000 differing rows differs
+    only in WHICH equal-distance partner wins the (distance, key)
+    tiebreak — the shrunken band drops some tie partners). The
+    constant is therefore load-bearing for tie IDENTITY, not match
+    quality: ±64 stays the definition (w32 is not result-identical,
+    the bar for silently narrowing it), and a deployment that accepts
+    tie-partner drift can halve _FUZZY_W for ~2.5× wall with provably
+    equal distances — this A/B is the evidence."""
     part = load_table(spark, "part", sf_dir)
     w_rank = W.partitionBy("blk").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
     v = (
@@ -1561,6 +1573,13 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join output builds dedup-nothing hash maps that spill to
     # sort; below kick-in the stock partial→exchange→final plan is
     # net-positive and stands.
+    # NOT widened: the pair-generation self-join profiled at 1100 of
+    # 8400 executor-seconds (32 sort tasks × ~1M train rows, 1.8 GB
+    # spill) at ×128, but explicit l_orderkey exchanges at 38 and 154
+    # partitions both measured NO wall improvement across sessions
+    # (187-200 s vs 158-247 s baseline — inside the ±30% host noise
+    # band); the A/B evidence does not clear the keep bar, so the
+    # stock join stands.
     a, b = train.alias("a"), train.alias("b")
     pq = (
         a.join(b, "l_orderkey")
@@ -1600,15 +1619,46 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustering satisfies the 2-column dropDuplicates AND the join on
     # p reuses the same exchange (one shuffle instead of dedup-width +
     # join-width two)
+    if n_parts != default_width:
+        # FAT-ROW candidate exchange above the width kick-in (round
+        # 11, VERDICT r10 item 5): collapse each part's capped co-list
+        # into ONE struct array (collect_list reuses the cap window's
+        # hash(p) clustering — no extra exchange) and repartition
+        # O(train) fat rows by customer BEFORE exploding, so the
+        # custkey exchange carries ~M× fewer rows (per-row shuffle
+        # serialization overhead dominates the thin-row plan: the
+        # ×128 candidate table is ~1.9G 24-byte rows). The explode +
+        # (custkey, q) aggregate run after the exchange with no
+        # further shuffle — hash(custkey) satisfies the (custkey, q)
+        # clustering. A/B at ×64: thin 139.4/167.1 s vs fat
+        # 89.0/92.6 s, output identical row-for-row; at bench scale
+        # the thin plan stands byte-identical (the round-8 broadcast
+        # variant's collect_list cost regressed sf0.1, same reason
+        # this branch is gated).
+        co_arr = co.groupBy("p").agg(F.collect_list(F.struct("q", "co")).alias("nbrs"))
+        cand = (
+            train.select("o_custkey", F.col("l_partkey").alias("p"))
+            .repartition("p")
+            .dropDuplicates(["o_custkey", "p"])
+            .join(co_arr, "p")
+            .repartition(n_parts, "o_custkey")
+            .select("o_custkey", F.explode("nbrs").alias("n"))
+            .select("o_custkey", F.col("n.q").alias("q"), F.col("n.co").alias("co"))
+            .groupBy("o_custkey", "q")
+            .agg(F.sum("co").alias("score"))
+        )
+    else:
+        cand = (
+            train.select("o_custkey", F.col("l_partkey").alias("p"))
+            .repartition("p")
+            .dropDuplicates(["o_custkey", "p"])
+            .join(co, "p")
+            .repartition(n_parts, "o_custkey")
+            .groupBy("o_custkey", "q")
+            .agg(F.sum("co").alias("score"))
+        )
     cand = (
-        train.select("o_custkey", F.col("l_partkey").alias("p"))
-        .repartition("p")
-        .dropDuplicates(["o_custkey", "p"])
-        .join(co, "p")
-        .repartition(n_parts, "o_custkey")
-        .groupBy("o_custkey", "q")
-        .agg(F.sum("co").alias("score"))
-        .join(owned, "o_custkey")
+        cand.join(owned, "o_custkey")
         .where(~F.array_contains(F.col("owned_parts"), F.col("q")))
         .drop("owned_parts")
     )
