@@ -161,13 +161,20 @@ WITH shingles AS (
 """
 
 
-def _coshingle_common(sh: DataFrame, sf_dir: str) -> DataFrame:
+def _coshingle_common(sh: DataFrame, sf_dir: str, sh_b: DataFrame | None = None) -> DataFrame:
     """Per-pair co-shingle counts ``(doc_a, doc_b, common)`` with
     doc_a < doc_b from an inverted-index frame ``(doc_id, sh)`` — the
     exact-ground-truth kernel shared by the Jaccard/containment/LSH
     audit entries. Pairs only materialize for co-shingled docs (the
     join shuffles on the shingle key; hot shingles are the skew risk,
     split by AQE at runtime).
+
+    ``sh_b``: optional distinct b-side frame (same schema). The
+    candidate-bounded audit entries pass the a-side filtered to
+    candidate doc_a docs and the b-side to candidate doc_b docs
+    (VERDICT r11 item 1) — pair (x, y) with x < y still materializes
+    iff x is on the a-side and y on the b-side, exactly the
+    orientation LSH candidates carry.
 
     The pair aggregate runs BEHIND an explicit bytes-scaled
     hash(doc_a, doc_b) exchange: co-shingled pairs are dominated by
@@ -201,7 +208,10 @@ def _coshingle_common(sh: DataFrame, sf_dir: str) -> DataFrame:
     join_parts = min(4096, -(-est_sh // 2_000_000))
     if join_parts > default_width:
         sh = sh.repartition(join_parts, "sh")
-    a, b = sh.alias("a"), sh.alias("b")
+        if sh_b is not None:
+            sh_b = sh_b.repartition(join_parts, "sh")
+    a = sh.alias("a")
+    b = (sh if sh_b is None else sh_b).alias("b")
     pairs = a.join(
         b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -212,6 +222,67 @@ def _coshingle_common(sh: DataFrame, sf_dir: str) -> DataFrame:
     if n_parts > default_width:
         pairs = pairs.repartition(n_parts, "doc_a", "doc_b")
     return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+
+
+# Above this many candidate PAIRS the candidate-doc semi-filters stop
+# hinting F.broadcast and fall back to a shuffled left-semi join
+# (VERDICT r11 item 4: an adversarial dup-mass corpus must not
+# materialize an unbounded distinct on the driver). The doc lists are
+# ≤ 2·pairs 8-byte keys, so the gate bounds the broadcast at ~80 MB —
+# comfortably inside executor/driver memory — while every probed scale
+# (x256 candidates ≈ 184k) stays far below it, keeping the
+# deterministic broadcast-probe plan the hint exists for (AQE raced
+# plan adaptation: see dedup_lsh_verified). One cheap count on an
+# already-localCheckpointed cands frame, never a plan-build job.
+_CAND_BC_MAX_PAIRS = 5_000_000
+
+
+def _cand_doc_semi(sh: DataFrame, cands: DataFrame, col: str, hint_broadcast: bool) -> DataFrame:
+    """``sh`` LEFT-SEMI filtered to the docs appearing in ``cands.col``
+    — the candidate-bounding kernel (round 11, dedup_lsh_verified):
+    downstream joins then carry O(candidate docs × shingles/doc),
+    proportional to actual near-duplicate mass, never O(corpus
+    shingles). Broadcast hint is size-gated (see _CAND_BC_MAX_PAIRS)."""
+    docs = cands.select(F.col(col).alias("doc_id")).distinct()
+    if hint_broadcast:
+        docs = F.broadcast(docs)
+    return sh.join(docs, "doc_id", "left_semi")
+
+
+def _cand_bounded_truth(sh: DataFrame, cands: DataFrame, sf_dir: str) -> DataFrame:
+    """Exact shingle Jaccard ``(doc_a, doc_b, jac)`` for (at least)
+    every pair in ``cands`` — the truth side of the LSH audit family,
+    CANDIDATE-BOUNDED (VERDICT r11 item 1: minhash_jaccard_audit /
+    lsh_band_auc used to run the co-shingle pair join over the FULL
+    shingle table and then left-join down to candidates, computing and
+    discarding every non-candidate pair's common count — a 2.11
+    measured wall-doubling at ×128). Both shingle sides are first
+    semi-filtered to candidate docs (doc-level filter, so per-doc
+    shingle sizes and per-pair common counts are UNCHANGED for every
+    candidate pair — callers that left-join from the candidate set get
+    byte-identical output by construction; extra pairs among candidate
+    docs that never banded together are discarded by that join).
+
+    ``cands`` must be localCheckpointed by the caller (it is counted
+    for the broadcast gate and fans out to both semi-filters)."""
+    hint = cands.count() <= _CAND_BC_MAX_PAIRS
+    sh_a = _cand_doc_semi(sh, cands, "doc_a", hint)
+    sh_b = _cand_doc_semi(sh, cands, "doc_b", hint)
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = _coshingle_common(sh_a, sf_dir, sh_b)
+    ja, jb = sizes_a.alias("ja"), sizes_b.alias("jb")
+    return (
+        common.join(ja, F.col("doc_a") == F.col("ja.doc_id"))
+        .join(jb, F.col("doc_b") == F.col("jb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("ja.n_sh") + F.col("jb.n_sh") - F.col("common"))).alias(
+                "jac"
+            ),
+        )
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,19 +597,15 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the shingle side's exchange was scheduled before the
     # distinct stage finished sort-merge-joined 256M rows (x128 walls
     # 24–42 s across reps); the hint makes the broadcast-probe plan
-    # deterministic. (A deployment whose near-dup doc list outgrows
-    # broadcast has a pair list too big to verify in one job anyway —
-    # that is a sharded-ingest regime, see dedup_incremental.)
-    sh_a = sh.join(
-        F.broadcast(cands.select(F.col("doc_a").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
-    )
-    sh_b = sh.join(
-        F.broadcast(cands.select(F.col("doc_b").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
-    )
+    # deterministic. SIZE-GATED (VERDICT r11 item 4): above
+    # _CAND_BC_MAX_PAIRS candidate pairs the hint is dropped and the
+    # semi join shuffles — an adversarial dup-mass corpus cannot
+    # materialize an unbounded distinct on the driver; the count is on
+    # the checkpointed cands frame, so it is cheap and runs no
+    # re-computation.
+    hint = cands.count() <= _CAND_BC_MAX_PAIRS
+    sh_a = _cand_doc_semi(sh, cands, "doc_a", hint)
+    sh_b = _cand_doc_semi(sh, cands, "doc_b", hint)
     # per-doc shingle counts, also only for candidate docs (the
     # |A∪B| denominator needs no one else)
     sizes_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -1407,7 +1474,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # routed super-cell (n×~√k). Right sides replicate via a
         # lazy crossJoin with spark.range — no driver collect, plan
         # build stays job-free. Per-task centroid memory is O(√k·d).
-        # Distances are np.round(·, 6) before argmin; centroids
+        # Distances are _np_round6 (half-away-from-zero, matching
+        # F.round and the oracle exactly — ADVICE r11) before argmin;
+        # centroids
         # sorted so argmin's first-minimum IS the lowest-id tiebreak
         # — identical to the fold and the oracle's row_number at
         # every tie, including the rounding-created ones. The
@@ -1431,8 +1500,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = np.empty(len(V), dtype=np.int64)
                 step = max(1, (64 << 20) // max(1, C.shape[0] * C.shape[1] * 8))
                 for i in range(0, len(V), step):
-                    d2 = np.round(
-                        ((V[i : i + step, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6
+                    d2 = _np_round6(
+                        ((V[i : i + step, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                     )
                     out[i : i + step] = r_ids[np.argmin(d2, axis=1)]
                 return pd.DataFrame({lid: l["id"].to_numpy(), rid: out})
@@ -1505,7 +1574,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j0 in range(0, len(ids), block):
             j1 = min(j0 + block, len(ids))
             # cosines of ALL vectors vs this column block
-            C = np.round((E @ E[j0:j1].T) / np.outer(nrm, nrm[j0:j1]), 6)
+            C = _np_round6((E @ E[j0:j1].T) / np.outer(nrm, nrm[j0:j1]))
             for j in range(j0, j1):
                 cand = C[:j, j - j0]  # only lower-id partners (i < j)
                 hits = np.nonzero(cand >= 0.3)[0]
@@ -1521,6 +1590,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(prune_cell, schema=out_schema)
         .orderBy("drop_vec")
     )
+
+
+def _np_round6(a):
+    """round-6 matching Spark F.round and DuckDB round() — HALF AWAY
+    FROM ZERO. np.round is half-to-even (banker's), which was a
+    residual divergence channel on exact 1e-6 midpoints between the
+    numpy kernels and both engines' fold/oracle paths (ADVICE r11).
+    copysign keeps negatives (cosines) rounding away from zero too."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
 
 
 def _sem_d2(a: str, b: str) -> str:
@@ -1857,12 +1937,15 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature needs more slots.
 
     Cost shape: candidate pairs only (the LSH output, never
-    all-pairs); the exact-Jaccard verify is the same inverted-index
-    join the verified-dedup path already pays, and the calibration
-    rollup is O(9) rows. At 100 TB you run this on a sampled slice
-    of candidates — the operator is the contract."""
+    all-pairs); the exact-Jaccard verify is CANDIDATE-BOUNDED on both
+    shingle sides (VERDICT r11 item 1 — it used to pay the full
+    co-shingle pair mass and left-join it away: 2.11 wall-doubling at
+    a 70.3 s ×128 wall; the left join makes the bounding
+    byte-identical by construction), and the calibration rollup is
+    O(9) rows. At 100 TB you run this on a sampled slice of
+    candidates — the operator is the contract."""
     sigs = _minhash_signatures(spark, sf_dir)
-    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     agree = sum(
         F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(N_MINHASH)
@@ -1873,20 +1956,7 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
     )
     sh = _shingles_df(spark, sf_dir).where(F.col("sh").isNotNull()).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    common = _coshingle_common(sh, sf_dir)
-    ja, jb = sizes.alias("ja"), sizes.alias("jb")
-    exact = (
-        common.join(ja, F.col("doc_a") == F.col("ja.doc_id"))
-        .join(jb, F.col("doc_b") == F.col("jb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("common") / (F.col("ja.n_sh") + F.col("jb.n_sh") - F.col("common"))).alias(
-                "jac"
-            ),
-        )
-    )
+    exact = _cand_bounded_truth(sh, cand, sf_dir)
     return (
         est.join(exact, ["doc_a", "doc_b"], "left")
         .select("n_agree", F.coalesce(F.col("jac"), F.lit(0.0)).alias("jac"))
@@ -2167,7 +2237,14 @@ def minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per source: halves merged, how many of the 8 hash lanes
     agree (contract: all 8), and the merged signature's first lane for
-    value-checking."""
+    value-checking.
+
+    Lane width: FIXED stock 16-bit lanes by design (ADVICE r11) — the
+    merge contract (min is associative/commutative) is width-agnostic,
+    so nothing here needs the _minhash_wide adaptive switch, and a
+    fixed width keeps sig_lane0 a stable cross-engine value check at
+    every scale; this entry audits MERGEABILITY, not collision rates
+    (lsh_parameter_sweep / lsh_band_auc own those)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     sh = _shingles_df(spark, sf_dir).withColumn("h", F.md5("sh")).join(docs, "doc_id")
     lanes = [F.substring("h", 1 + 4 * i, 4) for i in range(N_MINHASH)]
@@ -2492,19 +2569,11 @@ def lsh_band_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify high-band pairs first and early-exit?)."""
     cand = lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    common = _coshingle_common(sh, sf_dir)
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    truth = (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")) >= 0.5
-            ).alias("is_dup"),
-        )
+    # exact-Jaccard truth CANDIDATE-BOUNDED on both shingle sides
+    # (VERDICT r11 item 1) — the left join from cand below makes the
+    # bounding byte-identical by construction
+    truth = _cand_bounded_truth(sh, cand, sf_dir).select(
+        "doc_a", "doc_b", (F.col("jac") >= 0.5).alias("is_dup")
     )
     labeled = cand.join(truth, ["doc_a", "doc_b"], "left").select(
         "n_bands", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
@@ -2583,33 +2652,46 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reports pair count, mean absolute estimation error, and both
     means — the storage/accuracy trade table for signature sizing.
 
+    Audited pair set: LSH candidate pairs with exact Jaccard ≥ 0.3
+    (round 12, VERDICT r11 item 1: the code used to audit ALL
+    co-shingled pairs ≥ 0.3 — contradicting this docstring's own
+    "for every LSH candidate pair" contract and paying the full
+    co-shingle pair mass; the entry now computes what it always
+    claimed to, with the oracle updated in lockstep and re-gated).
+
+    Lane width: the b=1 bit is taken from the STOCK 16-bit lane by
+    definition — b-bit estimation is width-specific (the lane is the
+    thing being truncated), so these lanes intentionally do NOT widen
+    with _minhash_wide; only the candidate GENERATION (via
+    lsh_candidate_pairs) adapts (ADVICE r11).
+
     Scale: the bit extraction is free (same signature build); the
-    audit join is candidate-bounded; the report is a 1-row
-    aggregate."""
+    exact-Jaccard truth and the bit lookups are candidate-bounded on
+    every side; the report is a 1-row aggregate."""
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
-    hashed = sh.withColumn("h", F.md5("sh"))
-    # full 16-bit lanes AND their low bits from one aggregate
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 1 + 4 * s, 4)).alias(f"mh{s}") for s in range(N_MINHASH)]
+    hint = cand.count() <= _CAND_BC_MAX_PAIRS
+    # full 16-bit lanes AND their low bits from one aggregate, built
+    # only for docs that appear in a candidate pair
+    lanes = lambda side: (  # noqa: E731
+        _cand_doc_semi(sh, cand, side, hint)
+        .withColumn("h", F.md5("sh"))
+        .groupBy("doc_id")
+        .agg(*[F.min(F.substring("h", 1 + 4 * s, 4)).alias(f"mh{s}") for s in range(N_MINHASH)])
     )
     bit = lambda s: F.conv(F.substring(F.col(f"mh{s}"), 4, 1), 16, 10).cast("long") % 2  # noqa: E731
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    common = _coshingle_common(sh, sf_dir)
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))).alias(
-                "jaccard"
-            ),
-        )
+        _cand_bounded_truth(sh, cand, sf_dir)
+        .join(cand, ["doc_a", "doc_b"], "left_semi")  # exact candidate pairs
+        .select("doc_a", "doc_b", F.col("jac").alias("jaccard"))
         .where(F.col("jaccard") >= 0.3)  # audit the candidate-similar region
     )
-    ga = sigs.select(F.col("doc_id").alias("doc_a"), *[bit(s).alias(f"ba{s}") for s in range(N_MINHASH)])
-    gb = sigs.select(F.col("doc_id").alias("doc_b"), *[bit(s).alias(f"bb{s}") for s in range(N_MINHASH)])
+    ga = lanes("doc_a").select(
+        F.col("doc_id").alias("doc_a"), *[bit(s).alias(f"ba{s}") for s in range(N_MINHASH)]
+    )
+    gb = lanes("doc_b").select(
+        F.col("doc_id").alias("doc_b"), *[bit(s).alias(f"bb{s}") for s in range(N_MINHASH)]
+    )
     agree = sum(
         F.when(F.col(f"ba{s}") == F.col(f"bb{s}"), 1).otherwise(0) for s in range(N_MINHASH)
     ) / float(N_MINHASH)
@@ -2629,10 +2711,27 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BBIT_BIT = "(strpos('0123456789abcdef', substring(mh{s}, 4, 1)) - 1) % 2"
 
+# NOTE the deliberate two-signature structure: `sigs` (from
+# _MINHASH_CTE) feeds ONLY candidate generation, so it tracks the
+# adaptive lane width, while `bsigs` re-derives the STOCK 16-bit lanes
+# with textually distinct aggregates (substr, not substring) — the
+# forced-wide test's _MINHASH_AGGS→_MINHASH_AGGS_WIDE swap must widen
+# the candidates and leave the b-bit lanes alone, mirroring the
+# DataFrame path exactly (b-bit estimation is width-specific).
 MINHASH_BBIT_SQL = (
     _MINHASH_CTE
     + f"""
-, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+, bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(mh{2*b} || '|' || mh{2*b+1}) AS band{b}" for b in range(N_MINHASH // 2))}
+  FROM sigs),
+cand AS (
+  SELECT doc_a, doc_b FROM ({_LSH_BANDS}) GROUP BY doc_a, doc_b),
+bsigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(substr(md5(sh), {1 + 4 * s}, 4)) AS mh{s}" for s in range(N_MINHASH))}
+  FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -2643,10 +2742,11 @@ jac AS (
   FROM common
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
+  JOIN cand USING (doc_a, doc_b)
   WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.3),
 bits AS (
   SELECT doc_id, {", ".join(f"({_BBIT_BIT.format(s=s)}) AS b{s}" for s in range(N_MINHASH))}
-  FROM sigs),
+  FROM bsigs),
 paired AS (
   SELECT jaccard,
          2.0 * (({" + ".join(f"CASE WHEN ga.b{s} = gb.b{s} THEN 1 ELSE 0 END" for s in range(N_MINHASH))})

@@ -424,14 +424,17 @@ def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_k, keys_k = li, keys
     if jp > int(spark.conf.get("spark.sql.shuffle.partitions", "32")):
         li_k = li.repartition(jp, "l_orderkey")
-        keys_k = keys.repartition(jp, "k")
-    # shuffle-HASH, not sort-merge: the audit only streams the fact
-    # side against a per-partition hash of ~est/jp keys — no n·log n
-    # fact-table sort at all (the sort was the residual 2.27 doubling
-    # after the width fix; a hash probe is linear and the build side
-    # is bounded by the exchange width at any scale)
+        # shuffle-HASH, not sort-merge: the audit only streams the
+        # fact side against a per-partition hash of ~est/jp keys — no
+        # n·log n fact-table sort at all (the sort was the residual
+        # 2.27 doubling after the width fix; a hash probe is linear
+        # and the build side is bounded by the exchange width at any
+        # scale). Hint applied ONLY above the kick-in (ADVICE r11):
+        # below it the stock sort-merge plan stands byte-identical —
+        # the same convention every other width heuristic follows.
+        keys_k = keys.repartition(jp, "k").hint("shuffle_hash")
     n_exact = (
-        li_k.join(keys_k.hint("shuffle_hash"), li_k.l_orderkey == keys_k.k, "left_semi")
+        li_k.join(keys_k, li_k.l_orderkey == keys_k.k, "left_semi")
         .agg(F.count("*").alias("n_exact"))
     )
     return (

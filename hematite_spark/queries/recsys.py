@@ -1553,17 +1553,35 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li_dedup.join(orders, li_dedup.l_orderkey == orders.o_orderkey).select(
         "o_custkey", "o_orderdate", "l_orderkey", "l_partkey"
     )
-    # held-out item: the customer's last (orderdate, orderkey, partkey)
-    wc = W.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("l_orderkey").desc(), F.col("l_partkey").desc()
+    # held-out item: the customer's last (orderdate, orderkey, partkey).
+    # Bounded per-customer top-(1+C) AGGREGATE, not a row_number window
+    # (VERDICT r11 item 3): the window sorted ALL basket rows per
+    # customer inside fixed-width sort tasks even though only ranks
+    # 1..1+C are ever consumed; sort_array(collect_list(struct)) +
+    # slice is partial-agg friendly (map-side collect_list merges),
+    # per-group memory is bounded by actual basket size (small — and
+    # replica scaling adds CUSTOMERS, not baskets per customer), and
+    # the checkpoint shrinks from every basket row to ≤ 1+C structs
+    # per customer. Row-identical to the window: (date, orderkey,
+    # partkey) is duplicate-free after the dedup above, so the struct
+    # sort is a strict total order — same rows, same order, no ties
+    # for row_number to hide.
+    topn = baskets.groupBy("o_custkey").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderdate", "l_orderkey", "l_partkey")),
+                asc=False,
+            ),
+            1,
+            1 + _REC_TRAIN_CAP,
+        ).alias("top")
+    ).localCheckpoint()
+    held = topn.select(
+        "o_custkey", F.col("top")[0]["l_partkey"].alias("held_part")
     )
-    marked = baskets.withColumn("rn", F.row_number().over(wc)).localCheckpoint()
-    held = marked.where(F.col("rn") == 1).select(
-        "o_custkey", F.col("l_partkey").alias("held_part")
-    )
-    train = marked.where(
-        (F.col("rn") > 1) & (F.col("rn") <= 1 + _REC_TRAIN_CAP)
-    ).select("o_custkey", "l_orderkey", "l_partkey")
+    train = topn.select(
+        "o_custkey", F.explode(F.slice("top", 2, _REC_TRAIN_CAP)).alias("t")
+    ).select("o_custkey", F.col("t.l_orderkey").alias("l_orderkey"), F.col("t.l_partkey").alias("l_partkey"))
     # item-item co-occurrence from TRAIN baskets only. The (p, q)
     # aggregate runs behind an explicit bytes-scaled exchange above
     # the width kick-in (round-10; the r9 design rule from

@@ -1814,19 +1814,32 @@ def test_minhash_wide_lanes_match_rederived_oracle(spark, duck, monkeypatch):
     large inputs — VERDICT r10 item 2: fixed 16-bit lanes let
     accidental band collisions grow n²·(m/2^16)²) must match the
     DuckDB oracle re-derived with the SAME wide-lane aggregates,
-    value-for-value, for both flagged entries."""
+    value-for-value, for EVERY catalog entry whose plan rides
+    _minhash_signatures (ADVICE r11 medium: the adaptive switch flips
+    all consumers at once, so covering only two left the other
+    thirteen unverified above kick-in). The entry set is discovered
+    from the committed oracles themselves — any future consumer whose
+    oracle embeds the stock aggregates is picked up automatically —
+    and pinned to a floor so a refactor that silently drops the
+    aggregates from the oracles cannot hollow the test out.
+    minhash_bbit_estimate's b-bit lanes deliberately DON'T widen
+    (width-specific by definition); its oracle keeps them in a
+    textually distinct `bsigs` CTE the swap cannot touch, so it
+    belongs in this loop like everyone else."""
+    import __spark_entry__ as entrymod
     from hematite_spark.oracle import compare as _compare
     from hematite_spark.queries import dedup
 
+    oracles = entrymod.oracle_sql()
+    consumers = sorted(k for k, v in oracles.items() if dedup._MINHASH_AGGS in v)
+    assert len(consumers) >= 15, f"adaptive-minhash consumer set shrank: {consumers}"
     monkeypatch.setattr(dedup, "_MINHASH_WIDE_DOCS", -1)  # force wide lanes
-    for fn, sql in (
-        (dedup.dedup_lsh_verified, dedup.DEDUP_LSH_VERIFIED_SQL),
-        (dedup.lsh_precision_recall, dedup.LSH_PR_SQL),
-    ):
-        wide_sql = sql.replace(dedup._MINHASH_CTE, dedup._MINHASH_CTE_WIDE)
-        assert wide_sql != sql  # the CTE swap must actually hit
-        mismatch = _compare(fn(spark, SF_DIR), duck, wide_sql)
-        assert not mismatch, f"{fn.__name__}: {mismatch}"
+    for name in consumers:
+        sql = oracles[name]
+        wide_sql = sql.replace(dedup._MINHASH_AGGS, dedup._MINHASH_AGGS_WIDE)
+        assert wide_sql != sql  # the aggs swap must actually hit
+        mismatch = _compare(QUERIES[name](spark, SF_DIR), duck, wide_sql)
+        assert not mismatch, f"{name}: {mismatch}"
 
 
 def test_minhash_stock_lanes_below_kickin(spark, sf_dir_arg=None):
@@ -1844,6 +1857,48 @@ def test_minhash_stock_lanes_below_kickin(spark, sf_dir_arg=None):
         r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan(auto) == plan(stock)  # identical stock plan (mod expr ids)
+
+
+def test_cand_broadcast_gate_fallback(spark, duck, monkeypatch):
+    """VERDICT r11 item 4: the candidate-doc semi-filter broadcasts
+    are size-gated. Force the gate shut (_CAND_BC_MAX_PAIRS = -1) and
+    require (a) no broadcast hint survives into the logical plan —
+    an adversarial dup-mass corpus can no longer materialize an
+    unbounded distinct on the driver — and (b) the shuffled-semi-join
+    fallback still matches the oracle value-for-value."""
+    from hematite_spark.oracle import compare as _compare
+    from hematite_spark.queries import dedup
+
+    hints = lambda df: df._jdf.queryExecution().analyzed().toString().count(  # noqa: E731
+        "ResolvedHint"
+    )
+    # the gate lives in ONE place — check it at the source: the
+    # semi-filter hints of _cand_bounded_truth (each filtered side
+    # appears twice in the plan: sizes + pair join → 4 hints) must
+    # vanish when the gate shuts
+    cand = dedup.lsh_candidate_pairs(spark, SF_DIR).select("doc_a", "doc_b").localCheckpoint()
+    sh = dedup._shingles_df(spark, SF_DIR).localCheckpoint()
+    assert hints(dedup._cand_bounded_truth(sh, cand, SF_DIR)) == 4
+    # whole-entry hint counts with the gate OPEN (lsh_band_auc is
+    # omitted here: its truth side hides behind the eager dist
+    # localCheckpoint, so the final plan shows only its two O(4)-row
+    # dist-frame broadcasts either way — the helper check above and
+    # the oracle compare below are its coverage)
+    cases = (
+        (dedup.dedup_lsh_verified, dedup.DEDUP_LSH_VERIFIED_SQL, 4),
+        (dedup.minhash_jaccard_audit, dedup.MINHASH_AUDIT_SQL, 4),
+        (dedup.minhash_bbit_estimate, dedup.MINHASH_BBIT_SQL, 6),
+    )
+    for fn, _sql, n_open in cases:
+        assert hints(fn(spark, SF_DIR)) == n_open, f"{fn.__name__}: gate open but no hint"
+    monkeypatch.setattr(dedup, "_CAND_BC_MAX_PAIRS", -1)  # force fallback
+    assert hints(dedup._cand_bounded_truth(sh, cand, SF_DIR)) == 0
+    for fn, sql, _n_open in cases + ((dedup.lsh_band_auc, dedup.LSH_AUC_SQL, None),):
+        df = fn(spark, SF_DIR)
+        if _n_open is not None:
+            assert hints(df) == 0, f"{fn.__name__}: broadcast hint survived the gate"
+        mismatch = _compare(df, duck, sql)
+        assert not mismatch, f"{fn.__name__}: {mismatch}"
 
 
 def test_semantic_dedup_adaptive_k_matches_oracle(spark, duck, monkeypatch):

@@ -152,6 +152,14 @@ def _lsh_candidate_count(spark, sf_dir: str) -> int:
 WORKLOAD_METRICS = {
     "dedup_lsh_verified": _lsh_candidate_count,
     "lsh_precision_recall": _lsh_candidate_count,
+    # VERDICT r11 item 5: once the audit family's exact-truth joins are
+    # candidate-bounded (round 12), their true workload unit is the
+    # candidate count too — declaring it here makes the probe
+    # normalization-ready and guards the next accidental-candidate
+    # regression.
+    "minhash_jaccard_audit": _lsh_candidate_count,
+    "lsh_band_auc": _lsh_candidate_count,
+    "minhash_bbit_estimate": _lsh_candidate_count,
 }
 
 
@@ -162,11 +170,22 @@ def effective_doubling(entry: dict) -> float | None:
     by (workload_doubling / 2) when the entry carries a tool-measured
     workload metric — i.e. what the wall growth would have been had
     the workload grown exactly linearly."""
-    d = next(
-        (v for k, v in entry.items() if k.startswith("doubling_vs_x")), None
+    # Skip null-valued fields (written when a prev-tier median wall is
+    # 0) so callers never see a None leak into arithmetic, and when a
+    # merged record carries more than one tier's field, take the
+    # HIGHEST tier (largest x-suffix) deterministically — the latest
+    # doubling is the one the gates reason about (ADVICE r11).
+    cands = sorted(
+        (
+            (int(k[len("doubling_vs_x"):]), v)
+            for k, v in entry.items()
+            if k.startswith("doubling_vs_x") and v is not None
+        ),
+        reverse=True,
     )
-    if d is None:
+    if not cands:
         return None
+    d = cands[0][1]
     w = entry.get("workload_doubling")
     return round(d * 2.0 / w, 2) if w else d
 
