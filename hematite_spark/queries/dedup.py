@@ -562,6 +562,66 @@ def _simhash_sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sketch64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w0, w1) — 64-bit SimHash sketch as two 32-bit words
+    (two bigints rather than one 64-bit value: conv() of 16 hex chars
+    overflows signed long, and two words keep every shift/mask inside
+    non-negative 32-bit range in BOTH engines). w0 is bit-for-bit the
+    32-bit sketch _simhash_sketch_df emits (first 8 hex chars of each
+    word's md5); w1 extends it with hex chars 9-16 of the SAME digest
+    — one explode, one hash-aggregate, 64 sign sums."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.array_distinct(F.split(_norm_text(), " "))
+    exploded = docs.select("doc_id", F.explode(words).alias("word"))
+    h0 = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    h1 = F.conv(F.substring(F.md5(F.col("word")), 9, 8), 16, 10).cast("long")
+    with_bits = exploded.select(
+        "doc_id",
+        *[
+            F.when(
+                F.shiftright(h0 if b < _SIMHASH_BITS else h1, b % _SIMHASH_BITS)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            )
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(2 * _SIMHASH_BITS)
+        ],
+    )
+    summed = with_bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(2 * _SIMHASH_BITS)]
+    )
+    word = lambda w: sum(  # noqa: E731
+        (
+            F.when(F.col(f"s{w * _SIMHASH_BITS + b}") > 0, F.lit(1)).otherwise(F.lit(0))
+            * F.lit(1 << b)
+        )
+        for b in range(_SIMHASH_BITS)
+    ).cast("bigint")
+    return summed.select("doc_id", word(0).alias("w0"), word(1).alias("w1"))
+
+
+# Above this estimated doc count dedup_simhash_band's SKETCH widens to
+# 64 bits with Manku-style block banding (round 12; the ×256 probe
+# measured the 2×16 multiprobe tier at a 2.37 wall-doubling by 1.5M
+# docs — any banding of a FIXED 32-bit sketch saturates by birthday
+# collision once n rivals 2^16·target_occupancy, so past here the
+# sketch itself must widen; the in-code note always named this as the
+# deployment answer, the probe moved it from prose to a tier). The
+# near-dup RELATION above the kick-in is hamming ≤ 3 of 64 bits —
+# stricter, fewer false merges, the right precision at that corpus
+# size — mirrored by the forced-adaptive oracle test the way the
+# minhash wide lanes are; below it the stock plans stand
+# byte-identical (driver sf0.01 gate, bench sf0.1, ×64 probes).
+_SIMHASH64_DOCS = 500_000
+# 6 blocks over the 64-bit sketch, 11/11/10 bits per 32-bit word; a
+# hamming-≤3 pair leaves ≥3 blocks untouched, so SOME 3-block combo
+# matches exactly — key = 3 packed block values, C(6,3) = 20 tables
+# (Manku, Jain & Das Sarma, WWW'07 — public algorithm).
+_SIMHASH64_BLOCKS = [(0, 0, 11), (0, 11, 11), (0, 22, 10), (1, 0, 11), (1, 11, 11), (1, 22, 10)]
+
+
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup funnel in one operator: LSH band
     candidates (lsh_candidate_pairs) VERIFIED with exact word-3-gram
@@ -744,13 +804,82 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 8-bit chunk key (256 values) is what makes each band join
     prune — near-identical docs agree on whole chunks, unrelated docs
-    collide on a given chunk with p≈1/256 per band; production
-    deployments widen further (64-bit sketch, 16-bit chunks) as the
-    corpus grows. At 100 TB the chunk value is the shuffle key; hot
+    collide on a given chunk with p≈1/256 per band. The key width,
+    and past _SIMHASH64_DOCS the SKETCH width, adapt to the corpus
+    (three tiers: 4×8 equality → 2×16 hamming-≤1 multiprobe → 64-bit
+    sketch with C(6,3) Manku block tables; the third tier's stricter
+    hamming-≤3-of-64 relation is the precision a corpus of millions
+    of docs needs, verified by the forced-adaptive oracle test). At
+    100 TB the chunk value is the shuffle key; hot
     chunks (boilerplate-dominated sketches) are the skew risk,
     handled by AQE skew-join. Parallels the reference's content-hash
     uniqueness declaration (reference src/db.rs:11-17) generalized to
     near-identity."""
+    est_docs = table_bytes("documents", sf_dir) // 119  # ~bytes/doc here
+    if est_docs > _SIMHASH64_DOCS:
+        # Third tier (round 12): 64-bit sketch, hamming ≤ 3, exact
+        # recall via C(6,3)=20 block-combination tables — see
+        # _SIMHASH64_DOCS. Accidental occupancy is n/2^32 per 3-block
+        # key, so candidate mass stays ~n·20 at any probed scale.
+        from itertools import combinations
+
+        sk = _simhash_sketch64_df(spark, sf_dir)
+        blk = lambda w, off, width: (  # noqa: E731
+            F.shiftright(F.col(f"w{w}"), off).bitwiseAND(F.lit((1 << width) - 1))
+        )
+        sk = sk.select(
+            "doc_id",
+            "w0",
+            "w1",
+            *[
+                blk(*_SIMHASH64_BLOCKS[j]).alias(f"blk{j}")
+                for j in range(len(_SIMHASH64_BLOCKS))
+            ],
+        ).localCheckpoint()
+        # CANONICAL-COMBO OWNERSHIP (round 12, from an x256 profile: a
+        # dup-dense corpus's hamming-0 pairs match in all 20 tables —
+        # 461M pre-dedup rows for ~23M distinct pairs — and the
+        # cross-table dedup aggregate was the wall). Each pair is
+        # emitted ONLY by the lexicographically FIRST all-equal block
+        # combo: every branch filters on the 6 block-equality bits it
+        # already has in the joined row (pure codegen booleans), the
+        # 20 branches become DISJOINT by construction, and the dedup
+        # groupBy disappears — the union IS the answer, 20× less
+        # shuffle on exactly the corpora where near-dups are densest.
+        frames64 = []
+        combos = list(combinations(range(len(_SIMHASH64_BLOCKS)), 3))
+        eq = lambda m: F.col(f"a.blk{m}") == F.col(f"b.blk{m}")  # noqa: E731
+        for ci, (i, j, k) in enumerate(combos):
+            key = (
+                F.col(f"blk{i}") * F.lit(1 << 22)
+                + F.col(f"blk{j}") * F.lit(1 << 11)
+                + F.col(f"blk{k}")
+            )
+            a = sk.withColumn("bandkey", key).alias("a")
+            b = sk.withColumn("bandkey", key).alias("b")
+            joined = a.join(
+                b,
+                (F.col("a.bandkey") == F.col("b.bandkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            for (i2, j2, k2) in combos[:ci]:
+                joined = joined.where(~(eq(i2) & eq(j2) & eq(k2)))
+            frames64.append(
+                joined.select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    (
+                        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+                        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+                    )
+                    .cast("bigint")
+                    .alias("hamming"),
+                )
+            )
+        allp = frames64[0]
+        for fr in frames64[1:]:
+            allp = allp.unionByName(fr)
+        return allp.where(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
     sketch = _simhash_sketch_df(spark, sf_dir).localCheckpoint()
     # Band-key width ADAPTS to corpus size (round 10; the ×128 probe
     # measured a 2.68 wall-doubling — a genuine WORKLOAD quadratic:
@@ -769,11 +898,11 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair set is band-scheme-independent (exact hamming ≤ 3 verify),
     # so the oracle keeps its 4×8 formulation and the switch rides
     # the bytes heuristic with no plan-build job. The quadratic tail
-    # remains past ~10M docs per corpus slice — a 100 TB deployment
-    # widens the sketch itself to 64 bits (and this threshold moves
-    # with it); at bench scales the stock 4×8 equality plan stands
-    # byte-identical.
-    est_docs = table_bytes("documents", sf_dir) // 119  # ~bytes/doc here
+    # of THIS tier was measured at 2.37 by the ×256 probe (1.5M docs
+    # — birthday collisions on 65 536 buckets), so past
+    # _SIMHASH64_DOCS the sketch itself widens to 64 bits with Manku
+    # block banding (the branch above); at bench scales the stock 4×8
+    # equality plan stands byte-identical.
     frames = []
     if est_docs <= _SIMHASH_WIDE_DOCS:
         # 4 chunk columns, 8 bits each — equality bands
@@ -864,8 +993,90 @@ ORDER BY doc_a, doc_b
 )
 
 
-_EMB_TABLES = 4  # hash tables (component ranges t*16 .. t*16+b-1)
-_EMB_MAX_BITS = 16  # per-table plane budget (64-dim / 4 tables)
+# Forced-adaptive oracle for the 64-bit tier (test-only — the driver's
+# sf0.01 gate always takes the stock 4×8 plan, whose oracle is
+# DEDUP_SIMHASH_BAND_SQL): band-scheme-independent ALL-PAIRS
+# formulation, valid because the 20 block tables have EXACT recall for
+# hamming ≤ 3 — any scheme with exact recall yields the same verified
+# set. All-pairs is fine at forced-test scale (sf0.001, 200 docs).
+DEDUP_SIMHASH64_ORACLE_SQL = (
+    """
+WITH exploded AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS word
+        FROM documents)
+), hashed AS (
+  SELECT doc_id,
+         """
+    + "\n       + ".join(
+        f"CAST(strpos('0123456789abcdef', md5(word)[{i + 1}]) - 1 AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + """ AS h0,
+         """
+    + "\n       + ".join(
+        f"CAST(strpos('0123456789abcdef', md5(word)[{i + 9}]) - 1 AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + """ AS h1
+  FROM exploded
+), bits AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
+        f"CASE WHEN (h{b // _SIMHASH_BITS} >> {b % _SIMHASH_BITS}) & 1 = 1 THEN 1 ELSE -1 END AS b{b}"
+        for b in range(2 * _SIMHASH_BITS)
+    )
+    + """
+  FROM hashed
+), summed AS (
+  SELECT doc_id, """
+    + ", ".join(f"sum(b{b}) AS s{b}" for b in range(2 * _SIMHASH_BITS))
+    + """
+  FROM bits GROUP BY doc_id
+), sketch AS (
+  SELECT doc_id,
+         """
+    + " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    + """ AS w0,
+         """
+    + " + ".join(
+        f"(CASE WHEN s{b + _SIMHASH_BITS} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    + """ AS w1
+  FROM summed)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+FROM sketch a JOIN sketch b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+_EMB_TABLES = 4  # hash tables (table t's planes start at component t*stride)
+_EMB_STRIDE = 16  # component offset between consecutive tables
+_EMB_DIM = _EMB_TABLES * _EMB_STRIDE  # 64-dim corpus; planes wrap mod this
+# Per-table plane CAP. Round 12 (the ×256 probe caught it at a 4.08
+# wall-doubling): the cap used to be 16 — the stride — so past
+# n·(b0+1)/64 ≈ 2^16 the adaptive code width SATURATED and bucket
+# occupancy grew linearly with n again (pairs quadratically: ×128
+# 49.8 s → ×256 203.2 s). Planes beyond the stride now WRAP into the
+# neighboring tables' component ranges (plane i of table t reads
+# component (t·16 + i) mod 64), so the code keeps widening to 48
+# distinct sign planes per table — saturation moves past 2^48·64/(b0+1)
+# ≈ 10^14 vectors per slice. Trade-off, documented: for b > 16 the
+# tables share components, so their agreements are no longer fully
+# independent (recall per extra doubling degrades toward the
+# single-table curve); the hamming-1 multiprobe still recovers every
+# single-plane straddle in every table, and b ≤ 16 (every scale up to
+# ~2.6M vectors — the driver gate, the bench, and the ×64/×128 probes)
+# is bit-for-bit the old behavior, no kick-in switch needed: the
+# count-derived b IS the adaptivity.
+_EMB_MAX_BITS = 48
 _EMB_TARGET_BLOCK = 64.0  # aim blocks at ~this many vectors
 
 
@@ -873,8 +1084,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pair docs whose embeddings' cosine
     ≥ 0.42, candidates from SCALE-ADAPTIVE multi-table random-
     hyperplane LSH: each of 4 hash tables buckets by the signs of b
-    components (table t uses components t·16+1 … t·16+b), where
-    b = min(16, max(4, ⌈log2(n·(b₀+1) / 64)⌉)), b₀ = max(4, ⌈log2(n/64)⌉),
+    components (table t's plane i reads component (t·16+i) mod 64 —
+    past the 16-component stride the planes WRAP into the neighboring
+    tables' ranges, so the code width keeps growing with n instead of
+    saturating; see _EMB_MAX_BITS for the ×256 doubling this fixed),
+    where
+    b = min(48, max(4, ⌈log2(n·(b₀+1) / 64)⌉)), b₀ = max(4, ⌈log2(n/64)⌉),
     is derived from the corpus count INSIDE the plan (a broadcast
     1-row aggregate gating each bit's CASE) — the (b₀+1) term absorbs
     the hamming-1 multiprobe fan-out into the code width (sizing b
@@ -906,7 +1121,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # naive b0 = log2(n/64) leaves (b0+1)·64 candidates per vector —
     # the n·log n blow-up SCALE_SLOPE_XL64 measured at 149× on 64×
     # data. Solve 2^b ≥ n·(b0+1)/64 instead (one fixed-point step),
-    # capped at the 16-plane per-table budget.
+    # capped at the 48-plane per-table budget (_EMB_MAX_BITS).
     n = F.count("*")
     b0 = F.greatest(
         F.lit(4), F.ceil(F.log2(n / F.lit(_EMB_TARGET_BLOCK))).cast("int")
@@ -937,7 +1152,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(
                 F.when(
                     (F.lit(i) < F.col("b"))
-                    & (F.element_at(F.col("ev"), t * _EMB_MAX_BITS + i + 1) >= 0),
+                    & (
+                        F.element_at(
+                            F.col("ev"), (t * _EMB_STRIDE + i) % _EMB_DIM + 1
+                        )
+                        >= 0
+                    ),
                     F.lit(1 << i),
                 ).otherwise(F.lit(0))
                 for i in range(_EMB_MAX_BITS)
@@ -947,6 +1167,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(_EMB_TABLES)
         ],
     ).localCheckpoint()  # bucketed once; feeds all table joins
+    # VERIFY INSIDE THE BAND JOIN (round 12): the old shape generated
+    # thin candidate pairs, deduped them, then re-joined BOTH vector
+    # sides to score — so every candidate row (the accidental mass,
+    # ~n·(b₀+1)·64 pairs by the width design) crossed two exchanges
+    # carrying a 550 B embedding; at ×256 that was a 52 GB shuffle
+    # that filled the probe host's disk. The band join's inputs
+    # already hold both embeddings, so the cosine is computed IN the
+    # join's own projection (whole-stage codegen, one dot fold) and
+    # the ≥ 0.42 filter runs before anything is exchanged: only
+    # verified near-dup pairs — true near-dup mass, not candidate
+    # mass — ever leave the join. A pair colliding in several tables
+    # re-computes one 64-mult fold per collision (≤ 4: probe keys are
+    # distinct within a table), orders of magnitude cheaper than
+    # shipping arrays per candidate; the cross-table dedup input is
+    # now verified pairs only, so the round-10 bytes-scaled dedup and
+    # fat-row exchanges are unnecessary and removed. Filter-then-
+    # dedup equals the oracle's dedup-then-filter row-for-row (the
+    # rounded cosine is identical in every branch).
     cand = None
     for t in range(_EMB_TABLES):
         # multiprobe: each vector's own bucket plus its b hamming-1
@@ -955,53 +1193,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without widening the bucket itself
         probes = v.select(
             F.col("doc_id"),
+            F.col("ev"),
+            F.col("nrm"),
             F.expr(
                 f"explode(concat(array(bkt{t}), "
                 f"transform(sequence(0, b - 1), i -> bkt{t} ^ shiftleft(1L, i))))"
             ).alias("probe"),
         )
         a, b = probes.alias("a"), v.alias("b")
-        pt = a.join(
-            b,
-            (F.col("a.probe") == F.col(f"b.bkt{t}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("keep_doc"), F.col("b.doc_id").alias("drop_doc"))
-        cand = pt if cand is None else cand.unionByName(pt)
-    # candidate dedup BEHIND a bytes-scaled exchange above the width
-    # kick-in (round 10: candidate rows are nearly all unique — ~270
-    # probes×occupancy per vector — so the width-32 distinct's
-    # map-side partials dedup nothing and spill at replica scale; the
-    # ×128 interleaved probe billed the 3.27 wall-doubling here).
-    # Below kick-in the stock distinct (net-positive partials) stands.
-    est_vecs = table_bytes("embeddings", sf_dir) // 400  # ~bytes/row
-    default_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cand_parts = min(4096, -(-est_vecs * 256 // 1_000_000))
-    if cand_parts > default_width:
-        cand = cand.repartition(cand_parts, "keep_doc", "drop_doc")
-    cand = cand.dropDuplicates(["keep_doc", "drop_doc"])
-    ea = v.select(F.col("doc_id").alias("keep_doc"), F.col("ev").alias("ea"), F.col("nrm").alias("na"))
-    eb = v.select(F.col("doc_id").alias("drop_doc"), F.col("ev").alias("eb"), F.col("nrm").alias("nb"))
-    # FAT-ROW verify joins scale by payload bytes, not row count
-    # (round 10: after the first attach every candidate row carries a
-    # 64-dim double array ≈ 550 B, so a width-32 sort-merge exchange
-    # sorts ~540 MB/task at ×128 and spills — the residual 2.56
-    # doubling after the distinct fix). Target ~64 MB of sort input
-    # per task; the vector side is tiny and follows the width for
-    # free. Below kick-in the stock plan stands.
-    fat_parts = min(4096, -(-est_vecs * 256 * 550 // (64 << 20)))
-    if fat_parts > default_width:
-        cand = cand.repartition(fat_parts, "keep_doc")
-    pairs = cand.join(ea, "keep_doc")
-    if fat_parts > default_width:
-        pairs = pairs.repartition(fat_parts, "drop_doc")
-    pairs = (
-        pairs.join(eb, "drop_doc")
-        .select(
-            "keep_doc",
-            "drop_doc",
-            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        pt = (
+            a.join(
+                b,
+                (F.col("a.probe") == F.col(f"b.bkt{t}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("keep_doc"),
+                F.col("b.doc_id").alias("drop_doc"),
+                F.round(
+                    _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= 0.42)
         )
-        .where(F.col("cosine") >= 0.42)
-    )
+        cand = pt if cand is None else cand.unionByName(pt)
+    pairs = cand.dropDuplicates(["keep_doc", "drop_doc"])
     from pyspark.sql import Window as W
 
     w = W.partitionBy("drop_doc").orderBy(F.col("cosine").desc(), F.col("keep_doc"))
@@ -1015,7 +1231,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_bucket_sql(t: int) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {i} < b AND ev[{t * _EMB_MAX_BITS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {i} < b AND ev[{(t * _EMB_STRIDE + i) % _EMB_DIM + 1}] >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
         for i in range(_EMB_MAX_BITS)
     )
     return f"CAST({terms} AS BIGINT) AS bkt{t}"

@@ -162,6 +162,19 @@ _THIRD_DOUBLING = {
     "bloom_semi_join_reduction",
     "dedup_connected_components",
     "entity_resolution_pipeline",
+    # round-12 extension (VERDICT r11 item 2): the heavy ~2.0-2.1
+    # x128 tier that never had a third doubling, plus the wide-lane /
+    # candidate-bounded entries re-confirmed one doubling further out
+    "minhash_jaccard_audit",
+    "lsh_band_auc",
+    "minhash_bbit_estimate",
+    "text_char_entropy",
+    "dedup_embedding_cosine",
+    "dedup_simhash_band",
+    "dedup_ngram_jaccard",
+    "text_duplicate_spans",
+    "dedup_lsh_verified",
+    "lsh_precision_recall",
 }
 
 
