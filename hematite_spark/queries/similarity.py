@@ -167,9 +167,16 @@ def _adaptive_b(emb: DataFrame):
     )
 
 
-def _adaptive_bucket(ev, max_bits: int = 32):
+_EV_DBL_SQL = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _adaptive_bucket(ev_sql: str = _EV_DBL_SQL, max_bits: int = 32):
     """Sign bucket over the first `b` components, bits gated on the
-    in-plan `b` column.
+    in-plan `b` column. `ev_sql` is the SQL text of the (double-cast)
+    vector — the whole 32-term bucket is ONE parsed expression string
+    (round 12: the sum-of-F.when Column chain cost ~0.35 s of py4j
+    round-trips per query build; the parsed tree is identical, so
+    plans and oracles are unchanged).
 
     `max_bits` is a hard ceiling on subdivision: above n ≈ 64·2^max_bits
     vectors the buckets stop splitting and pair growth reverts toward
@@ -178,13 +185,14 @@ def _adaptive_bucket(ev, max_bits: int = 32):
     the cap sits at ~2.7e11 vectors — beyond the 100 TB design point —
     and the unused upper components remain available for multi-table
     probing (see dedup_embedding_cosine's multi-table variant)."""
-    return (
-        sum(
-            F.when(
-                (F.lit(i) < F.col("b")) & (F.element_at(ev, i + 1) >= 0), F.lit(1 << i)
-            ).otherwise(F.lit(0))
+    return F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {i} < b AND element_at({ev_sql}, {i + 1}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
             for i in range(max_bits)
-        ).cast("bigint")
+        )
+        + " AS BIGINT)"
     )
 
 
@@ -214,7 +222,7 @@ def similarity_join_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar divide (see _knn_edges) — bit-identical values
     v = (
         emb.crossJoin(F.broadcast(_adaptive_b(emb)))
-        .select("vec_id", "label", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev"))
+        .select("vec_id", "label", _adaptive_bucket().alias("bucket"), ev.alias("ev"))
         .withColumn("nrm", _norm(F.col("ev")))
     )
     a, b = v.alias("a"), v.alias("b")
@@ -291,23 +299,33 @@ def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with a per-row min over k distances (no shuffle until the
     final per-cell aggregate). At 100 TB the assignment output is
     written back as the partition key, making every later ANN probe a
-    partition-pruned read. Ties broken by centroid id (row_number) so
-    the assignment is total and engine-independent."""
-    from pyspark.sql import Window as W
+    partition-pruned read. Ties broken by centroid id so the
+    assignment is total and engine-independent.
 
+    Round 12 (optimization): the per-row min is now LITERALLY a
+    per-row expression — argmin over the centroid set collapsed into
+    one broadcast array row — instead of a crossJoin ×k + row_number
+    window; the window shape paid an n×k exchange + sort for the same
+    (d, centroid_id)-min the struct ordering computes in the scan
+    projection (same fold, same tie-break — byte-identical output;
+    same rewrite as kmeans_lloyd_step, A/B evidence there)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    cents_arr = (
+        emb.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv"))
+        .agg(F.expr("array_sort(collect_list(struct(centroid_id, cv)))").alias("cs"))
     )
-    vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
-    diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        "'d', sqrt(aggregate(zip_with(ev, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x)),"
+        " 'centroid_id', c.centroid_id)))"
+    )
     assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "centroid_id", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        emb.select("vec_id", _dbl("embedding").alias("ev"))
+        .crossJoin(F.broadcast(cents_arr))
+        .select("vec_id", F.expr(best).alias("b"))
+        .select("vec_id", F.col("b.centroid_id").alias("centroid_id"), F.col("b.d").alias("d"))
     )
     return (
         assigned.groupBy("centroid_id")
@@ -355,41 +373,53 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the search touches nprobe/nlist of the corpus. Everything is
     deterministic (tie-breaks on centroid_id / vec_id), so the DuckDB
     oracle replicates the whole pipeline value-for-value; the recall
-    gate vs ann_brute_force lives in the unit tests."""
-    from pyspark.sql import Window as W
+    gate vs ann_brute_force lives in the unit tests.
 
+    Round 12 (optimization): assignment and probe filter are per-row
+    expressions against ONE broadcast state row (the sorted centroid
+    array, the nprobe probe list derived from it, and the query
+    vector) — the old crossJoin ×k + row_number window shuffled n×k
+    rows carrying the 64-double vector just to pick rn=1, and the
+    probe semi-join was a second pass over the same broadcast. Same
+    distances (identical fold), same (d, centroid_id) / (dq, id)
+    tie-breaks via struct ordering ⇒ byte-identical output; the plan
+    is now scan → project+filter → TakeOrdered with zero exchanges
+    on the corpus side (plans/r12/ann_ivf_search_*.txt)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
-    )
     q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
-    sqdist = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    cents_arr = (
+        emb.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv"))
+        .agg(F.expr("array_sort(collect_list(struct(centroid_id, cv)))").alias("cs"))
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select("centroid_id", sqdist(F.col("cv"), F.col("qv")).alias("dq"))
-        .orderBy("dq", "centroid_id")
-        .limit(2)
-        .select("centroid_id")
+    # one-row search state: centroid array + nprobe=2 probe list + query
+    state = cents_arr.crossJoin(q).withColumn(
+        "probe_cells",
+        F.expr(
+            "transform(slice(array_sort(transform(cs, c -> named_struct("
+            "'dq', aggregate(zip_with(c.cv, qv, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x),"
+            " 'centroid_id', c.centroid_id))), 1, 2), s -> s.centroid_id)"
+        ),
     )
-    vecs = emb.where(F.col("vec_id") != 0).select("vec_id", "label", _dbl("embedding").alias("ev"))
-    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "ev", "centroid_id", sqdist(F.col("ev"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        "'d', aggregate(zip_with(ev, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x),"
+        " 'centroid_id', c.centroid_id)))"
     )
     from hematite_spark.functions import cosine
 
     return (
-        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
-        .crossJoin(F.broadcast(q))
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", _dbl("embedding").alias("ev"))
+        .crossJoin(F.broadcast(state))
+        .withColumn("cell", F.expr(best + ".centroid_id"))
+        .where(F.expr("array_contains(probe_cells, cell)"))
         .select(
             "vec_id",
             "label",
-            F.col("centroid_id").alias("cell"),
+            "cell",
             F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -809,7 +839,7 @@ def pair_mining_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             _dbl2("embedding").alias("ev"),
-            _adaptive_bucket(_dbl2("embedding")).alias("bucket"),
+            _adaptive_bucket().alias("bucket"),
         )
         .withColumn("nrm", _norm(F.col("ev")))
         .localCheckpoint()
@@ -896,39 +926,50 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at the very end, at vocabulary scale. At 100 TB one iteration
     is one scan + a k×d-byte shuffle; iterating = re-running with the
     updated centroids broadcast back in (reference has no ML surface;
-    this is north-star C-series depth, SURVEY.md §2 C)."""
-    from pyspark.sql import Window as W
+    this is north-star C-series depth, SURVEY.md §2 C).
 
+    Round 12 (optimization): the ASSIGNMENT is a per-row argmin
+    expression over the k-row centroid set collapsed into ONE
+    broadcast array row — `array_min(transform(cs, …struct(d, id)))`
+    — instead of a crossJoin ×k + row_number window. The window shape
+    shuffled n×k rows each CARRYING the 64-double vector through an
+    exchange + sort just to pick rn=1; the expression computes the
+    same k distances (identical fold, identical (d, centroid_id)
+    tie-break = struct ordering) inside the scan projection, so the
+    only exchange left in the whole query is the k×d-byte aggregate.
+    A/B at sf0.1 (5-rep median, same protocol): 2.31 → 0.87 s; plan
+    loses Exchange+2×Sort+Window (plans/r12/kmeans_lloyd_step_*.txt).
+    The 64 avg columns and the unpivot array are built as parsed SQL
+    strings (one py4j round-trip instead of ~400 — driver plan-build
+    time is part of every query's latency at any scale)."""
     dim = 64
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv")
+    cents_arr = (
+        emb.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("cv"))
+        .agg(F.expr("array_sort(collect_list(struct(centroid_id, cv)))").alias("cs"))
     )
-    vecs = emb.select("vec_id", _dbl("embedding").alias("ev"))
-    diff = F.zip_with(F.col("ev"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        "'d', sqrt(aggregate(zip_with(ev, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x)),"
+        " 'centroid_id', c.centroid_id)))"
+    )
     assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "ev", "centroid_id", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        emb.select(_dbl("embedding").alias("ev"))
+        .crossJoin(F.broadcast(cents_arr))
+        .select("ev", F.expr(best + ".centroid_id").alias("centroid_id"))
     )
     updated = assigned.groupBy("centroid_id").agg(
         F.count("*").alias("cell_size"),
-        *[F.avg(F.element_at("ev", i + 1)).alias(f"c{i}") for i in range(dim)],
+        *[F.expr(f"avg(element_at(ev, {i + 1})) AS c{i}") for i in range(dim)],
     )
-    unpivot = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("bigint").alias("dim"),
-                F.round(F.col(f"c{i}"), 6).alias("centroid_val"),
-            )
-            for i in range(dim)
-        ]
-    )
+    unpivot = "explode(array(" + ", ".join(
+        f"named_struct('dim', CAST({i} AS BIGINT), 'centroid_val', round(c{i}, 6))"
+        for i in range(dim)
+    ) + "))"
     return (
-        updated.select("centroid_id", "cell_size", F.explode(unpivot).alias("p"))
+        updated.select("centroid_id", "cell_size", F.expr(unpivot).alias("p"))
         .select("centroid_id", "cell_size", F.col("p.dim").alias("dim"), F.col("p.centroid_val").alias("centroid_val"))
         .orderBy("centroid_id", "dim")
     )
@@ -1124,17 +1165,22 @@ def linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
     def step(params: DataFrame) -> DataFrame:
-        # params: one row (w array<double>, b double); returns same shape
+        # params: one row (w array<double>, b double); returns same
+        # shape. The 64 gradient columns are parsed SQL strings — one
+        # py4j round-trip each instead of ~6 (round 12: DataFrame
+        # construction is rebuilt per run and was ~2.1 s of the wall;
+        # the parsed expressions are identical, so the plan — and the
+        # oracle — are unchanged).
         joined = data.crossJoin(F.broadcast(params))
         p = sigmoid(_dot(F.col("ev"), F.col("w")) + F.col("b"))
         err = (p - F.col("y")).alias("err")
         grads = joined.select("ev", "w", "b", err).agg(
-            *[F.avg(F.col("err") * F.element_at("ev", j + 1)).alias(f"g{j}") for j in range(dim)],
+            *[F.expr(f"avg(err * element_at(ev, {j + 1})) AS g{j}") for j in range(dim)],
             F.avg("err").alias("gb"),
             F.first("w").alias("w"),
             F.first("b").alias("b"),
         )
-        garr = F.array(*[F.col(f"g{j}") for j in range(dim)])
+        garr = F.expr("array(" + ", ".join(f"g{j}" for j in range(dim)) + ")")
         return grads.select(
             F.zip_with(F.col("w"), garr, lambda wj, gj: wj - F.lit(_GD_LR) * gj).alias("w"),
             (F.col("b") - F.lit(_GD_LR) * F.col("gb")).alias("b"),
@@ -1243,13 +1289,24 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell_rank", F.row_number().over(W.orderBy("dq", "centroid_id")))
         .select("centroid_id", "cell_rank")
     )
-    vecs = emb.where(F.col("vec_id") != 0).select("vec_id", _dbl("embedding").alias("ev"))
-    w = W.partitionBy("vec_id").orderBy("d", "centroid_id")
+    # per-row argmin expression over the broadcast centroid array
+    # (round 12 — replaces the crossJoin ×k + row_number window; same
+    # fold, same (d, centroid_id) tie-break, byte-identical — A/B and
+    # plan evidence at kmeans_lloyd_step / ann_ivf_search)
+    cents_arr = cents.agg(
+        F.expr("array_sort(collect_list(struct(centroid_id, cv)))").alias("cs")
+    )
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        "'d', aggregate(zip_with(ev, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x),"
+        " 'centroid_id', c.centroid_id)))"
+    )
     assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "ev", "centroid_id", sqdist(F.col("ev"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", _dbl("embedding").alias("ev"))
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("centroid_id", F.expr(best + ".centroid_id"))
     )
     brute10 = (
         assigned.crossJoin(F.broadcast(q))
@@ -1761,89 +1818,91 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: cell id is the partition key, so the probe list IS the
     partition-pruning predicate (2/8 of the corpus scanned); inside a
     cell only 4-byte codes are read (16x less I/O than float32
-    vectors); full vectors are fetched for just the 50-row shortlist —
-    a point-lookup join, the only stage that touches raw embeddings.
-    Everything is deterministic (struct-min tie-breaks), so the DuckDB
-    oracle replays the whole cascade value-for-value; the recall gate
-    vs brute force lives in the unit tests."""
-    from pyspark.sql import Window as W
+    vectors); the exact-cosine rerank touches just the 50-row
+    shortlist. Everything is deterministic (struct-min tie-breaks),
+    so the DuckDB oracle replays the whole cascade value-for-value;
+    the recall gate vs brute force lives in the unit tests.
 
+    Round 12 (optimization): the whole cascade up to the shortlist is
+    per-row expressions against ONE broadcast state row — centroid
+    array, probe list, and the 4 ADC LUTs as cid→distance maps. The
+    old shape paid (a) an n×k exchange + sort for the row_number
+    assignment, (b) a probe semi-join pass, (c) a crossJoin ×k + a
+    (vec_id, cell) hash-aggregate shuffle for the PQ codes, and (d)
+    FOUR broadcast joins for the LUT lookups; each replacement is the
+    same arithmetic with the same struct-min / element_at semantics,
+    so the output is byte-identical (oracle re-verified). The rerank
+    join disappears outright: the vector never leaves the row, so the
+    50-row TakeOrdered heap simply keeps it. A/B at sf0.1 (5-rep
+    median, same protocol): see OPTIMIZATION_r12.md;
+    plans/r12/ann_ivfpq_search_*.txt shows the exchange count drop."""
     from hematite_spark.functions import cosine
 
     emb = load_table(spark, "embeddings", sf_dir)
     v = emb.select("vec_id", _dbl("embedding").alias("e"))
-    cents = v.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
     q = v.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
-    sqdist = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    cents_arr = (
+        v.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .agg(F.expr("array_sort(collect_list(struct(cid, ce)))").alias("cs"))
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select("cid", sqdist(F.col("ce"), F.col("qe")).alias("dq"))
-        .orderBy("dq", "cid")
-        .limit(2)
-        .select(F.col("cid").alias("cell"))
-    )
-    w = W.partitionBy("vec_id").orderBy("d", "cid")
-    assigned = (
-        v.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", F.col("cid").alias("cell"), sqdist(F.col("e"), F.col("ce")).alias("d"))
-        .withColumn("rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell")))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "e", "cell")
-    )
-    probed = assigned.join(F.broadcast(probe), "cell", "left_semi")
-    # PQ encode the probed cells only (4 x 16-dim subspaces, 8 codes)
-    sub_d = [
-        F.expr(
-            f"aggregate(zip_with(slice(e, {16 * s + 1}, 16), slice(ce, {16 * s + 1}, 16),"
+
+    def sub_d2(a: str, b: str, s: int) -> str:
+        return (
+            f"aggregate(zip_with(slice({a}, {16 * s + 1}, 16), slice({b}, {16 * s + 1}, 16),"
             " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-        ).alias(f"d{s}")
-        for s in range(4)
-    ]
-    pair = probed.crossJoin(F.broadcast(cents)).select("vec_id", "cell", "cid", *sub_d)
-    codes = pair.groupBy("vec_id", "cell").agg(
-        *[
-            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("cid")))
-            .getField("cid")
-            .alias(f"code{s}")
-            for s in range(4)
-        ]
-    )
-    lut = cents.crossJoin(F.broadcast(q)).select(
-        "cid",
+        )
+
+    # one-row search state: centroid array, nprobe=2 probe list, and
+    # the four ADC lookup tables as cid → partial-distance maps
+    state = cents_arr.crossJoin(q).select(
+        "cs",
+        "qe",
+        F.expr(
+            "transform(slice(array_sort(transform(cs, c -> named_struct("
+            "'dq', aggregate(zip_with(c.ce, qe, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x),"
+            " 'cid', c.cid))), 1, 2), s -> s.cid)"
+        ).alias("probe_cells"),
         *[
             F.expr(
-                f"aggregate(zip_with(slice(qe, {16 * s + 1}, 16), slice(ce, {16 * s + 1}, 16),"
-                " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-            ).alias(f"qd{s}")
+                f"map_from_entries(transform(cs, c -> struct(c.cid, {sub_d2('qe', 'c.ce', s)})))"
+            ).alias(f"qlut{s}")
             for s in range(4)
         ],
     )
-    scored = codes
-    for s in range(4):
-        scored = scored.join(
-            F.broadcast(lut.select(F.col("cid").alias(f"code{s}"), f"qd{s}")), f"code{s}"
-        )
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        "'d', aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x),"
+        " 'cid', c.cid)))"
+    )
+    code = lambda s: (
+        f"array_min(transform(cs, c -> named_struct('d', {sub_d2('e', 'c.ce', s)},"
+        " 'cid', c.cid))).cid"
+    )
     shortlist = (
-        scored.select(
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(state))
+        .withColumn("cell", F.expr(best + ".cid"))
+        .where(F.expr("array_contains(probe_cells, cell)"))
+        .select(
             "vec_id",
             "cell",
-            F.round(F.sqrt(F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")), 6).alias(
-                "approx_dist"
-            ),
+            "e",
+            "qe",
+            F.expr(
+                "round(sqrt("
+                + " + ".join(f"element_at(qlut{s}, {code(s)})" for s in range(4))
+                + "), 6)"
+            ).alias("approx_dist"),
         )
         .orderBy("approx_dist", "vec_id")
         .limit(50)
     )
-    # exact rerank: fetch full vectors for the 50-row shortlist only
+    # exact rerank of the 50-row shortlist (the vector rode along)
     return (
-        shortlist.join(v, "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
+        shortlist.select(
             "vec_id",
             "cell",
             "approx_dist",
@@ -1919,7 +1978,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3):
     # unchanged beyond hoisting nrm into the vector CTE.
     v = (
         emb.crossJoin(F.broadcast(_adaptive_b(emb)))
-        .select("vec_id", _adaptive_bucket(ev).alias("bucket"), ev.alias("ev"))
+        .select("vec_id", _adaptive_bucket().alias("bucket"), ev.alias("ev"))
         .withColumn("nrm", _norm(F.col("ev")))
     )
     a, b = v.alias("a"), v.alias("b")
@@ -1953,8 +2012,15 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·k) edge list on the reversed pair key. NN-descent iterations
     (join the edge list to itself to propose neighbor-of-neighbor
     candidates) reuse exactly this shape. Summarized per node for the
-    first 20 vec_ids so the graph itself is value-checked."""
-    edges = _knn_edges(spark, sf_dir, k=3)
+    first 20 vec_ids so the graph itself is value-checked.
+
+    Round 12 (optimization): the edge list is localCheckpointed — the
+    reciprocity join consumes it under two DIFFERENT keys ((src,dst)
+    and the swapped pair), so while AQE reuses the inner candidate
+    shuffle, the top-k window still re-ran on the second consumer.
+    Interleaved same-session A/B at sf0.1 (4 reps, build+noop): stock
+    med 2.39 s vs checkpointed 2.17 s; O(n·k) rows materialized once."""
+    edges = _knn_edges(spark, sf_dir, k=3).localCheckpoint()
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("recip"))
     marked = edges.join(rev, ["src", "dst"], "left")
     return (
@@ -2082,7 +2148,7 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     ev = _dbl("embedding")
     v = emb.crossJoin(F.broadcast(_adaptive_b(emb))).select(
-        "vec_id", _adaptive_bucket(ev).alias("bucket")
+        "vec_id", _adaptive_bucket().alias("bucket")
     )
     cells = v.groupBy("bucket").agg(F.count("*").cast("bigint").alias("n_vectors"))
     avg = cells.agg(F.avg("n_vectors").alias("avg_n"))
@@ -2137,10 +2203,23 @@ def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, "embeddings", sf_dir)
+    # round 12 (optimization): the symmetrized edge list is
+    # localCheckpointed — it is consumed by both supersteps AND by the
+    # final-label lineage each superstep's join chain embeds, and the
+    # interleaved same-session A/B at sf0.1 measured the stock plan
+    # executing 19 jobs / 46 stages vs 15 / 33 checkpointed, walls
+    # 4.0 s vs 1.0 s (3 reps each) — AQE exchange reuse does NOT
+    # collapse the repeated k-NN build here because the consumers sit
+    # under different join keys. Same policy as textrank / connected
+    # components: materialize the loop-invariant graph once.
     edges = _knn_edges(spark, sf_dir, k=3).select("src", "dst")
-    und = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    und = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = emb.select(
         "vec_id",
         F.when(F.col("vec_id") % 5 == 0, F.col("label").cast("bigint"))
@@ -2679,37 +2758,48 @@ def kcenter_coreset_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg → broadcast → agg), no driver round-trip, k scans total; the
     final assignment reuses the same broadcast. Ties deterministic on
     (distance desc, vec_id), so the oracle unrolls the recursion as
-    CTEs value-for-value."""
+    CTEs value-for-value.
+
+    Round 12 (optimization): the seed set travels as ONE array row —
+    each step appends the TakeOrdered(1) winner with array_append —
+    and both the per-step min-distance and the final assignment are
+    per-row expressions over that broadcast array. The old shape paid,
+    PER STEP, a full (vec_id)-grouped aggregate shuffle plus a full
+    corpus self-join back to fetch the winner's vector, and a final
+    n×k row_number window exchange for the assignment; min over
+    doubles / struct-min (d, seed_id) are order-identical to the old
+    groupBy-min / window tie-break, so the output is byte-identical
+    (oracle re-verified). Plan: 3 shuffle-free TakeOrdered scans + one
+    aggregate (plans/r12/kcenter_coreset_seed_*.txt)."""
     emb = load_table(spark, "embeddings", sf_dir)
     v = emb.select("vec_id", _dbl("embedding").alias("ev"))
-    sqd = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    mind = (
+        "array_min(transform(sarr, s -> aggregate(zip_with(ev, s.sv,"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)))"
     )
-    seeds = v.where(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    seeds = v.where(F.col("vec_id") == 0).agg(
+        F.expr("collect_list(struct(vec_id AS seed_id, ev AS sv))").alias("sarr")
     )
     for _ in range(3):
-        mind = (
+        seeds = (
             v.crossJoin(F.broadcast(seeds))
-            .groupBy("vec_id")
-            .agg(F.min(sqd(F.col("ev"), F.col("sv"))).alias("mind"))
-        )
-        nxt = (
-            v.join(mind, "vec_id")
+            .select("vec_id", "ev", "sarr", F.expr(mind).alias("mind"))
             .orderBy(F.col("mind").desc(), F.col("vec_id"))
             .limit(1)
-            .select(F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv"))
+            .select(F.expr("array_append(sarr, struct(vec_id AS seed_id, ev AS sv))").alias("sarr"))
         )
-        seeds = seeds.unionByName(nxt)
-    from pyspark.sql import Window as W
-
     assigned = (
         v.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "seed_id", sqd(F.col("ev"), F.col("sv")).alias("d"))
-        .withColumn(
-            "rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "seed_id"))
+        .select(
+            "vec_id",
+            F.expr(
+                "array_min(transform(sarr, s -> named_struct("
+                "'d', aggregate(zip_with(ev, s.sv, (x, y) -> (x - y) * (x - y)),"
+                " 0.0D, (acc, x) -> acc + x),"
+                " 'seed_id', s.seed_id)))"
+            ).alias("b"),
         )
-        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("b.seed_id").alias("seed_id"), F.col("b.d").alias("d"))
     )
     return (
         assigned.groupBy("seed_id")
@@ -2772,11 +2862,22 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: every variant's result is already a ≤10-row TakeOrdered
     head; the audit joins and scores O(k) rows — cost lives in the
-    searches themselves, shared via one pass each."""
+    searches themselves, shared via one pass each.
+
+    Round 12 (optimization): the exact top-10 is localCheckpointed —
+    the subtree is consumed four times downstream (the ideal-ordering
+    broadcast and three hit joins) and a TakeOrdered head has no
+    exchange for AQE to reuse, so without the cut the brute-force
+    scan re-ran per consumer. Interleaved same-session A/B at sf0.1
+    (4 reps, build+noop): stock med 2.38 s vs checkpointed 2.14 s —
+    one 10-row materialization replaces the redundant scans, and the
+    gap widens with corpus size (the scan is the O(n) term)."""
     from pyspark.sql import Window as W
 
-    exact = ann_brute_force(spark, sf_dir).select(
-        "vec_id", F.col("cosine").alias("rel")
+    exact = (
+        ann_brute_force(spark, sf_dir)
+        .select("vec_id", F.col("cosine").alias("rel"))
+        .localCheckpoint()
     )
     ideal = exact.select(
         "vec_id",

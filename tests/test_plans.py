@@ -530,13 +530,20 @@ def test_round4_ops_no_cartesian(spark, name):
 
 
 def test_ivfpq_lut_and_centroids_broadcast(spark):
-    """The PQ LUT and centroid joins must all be broadcasts (codes
-    never shuffle to meet the 32-cell table), and the final top-k is
-    TakeOrderedAndProject."""
+    """Round 12: the whole IVFPQ cascade up to the shortlist is
+    per-row expressions against ONE broadcast state row (centroid
+    array + probe list + ADC LUT maps) — no shuffle join anywhere,
+    no row_number window for the assignment, and the final top-k is
+    TakeOrderedAndProject. (Before round 12 this asserted >= 4
+    broadcast LUT joins; those joins are now element_at lookups.)"""
     plan = plan_of(spark, "ann_ivfpq_search")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4  # 4 code-lookup joins
+    assert "ShuffledHashJoin" not in plan
+    # the one-row search state arrives via a broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
+    # the corpus side never shuffles: assignment/codes are expressions
+    assert "Window" not in plan
 
 
 def test_normalized_dedup_keyed_shuffles_only(spark):
