@@ -472,7 +472,19 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step). Returns candidate pairs with their matching-band
     count; downstream, dedup_ngram_jaccard-style verification prunes
     false positives."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    return _lsh_candidates_from(_minhash_signatures(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _lsh_candidates_from(sigs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands) — the 4×2 banding funnel over a
+    signature frame, unordered. Shared kernel (round 12): the audit
+    entries (minhash_jaccard_audit, lsh_band_auc,
+    minhash_bbit_estimate) feed it from signatures derived off their
+    own already-checkpointed shingle scan, so one run shingles the
+    corpus ONCE instead of once inside lsh_candidate_pairs plus once
+    for the exact-Jaccard truth side."""
     # concat (not concat_ws): null signatures — docs too short to
     # shingle — must yield a NULL band that equi-joins with nothing,
     # matching the oracle's `mh0 || '|' || mh1`. concat_ws would fold
@@ -484,7 +496,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_MINHASH // 2)
         ],
     ).localCheckpoint()  # feeds 2×4 join branches — materialize the
-    # shingle→minhash pipeline ONCE instead of 8 recomputations
+    # signature pipeline ONCE instead of 8 recomputations
     pair_frames = []
     for b in range(N_MINHASH // 2):
         a, c = bands.alias("a"), bands.alias("c")
@@ -495,11 +507,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     allpairs = pair_frames[0]
     for pf in pair_frames[1:]:
         allpairs = allpairs.unionByName(pf)
-    return (
-        allpairs.groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_bands"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return allpairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
 
 
 _LSH_BANDS = " UNION ALL ".join(
@@ -2160,9 +2168,18 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 70.3 s ×128 wall; the left join makes the bounding
     byte-identical by construction), and the calibration rollup is
     O(9) rows. At 100 TB you run this on a sampled slice of
-    candidates — the operator is the contract."""
-    sigs = _minhash_signatures(spark, sf_dir)
-    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    candidates — the operator is the contract.
+
+    Round 12 (optimization): one checkpointed shingle scan feeds
+    EVERYTHING — the signatures (checkpointed too: consumed by the
+    band funnel and by both sides of the estimate join) and the
+    truth side. The old shape shingled the corpus once inside
+    lsh_candidate_pairs, once for the truth, and twice more for the
+    estimate's two signature sides. Values are byte-identical (same
+    frames, shared instead of rebuilt)."""
+    sh_all = _shingles_df(spark, sf_dir).localCheckpoint()
+    sigs = _minhash_sigs_from(sh_all, _minhash_wide(sf_dir)).localCheckpoint()
+    cand = _lsh_candidates_from(sigs).select("doc_a", "doc_b").localCheckpoint()
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     agree = sum(
         F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(N_MINHASH)
@@ -2172,7 +2189,7 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
     )
-    sh = _shingles_df(spark, sf_dir).where(F.col("sh").isNotNull()).localCheckpoint()
+    sh = sh_all.where(F.col("sh").isNotNull())
     exact = _cand_bounded_truth(sh, cand, sf_dir)
     return (
         est.join(exact, ["doc_a", "doc_b"], "left")
@@ -2783,9 +2800,17 @@ def lsh_band_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row join, no rank window, no global sort at ANY scale. The
     companion to lsh_precision_recall: that entry grades the
     candidate SET, this one grades the candidate ORDERING (can we
-    verify high-band pairs first and early-exit?)."""
-    cand = lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    verify high-band pairs first and early-exit?).
+
+    Round 12 (optimization): the checkpointed shingle scan feeds BOTH
+    the banding funnel (via _lsh_candidates_from) and the truth side —
+    previously lsh_candidate_pairs shingled the corpus a second time
+    inside its own build (and sorted its output, which this consumer
+    never needed). Byte-identical values, one shingle pass."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    cand = _lsh_candidates_from(
+        _minhash_sigs_from(sh, _minhash_wide(sf_dir))
+    ).localCheckpoint()
     # exact-Jaccard truth CANDIDATE-BOUNDED on both shingle sides
     # (VERDICT r11 item 1) — the left join from cand below makes the
     # bounding byte-identical by construction
@@ -2884,9 +2909,20 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the bit extraction is free (same signature build); the
     exact-Jaccard truth and the bit lookups are candidate-bounded on
-    every side; the report is a 1-row aggregate."""
-    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    every side; the report is a 1-row aggregate.
+
+    Round 12 (optimization): the checkpointed shingle scan feeds the
+    candidate funnel too (adaptive-width signatures via
+    _minhash_sigs_from + _lsh_candidates_from) — previously
+    lsh_candidate_pairs re-shingled the corpus for its own build.
+    Byte-identical values; the width-fixed b-bit lanes below are
+    untouched (they are the thing being audited)."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    cand = (
+        _lsh_candidates_from(_minhash_sigs_from(sh, _minhash_wide(sf_dir)))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     hint = cand.count() <= _CAND_BC_MAX_PAIRS
     # full 16-bit lanes AND their low bits from one aggregate, built
     # only for docs that appear in a candidate pair
