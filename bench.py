@@ -33,6 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hematite_spark.queries._shared import release_all_checkpoints
 from hematite_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,14 +140,23 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 4)
             print(f"# {label}{name}: {out[name]:.2f}s", file=sys.stderr)
-            # Drop the query's localCheckpoint RDD references NOW
-            # (outside the per-query timer): across reps x 53 queries
-            # the checkpoint blocks otherwise pile up in the shared
-            # heap until Python's lazy GC lets ContextCleaner at them,
-            # and the later queries' walls ride that GC churn (the
-            # 2.6-14.3s rep spreads of round 8's record).
+            # Drop the query's localCheckpoint RDD blocks NOW (outside
+            # the per-query timer). Round 13 (VERDICT r12 item 2): the
+            # round-8 `del df; gc.collect()` here never actually freed
+            # anything — localCheckpoint registers its RDD in the
+            # context's persistent-RDD map, whose weak values only die
+            # at a JVM FULL GC, and Spark's own periodic GC fires every
+            # 30 MINUTES; measured directly (tools/storage_audit.py),
+            # blocks survive `del df; gc.collect()` indefinitely, and
+            # a 3-rep suite retains hundreds of MB of dead checkpoint +
+            # broadcast state whose eviction/GC churn the later
+            # queries' walls ride (the 2.6-14.3s rep spreads of rounds
+            # 8 and 12). The explicit unpersist is deterministic and
+            # releases only frames whose consumers have finished (each
+            # iteration rebuilds from parquet — nothing is re-executed).
             del df
             gc.collect()
+            release_all_checkpoints(spark)
         return out
 
     # Per-query warm-up at the smallest sf: compiles every query's

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.io import load_table, table_bytes
+from hematite_spark.queries._shared import release_checkpoint
 
 N_MINHASH = 8  # permutations; LSH bands of 2 → 4 bands
 # dedup_semantic: target vectors per coarse cell; k = max(8, n // this)
@@ -249,7 +250,31 @@ def _cand_doc_semi(sh: DataFrame, cands: DataFrame, col: str, hint_broadcast: bo
     return sh.join(docs, "doc_id", "left_semi")
 
 
-def _cand_bounded_truth(sh: DataFrame, cands: DataFrame, sf_dir: str) -> DataFrame:
+def _cand_union_shingles(sh: DataFrame, cands: DataFrame, hint_broadcast: bool) -> DataFrame:
+    """``sh`` LEFT-SEMI filtered to the docs appearing on EITHER side
+    of ``cands`` — the bounded frame the audit entries checkpoint
+    INSTEAD of the full exploded shingle scan (round 13, VERDICT r12
+    item 1: lsh_band_auc/minhash_bbit_estimate localCheckpointed the
+    corpus × k-gram frame — the widest thing those queries ever hold —
+    and the r12 driver bench measured band_auc at 8.82 s median /
+    14.4 s max at local[32] vs 2.40 s at 8 cores under the retained-
+    block pressure). This frame is O(candidate-doc shingles) —
+    proportional to actual near-dup mass — and deriving the per-side
+    filters from it is byte-identical set algebra:
+    (sh ⋉ (A∪B)) ⋉ A = sh ⋉ A."""
+    docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    if hint_broadcast:
+        docs = F.broadcast(docs)
+    return sh.join(docs, "doc_id", "left_semi")
+
+
+def _cand_bounded_truth(
+    sh: DataFrame, cands: DataFrame, sf_dir: str, hint: bool | None = None
+) -> DataFrame:
     """Exact shingle Jaccard ``(doc_a, doc_b, jac)`` for (at least)
     every pair in ``cands`` — the truth side of the LSH audit family,
     CANDIDATE-BOUNDED (VERDICT r11 item 1: minhash_jaccard_audit /
@@ -264,8 +289,11 @@ def _cand_bounded_truth(sh: DataFrame, cands: DataFrame, sf_dir: str) -> DataFra
     docs that never banded together are discarded by that join).
 
     ``cands`` must be localCheckpointed by the caller (it is counted
-    for the broadcast gate and fans out to both semi-filters)."""
-    hint = cands.count() <= _CAND_BC_MAX_PAIRS
+    for the broadcast gate and fans out to both semi-filters).
+    ``hint`` lets a caller that already ran the broadcast-gate count
+    pass it in instead of paying a second count job."""
+    if hint is None:
+        hint = cands.count() <= _CAND_BC_MAX_PAIRS
     sh_a = _cand_doc_semi(sh, cands, "doc_a", hint)
     sh_b = _cand_doc_semi(sh, cands, "doc_b", hint)
     sizes_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -465,26 +493,36 @@ ORDER BY keeper_doc_id
 )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, tmps: list | None = None
+) -> DataFrame:
     """MinHash-LSH banding: 4 bands × 2 rows. A pair is a candidate if
     any band matches — candidate generation is a union of equi-joins
     on band keys (pure shuffle joins, no similarity math until the
     verify step). Returns candidate pairs with their matching-band
     count; downstream, dedup_ngram_jaccard-style verification prunes
-    false positives."""
-    return _lsh_candidates_from(_minhash_signatures(spark, sf_dir)).orderBy(
+    false positives. ``tmps`` collects the internal bands checkpoint
+    for callers that re-materialize the output and can release it
+    (see _lsh_candidates_from)."""
+    return _lsh_candidates_from(_minhash_signatures(spark, sf_dir), tmps).orderBy(
         "doc_a", "doc_b"
     )
 
 
-def _lsh_candidates_from(sigs: DataFrame) -> DataFrame:
+def _lsh_candidates_from(sigs: DataFrame, tmps: list | None = None) -> DataFrame:
     """(doc_a, doc_b, n_bands) — the 4×2 banding funnel over a
     signature frame, unordered. Shared kernel (round 12): the audit
     entries (minhash_jaccard_audit, lsh_band_auc,
     minhash_bbit_estimate) feed it from signatures derived off their
     own already-checkpointed shingle scan, so one run shingles the
     corpus ONCE instead of once inside lsh_candidate_pairs plus once
-    for the exact-Jaccard truth side."""
+    for the exact-Jaccard truth side.
+
+    ``tmps``: optional list the kernel appends its internal bands
+    checkpoint to, so a caller that re-materializes the funnel output
+    (another localCheckpoint) can release the bands blocks the moment
+    they are dead (round 13 checkpoint lifecycle — see
+    _shared.release_checkpoint)."""
     # concat (not concat_ws): null signatures — docs too short to
     # shingle — must yield a NULL band that equi-joins with nothing,
     # matching the oracle's `mh0 || '|' || mh1`. concat_ws would fold
@@ -497,6 +535,8 @@ def _lsh_candidates_from(sigs: DataFrame) -> DataFrame:
         ],
     ).localCheckpoint()  # feeds 2×4 join branches — materialize the
     # signature pipeline ONCE instead of 8 recomputations
+    if tmps is not None:
+        tmps.append(bands)
     pair_frames = []
     for b in range(N_MINHASH // 2):
         a, c = bands.alias("a"), bands.alias("c")
@@ -550,23 +590,28 @@ def _simhash_sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = F.array_distinct(F.split(_norm_text(), " "))
     exploded = docs.select("doc_id", F.explode(words).alias("word"))
-    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    # the 32 sign columns and the packed sketch are parsed SQL strings
+    # (round 13, the linear_probe_gd treatment): the loop-built
+    # when/shiftright Column chains cost ~400 py4j round-trips per
+    # build; the parsed trees are identical (same CASE/shift/& tree,
+    # same left-assoc 0 + t0 + ... sum the Python `sum()` built), so
+    # plans, values and the oracle are unchanged.
+    h_sql = "CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"
     with_bits = exploded.select(
         "doc_id",
         *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{b}")
+            F.expr(f"CASE WHEN (shiftright({h_sql}, {b}) & 1) = 1 THEN 1 ELSE -1 END AS b{b}")
             for b in range(_SIMHASH_BITS)
         ],
     )
     summed = with_bits.groupBy("doc_id").agg(
         *[F.sum(f"b{b}").alias(f"s{b}") for b in range(_SIMHASH_BITS)]
     )
+    pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(_SIMHASH_BITS)
+    )
     return summed.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
-            for b in range(_SIMHASH_BITS)
-        ).cast("bigint").alias("simhash"),
+        "doc_id", F.expr(f"CAST((0 + {pack}) AS BIGINT) AS simhash")
     )
 
 
@@ -581,33 +626,35 @@ def _simhash_sketch64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = F.array_distinct(F.split(_norm_text(), " "))
     exploded = docs.select("doc_id", F.explode(words).alias("word"))
-    h0 = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
-    h1 = F.conv(F.substring(F.md5(F.col("word")), 9, 8), 16, 10).cast("long")
+    # parsed expression strings for the 64 sign columns + two packed
+    # words — the same round-13 py4j-chatter cut as the 32-bit sketch
+    # above (~800 driver round-trips per build removed); identical
+    # trees, identical values.
+    h_sql = lambda start: (  # noqa: E731
+        f"CAST(conv(substring(md5(word), {start}, 8), 16, 10) AS BIGINT)"
+    )
     with_bits = exploded.select(
         "doc_id",
         *[
-            F.when(
-                F.shiftright(h0 if b < _SIMHASH_BITS else h1, b % _SIMHASH_BITS)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
+            F.expr(
+                f"CASE WHEN (shiftright({h_sql(1 if b < _SIMHASH_BITS else 9)},"
+                f" {b % _SIMHASH_BITS}) & 1) = 1 THEN 1 ELSE -1 END AS b{b}"
             )
-            .otherwise(-1)
-            .alias(f"b{b}")
             for b in range(2 * _SIMHASH_BITS)
         ],
     )
     summed = with_bits.groupBy("doc_id").agg(
         *[F.sum(f"b{b}").alias(f"s{b}") for b in range(2 * _SIMHASH_BITS)]
     )
-    word = lambda w: sum(  # noqa: E731
-        (
-            F.when(F.col(f"s{w * _SIMHASH_BITS + b}") > 0, F.lit(1)).otherwise(F.lit(0))
-            * F.lit(1 << b)
-        )
+    word = lambda w: "0 + " + " + ".join(  # noqa: E731
+        f"(CASE WHEN s{w * _SIMHASH_BITS + b} > 0 THEN 1 ELSE 0 END) * {1 << b}"
         for b in range(_SIMHASH_BITS)
-    ).cast("bigint")
-    return summed.select("doc_id", word(0).alias("w0"), word(1).alias("w1"))
+    )
+    return summed.select(
+        "doc_id",
+        F.expr(f"CAST(({word(0)}) AS BIGINT) AS w0"),
+        F.expr(f"CAST(({word(1)}) AS BIGINT) AS w1"),
+    )
 
 
 # Above this estimated doc count dedup_simhash_band's SKETCH widens to
@@ -1291,7 +1338,7 @@ ORDER BY drop_doc
 _CC_DRIVER_MAX = 2_000_000
 
 
-def _stats_cut(df: DataFrame) -> DataFrame:
+def _stats_cut(df: DataFrame, tmps: list | None = None) -> DataFrame:
     """localCheckpoint + COST-ESTIMATE RESET for iterative dataflow.
 
     Dataset.localCheckpoint rewrites the new LogicalRDD leaf's stats
@@ -1309,8 +1356,16 @@ def _stats_cut(df: DataFrame) -> DataFrame:
     superstep's estimate is bounded by ONE round's joins; runtime
     join planning is unaffected because AQE re-plans from the real
     materialized sizes anyway. Falls back to the plain checkpoint if
-    the internal constructor ever disappears."""
+    the internal constructor ever disappears.
+
+    ``tmps``: optional list the raw checkpointed frame is appended to
+    so iterative callers can release the PREVIOUS superstep's blocks
+    once the next one materializes (round-13 lifecycle; the wrapped
+    frame's own plan no longer exposes the persisted RDD, so the
+    handle must be captured here)."""
     cp = df.localCheckpoint()
+    if tmps is not None:
+        tmps.append(cp)
     try:
         jdf = cp._jdf  # classic-only internals; guarded below
         wrapped = cp.sparkSession._jsparkSession.internalCreateDataFrame(
@@ -1349,7 +1404,9 @@ _STATS_CUT_WARNED = False
 _STATS_CUT_INTERNAL_OK = False
 
 
-def _cc_star_round(g: DataFrame, large: bool, cut: bool = True) -> DataFrame:
+def _cc_star_round(
+    g: DataFrame, large: bool, cut: bool = True, tmps: list | None = None
+) -> DataFrame:
     """One star operation of the alternating large-star/small-star
     connected-components algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond" — public knowledge) over the
@@ -1394,7 +1451,7 @@ def _cc_star_round(g: DataFrame, large: bool, cut: bool = True) -> DataFrame:
     out = sym.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")).dropDuplicates(
         ["doc_a", "doc_b"]
     )
-    return _stats_cut(out) if cut else out
+    return _stats_cut(out, tmps) if cut else out
 
 
 def _cc_propagate(edges: DataFrame) -> DataFrame:
@@ -1445,12 +1502,18 @@ def _cc_propagate(edges: DataFrame) -> DataFrame:
     # 200-node-path regression test.
     cap = None
     rounds = 0
+    cps: list[DataFrame] = []
     while True:
         # one materialization per CYCLE, not per star round (VERDICT r9
         # item 5): the large-star output stays lazy and the small-star
         # round's checkpoint job computes both rounds' shuffles at once
         g = _cc_star_round(g, large=True, cut=False)
-        g = _cc_star_round(g, large=False)
+        g = _cc_star_round(g, large=False, tmps=cps)
+        # the previous cycle's checkpoint blocks are dead as soon as
+        # this cycle's materialized (round-13 lifecycle: a 10-cycle
+        # contraction otherwise retains every intermediate edge list)
+        if len(cps) > 1:
+            release_checkpoint(cps.pop(0))
         sig = tuple(
             g.agg(
                 F.count(F.lit(1)),
@@ -1546,16 +1609,23 @@ def dedup_connected_components(
     `pairs` lets callers that already computed the candidate graph
     (corpus_pipeline) pass it in, so the LSH build — the expensive
     stage — runs once, not once per consumer."""
+    tmps: list[DataFrame] = []
     if pairs is None:
-        pairs = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        pairs = lsh_candidate_pairs(spark, sf_dir, tmps).select("doc_a", "doc_b")
     edges = (
         pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .localCheckpoint()  # materialize ONCE — supersteps must not recompute LSH
     )
+    release_checkpoint(*tmps)  # bands blocks are dead once edges exist
     n_edges = edges.count()
     if n_edges <= _CC_DRIVER_MAX:
-        return _cc_driver_side(spark, edges)
+        out = _cc_driver_side(spark, edges)
+        release_checkpoint(edges)  # result lives on the driver now
+        return out
     labels = _cc_propagate(edges)
+    # the contraction ran to its fixpoint eagerly; labels reads only
+    # the final cycle's checkpoint, so the input edge blocks are dead
+    release_checkpoint(edges)
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_doc_id"))
@@ -2170,16 +2240,27 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(9) rows. At 100 TB you run this on a sampled slice of
     candidates — the operator is the contract.
 
-    Round 12 (optimization): one checkpointed shingle scan feeds
-    EVERYTHING — the signatures (checkpointed too: consumed by the
-    band funnel and by both sides of the estimate join) and the
-    truth side. The old shape shingled the corpus once inside
-    lsh_candidate_pairs, once for the truth, and twice more for the
-    estimate's two signature sides. Values are byte-identical (same
-    frames, shared instead of rebuilt)."""
-    sh_all = _shingles_df(spark, sf_dir).localCheckpoint()
+    Round 12 (optimization): one shingle definition feeds EVERYTHING —
+    the signatures (checkpointed: consumed by the band funnel and by
+    both sides of the estimate join) and the truth side. The old
+    shape shingled the corpus once inside lsh_candidate_pairs, once
+    for the truth, and twice more for the estimate's two signature
+    sides. Values are byte-identical (same frames, shared instead of
+    rebuilt).
+
+    Round 13 (VERDICT r12 items 1-2): the corpus-wide exploded
+    shingle frame is no longer localCheckpointed — the NARROW
+    signature frame (O(docs) × 8 short strings) is the shared
+    materialization, and the truth side checkpoints only the
+    candidate-doc-bounded shingles (byte-identical per
+    _cand_union_shingles). The bands checkpoint is released as soon
+    as the candidate list materializes."""
+    sh_all = _shingles_df(spark, sf_dir)
+    tmps: list[DataFrame] = []
     sigs = _minhash_sigs_from(sh_all, _minhash_wide(sf_dir)).localCheckpoint()
-    cand = _lsh_candidates_from(sigs).select("doc_a", "doc_b").localCheckpoint()
+    cand = _lsh_candidates_from(sigs, tmps).select("doc_a", "doc_b").localCheckpoint()
+    release_checkpoint(*tmps)  # bands blocks are dead once cand exists
+    hint = cand.count() <= _CAND_BC_MAX_PAIRS
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     agree = sum(
         F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(N_MINHASH)
@@ -2190,7 +2271,8 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
     )
     sh = sh_all.where(F.col("sh").isNotNull())
-    exact = _cand_bounded_truth(sh, cand, sf_dir)
+    sh_cd = _cand_union_shingles(sh, cand, hint).localCheckpoint()
+    exact = _cand_bounded_truth(sh_cd, cand, sf_dir, hint)
     return (
         est.join(exact, ["doc_a", "doc_b"], "left")
         .select("n_agree", F.coalesce(F.col("jac"), F.lit(0.0)).alias("jac"))
@@ -2268,8 +2350,11 @@ def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = sorted((node, find(node)) for node in parent)
+        release_checkpoint(edges)  # labels live on the driver now
         return spark.createDataFrame(rows, "node bigint, label bigint")
-    return _cc_propagate(edges)
+    labels = _cc_propagate(edges)
+    release_checkpoint(edges)  # fixpoint ran eagerly; only the final
+    return labels  # cycle's checkpoint is live in `labels`
 
 
 def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2802,19 +2887,39 @@ def lsh_band_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate SET, this one grades the candidate ORDERING (can we
     verify high-band pairs first and early-exit?).
 
-    Round 12 (optimization): the checkpointed shingle scan feeds BOTH
-    the banding funnel (via _lsh_candidates_from) and the truth side —
+    Round 12 (optimization): one shingle definition feeds BOTH the
+    banding funnel (via _lsh_candidates_from) and the truth side —
     previously lsh_candidate_pairs shingled the corpus a second time
     inside its own build (and sorted its output, which this consumer
-    never needed). Byte-identical values, one shingle pass."""
-    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    never needed). Byte-identical values.
+
+    Round 13 (VERDICT r12 items 1-2 — the 0.37× regression): the r12
+    shape localCheckpointed the full EXPLODED shingle frame (corpus ×
+    k-grams, the widest frame this query ever holds) and the blocks
+    were never released; the driver measured 8.82 s median / 14.4 s
+    max at local[32] vs 2.40 s at 8 cores. Now (a) the corpus-wide
+    frame is never materialized — the signature build consumes the
+    shingle scan streaming, and the truth side checkpoints only the
+    CANDIDATE-DOC-bounded shingles (near-dup mass, not corpus mass;
+    byte-identical per _cand_union_shingles), and (b) every
+    intermediate checkpoint is released the moment `dist`
+    materializes — after that eager 4-row checkpoint the returned
+    plan reads nothing else. Cost: the corpus is shingled twice per
+    run (once into signatures, once into the bounded truth frame)
+    instead of once into a corpus-sized block set — at 100 TB a
+    second streaming scan beats materializing 3× the corpus to
+    executor storage outright."""
+    sh = _shingles_df(spark, sf_dir)
+    tmps: list[DataFrame] = []
     cand = _lsh_candidates_from(
-        _minhash_sigs_from(sh, _minhash_wide(sf_dir))
+        _minhash_sigs_from(sh, _minhash_wide(sf_dir)), tmps
     ).localCheckpoint()
+    hint = cand.count() <= _CAND_BC_MAX_PAIRS
+    sh_cd = _cand_union_shingles(sh, cand, hint).localCheckpoint()
     # exact-Jaccard truth CANDIDATE-BOUNDED on both shingle sides
     # (VERDICT r11 item 1) — the left join from cand below makes the
     # bounding byte-identical by construction
-    truth = _cand_bounded_truth(sh, cand, sf_dir).select(
+    truth = _cand_bounded_truth(sh_cd, cand, sf_dir, hint).select(
         "doc_a", "doc_b", (F.col("jac") >= 0.5).alias("is_dup")
     )
     labeled = cand.join(truth, ["doc_a", "doc_b"], "left").select(
@@ -2824,6 +2929,7 @@ def lsh_band_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("pos"),
         F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("neg"),
     ).localCheckpoint()
+    release_checkpoint(sh_cd, cand, *tmps)  # dist is the only live frame now
     p, n = dist.alias("p"), dist.alias("n")
     u = p.crossJoin(F.broadcast(n)).agg(
         F.sum(
@@ -2911,30 +3017,41 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard truth and the bit lookups are candidate-bounded on
     every side; the report is a 1-row aggregate.
 
-    Round 12 (optimization): the checkpointed shingle scan feeds the
+    Round 12 (optimization): one shingle definition feeds the
     candidate funnel too (adaptive-width signatures via
     _minhash_sigs_from + _lsh_candidates_from) — previously
     lsh_candidate_pairs re-shingled the corpus for its own build.
     Byte-identical values; the width-fixed b-bit lanes below are
-    untouched (they are the thing being audited)."""
-    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    untouched (they are the thing being audited).
+
+    Round 13 (VERDICT r12 items 1-2): the corpus-wide exploded shingle
+    frame is no longer localCheckpointed — the signature build streams
+    over the scan, and the truth + b-bit-lane sides all feed from ONE
+    checkpointed CANDIDATE-DOC-bounded shingle frame (byte-identical
+    per _cand_union_shingles; the per-side semi-filters re-apply on
+    top). The bands checkpoint is released as soon as the candidate
+    list materializes."""
+    sh = _shingles_df(spark, sf_dir)
+    tmps: list[DataFrame] = []
     cand = (
-        _lsh_candidates_from(_minhash_sigs_from(sh, _minhash_wide(sf_dir)))
+        _lsh_candidates_from(_minhash_sigs_from(sh, _minhash_wide(sf_dir)), tmps)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
     hint = cand.count() <= _CAND_BC_MAX_PAIRS
+    sh_cd = _cand_union_shingles(sh, cand, hint).localCheckpoint()
+    release_checkpoint(*tmps)  # bands blocks are dead once cand exists
     # full 16-bit lanes AND their low bits from one aggregate, built
     # only for docs that appear in a candidate pair
     lanes = lambda side: (  # noqa: E731
-        _cand_doc_semi(sh, cand, side, hint)
+        _cand_doc_semi(sh_cd, cand, side, hint)
         .withColumn("h", F.md5("sh"))
         .groupBy("doc_id")
         .agg(*[F.min(F.substring("h", 1 + 4 * s, 4)).alias(f"mh{s}") for s in range(N_MINHASH)])
     )
     bit = lambda s: F.conv(F.substring(F.col(f"mh{s}"), 4, 1), 16, 10).cast("long") % 2  # noqa: E731
     jac = (
-        _cand_bounded_truth(sh, cand, sf_dir)
+        _cand_bounded_truth(sh_cd, cand, sf_dir, hint)
         .join(cand, ["doc_a", "doc_b"], "left_semi")  # exact candidate pairs
         .select("doc_a", "doc_b", F.col("jac").alias("jaccard"))
         .where(F.col("jaccard") >= 0.3)  # audit the candidate-similar region

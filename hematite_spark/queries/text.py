@@ -17,6 +17,7 @@ from hematite_spark.functions import cms_rb_structs as _cms_rb
 from hematite_spark.functions import norm_text as _norm_text
 from hematite_spark.functions import words as _words
 from hematite_spark.io import load_table
+from hematite_spark.queries._shared import release_checkpoint
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic
 # language-ID. Real pipelines use fastText/CLD3; the heuristic is the
@@ -702,6 +703,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
+    prev_cp = None
     for i in range(5):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -721,6 +723,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i < 4:
             ranks = ranks.localCheckpoint()
+            # iteration i-1's rank blocks are dead the moment this
+            # checkpoint materializes (round-13 lifecycle hygiene —
+            # at 100 TB a 5-superstep chain otherwise retains 4 dead
+            # vocabulary-sized block sets until the session GCs)
+            release_checkpoint(prev_cp)
+            prev_cp = ranks
     return (
         ranks.select("node", F.round("r", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")

@@ -278,10 +278,10 @@ def test_cc_pointer_jumping_handles_deep_paths(spark, monkeypatch):
     calls = 0
     orig = dedup._cc_star_round
 
-    def counting(g, large, cut=True):
+    def counting(g, large, cut=True, tmps=None):
         nonlocal calls
         calls += 1
-        return orig(g, large, cut)
+        return orig(g, large, cut, tmps)
 
     monkeypatch.setattr(dedup, "_cc_star_round", counting)
     labels = dedup._cc_labels(spark, pairs).collect()
@@ -357,7 +357,7 @@ def test_cc_propagate_raises_on_non_convergence(spark, monkeypatch):
 
     from hematite_spark.queries import dedup
 
-    def never_converges(g, large, cut=True):
+    def never_converges(g, large, cut=True, tmps=None):
         return g.select("doc_a", (F.col("doc_b") + 1).alias("doc_b"))
 
     monkeypatch.setattr(dedup, "_cc_star_round", never_converges)

@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from hematite_spark.oracle import compare, duck_connection
+from hematite_spark.queries._shared import release_all_checkpoints
 from hematite_spark.session import get_spark
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -47,12 +48,15 @@ def main(names):
             failures.append((name, str(e)))
             print(f"✗ {name}: error: {e}")
         finally:
-            # drop checkpoint RDD references promptly (bench.py
-            # lesson, round 8): 362 entries in one JVM otherwise
-            # accumulate GBs of dead checkpoint blocks and the
-            # sweep tail crawls
+            # drop checkpoint RDD blocks promptly (round 13: the
+            # round-8 del+gc alone never freed them — localCheckpoint
+            # RDDs sit in the context's weak-valued persistent map
+            # until a FULL JVM GC, which Spark only forces every 30
+            # minutes; 363 entries in one JVM otherwise accumulate GBs
+            # of dead checkpoint blocks and the sweep tail crawls)
             del df
             gc.collect()
+            release_all_checkpoints(spark)
     print(f"\n{len(selected) - len(failures)}/{len(selected)} match")
     return 1 if failures else 0
 
